@@ -1,0 +1,216 @@
+"""Camera model and interactive controller.
+
+Capability parity with the reference (ref: src/camera.rs):
+  Camera::new        :21-53   RTiOW basis: origin/horizontal/vertical/lower-left
+  Camera::set_vfov   :55-69   zoom rebuilds the basis around current axes
+  CameraUniform      :71-93   4 x vec4 layout -> here a (4, 3) pytree array
+  CameraController   :95-263  WASD/Space/Ctrl fly, Shift boost, quaternion
+                              mouse-look with vertical clamp, scroll zoom
+
+The device-side camera is a small pytree of float32 arrays; the controller is
+host-side state (it runs between frames, exactly like the reference's winit
+handler) and emits a new camera pytree plus a "changed" flag that triggers
+accumulation restart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MOUSE_SCALING = 0.0000017  # ref: camera.rs:9
+FRAC_2_PI = 2.0 / math.pi
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Camera:
+    """Device camera: ray(u,v) = lower_left + u*horizontal + v*vertical - origin.
+
+    Directions are intentionally NOT normalized — the reference traces
+    unnormalized primary rays (ref: mega_kernel.wgsl:267-275) and all
+    intersection math is homogeneous in |d|; we preserve that contract.
+    """
+    origin: jnp.ndarray        # (3,)
+    horizontal: jnp.ndarray    # (3,)
+    vertical: jnp.ndarray      # (3,)
+    lower_left: jnp.ndarray    # (3,)
+
+
+def make_camera(look_from, look_at, v_up=(0.0, 1.0, 0.0), vfov=75.0, aspect_ratio=16.0 / 9.0):
+    """Build the RTiOW camera basis (ref: camera.rs:21-53)."""
+    look_from = np.asarray(look_from, np.float32)
+    look_at = np.asarray(look_at, np.float32)
+    v_up = np.asarray(v_up, np.float32)
+
+    theta = vfov * math.pi / 180.0
+    h = math.tan(theta / 2.0)
+    viewport_height = 2.0 * h
+    viewport_width = aspect_ratio * viewport_height
+
+    w = look_from - look_at
+    w = w / np.linalg.norm(w)
+    u = np.cross(w, v_up)
+    u = u / np.linalg.norm(u)
+    v = np.cross(w, u)
+
+    origin = look_from
+    horizontal = viewport_width * u
+    vertical = viewport_height * v
+    lower_left = origin - 0.5 * horizontal - 0.5 * vertical - w
+    return Camera(
+        origin=jnp.asarray(origin, jnp.float32),
+        horizontal=jnp.asarray(horizontal, jnp.float32),
+        vertical=jnp.asarray(vertical, jnp.float32),
+        lower_left=jnp.asarray(lower_left, jnp.float32),
+    )
+
+
+def set_vfov(cam: Camera, vfov: float, aspect_ratio: float) -> Camera:
+    """Rebuild the viewport at a new vertical FOV, keeping orientation
+    (ref: camera.rs:55-69)."""
+    theta = vfov * math.pi / 180.0
+    h = math.tan(theta / 2.0)
+    viewport_height = 2.0 * h
+    viewport_width = aspect_ratio * viewport_height
+
+    hz = np.asarray(cam.horizontal)
+    vt = np.asarray(cam.vertical)
+    origin = np.asarray(cam.origin)
+    u = hz / np.linalg.norm(hz)
+    v = vt / np.linalg.norm(vt)
+    w = np.cross(u, v)
+
+    horizontal = viewport_width * u
+    vertical = viewport_height * v
+    lower_left = origin - 0.5 * horizontal - 0.5 * vertical - w
+    return Camera(
+        origin=jnp.asarray(origin, jnp.float32),
+        horizontal=jnp.asarray(horizontal, jnp.float32),
+        vertical=jnp.asarray(vertical, jnp.float32),
+        lower_left=jnp.asarray(lower_left, jnp.float32),
+    )
+
+
+def generate_rays(cam: Camera, u, v):
+    """Primary rays for fractional pixel coords u, v (arrays).
+    Returns (origin (...,3), direction (...,3)), direction unnormalized."""
+    d = (
+        cam.lower_left[None, :]
+        + u[..., None] * cam.horizontal[None, :]
+        + v[..., None] * cam.vertical[None, :]
+        - cam.origin[None, :]
+    )
+    o = jnp.broadcast_to(cam.origin, d.shape)
+    return o, d
+
+
+def _rot_axis_angle(axis, angle):
+    """3x3 rotation about a unit axis (Rodrigues) — host-side numpy."""
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    x, y, z = axis
+    c, s = math.cos(angle), math.sin(angle)
+    C = 1.0 - c
+    return np.array([
+        [c + x * x * C, x * y * C - z * s, x * z * C + y * s],
+        [y * x * C + z * s, c + y * y * C, y * z * C - x * s],
+        [z * x * C - y * s, z * y * C + x * s, c + z * z * C],
+    ])
+
+
+class CameraController:
+    """Fly-camera controller with reference-parity semantics
+    (ref: camera.rs:95-263): WASD/arrows strafe+dolly, Space/Ctrl vertical,
+    Shift doubles speed, mouse-look = yaw about +Y then pitch about the
+    horizontal axis with a clamp that prevents tipping past vertical.
+
+    Drive it with `set_key(name, pressed)` / `mouse_move(dx, dy)` and call
+    `update(camera, dt_micros)`; returns (new_camera, changed).
+    """
+
+    KEYS = ("forward", "backward", "left", "right", "up", "down", "boost")
+
+    def __init__(self, default_speed: float = 5e-6):
+        self.default_speed = default_speed
+        self.pressed = {k: False for k in self.KEYS}
+        self.mouse_delta = np.zeros(2, np.float32)
+        self.mouse_dragged = False
+
+    def set_key(self, name: str, pressed: bool):
+        if name not in self.pressed:
+            raise KeyError(f"unknown control {name!r}; one of {self.KEYS}")
+        self.pressed[name] = pressed
+
+    def mouse_move(self, dx: float, dy: float):
+        self.mouse_delta = np.array([dx, dy], np.float32)
+        self.mouse_dragged = True
+
+    def update(self, cam: Camera, duration_micros: float):
+        p = self.pressed
+        changed = any(p[k] for k in ("forward", "backward", "left", "right", "up", "down")) or self.mouse_dragged
+
+        origin = np.asarray(cam.origin, np.float64)
+        horizontal = np.asarray(cam.horizontal, np.float64)
+        vertical = np.asarray(cam.vertical, np.float64)
+        lower_left = np.asarray(cam.lower_left, np.float64)
+
+        forward = np.cross(vertical, horizontal)
+        forward_mag = np.linalg.norm(forward)
+        forward_n = forward / max(forward_mag, 1e-20)
+        right_n = horizontal / max(np.linalg.norm(horizontal), 1e-20)
+        up = np.array([0.0, 1.0, 0.0])
+
+        speed = self.default_speed * duration_micros * (2.0 if p["boost"] else 1.0)
+
+        def move(delta):
+            nonlocal origin, lower_left
+            origin = origin + delta
+            lower_left = lower_left + delta
+
+        if p["forward"] and forward_mag > speed:
+            move(forward_n * speed)
+        if p["backward"]:
+            move(-forward_n * speed)
+        if p["right"]:
+            move(right_n * speed)
+        if p["left"]:
+            move(-right_n * speed)
+        if p["up"]:
+            move(up * speed)
+        if p["down"]:
+            move(-up * speed)
+
+        if self.mouse_dragged:
+            ang_h = MOUSE_SCALING * duration_micros * self.mouse_delta[0] * FRAC_2_PI
+            Rh = _rot_axis_angle(up, ang_h)
+            horizontal = Rh @ horizontal
+            vertical = Rh @ vertical
+            lower_left = Rh @ (lower_left - origin) + origin
+
+            ang_v = MOUSE_SCALING * duration_micros * self.mouse_delta[1] * FRAC_2_PI
+            Rv = _rot_axis_angle(horizontal / np.linalg.norm(horizontal), ang_v)
+            new_vertical = Rv @ vertical
+            # Clamp: reject the pitch if the new vertical would align with +Y
+            # (tan of the angle to +Y below threshold), ref: camera.rs:248-255.
+            nv = new_vertical / max(np.linalg.norm(new_vertical), 1e-20)
+            cosang = np.dot(nv, up)
+            sinang = np.linalg.norm(np.cross(nv, up))  # >= 0
+            tanang = sinang / cosang if cosang != 0.0 else math.inf
+            if tanang < 1e-10:  # signed test, exactly as camera.rs:250
+                vertical = new_vertical
+                lower_left = Rv @ (lower_left - origin) + origin
+            self.mouse_delta = np.zeros(2, np.float32)
+            self.mouse_dragged = False
+
+        new_cam = Camera(
+            origin=jnp.asarray(origin, jnp.float32),
+            horizontal=jnp.asarray(horizontal, jnp.float32),
+            vertical=jnp.asarray(vertical, jnp.float32),
+            lower_left=jnp.asarray(lower_left, jnp.float32),
+        )
+        return new_cam, bool(changed)

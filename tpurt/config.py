@@ -1,0 +1,52 @@
+"""Render configuration.
+
+The reference hard-codes all of these (ref: src/mega_kernel.rs:11-12 and
+src/kernels/mega_kernel.wgsl:95-103); here they live in one frozen, hashable
+dataclass used as a static jit argument, so every knob is compile-time
+constant inside the kernels (no dynamic shapes, full unrolling freedom).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    width: int = 1920
+    height: int = 1080
+    # Path tracing
+    depth: int = 30                    # DEFAULT_DEPTH (ref: mega_kernel.rs:11)
+    rr_threshold: float = 0.001        # camera-path RR kill (wgsl :977)
+    # Photon / SPPM pass
+    enable_photons: bool = True
+    k_photons: int = 4                 # K_PHOTONS (wgsl :101)
+    max_photon_bounces: int = 8        # MAX_PHOTON_BOUNCES (wgsl :102)
+    photon_radius_init: float = 2.0    # PHOTON_RADIUS_INIT (mega_kernel.rs:12)
+    photon_rr_threshold: float = 0.01  # photon RR kill (wgsl :856)
+    sppm_alpha: float = 0.67           # radius schedule (mega_kernel.rs:198)
+    # Spectral
+    dispersion_in_camera_path: bool = False
+    #   False reproduces the reference quirk (camera path uses the base IOR,
+    #   wgsl :915, while photons/shadows use Cauchy). True applies Cauchy
+    #   dispersion on the camera path too — required for the dispersive-glass
+    #   benchmark config; documented deviation per SURVEY.md §2a.
+    # Geometry path
+    use_bvh: bool = False              # True: BVH traversal (XLA path only);
+    #   False: chunked brute-force triangle sweep (default; Pallas-compatible)
+    # Execution shape
+    tile_size: int = 16384             # pixels per tile in the XLA path
+    sphere_chunk: int = 512            # primitive chunk sizes for the sweeps
+    tri_chunk: int = 256
+    # Instrumentation
+    count_rays: bool = True            # accumulate traced-segment counter
+    # Tonemap defaults (ref: blit.rs:99-101)
+    tonemap_key: float = 0.8
+    tonemap_saturation: float = 1.0
+
+    def with_(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height

@@ -1,0 +1,78 @@
+"""Counter-free PCG (RXS-M-XS 32/32) random number generation, vectorized.
+
+Bit-exact reimplementation of the in-shader hash used by the reference
+renderer (ref: src/kernels/mega_kernel.wgsl:655-675, stream seeding at :991),
+but written as pure functions over uint32 *arrays* so the same code runs
+
+  * in plain jnp (CPU oracle / XLA path),
+  * inside Pallas TPU kernels (uint32 ALU ops lower fine on the VPU),
+  * under vmap/jit without host syncs.
+
+State threading is explicit: every sampler takes a uint32 state array and
+returns (value, new_state).  There is no global RNG.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# f32(0xFFFFFFFFu) rounds to 4294967296.0 in float32; the reference divides by
+# that rounded constant, so we use the identical factor for bit-exact floats.
+_INV_U32 = jnp.float32(1.0 / 4294967296.0)
+
+_MUL = jnp.uint32(747796405)
+_INC = jnp.uint32(2891336453)
+_XSH_MUL = jnp.uint32(277803737)
+
+TWO_PI = 6.283185307179586
+
+
+def seed_pixels(seed, x, y):
+    """Per-pixel RNG stream: seed + 1203793*x + 7*y (ref: mega_kernel.wgsl:991)."""
+    seed = jnp.uint32(seed)
+    x = x.astype(jnp.uint32)
+    y = y.astype(jnp.uint32)
+    return seed + jnp.uint32(1203793) * x + jnp.uint32(7) * y
+
+
+def rand_u32(state):
+    """One PCG RXS-M-XS step. Returns (uint32 output, new state).
+
+    Matches the reference exactly: the output is hashed from the *old* state,
+    then the LCG advances (ref: mega_kernel.wgsl:655-660).
+    """
+    old = state.astype(jnp.uint32)
+    shift = (old >> jnp.uint32(28)) + jnp.uint32(4)
+    res = ((old >> shift) ^ old) * _XSH_MUL
+    out = (res >> jnp.uint32(22)) ^ res
+    new_state = old * _MUL + _INC
+    return out, new_state
+
+
+def rand_1f(state):
+    """Uniform float32 in [0, 1). (ref: mega_kernel.wgsl:662-664)."""
+    bits, state = rand_u32(state)
+    return bits.astype(jnp.float32) * _INV_U32, state
+
+
+def rand_2f(state):
+    """Two uniforms, stacked on a trailing axis of size 2."""
+    u1, state = rand_1f(state)
+    u2, state = rand_1f(state)
+    return jnp.stack([u1, u2], axis=-1), state
+
+
+def unit_vec_from_u(u):
+    """Uniform sphere direction from a (..., 2) uniform pair:
+    theta = 2*pi*u1, phi = acos(1 - 2*u2) (ref: mega_kernel.wgsl:670-675)."""
+    theta = jnp.float32(TWO_PI) * u[..., 0]
+    phi = jnp.arccos(jnp.clip(1.0 - 2.0 * u[..., 1], -1.0, 1.0))
+    sp = jnp.sin(phi)
+    v = jnp.stack([sp * jnp.cos(theta), sp * jnp.sin(theta), jnp.cos(phi)], axis=-1)
+    return v.astype(jnp.float32)
+
+
+def rand_unit_vec(state):
+    """Uniform direction on the unit sphere. Returns ((..., 3), new state)."""
+    u, state = rand_2f(state)
+    return unit_vec_from_u(u), state

@@ -1,0 +1,179 @@
+"""Progressive renderer: the TPU equivalent of the reference's frame loop.
+
+The reference accumulates radiance into an Rgba32Float texture (rgb = sum,
+alpha = sample count, ref: mega_kernel.wgsl:1017-1021), keeps host-side
+iteration / photon_radius counters (ref: mega_kernel.rs:24-25,191-198), and
+clears on camera change.  Here all of that is one explicit pytree —
+``RenderState`` — which makes checkpoint/resume trivial (the reference has no
+persistence at all; ours falls out of the design, SURVEY.md §5).
+
+Execution model: the image is split into fixed-size pixel tiles; one jitted
+``render_step`` advances every tile by one progressive sample (1 spp + photon
+pass), and ``render`` runs S steps under a single jit via lax.fori_loop —
+zero host syncs between samples, matching the reference's fire-and-forget
+frame submission (SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt import tonemap as tm
+from tpurt.camera import Camera
+from tpurt.config import RenderConfig
+from tpurt.integrate import render_tile
+from tpurt.scene import Scene
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RenderState:
+    """Everything that evolves across progressive samples. Arrays are flat
+    (padded_n, ...) where padded_n rounds n_pixels up to a tile multiple."""
+    rgb_sum: jnp.ndarray        # (P, 3) f32 — radiance sum (texture rgb)
+    n_samples: jnp.ndarray      # (P,)   f32 — sample count (texture alpha)
+    vis_pos: jnp.ndarray        # (P, 3) f32 — persistent vispoints
+    vis_norm: jnp.ndarray       # (P, 3) f32
+    vis_wo: jnp.ndarray         # (P, 3) f32
+    vis_tp: jnp.ndarray         # (P, 3) f32
+    vis_mat: jnp.ndarray        # (P,)   i32
+    iteration: jnp.ndarray      # ()     i32
+    photon_radius: jnp.ndarray  # ()     f32
+    rays: jnp.ndarray           # ()     f32 — traced segments (metrics)
+
+
+def padded_pixels(cfg: RenderConfig) -> int:
+    n = cfg.n_pixels
+    t = cfg.tile_size
+    return ((n + t - 1) // t) * t
+
+
+def init_state(cfg: RenderConfig) -> RenderState:
+    """Fresh accumulation state — the analogue of clear_texture + counter
+    reset (ref: lib.rs:514-526, mega_kernel.rs:224-243)."""
+    P = padded_pixels(cfg)
+    z3 = jnp.zeros((P, 3), jnp.float32)
+    return RenderState(
+        rgb_sum=z3, n_samples=jnp.zeros((P,), jnp.float32),
+        vis_pos=z3, vis_norm=z3, vis_wo=z3, vis_tp=z3,
+        vis_mat=jnp.zeros((P,), jnp.int32),
+        iteration=jnp.zeros((), jnp.int32),
+        photon_radius=jnp.asarray(cfg.photon_radius_init, jnp.float32),
+        rays=jnp.zeros((), jnp.float32),
+    )
+
+
+def _frame_seed(base_seed, iteration):
+    """Per-frame seed sequence (reference draws rand::random() per frame,
+    ref: mega_kernel.rs:191): decorrelate by hashing base ^ Weyl(iteration)."""
+    from tpurt.ops.rng import rand_u32
+    x = jnp.uint32(base_seed) + jnp.uint32(2654435761) * iteration.astype(jnp.uint32)
+    out, _ = rand_u32(x)
+    return out
+
+
+def _pixel_coords(cfg: RenderConfig):
+    P = padded_pixels(cfg)
+    idx = np.arange(P, dtype=np.int32)
+    px = idx % cfg.width
+    py = np.minimum(idx // cfg.width, cfg.height - 1)  # clamp the pad tail
+    return jnp.asarray(px), jnp.asarray(py)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "depth"))
+def render_step(scene: Scene, cfg: RenderConfig, camera: Camera,
+                state: RenderState, base_seed, depth: int | None = None) -> RenderState:
+    """Advance every pixel by one progressive sample (one reference frame)."""
+    return _render_step_impl(scene, cfg, camera, state, base_seed,
+                             cfg.depth if depth is None else depth)
+
+
+def _render_step_impl(scene, cfg, camera, state, base_seed, depth: int):
+    seed = _frame_seed(base_seed, state.iteration)
+    px, py = _pixel_coords(cfg)
+    T = cfg.tile_size
+    P = padded_pixels(cfg)
+    n_tiles = P // T
+
+    def tile_fn(args):
+        tpx, tpy, vis_prev = args
+        color, vis, rays = render_tile(
+            scene, cfg, camera, tpx, tpy, seed, state.photon_radius, depth, vis_prev
+        )
+        return color, vis, rays
+
+    tiles_px = px.reshape(n_tiles, T)
+    tiles_py = py.reshape(n_tiles, T)
+    vis_prev = {
+        "pos": state.vis_pos.reshape(n_tiles, T, 3),
+        "norm": state.vis_norm.reshape(n_tiles, T, 3),
+        "wo": state.vis_wo.reshape(n_tiles, T, 3),
+        "tp": state.vis_tp.reshape(n_tiles, T, 3),
+        "mat": state.vis_mat.reshape(n_tiles, T),
+    }
+    color, vis, rays = jax.lax.map(tile_fn, (tiles_px, tiles_py, vis_prev))
+
+    it_new = state.iteration + 1
+    k = it_new.astype(jnp.float32)
+    # SPPM radius schedule R *= sqrt((k+alpha)/(k+1)) (ref: mega_kernel.rs:196-198)
+    r_new = state.photon_radius * jnp.sqrt((k + cfg.sppm_alpha) / (k + 1.0))
+
+    return RenderState(
+        rgb_sum=state.rgb_sum + color.reshape(P, 3),
+        n_samples=state.n_samples + 1.0,
+        vis_pos=vis["pos"].reshape(P, 3),
+        vis_norm=vis["norm"].reshape(P, 3),
+        vis_wo=vis["wo"].reshape(P, 3),
+        vis_tp=vis["tp"].reshape(P, 3),
+        vis_mat=vis["mat"].reshape(P),
+        iteration=it_new,
+        photon_radius=r_new,
+        rays=state.rays + jnp.sum(rays),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "spp"))
+def render(scene: Scene, cfg: RenderConfig, camera: Camera,
+           state: RenderState, base_seed, spp: int) -> RenderState:
+    """Run `spp` progressive samples under ONE jit — no host round-trips."""
+    def body(_, st):
+        return _render_step_impl(scene, cfg, camera, st, base_seed, cfg.depth)
+    return jax.lax.fori_loop(0, spp, body, state)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def resolve_image(cfg: RenderConfig, state: RenderState,
+                  key=None, saturation=None):
+    """Resolve + tonemap to an (H, W, 3) linear-RGB image (the blit pass,
+    ref: blit.wgsl:36-41). Tonemap knobs are live-updatable like the
+    reference's '='/'-'/'['/']' keys."""
+    key = cfg.tonemap_key if key is None else key
+    saturation = cfg.tonemap_saturation if saturation is None else saturation
+    n = cfg.n_pixels
+    avg = tm.resolve(state.rgb_sum[:n], state.n_samples[:n])
+    img = tm.tonemap(avg, key, saturation)
+    return img.reshape(cfg.height, cfg.width, 3)
+
+
+# ----- Checkpoint / resume (SURVEY.md §5: the accumulator IS the checkpoint) -----
+
+def save_checkpoint(path: str, cfg: RenderConfig, state: RenderState) -> None:
+    arrays = {f.name: np.asarray(getattr(state, f.name))
+              for f in dataclasses.fields(RenderState)}
+    np.savez_compressed(path, __cfg__=np.frombuffer(
+        repr(dataclasses.asdict(cfg)).encode(), dtype=np.uint8), **arrays)
+
+
+def load_checkpoint(path: str):
+    """Returns (cfg, state)."""
+    import ast
+    data = np.load(path)
+    cfg_dict = ast.literal_eval(bytes(data["__cfg__"].tobytes()).decode())
+    cfg = RenderConfig(**cfg_dict)
+    kw = {f.name: jnp.asarray(data[f.name]) for f in dataclasses.fields(RenderState)}
+    return cfg, RenderState(**kw)

@@ -1,0 +1,415 @@
+"""Scene construction: pytree Structure-of-Arrays buffers for the device.
+
+Capability parity with the reference host layer (ref: src/lib.rs:220-447 and
+src/{instance,material,light}.rs): materials (diffuse / dielectric), unit
+spheres with transform+scale, OBJ meshes with a baked T*R*S transform, point
+and square-area lights, and a CPU-built BVH.  The reference packs #[repr(C)]
+byte structs for wgpu bind groups; here the device format is a pytree of
+float32/int32 SoA arrays — the natural TPU layout (contiguous lanes per
+field, no interleaving, no padding bytes).
+
+TPU-first deviations from the reference layout, all documented inline:
+  * spheres store (center, radius) instead of a mat4 transform — the kernel
+    only ever uses transform*origin and scale (ref: mega_kernel.wgsl:280-281),
+    so the matrix is dead weight on device;
+  * triangles are pre-gathered into (a, e1, e2, n) arrays in BVH-leaf order,
+    removing both the index and vertex gathers from the inner loop;
+  * sphere materials are pre-resolved (mtype, ior) for the shadow pass so
+    shadow rays never chase material ids;
+  * all primitive arrays may be padded with inert entries (radius 0,
+    degenerate triangles, intensity-0 lights with valid=0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt import accel
+
+
+# ----- Host-side builder objects (API parity with the reference types) -----
+
+@dataclasses.dataclass(frozen=True)
+class Material:
+    """ref: src/material.rs:1-31 — type 0 diffuse(albedo), 1 dielectric(ior, roughness)."""
+    color: tuple = (0.0, 0.0, 0.0)
+    roughness: float = 0.0
+    ior: float = 1.0
+    mtype: int = 0
+
+    @staticmethod
+    def diffuse(color, roughness: float = 0.0) -> "Material":
+        return Material(color=tuple(color), roughness=roughness, ior=1.0, mtype=0)
+
+    @staticmethod
+    def dielectric(ior: float, roughness: float) -> "Material":
+        return Material(color=(0.0, 0.0, 0.0), roughness=roughness, ior=ior, mtype=1)
+
+
+@dataclasses.dataclass(frozen=True)
+class Sphere:
+    """ref: src/instance.rs:5-33 — unit sphere, translation+rotation transform,
+    scale = radius. Rotation doesn't affect a sphere's geometry; we keep the
+    argument for API parity but only the translation (center) reaches device."""
+    material_id: int
+    scale: float
+    translation: tuple
+    rotation_deg: float = 0.0
+
+    @property
+    def center(self):
+        return np.asarray(self.translation, np.float32)
+
+
+@dataclasses.dataclass(frozen=True)
+class Light:
+    """ref: src/light.rs — type 0 point, 1 square area (normal forced downward)."""
+    position: tuple
+    color: tuple
+    intensity: float
+    color_temp: float
+    ltype: int
+    half_width: float = 0.0
+    normal: tuple = (0.0, -1.0, 0.0)
+
+    @staticmethod
+    def point(position, color, intensity, color_temp=0.0) -> "Light":
+        return Light(tuple(position), tuple(color), intensity, color_temp, ltype=0)
+
+    @staticmethod
+    def square_area(center, normal, half_width, color, intensity, color_temp=0.0) -> "Light":
+        n = np.asarray(normal, np.float64)
+        ln = np.linalg.norm(n)
+        n = n / ln if ln > 0 else np.array([0.0, -1.0, 0.0])
+        if n[1] > 0:  # always face downward (ref: light.rs:39-40)
+            n = -n
+        return Light(tuple(center), tuple(color), intensity, color_temp,
+                     ltype=1, half_width=half_width, normal=tuple(n))
+
+
+class MeshData:
+    """Host triangle soup with a baked T*R*S transform
+    (ref: src/instance.rs:35-124; rotation about +Y as in the reference)."""
+
+    def __init__(self, material_id: int = 0, translation=(0.0, 0.0, 0.0),
+                 rotation_deg: float = 0.0, scale: float = 1.0):
+        self.material_id = material_id
+        self.translation = np.asarray(translation, np.float32)
+        self.rotation_deg = float(rotation_deg)
+        self.scale = float(scale)
+        self.positions = np.zeros((0, 3), np.float32)
+        self.indices = np.zeros((0, 3), np.int32)
+        self.tri_material = np.zeros((0,), np.int32)
+
+    def _xform(self, pts: np.ndarray) -> np.ndarray:
+        th = math.radians(self.rotation_deg)
+        c, s = math.cos(th), math.sin(th)
+        rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        return pts * self.scale @ rot.T + self.translation
+
+    def add_triangles(self, positions: np.ndarray, indices: np.ndarray):
+        """Append raw triangles; positions are transformed by the baked TRS."""
+        base = self.positions.shape[0]
+        self.positions = np.concatenate([self.positions, self._xform(np.asarray(positions, np.float32))])
+        idx = np.asarray(indices, np.int32) + base
+        self.indices = np.concatenate([self.indices, idx])
+        self.tri_material = np.concatenate([
+            self.tri_material,
+            np.full((idx.shape[0],), self.material_id, np.int32),
+        ])
+
+    def load_obj(self, path: str):
+        from tpurt.utils.obj import parse_obj
+        positions, indices = parse_obj(path)
+        self.add_triangles(positions, indices)
+        print(f"Loading model: {path} ({indices.shape[0]} triangles)")
+
+    def num_triangles(self) -> int:
+        return self.indices.shape[0]
+
+
+# ----- Device scene pytree -----
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    # spheres
+    sph_center: jnp.ndarray      # (S, 3) f32
+    sph_radius: jnp.ndarray      # (S,)   f32 — 0 marks padding
+    sph_mat: jnp.ndarray         # (S,)   i32
+    sph_mtype: jnp.ndarray       # (S,)   i32 — resolved material type
+    sph_ior: jnp.ndarray         # (S,)   f32 — resolved base IOR
+    # materials
+    mat_color: jnp.ndarray       # (M, 3) f32
+    mat_rough: jnp.ndarray       # (M,)   f32
+    mat_ior: jnp.ndarray         # (M,)   f32
+    mat_type: jnp.ndarray        # (M,)   i32
+    # triangles (leaf order)
+    tri_a: jnp.ndarray           # (T, 3) f32
+    tri_e1: jnp.ndarray          # (T, 3) f32
+    tri_e2: jnp.ndarray          # (T, 3) f32
+    tri_n: jnp.ndarray           # (T, 3) f32 — unit geometric normal
+    tri_mat: jnp.ndarray         # (T,)   i32
+    # BVH over triangles (leaf ranges index tri_* directly)
+    bvh_min: jnp.ndarray         # (B, 3) f32
+    bvh_max: jnp.ndarray         # (B, 3) f32
+    bvh_left: jnp.ndarray        # (B,)   i32
+    bvh_right: jnp.ndarray       # (B,)   i32
+    bvh_first: jnp.ndarray       # (B,)   i32
+    bvh_count: jnp.ndarray       # (B,)   i32
+    # lights
+    light_pos: jnp.ndarray       # (L, 3) f32
+    light_hw: jnp.ndarray        # (L,)   f32 — half width (area lights)
+    light_color: jnp.ndarray     # (L, 3) f32
+    light_intensity: jnp.ndarray # (L,)   f32
+    light_temp: jnp.ndarray      # (L,)   f32 — blackbody K; <=0 -> flat SPD
+    light_type: jnp.ndarray      # (L,)   i32 — 0 point, 1 square area
+    light_normal: jnp.ndarray    # (L, 3) f32
+
+    @property
+    def num_spheres(self) -> int:
+        return self.sph_center.shape[0]
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tri_a.shape[0]
+
+    @property
+    def num_lights(self) -> int:
+        return self.light_pos.shape[0]
+
+    def bvh_dict(self):
+        """BVH + triangle arrays bundled for tpurt.ops.intersect.bvh_hit."""
+        return {
+            "bbox_min": self.bvh_min, "bbox_max": self.bvh_max,
+            "left": self.bvh_left, "right": self.bvh_right,
+            "first": self.bvh_first, "count": self.bvh_count,
+            "tri_a": self.tri_a, "tri_e1": self.tri_e1,
+            "tri_e2": self.tri_e2, "tri_n": self.tri_n,
+            "tri_mat": self.tri_mat,
+        }
+
+
+def build_scene(
+    materials: Sequence[Material],
+    spheres: Sequence[Sphere] = (),
+    meshes: Sequence[MeshData] = (),
+    lights: Sequence[Light] = (),
+    max_leaf_prims: int = 2,
+    bvh_builder=None,
+) -> Scene:
+    """Pack host builder objects into the device Scene pytree.
+
+    Mirrors State::new's buffer packing (ref: src/lib.rs:220-447): triangles
+    from all meshes are merged, a BVH is built CPU-side (median split, leaf
+    <= max_leaf_prims), and triangle SoA arrays are permuted into leaf order.
+    `bvh_builder` overrides the BVH build fn (e.g. the native C++ builder).
+    """
+    materials = list(materials)
+    if not materials:
+        materials = [Material.diffuse((0.8, 0.8, 0.8))]
+
+    mat_color = np.array([m.color for m in materials], np.float32).reshape(-1, 3)
+    mat_rough = np.array([m.roughness for m in materials], np.float32)
+    mat_ior = np.array([m.ior for m in materials], np.float32)
+    mat_type = np.array([m.mtype for m in materials], np.int32)
+
+    S = len(spheres)
+    sph_center = np.array([s.center for s in spheres], np.float32).reshape(S, 3)
+    sph_radius = np.array([s.scale for s in spheres], np.float32)
+    sph_mat = np.array([s.material_id for s in spheres], np.int32)
+    sph_mtype = mat_type[sph_mat] if S else np.zeros((0,), np.int32)
+    sph_ior = mat_ior[sph_mat] if S else np.zeros((0,), np.float32)
+
+    # Merge meshes into one triangle soup.
+    all_a, all_b, all_c, all_m = [], [], [], []
+    for mesh in meshes:
+        if mesh.num_triangles() == 0:
+            continue
+        p = mesh.positions
+        idx = mesh.indices
+        all_a.append(p[idx[:, 0]])
+        all_b.append(p[idx[:, 1]])
+        all_c.append(p[idx[:, 2]])
+        all_m.append(mesh.tri_material)
+    if all_a:
+        A = np.concatenate(all_a)
+        Bv = np.concatenate(all_b)
+        C = np.concatenate(all_c)
+        Mt = np.concatenate(all_m)
+    else:
+        A = Bv = C = np.zeros((0, 3), np.float32)
+        Mt = np.zeros((0,), np.int32)
+
+    e1 = Bv - A
+    e2 = C - A
+    n = np.cross(e1, e2)
+    ln = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = n / np.maximum(ln, 1e-30)
+
+    tri_min = np.minimum(np.minimum(A, Bv), C)
+    tri_max = np.maximum(np.maximum(A, Bv), C)
+    builder = bvh_builder or accel.build_bvh
+    bvh = builder(tri_min, tri_max, max_leaf_prims)
+    if A.shape[0] > 0:
+        perm = bvh.order
+        A, e1, e2, n, Mt = A[perm], e1[perm], e2[perm], n[perm], Mt[perm]
+
+    L = len(lights)
+    light_pos = np.array([l.position for l in lights], np.float32).reshape(L, 3)
+    light_hw = np.array([l.half_width for l in lights], np.float32)
+    light_color = np.array([l.color for l in lights], np.float32).reshape(L, 3)
+    light_intensity = np.array([l.intensity for l in lights], np.float32)
+    light_temp = np.array([l.color_temp for l in lights], np.float32)
+    light_type = np.array([l.ltype for l in lights], np.int32)
+    light_normal = np.array([l.normal for l in lights], np.float32).reshape(L, 3)
+
+    j = lambda x: jnp.asarray(x)
+    return Scene(
+        sph_center=j(sph_center), sph_radius=j(sph_radius), sph_mat=j(sph_mat),
+        sph_mtype=j(sph_mtype), sph_ior=j(sph_ior),
+        mat_color=j(mat_color), mat_rough=j(mat_rough),
+        mat_ior=j(mat_ior), mat_type=j(mat_type),
+        tri_a=j(A.astype(np.float32)), tri_e1=j(e1.astype(np.float32)),
+        tri_e2=j(e2.astype(np.float32)), tri_n=j(n.astype(np.float32)),
+        tri_mat=j(Mt),
+        bvh_min=j(bvh.bbox_min), bvh_max=j(bvh.bbox_max),
+        bvh_left=j(bvh.left), bvh_right=j(bvh.right),
+        bvh_first=j(bvh.first), bvh_count=j(bvh.count),
+        light_pos=j(light_pos), light_hw=j(light_hw), light_color=j(light_color),
+        light_intensity=j(light_intensity), light_temp=j(light_temp),
+        light_type=j(light_type), light_normal=j(light_normal),
+    )
+
+
+# ----- Stock scenes (the reference default + BASELINE.json presets) -----
+
+def default_scene(obj_path: str | None = None) -> Scene:
+    """The reference's hard-coded scene (ref: src/lib.rs:220-447): white
+    ground sphere, green diffuse sphere, glass sphere, optional red OBJ mesh
+    at (0,3,5) scale 0.5, one 5500K square area light at (10,3,0)."""
+    materials = [
+        Material.diffuse((0.8, 0.8, 0.8)),
+        Material.diffuse((0.2, 0.85, 0.2)),
+        Material.dielectric(1.5, 0.01),
+        Material.diffuse((0.85, 0.2, 0.2)),
+    ]
+    spheres = [
+        Sphere(1, 1.0, (0.0, 1.0, -1.0)),
+        Sphere(0, 1000.0, (0.0, -1000.0, 0.0)),
+        Sphere(2, 1.0, (0.0, 1.0, 1.0)),
+    ]
+    meshes = []
+    if obj_path is not None:
+        mesh = MeshData(material_id=3, translation=(0.0, 3.0, 5.0), scale=0.5)
+        mesh.load_obj(obj_path)
+        meshes.append(mesh)
+    lights = [
+        Light.square_area([10.0, 3.0, 0.0], [-1.0, 0.0, 0.0], 3.0,
+                          [1.0, 1.0, 1.0], 1.0, 5500.0),
+    ]
+    return build_scene(materials, spheres, meshes, lights, max_leaf_prims=2)
+
+
+def cornell_spheres_scene() -> Scene:
+    """Cornell-box-style sphere scene — the BASELINE headline config
+    (walls as giant spheres keep the hot loop sphere-only, as the metric
+    "Mrays/sec at 1080p Cornell-box sphere scene" intends)."""
+    materials = [
+        Material.diffuse((0.73, 0.73, 0.73)),   # white
+        Material.diffuse((0.65, 0.05, 0.05)),   # red
+        Material.diffuse((0.12, 0.45, 0.15)),   # green
+        Material.dielectric(1.5, 0.0),          # glass
+        Material.dielectric(1.5, 0.04),         # frosted
+    ]
+    R = 1000.0
+    box = 5.0
+    spheres = [
+        Sphere(0, R, (0.0, -R, 0.0)),          # floor
+        Sphere(0, R, (0.0, R + 2 * box, 0.0)), # ceiling
+        Sphere(0, R, (0.0, box, R + box)),     # back
+        Sphere(1, R, (-R - box, box, 0.0)),    # left (red)
+        Sphere(2, R, (R + box, box, 0.0)),     # right (green)
+        Sphere(3, 1.5, (-1.8, 1.5, 1.0)),      # glass ball
+        Sphere(4, 1.5, (1.8, 1.5, -0.5)),      # frosted ball
+        Sphere(0, 1.0, (0.3, 1.0, 2.8)),       # small white
+    ]
+    lights = [
+        Light.square_area([0.0, 2 * box - 0.01, 0.0], [0.0, -1.0, 0.0], 1.5,
+                          [1.0, 1.0, 1.0], 6.0, 5500.0),
+    ]
+    return build_scene(materials, spheres, [], lights)
+
+
+def instanced_scene(n_instances: int = 256, seed: int = 7) -> Scene:
+    """>=256 sphere instances on a ground plane (BASELINE config 3)."""
+    rng = np.random.default_rng(seed)
+    materials = [
+        Material.diffuse((0.75, 0.75, 0.75)),
+        Material.diffuse((0.8, 0.3, 0.25)),
+        Material.diffuse((0.25, 0.5, 0.85)),
+        Material.dielectric(1.5, 0.0),
+        Material.dielectric(1.5, 0.05),
+        Material.diffuse((0.9, 0.75, 0.3)),
+    ]
+    spheres = [Sphere(0, 1000.0, (0.0, -1000.0, 0.0))]
+    side = int(math.ceil(math.sqrt(n_instances)))
+    for i in range(n_instances):
+        gx, gz = i % side, i // side
+        x = (gx - side / 2) * 2.2 + rng.uniform(-0.4, 0.4)
+        z = (gz - side / 2) * 2.2 + rng.uniform(-0.4, 0.4) + 8.0
+        r = rng.uniform(0.3, 0.8)
+        mat = int(rng.integers(1, len(materials)))
+        spheres.append(Sphere(mat, r, (x, r, z)))
+    lights = [
+        Light.square_area([0.0, 30.0, 8.0], [0.0, -1.0, 0.0], 8.0,
+                          [1.0, 1.0, 1.0], 40.0, 6500.0),
+    ]
+    return build_scene(materials, spheres, [], lights)
+
+
+def dispersive_scene() -> Scene:
+    """Dispersive glass + rough metal-ish dielectrics (BASELINE config 4)."""
+    materials = [
+        Material.diffuse((0.8, 0.8, 0.8)),
+        Material.dielectric(1.52, 0.0),    # crown-glass ball (dispersive)
+        Material.dielectric(1.72, 0.0),    # dense flint
+        Material.dielectric(1.5, 0.09),    # rough GGX
+        Material.diffuse((0.3, 0.3, 0.8)),
+    ]
+    spheres = [
+        Sphere(0, 1000.0, (0.0, -1000.0, 0.0)),
+        Sphere(1, 1.0, (-2.2, 1.0, 4.0)),
+        Sphere(2, 1.0, (0.0, 1.0, 4.5)),
+        Sphere(3, 1.0, (2.2, 1.0, 4.0)),
+        Sphere(4, 0.7, (0.0, 0.7, 7.0)),
+    ]
+    lights = [
+        Light.point([0.0, 8.0, 0.0], [1.0, 1.0, 1.0], 60.0, 5500.0),
+        Light.square_area([6.0, 4.0, 4.0], [-1.0, -0.3, 0.0], 2.0,
+                          [1.0, 1.0, 1.0], 4.0, 3200.0),
+    ]
+    return build_scene(materials, spheres, [], lights)
+
+
+def tri_test_scene() -> Scene:
+    """Small mesh scene used by tests: two-triangle quad + one sphere."""
+    materials = [
+        Material.diffuse((0.8, 0.8, 0.8)),
+        Material.diffuse((0.85, 0.2, 0.2)),
+    ]
+    mesh = MeshData(material_id=1)
+    quad_pos = np.array([
+        [-1.0, 0.0, 3.0], [1.0, 0.0, 3.0], [1.0, 2.0, 3.0], [-1.0, 2.0, 3.0],
+    ], np.float32)
+    quad_idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    mesh.add_triangles(quad_pos, quad_idx)
+    spheres = [Sphere(0, 1000.0, (0.0, -1000.5, 0.0))]
+    lights = [Light.point([0.0, 5.0, 0.0], [1.0, 1.0, 1.0], 10.0, 5500.0)]
+    return build_scene(materials, spheres, [mesh], lights)
