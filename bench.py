@@ -1,0 +1,116 @@
+"""Benchmark: Mrays/sec/chip at 1080p on the Cornell-box sphere scene.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} for the
+driver.  vs_baseline is measured against the 300 Mrays/s/chip north-star
+target (BASELINE.json — the reference publishes no numbers of its own).
+
+Rays are *actually traced segments* counted in-kernel (camera path segments
++ shadow rays + photon segments), per BASELINE.md's metric definition — not
+the theoretical maximum.
+
+Usage: python bench.py [--small] [--config N] [--spp N] [--json-only]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def build_bench(config_id: int, small: bool):
+    from tpurt import (
+        RenderConfig,
+        cornell_spheres_scene,
+        dispersive_scene,
+        instanced_scene,
+        make_camera,
+    )
+
+    if small:
+        w, h = 640, 360
+    else:
+        w, h = 1920, 1080
+
+    if config_id == 2:  # Cornell 512x512 64spp 8-bounce (BASELINE config 2)
+        w = h = 512 if not small else 256
+        cfg = RenderConfig(width=w, height=h, depth=8)
+        scene = cornell_spheres_scene()
+        cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0, aspect_ratio=w / h)
+    elif config_id == 3:  # >=256 instances 1080p (BASELINE config 3)
+        cfg = RenderConfig(width=w, height=h, depth=30)
+        scene = instanced_scene(256)
+        cam = make_camera((0, 10, -14), (0, 1, 8), vfov=55.0, aspect_ratio=w / h)
+    elif config_id == 4:  # dispersive spectral scene (BASELINE config 4)
+        cfg = RenderConfig(width=w, height=h, depth=30,
+                           dispersion_in_camera_path=True)
+        scene = dispersive_scene()
+        cam = make_camera((0, 3, -4), (0, 1, 5), vfov=55.0, aspect_ratio=w / h)
+    else:  # headline: Cornell sphere scene @1080p, reference defaults
+        cfg = RenderConfig(width=w, height=h, depth=30)
+        scene = cornell_spheres_scene()
+        cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0, aspect_ratio=w / h)
+    return cfg, scene, cam
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="640x360 quick mode")
+    ap.add_argument("--config", type=int, default=1)
+    ap.add_argument("--spp", type=int, default=8, help="timed samples")
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    cfg, scene, cam = build_bench(args.config, args.small)
+    from tpurt import init_state, render
+
+    dev = jax.devices()[0]
+    if not args.json_only:
+        print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
+              file=sys.stderr)
+        print(f"scene: {scene.num_spheres} spheres, {scene.num_triangles} tris, "
+              f"{scene.num_lights} lights; {cfg.width}x{cfg.height} depth={cfg.depth}",
+              file=sys.stderr)
+
+    state = init_state(cfg)
+    # Warmup with the SAME spp (spp is a static jit arg — a different count
+    # would recompile inside the timed region) + primes vispoints.
+    t0 = time.perf_counter()
+    state = render(scene, cfg, cam, state, 1234, args.spp)
+    jax.block_until_ready(state)
+    if not args.json_only:
+        print(f"compile+warmup ({args.spp} spp): {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+
+    rays_before = float(state.rays)
+    t0 = time.perf_counter()
+    state = render(scene, cfg, cam, state, 1234, args.spp)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    rays = float(state.rays) - rays_before
+    mrays = rays / dt / 1e6
+    samples_per_sec = cfg.n_pixels * args.spp / dt
+
+    result = {
+        "metric": "Mrays/sec/chip (1080p Cornell-box sphere scene)"
+                  if args.config == 1 and not args.small
+                  else f"Mrays/sec/chip (config {args.config}{', small' if args.small else ''})",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 300.0, 4),
+    }
+    if not args.json_only:
+        print(f"{args.spp} spp in {dt:.2f}s -> {mrays:.1f} Mrays/s, "
+              f"{samples_per_sec / 1e6:.2f} Msamples/s, "
+              f"{rays / (cfg.n_pixels * args.spp):.1f} segments/pixel/spp",
+              file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Multi-chip scaling over a jax.sharding.Mesh.
+
+The reference is strictly single-GPU (ref: src/lib.rs:148-163 — one device,
+one queue; SURVEY.md §5 "distributed communication backend: ABSENT").  The
+TPU rebuild scales two embarrassingly-parallel axes instead, per SURVEY.md
+§5's design decision:
+
+  * pixel sharding  — each chip owns a contiguous slab of pixels and its
+    slice of the accumulation / vispoint state; a frame needs zero
+    communication (the scene is replicated), and only the final
+    resolve/gather rides ICI.
+  * sample sharding — every chip renders the full image with decorrelated
+    RNG streams; accumulators are psum-reduced.  Useful when the image is
+    too small to keep many chips busy.
+
+Both are expressed with shard_map over a 1-D mesh; XLA inserts the (trivial)
+collectives.  Works identically on real TPU slices and on the 8-device
+virtual CPU mesh used by the tests and dryrun.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpurt.camera import Camera
+from tpurt.config import RenderConfig
+from tpurt.render import RenderState, _render_step_impl, padded_pixels
+from tpurt.scene import Scene
+
+AXIS = "px"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else n_devices
+    return Mesh(np.array(devs[:n]), (AXIS,))
+
+
+def padded_pixels_sharded(cfg: RenderConfig, n_dev: int) -> int:
+    """Pixels padded so every device holds a whole number of tiles."""
+    unit = cfg.tile_size * n_dev
+    return ((cfg.n_pixels + unit - 1) // unit) * unit
+
+
+def init_state_sharded(cfg: RenderConfig, mesh: Mesh) -> RenderState:
+    """Like render.init_state but laid out over the mesh's pixel axis."""
+    n_dev = mesh.devices.size
+    Pn = padded_pixels_sharded(cfg, n_dev)
+    sh1 = NamedSharding(mesh, P(AXIS))
+    sh3 = NamedSharding(mesh, P(AXIS, None))
+    rep = NamedSharding(mesh, P())
+    z3 = jnp.zeros((Pn, 3), jnp.float32, device=sh3)
+    return RenderState(
+        rgb_sum=z3,
+        n_samples=jnp.zeros((Pn,), jnp.float32, device=sh1),
+        vis_pos=z3, vis_norm=z3, vis_wo=z3, vis_tp=z3,
+        vis_mat=jnp.zeros((Pn,), jnp.int32, device=sh1),
+        iteration=jnp.zeros((), jnp.int32, device=rep),
+        photon_radius=jnp.asarray(cfg.photon_radius_init, jnp.float32, device=rep),
+        rays=jnp.zeros((), jnp.float32, device=rep),
+    )
+
+
+def _local_step(scene, cfg, camera, state: RenderState, base_seed, depth, n_dev):
+    """Per-device body: render this device's pixel slab.
+
+    Inside shard_map the state arrays are the local shard; pixel coordinates
+    are reconstructed from the device's position on the mesh axis, so RNG
+    streams stay globally consistent with the single-chip layout.
+    """
+    from tpurt.integrate import render_tile
+    from tpurt.render import _frame_seed
+
+    me = jax.lax.axis_index(AXIS)
+    Pl = state.rgb_sum.shape[0]  # local pixels
+    seed = _frame_seed(base_seed, state.iteration)
+
+    gidx = me * Pl + jax.lax.broadcasted_iota(jnp.int32, (Pl, 1), 0)[:, 0]
+    px = gidx % cfg.width
+    py = jnp.minimum(gidx // cfg.width, cfg.height - 1)
+
+    T = cfg.tile_size
+    n_tiles = Pl // T
+
+    def tile_fn(args):
+        tpx, tpy, vis_prev = args
+        return render_tile(scene, cfg, camera, tpx, tpy, seed,
+                           state.photon_radius, depth, vis_prev)
+
+    vis_prev = {
+        "pos": state.vis_pos.reshape(n_tiles, T, 3),
+        "norm": state.vis_norm.reshape(n_tiles, T, 3),
+        "wo": state.vis_wo.reshape(n_tiles, T, 3),
+        "tp": state.vis_tp.reshape(n_tiles, T, 3),
+        "mat": state.vis_mat.reshape(n_tiles, T),
+    }
+    color, vis, rays = jax.lax.map(
+        tile_fn, (px.reshape(n_tiles, T), py.reshape(n_tiles, T), vis_prev))
+
+    it_new = state.iteration + 1
+    k = it_new.astype(jnp.float32)
+    r_new = state.photon_radius * jnp.sqrt((k + cfg.sppm_alpha) / (k + 1.0))
+    total_rays = jax.lax.psum(jnp.sum(rays), AXIS)
+
+    return RenderState(
+        rgb_sum=state.rgb_sum + color.reshape(Pl, 3),
+        n_samples=state.n_samples + 1.0,
+        vis_pos=vis["pos"].reshape(Pl, 3),
+        vis_norm=vis["norm"].reshape(Pl, 3),
+        vis_wo=vis["wo"].reshape(Pl, 3),
+        vis_tp=vis["tp"].reshape(Pl, 3),
+        vis_mat=vis["mat"].reshape(Pl),
+        iteration=it_new,
+        photon_radius=r_new,
+        rays=state.rays + total_rays,
+    )
+
+
+def make_sharded_step(mesh: Mesh, cfg: RenderConfig, depth: int | None = None,
+                      spp: int = 1):
+    """Build the jitted multi-chip render step (spp samples per call).
+
+    Returns f(scene, camera, state, base_seed) -> state. All state arrays are
+    sharded over the pixel axis; scene/camera are replicated; the only
+    collective per step is a scalar psum for the ray counter.
+    """
+    n_dev = mesh.devices.size
+    d = cfg.depth if depth is None else depth
+
+    state_specs = RenderState(
+        rgb_sum=P(AXIS, None), n_samples=P(AXIS),
+        vis_pos=P(AXIS, None), vis_norm=P(AXIS, None),
+        vis_wo=P(AXIS, None), vis_tp=P(AXIS, None), vis_mat=P(AXIS),
+        iteration=P(), photon_radius=P(), rays=P(),
+    )
+
+    def body(scene, camera, state, base_seed):
+        def one(st, _):
+            return _local_step(scene, cfg, camera, st, base_seed, d, n_dev), None
+        st, _ = jax.lax.scan(one, state, None, length=spp)
+        return st
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), state_specs, P()),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def resolve_image_sharded(cfg: RenderConfig, state: RenderState):
+    """Gather + resolve the distributed accumulator to a host (H, W, 3)."""
+    from tpurt import tonemap as tm
+    rgb = np.asarray(jax.device_get(state.rgb_sum))[: cfg.n_pixels]
+    ns = np.asarray(jax.device_get(state.n_samples))[: cfg.n_pixels]
+    avg = rgb / np.maximum(ns, 1.0)[:, None]
+    img = np.asarray(tm.tonemap(jnp.asarray(avg), cfg.tonemap_key, cfg.tonemap_saturation))
+    return img.reshape(cfg.height, cfg.width, 3)
