@@ -1,0 +1,110 @@
+"""Pallas megakernel vs XLA integrator parity (SURVEY.md §7 step 5).
+
+Both backends implement the same physics with bit-exact PCG RNG streams and
+identical draw order, so for the same seed they must produce the same image
+up to float reassociation. A tiny fraction of lanes may flip a near-threshold
+branch (hit test, RR) and diverge entirely — the assertions are therefore on
+the ray count (must match exactly: masks are reassociation-robust in
+aggregate), the mean image, and the fraction of divergent pixels.
+
+Runs on CPU: the kernel goes through the Pallas interpreter (the render
+dispatch auto-selects interpret mode off-TPU).
+"""
+
+import numpy as np
+import pytest
+
+from tpurt import (
+    RenderConfig,
+    cornell_spheres_scene,
+    default_scene,
+    dispersive_scene,
+    make_camera,
+)
+from tpurt.render import init_state, render, render_step
+
+
+def _run_pair(scene, cfg_kw, spp=1, seed=77):
+    cfg_x = RenderConfig(backend="xla", **cfg_kw)
+    cfg_p = RenderConfig(backend="pallas", **cfg_kw)
+    cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                      aspect_ratio=cfg_x.width / cfg_x.height)
+    st_x = render(scene, cfg_x, cam, init_state(cfg_x), seed, spp)
+    st_p = render(scene, cfg_p, cam, init_state(cfg_p), seed, spp)
+    return st_x, st_p
+
+
+def _assert_close(st_x, st_p, n_pixels, frac_tol=0.01):
+    a = np.asarray(st_x.rgb_sum)[:n_pixels]
+    b = np.asarray(st_p.rgb_sum)[:n_pixels]
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    # identical RNG streams -> identical masks -> identical ray counts
+    # (pallas pads to its own tile unit; compare only when paddings match)
+    assert abs(a.mean() - b.mean()) < 5e-3 * max(a.mean(), 1e-3)
+    diverged = np.abs(a - b).max(axis=-1) > 1e-3
+    assert diverged.mean() < frac_tol, f"{diverged.mean():.2%} pixels diverged"
+
+
+class TestMegaPallasParity:
+    def test_cornell_spheres(self):
+        scene = cornell_spheres_scene()
+        cfg_kw = dict(width=64, height=32, depth=4, tile_size=2048,
+                      pallas_lanes=2048, k_photons=2, max_photon_bounces=3)
+        st_x, st_p = _run_pair(scene, cfg_kw)
+        # same padded size -> ray counters must match exactly
+        assert float(st_x.rays) == float(st_p.rays) != 0.0
+        _assert_close(st_x, st_p, 64 * 32)
+
+    def test_multi_spp_schedule(self):
+        """Radius schedule + iteration bookkeeping agree across 3 samples."""
+        scene = cornell_spheres_scene()
+        cfg_kw = dict(width=32, height=16, depth=3, tile_size=512,
+                      pallas_lanes=512, k_photons=1, max_photon_bounces=2)
+        st_x, st_p = _run_pair(scene, cfg_kw, spp=3)
+        assert int(st_x.iteration) == int(st_p.iteration) == 3
+        np.testing.assert_allclose(float(st_x.photon_radius),
+                                   float(st_p.photon_radius), rtol=1e-6)
+        assert float(st_x.rays) == float(st_p.rays)
+        _assert_close(st_x, st_p, 32 * 16)
+
+    def test_default_scene_spheres(self):
+        """Sphere-only variant of the reference default scene, with the
+        dielectric + 5500K area light (exercises blackbody + dispersion)."""
+        scene = default_scene()  # no obj asset -> spheres only
+        if scene.num_triangles > 0:
+            pytest.skip("default scene picked up a mesh")
+        cfg_kw = dict(width=48, height=24, depth=5, tile_size=1152,
+                      pallas_lanes=1152 if 1152 % 128 == 0 else 1024,
+                      k_photons=2, max_photon_bounces=4)
+        if cfg_kw["pallas_lanes"] % 128 != 0:
+            cfg_kw["pallas_lanes"] = 1024
+            cfg_kw["tile_size"] = 1024
+        st_x, st_p = _run_pair(scene, cfg_kw)
+        _assert_close(st_x, st_p, 48 * 24, frac_tol=0.02)
+
+    def test_dispersive_camera_path(self):
+        scene = dispersive_scene()
+        if scene.num_triangles > 0:
+            pytest.skip("dispersive scene has a mesh")
+        cfg_kw = dict(width=32, height=16, depth=4, tile_size=512,
+                      pallas_lanes=512, dispersion_in_camera_path=True,
+                      k_photons=1, max_photon_bounces=2)
+        st_x, st_p = _run_pair(scene, cfg_kw)
+        _assert_close(st_x, st_p, 32 * 16, frac_tol=0.02)
+
+    def test_vispoints_persist(self):
+        """Vispoint planes survive across steps (render_step single-step
+        path) and the photon pass reads the updated ones."""
+        scene = cornell_spheres_scene()
+        cfg = RenderConfig(width=32, height=16, depth=3, backend="pallas",
+                           pallas_lanes=512, k_photons=1,
+                           max_photon_bounces=2)
+        cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                          aspect_ratio=2.0)
+        st = init_state(cfg)
+        st = render_step(scene, cfg, cam, st, 3)
+        vp1 = np.asarray(st.vis_pos)
+        assert (np.linalg.norm(vp1, axis=-1) > 1e-3).any()
+        st = render_step(scene, cfg, cam, st, 3)
+        assert int(st.iteration) == 2
+        assert float(st.photon_radius) < 2.0

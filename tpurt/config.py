@@ -35,7 +35,10 @@ class RenderConfig:
     use_bvh: bool = False              # True: BVH traversal (XLA path only);
     #   False: chunked brute-force triangle sweep (default; Pallas-compatible)
     # Execution shape
+    backend: str = "xla"               # "xla" | "pallas" (fused megakernel;
+    #   sphere scenes only for now — mesh scenes auto-fall-back to XLA)
     tile_size: int = 16384             # pixels per tile in the XLA path
+    pallas_lanes: int = 4096           # pixels per Pallas tile (R=lanes/128)
     sphere_chunk: int = 512            # primitive chunk sizes for the sweeps
     tri_chunk: int = 256
     # Instrumentation

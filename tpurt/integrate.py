@@ -338,7 +338,9 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
         vp_stored = st["vp_stored"] | store
 
         # --- NEE (diffuse lanes only consume the result) ---
-        direct, rng, srays = sample_direct_lighting(scene, cfg, loc, n, lam, rng)
+        # (the returned live-geometry count is NOT added to the ray counter:
+        # shadow segments are counted once below as lane_d * num_lights)
+        direct, rng, _ = sample_direct_lighting(scene, cfg, loc, n, lam, rng)
         nee = tp * color * direct
         lane_d = active & found & is_diffuse
         rad = rad + jnp.where(lane_d[:, None], nee, 0.0)
@@ -396,7 +398,7 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
             "vp_stored": vp_stored,
             "vis_pos": vis_pos, "vis_norm": vis_norm,
             "vis_wo": vis_wo, "vis_tp": vis_tp, "vis_mat": vis_mat,
-            "rays": st_rays + srays,
+            "rays": st_rays,
         }
 
     state = jax.lax.fori_loop(0, depth, bounce, state)

@@ -1,0 +1,867 @@
+"""Pallas TPU megakernel: the fused per-tile path tracer + photon pass.
+
+This is the hot loop of the renderer (ref: src/kernels/mega_kernel.wgsl:
+cs_main :984-1021, recursive_trace :865-982, trace_photon :745-861), built
+for the TPU instead of translated from WGSL:
+
+  * One ``pallas_call`` advances the whole frame: grid = pixel tiles, each
+    program owns `pallas_lanes` pixels laid out as (R, 128) float32 planes —
+    full 8x128 VPU tiles, no (N, 3) padding waste (see tpurt.ops.soa).
+  * The ENTIRE bounce loop runs with path state resident in VMEM/registers.
+    The XLA path round-trips loop state through HBM every bounce; here HBM
+    traffic is one block-in + block-out of the 16 accumulation/vispoint
+    planes per tile, double-buffered by the BlockSpec pipeline.
+  * **The scene is a compile-time constant** (``freeze_scene``): sphere
+    centers, materials and lights bake into the instruction stream, exactly
+    like the reference hard-codes its scene at startup (ref: lib.rs:220-447).
+    Mosaic then constant-folds aggressively — diffuse occluders skip the
+    whole Fresnel transmission chain, padding primitives vanish, and
+    point-vs-area light branches resolve at trace time.
+  * Vispoints are masked-written straight to the output block inside the
+    bounce loop instead of being carried: a while_loop carry is a live
+    register for the whole loop, and spilling 13 extra planes is what caps
+    the tile size (measured: quadratic slowdown with R before this change).
+  * Bounce loops are ``lax.while_loop``s that exit as soon as every lane in
+    the tile is dead — the tile-coherent analogue of the reference's
+    per-thread ``break`` (wgsl :885,903,981).
+
+RNG draw order matches tpurt.integrate *exactly*, so the kernel and the XLA
+integrator produce the same image for the same seed (up to float
+reassociation); tests/test_mega_pallas.py asserts this.
+
+Current scope: sphere scenes (the flagship benchmark configs). Scenes with
+triangle meshes fall back to the XLA integrator — see tpurt.render dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurt.config import RenderConfig
+from tpurt.ops import rng as rngmod
+from tpurt.ops import soa as s
+from tpurt.ops.bsdf import INV_PI, fr_dielectric
+from tpurt.ops.spectra import (
+    DISPERSION_B,
+    VISIBLE_MIN,
+    VISIBLE_RANGE,
+    blackbody,
+)
+
+EPS = 1e-5
+MISS = np.float32(1e30)  # numpy scalar: kernels can't capture device arrays
+_HIT = np.float32(MISS * 0.5)
+PHOTON_CONE_COS = 0.707  # ref: mega_kernel.wgsl:103
+
+N_CHANNELS = 16  # rgb_sum 3 | vis_pos 3 | vis_norm 3 | vis_wo 3 | vis_tp 3 | vis_mat 1
+# channel index bases for the persistent planes
+_VPOS, _VNORM, _VWO, _VTP, _VMAT = 3, 6, 9, 12, 15
+
+# How many spheres we are willing to unroll into the instruction stream
+# before compile time / code size makes the XLA path the better choice.
+MAX_STATIC_SPHERES = 192
+
+
+def _mask_i32(m):
+    # bool mask -> i32 carry (Mosaic while_loops cannot yield i1 vectors)
+    return jnp.where(m, jnp.int32(1), jnp.int32(0))
+
+
+def _mask_f32(m):
+    return jnp.where(m, jnp.float32(1.0), jnp.float32(0.0))
+
+
+# ----- frozen (compile-time) scene -----
+
+@dataclasses.dataclass(frozen=True)
+class _FSphere:
+    c: tuple        # (cx, cy, cz)
+    r: float
+    mat: int
+    mtype: int      # resolved material type (shadow pass)
+    ior: float      # resolved base IOR (shadow pass)
+
+
+@dataclasses.dataclass(frozen=True)
+class _FMaterial:
+    color: tuple    # (r, g, b)
+    rough: float
+    ior: float
+    mtype: int
+
+
+@dataclasses.dataclass(frozen=True)
+class _FLight:
+    pos: tuple
+    hw: float
+    color: tuple
+    intensity: float
+    temp: float
+    ltype: int
+    normal: tuple   # unit, y <= 0 (ref: light.rs:39-40)
+    tangent: tuple  # frame of `normal` (square sampling / cosine emission)
+    bitangent: tuple
+    cone_axis: tuple      # normalize(origin - pos) (photon emission)
+    cone_t: tuple         # frame of cone_axis
+    cone_b: tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FrozenScene:
+    spheres: tuple
+    materials: tuple
+    lights: tuple
+
+
+def _np_tangent_frame(n):
+    """Host mirror of soa.build_tangent_frame_c (ref: mega_kernel.wgsl:677-681)."""
+    n = np.asarray(n, np.float32)
+    if abs(float(n[1])) > 0.99999:
+        t = np.array([1.0, 0.0, 0.0], np.float32)
+    else:
+        t = np.array([n[2], 0.0, -n[0]], np.float32)
+        t = t / np.sqrt(max(float(t @ t), 1e-30))
+    b = np.cross(n, t)
+    return tuple(float(x) for x in t), tuple(float(x) for x in b)
+
+
+def freeze_scene(scene) -> FrozenScene:
+    """Concrete Scene pytree -> hashable compile-time constants.
+
+    Must be called OUTSIDE jit (needs concrete values). The reference bakes
+    its scene into host code at startup (lib.rs:220-447); we bake it into the
+    kernel at compile time — a scene change costs one recompile, exactly like
+    the reference costs a rebuild.
+    """
+    cen = np.asarray(scene.sph_center, np.float32)
+    rad = np.asarray(scene.sph_radius, np.float32)
+    smat = np.asarray(scene.sph_mat, np.int32)
+    smtype = np.asarray(scene.sph_mtype, np.int32)
+    sior = np.asarray(scene.sph_ior, np.float32)
+    spheres = tuple(
+        _FSphere(c=tuple(float(x) for x in cen[i]), r=float(rad[i]),
+                 mat=int(smat[i]), mtype=int(smtype[i]), ior=float(sior[i]))
+        for i in range(cen.shape[0]) if float(rad[i]) > 0.0
+    )
+    mc = np.asarray(scene.mat_color, np.float32)
+    mr = np.asarray(scene.mat_rough, np.float32)
+    mi = np.asarray(scene.mat_ior, np.float32)
+    mt = np.asarray(scene.mat_type, np.int32)
+    materials = tuple(
+        _FMaterial(color=tuple(float(x) for x in mc[i]), rough=float(mr[i]),
+                   ior=float(mi[i]), mtype=int(mt[i]))
+        for i in range(mc.shape[0])
+    )
+    lp = np.asarray(scene.light_pos, np.float32)
+    lhw = np.asarray(scene.light_hw, np.float32)
+    lc = np.asarray(scene.light_color, np.float32)
+    li = np.asarray(scene.light_intensity, np.float32)
+    lt = np.asarray(scene.light_temp, np.float32)
+    lty = np.asarray(scene.light_type, np.int32)
+    ln = np.asarray(scene.light_normal, np.float32)
+    lights = []
+    for j in range(lp.shape[0]):
+        normal = tuple(float(x) for x in ln[j])
+        tangent, bitangent = _np_tangent_frame(normal)
+        pos = tuple(float(x) for x in lp[j])
+        axis = -np.asarray(pos, np.float32)
+        axis = axis / np.sqrt(max(float(axis @ axis), 1e-30))
+        cone_t, cone_b = _np_tangent_frame(axis)
+        lights.append(_FLight(
+            pos=pos, hw=float(lhw[j]), color=tuple(float(x) for x in lc[j]),
+            intensity=float(li[j]), temp=float(lt[j]), ltype=int(lty[j]),
+            normal=normal, tangent=tangent, bitangent=bitangent,
+            cone_axis=tuple(float(x) for x in axis),
+            cone_t=cone_t, cone_b=cone_b,
+        ))
+    return FrozenScene(spheres=spheres, materials=materials,
+                       lights=tuple(lights))
+
+
+def supports_scene(scene) -> bool:
+    """The Pallas megakernel covers sphere scenes up to the static-unroll
+    budget; triangle meshes / huge instance counts run on the XLA path."""
+    return (scene.num_triangles == 0
+            and scene.num_spheres <= MAX_STATIC_SPHERES)
+
+
+# ----- component-form integrator pieces (mirror tpurt.integrate) -----
+
+def _closest_sphere_static(spheres, o, d):
+    """Unrolled winner loop over constant spheres (wgsl :342-354)."""
+    best_t = jnp.full_like(o[0], MISS)
+    best_c = (jnp.zeros_like(o[0]),) * 3
+    best_mat = jnp.zeros_like(o[0], jnp.int32)
+    a = s.vdot(d, d)
+    for sp in spheres:
+        oc = (o[0] - sp.c[0], o[1] - sp.c[1], o[2] - sp.c[2])
+        half_b = s.vdot(oc, d)
+        c = s.vdot(oc, oc) - sp.r * sp.r
+        disc = half_b * half_b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t = (-half_b - sq) / a
+        t = jnp.where((disc > 0.0) & (t > 0.0), t, MISS)
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        best_c = s.vwhere(better, s.vbroadcast(sp.c, o[0]), best_c)
+        best_mat = jnp.where(better, np.int32(sp.mat), best_mat)
+    loc = s.vadd(o, s.vscale(d, best_t * 0.9999))
+    nrm = s.vnormalize(s.vsub(loc, best_c), eps=1e-30)
+    return best_t, loc, nrm, best_mat
+
+
+def _shadow_static(spheres, o, d, t_max, lam):
+    """Spectral shadow attenuation over constant spheres (wgsl :511-538).
+
+    Static material types let diffuse occluders skip the entire Fresnel
+    chain: their factor is just `overlap ? 0 : 1`.
+    """
+    atten = jnp.ones_like(o[0])
+    a = s.vdot(d, d)
+    for sp in spheres:
+        cb = s.vbroadcast(sp.c, o[0])
+        oc = s.vsub(o, cb)
+        half_b = s.vdot(oc, d)
+        c = s.vdot(oc, oc) - sp.r * sp.r
+        disc = half_b * half_b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = (-half_b - sq) / a
+        t1 = (-half_b + sq) / a
+        overlap = (disc > 0.0) & (t1 > 0.0) & (t0 < t_max)
+        if sp.mtype == 0:
+            atten = atten * jnp.where(overlap, 0.0, 1.0)
+            continue
+        t_entry = jnp.maximum(t0, 0.0)
+        t_exit = jnp.minimum(t1, t_max)
+        segment = t_entry < t_exit
+        eta = sp.ior + jnp.float32(DISPERSION_B) / ((lam * 1e-3) * (lam * 1e-3))
+        p1 = s.vadd(o, s.vscale(d, t_entry))
+        n1 = s.vnormalize(s.vsub(p1, cb), eps=1e-30)
+        R1 = fr_dielectric(-s.vdot(n1, d), eta)
+        p2 = s.vadd(o, s.vscale(d, t_exit))
+        n2 = s.vnormalize(s.vsub(p2, cb), eps=1e-30)
+        R2 = fr_dielectric(-s.vdot(n2, d), eta)
+        f = jnp.where(segment, (1.0 - R1) * (1.0 - R2), 1.0)
+        atten = atten * jnp.where(overlap, f, 1.0)
+    return atten
+
+
+def _material_lookup_static(materials, mat_id):
+    """Per-lane material attributes via an unrolled constant select chain."""
+    zero = jnp.zeros_like(mat_id, jnp.float32)
+    cr, cg, cb_, rough, ior = zero, zero, zero, zero, zero
+    is_diffuse = jnp.zeros_like(mat_id, bool)
+    for m, mat in enumerate(materials):
+        sel = mat_id == m
+        cr = jnp.where(sel, np.float32(mat.color[0]), cr)
+        cg = jnp.where(sel, np.float32(mat.color[1]), cg)
+        cb_ = jnp.where(sel, np.float32(mat.color[2]), cb_)
+        rough = jnp.where(sel, np.float32(mat.rough), rough)
+        ior = jnp.where(sel, np.float32(mat.ior), ior)
+        if mat.mtype == 0:
+            is_diffuse = is_diffuse | sel
+    return (cr, cg, cb_), rough, ior, is_diffuse
+
+
+def _scatter_dielectric_c(wo, normal, eta, alpha, u2a, u2b, u_choice, camera_pdf):
+    """Component-form mirror of tpurt.integrate._scatter_dielectric
+    (ref: mega_kernel.wgsl:914-973 camera, :795-852 photon)."""
+    # --- effectively smooth ---
+    cos_t = s.vdot(wo, normal)
+    R_s = fr_dielectric(jnp.abs(cos_t), eta)
+    reflect_s = u_choice < R_s
+    wi_refl_s = s.reflect_c(wo, normal)
+    wi_refr_s, refr_ok = s.refract_c(wo, normal, eta)
+    etap_s = jnp.where(cos_t < 0.0, 1.0 / eta, eta)
+    tp_refr_s = 1.0 / (etap_s * etap_s)
+    wi_smooth = s.vwhere(reflect_s, wi_refl_s, wi_refr_s)
+    tp_smooth = jnp.where(reflect_s, 1.0, tp_refr_s)
+    off_smooth = jnp.where(reflect_s, EPS, -EPS)
+    valid_smooth = reflect_s | refr_ok
+
+    # --- rough GGX ---
+    T = s.build_tangent_frame_c(normal)
+    B = s.vcross(normal, T)
+    wo_l = s.to_local_c(wo, normal, T, B)
+    wm = s.tr_sample_wm_c(wo_l, u2a, u2b, alpha)
+    dot_wowm = jnp.abs(s.vdot(wo_l, wm))
+    R = fr_dielectric(dot_wowm, eta)
+    Tns = 1.0 - R
+    choose_reflect = u_choice < R / jnp.maximum(R + Tns, 1e-10)
+
+    D = s.tr_d_c(wm[2], alpha)
+
+    wi_l_refl = s.reflect_c(wo_l, wm)
+    refl_ok = wo_l[2] * wi_l_refl[2] > 0.0
+    G_r = s.tr_g_c(wo_l[2], wi_l_refl[2], alpha)
+    ct_i_r = jnp.abs(wi_l_refl[2])
+    ct_o = jnp.abs(wo_l[2])
+    bsdf_r = D * G_r * R / jnp.maximum(4.0 * ct_i_r * ct_o, 1e-10)
+    if camera_pdf:
+        G1 = s.tr_g1_c(wo_l[2], alpha)
+        pdf_wm = (G1 / jnp.maximum(ct_o, 1e-10)) * D * dot_wowm
+        pdf_r = jnp.maximum(pdf_wm / jnp.maximum(4.0 * dot_wowm, 1e-10), 1e-10) \
+            * (R / jnp.maximum(R + Tns, 1e-10))
+    else:
+        pdf_r = s.tr_lambda_c(wo_l[2], alpha) + 1.0
+    tp_r = bsdf_r * ct_i_r / jnp.maximum(pdf_r, 1e-10)
+
+    wi_l_refr, refr_l_ok = s.refract_c(wo_l, wm, eta)
+    trans_ok = refr_l_ok & ~(wo_l[2] * wi_l_refr[2] > 0.0)
+    G_t = s.tr_g_c(wo_l[2], wi_l_refr[2], alpha)
+    ct_i_t = jnp.abs(wi_l_refr[2])
+    denom = s.vdot(wi_l_refr, wm) + s.vdot(wo_l, wm) / eta
+    bsdf_t = Tns * D * G_t * jnp.abs(
+        s.vdot(wi_l_refr, wm) * s.vdot(wo_l, wm)
+        / jnp.maximum(ct_i_t * ct_o * denom * denom, 1e-10)
+    )
+    if camera_pdf:
+        dwm_dwi = jnp.abs(s.vdot(wi_l_refr, wm)) / jnp.maximum(denom * denom, 1e-10)
+        G1 = s.tr_g1_c(wo_l[2], alpha)
+        pdf_t = jnp.maximum(
+            (G1 / jnp.maximum(ct_o, 1e-10)) * D * dot_wowm * dwm_dwi
+            * (Tns / jnp.maximum(R + Tns, 1e-10)),
+            1e-10,
+        )
+    else:
+        pdf_t = s.tr_lambda_c(wo_l[2], alpha) + 1.0
+    etap_t = jnp.where(wo_l[2] < 0.0, 1.0 / eta, eta)
+    tp_t = bsdf_t * ct_i_t / jnp.maximum(pdf_t, 1e-10) / (etap_t * etap_t)
+
+    wi_l = s.vwhere(choose_reflect, wi_l_refl, wi_l_refr)
+    wi_rough = s.to_world_c(wi_l, normal, T, B)
+    tp_rough = jnp.where(choose_reflect, tp_r, tp_t)
+    off_rough = jnp.where(choose_reflect, EPS, -EPS)
+    # boolean algebra instead of select: Mosaic has no i1-vector select
+    valid_rough = (choose_reflect & refl_ok) | (~choose_reflect & trans_ok)
+
+    smooth = alpha < 1e-3
+    wi = s.vwhere(smooth, wi_smooth, wi_rough)
+    tp_mult = jnp.where(smooth, tp_smooth, tp_rough)
+    offset = jnp.where(smooth, off_smooth, off_rough)
+    valid = (smooth & valid_smooth) | (~smooth & valid_rough)
+    return wi, tp_mult, offset, valid
+
+
+def _evaluate_bsdf_c(wo, wi, n, color, rough, ior_eta, is_diff):
+    """Photon-gather BSDF (wgsl :725-743): Oren-Nayar diffuse or
+    GGX-reflection-only dielectric. ior_eta is the pre-dispersed eta."""
+    f_diff = s.oren_nayar_c(wo, wi, n, color, rough)
+    ndotv = s.vdot(n, wo)
+    ndotl = s.vdot(n, wi)
+    refl = ndotv * ndotl > 0.0
+    alpha = jnp.sqrt(rough)
+    wm = s.vnormalize(s.vadd(wi, wo), eps=1e-30)
+    R = fr_dielectric(s.vdot(wo, wm), ior_eta)
+    T = s.build_tangent_frame_c(n)
+    B = s.vcross(n, T)
+    wo_l = s.to_local_c(wo, n, T, B)
+    wi_l = s.to_local_c(wi, n, T, B)
+    wm_l = s.to_local_c(wm, n, T, B)
+    D = s.tr_d_c(wm_l[2], alpha)
+    G = s.tr_g_c(wo_l[2], wi_l[2], alpha)
+    spec = D * G * R / jnp.maximum(4.0 * jnp.abs(wi_l[2]) * jnp.abs(wo_l[2]), 1e-10)
+    spec = jnp.where(refl, spec, 0.0)
+    return s.vwhere(is_diff, f_diff, (spec, spec, spec))
+
+
+def _diffuse_scatter_c(wo, n, color, rough, u2a, u2b):
+    """Cosine scatter + Oren-Nayar throughput (wgsl :906-912)."""
+    rn = s.unit_vec_from_u_c(u2a, u2b)
+    wi_d = s.vnormalize(s.vadd(n, rn), eps=1e-30)
+    cosw = jnp.maximum(s.vdot(n, wi_d), 1e-10)
+    pdf_d = cosw * jnp.float32(INV_PI)
+    f_diff = s.oren_nayar_c(s.vnormalize(wo, eps=1e-30), wi_d, n, color, rough)
+    tpm_d = s.vscale(f_diff, cosw / jnp.maximum(pdf_d, 1e-10))
+    return wi_d, tpm_d
+
+
+# ----- the kernel body -----
+
+def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
+                 lanes: int):
+    R = lanes // 128
+    W, H = cfg.width, cfg.height
+    SPH = fscene.spheres
+    MATS = fscene.materials
+    LIGHTS = fscene.lights
+    L = len(LIGHTS)
+    any_dielectric = any(m.mtype != 0 for m in MATS)
+
+    def kernel(planes_ref, cam_ref, seed_ref, rad_ref, out_ref, rays_ref):
+        tile = pl.program_id(0)
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        idx = tile * lanes + row * 128 + col
+        px = jnp.remainder(idx, W)
+        py = jnp.minimum(idx // W, H - 1)
+
+        # persistent planes: carry last frame's vispoints into the output
+        # block; the bounce loop masked-updates them in place (cheaper than
+        # 13 extra while_loop carries, which spill at useful tile sizes).
+        for ch in range(3, N_CHANNELS):
+            out_ref[ch] = planes_ref[ch]
+
+        rng = rngmod.seed_pixels(seed_ref[0, 0], px, py)
+        photon_radius = rad_ref[0, 0]
+
+        # --- camera ray (ref: camera.rs:21-53; draw order = integrate.py) ---
+        uj1, rng = rngmod.rand_1f(rng)
+        uj2, rng = rngmod.rand_1f(rng)
+        u = (px.astype(jnp.float32) + uj1) / jnp.float32(W)
+        v = (py.astype(jnp.float32) + uj2) / jnp.float32(H)
+        cam_o = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
+        cam_h = (cam_ref[1, 0], cam_ref[1, 1], cam_ref[1, 2])
+        cam_v = (cam_ref[2, 0], cam_ref[2, 1], cam_ref[2, 2])
+        cam_ll = (cam_ref[3, 0], cam_ref[3, 1], cam_ref[3, 2])
+        d0 = tuple(
+            cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c] for c in range(3)
+        )
+        o0 = s.vbroadcast(cam_o, u)
+
+        # --- one wavelength per sample (wgsl :995) ---
+        u_lam, rng = rngmod.rand_1f(rng)
+        lam = jnp.float32(VISIBLE_MIN) + u_lam * jnp.float32(VISIBLE_RANGE)
+
+        # --- per-frame spectral precomputes (lambda-invariant per path) ---
+        cie = s.cie_to_rgb_c(lam)
+        lam_um = lam * jnp.float32(1e-3)
+        cauchy_add = jnp.float32(DISPERSION_B) / (lam_um * lam_um)
+
+        # Per-light emission spectra (the reference recomputes these per
+        # bounce, wgsl :574-578; they only depend on lambda, so hoist).
+        light_rgb = []
+        for lt in LIGHTS:
+            if lt.temp > 0.0:
+                spd = blackbody(lam, np.float32(lt.temp))
+            else:
+                spd = 1.0
+            light_rgb.append(tuple(
+                np.float32(lt.color[c] * lt.intensity * VISIBLE_RANGE)
+                * spd * cie[c]
+                for c in range(3)
+            ))
+
+        zero = jnp.zeros_like(u)
+        z3 = (zero, zero, zero)
+
+        # =========== camera path (wgsl :865-982 / integrate.py) ===========
+        st = {
+            "b": jnp.int32(0), "anylive": jnp.int32(1),
+            "o": o0, "d": d0, "tp": (zero + 1.0,) * 3, "rad": z3,
+            "active": jnp.ones_like(u, jnp.int32), "rng": rng,
+            "vp_stored": jnp.zeros_like(u, jnp.int32),
+            "rays": jnp.float32(0.0),
+        }
+
+        def cam_cond(st):
+            return (st["b"] < depth) & (st["anylive"] > 0)
+
+        def cam_body(st):
+            o, d, tp, rad = st["o"], st["d"], st["tp"], st["rad"]
+            active, rng = st["active"] > 0, st["rng"]
+            rays = st["rays"]
+            if cfg.count_rays:
+                rays = rays + jnp.sum(_mask_f32(active))
+
+            t, loc, n, mat = _closest_sphere_static(SPH, o, d)
+            found = t < _HIT
+
+            color, rough, ior, is_diffuse = _material_lookup_static(MATS, mat)
+            wo = s.vneg(d)
+
+            # vispoint store at first diffuse hit (wgsl :893-900):
+            # masked in-place update of the persistent output planes.
+            store = active & found & is_diffuse & ~(st["vp_stored"] > 0)
+            for k_, val in ((_VPOS, loc), (_VNORM, n), (_VWO, wo), (_VTP, tp)):
+                out_ref[k_] = jnp.where(store, val[0], out_ref[k_])
+                out_ref[k_ + 1] = jnp.where(store, val[1], out_ref[k_ + 1])
+                out_ref[k_ + 2] = jnp.where(store, val[2], out_ref[k_ + 2])
+            out_ref[_VMAT] = jnp.where(store, mat.astype(jnp.float32),
+                                       out_ref[_VMAT])
+            vp_stored = jnp.maximum(st["vp_stored"], _mask_i32(store))
+
+            # NEE over all lights (wgsl :568-615); light type is static.
+            direct = z3
+            for li, lt in enumerate(LIGHTS):
+                u1, rng = rngmod.rand_1f(rng)
+                u2, rng = rngmod.rand_1f(rng)
+                if lt.ltype == 1:
+                    su = (u1 - 0.5) * np.float32(2.0 * lt.hw)
+                    sv = (u2 - 0.5) * np.float32(2.0 * lt.hw)
+                    lp = tuple(
+                        np.float32(lt.pos[c]) + su * np.float32(lt.tangent[c])
+                        + sv * np.float32(lt.bitangent[c]) for c in range(3))
+                else:
+                    lp = s.vbroadcast(lt.pos, u1)
+
+                to_light = s.vsub(lp, loc)
+                dist = jnp.sqrt(jnp.maximum(s.vdot(to_light, to_light), 1e-30))
+                ldir = s.vscale(to_light, 1.0 / dist)
+                ndotl = s.vdot(n, ldir)
+                live = (dist >= EPS) & (ndotl > 0.0)
+                if lt.ltype == 1:
+                    cos_light = jnp.maximum(
+                        0.0, -(lt.normal[0] * ldir[0] + lt.normal[1] * ldir[1]
+                               + lt.normal[2] * ldir[2]))
+                    live = live & (cos_light > 0.0) & (lt.hw > 0.0)
+                    geom = ndotl * cos_light * np.float32(
+                        max(4.0 * lt.hw * lt.hw, 1e-10))
+                else:
+                    geom = ndotl
+
+                so = s.vadd(loc, s.vscale(n, EPS))
+                atten = _shadow_static(SPH, so, ldir, dist - EPS, lam)
+
+                w = geom * atten / (dist * dist)
+                w = jnp.where(live, w, 0.0)
+                direct = s.vadd(direct, s.vscale(light_rgb[li], w))
+
+            lane_d = active & found & is_diffuse
+            nee = s.vmul(s.vmul(tp, color), direct)
+            rad = s.vadd(rad, s.vwhere(lane_d, nee, z3))
+            if cfg.count_rays:
+                rays = rays + jnp.sum(_mask_f32(lane_d)) * L
+
+            # shared scatter draws (order = integrate.py)
+            u2a, rng = rngmod.rand_1f(rng)
+            u2b, rng = rngmod.rand_1f(rng)
+            u_choice, rng = rngmod.rand_1f(rng)
+            u_rr, rng = rngmod.rand_1f(rng)
+
+            wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough, u2a, u2b)
+
+            if any_dielectric:
+                # dielectric scatter (wgsl :914-973)
+                if cfg.dispersion_in_camera_path:
+                    eta = ior + cauchy_add
+                else:
+                    eta = ior  # reference quirk (wgsl :915)
+                alpha = jnp.sqrt(rough)
+                wi_s, tpm_s, off_s, valid_s = _scatter_dielectric_c(
+                    wo, n, eta, alpha, u2a, u2b, u_choice, camera_pdf=True)
+                wi = s.vwhere(is_diffuse, wi_d, wi_s)
+                tpm = s.vwhere(is_diffuse, tpm_d, (tpm_s, tpm_s, tpm_s))
+                off = jnp.where(is_diffuse, EPS, off_s)
+                scat_ok = is_diffuse | valid_s
+            else:
+                wi, tpm = wi_d, tpm_d
+                off = jnp.full_like(u, EPS)
+                scat_ok = jnp.ones_like(u, bool)
+
+            new_tp = s.vmul(tp, tpm)
+            new_o = s.vadd(loc, s.vscale(n, off))
+
+            # Russian roulette (wgsl :976-979)
+            prob = s.vmax_comp(new_tp)
+            rr_live = (prob >= cfg.rr_threshold) & (u_rr <= prob)
+            new_tp = s.vscale(new_tp, 1.0 / jnp.maximum(prob, 1e-30))
+
+            cont = active & found & scat_ok & rr_live
+            cont_i = _mask_i32(cont)
+            return {
+                "b": st["b"] + 1, "anylive": jnp.max(cont_i),
+                "o": s.vwhere(cont, new_o, o),
+                "d": s.vwhere(cont, wi, d),
+                "tp": s.vwhere(cont, new_tp, tp),
+                "rad": rad, "active": cont_i, "rng": rng,
+                "vp_stored": vp_stored,
+                "rays": rays,
+            }
+
+        st = jax.lax.while_loop(cam_cond, cam_body, st)
+        rad = st["rad"]
+        rng = st["rng"]
+        rays_total = st["rays"]
+
+        # =========== photon pass (wgsl :745-861, :998-1015) ===========
+        contrib = z3
+        if cfg.enable_photons and L > 0:
+            vis_pos = (out_ref[_VPOS], out_ref[_VPOS + 1], out_ref[_VPOS + 2])
+            vp_ok = jnp.sqrt(s.vdot(vis_pos, vis_pos)) > 0.001
+            vp_ok_i = _mask_i32(vp_ok)
+            inv_pi_r2 = 1.0 / jnp.maximum(
+                jnp.float32(np.pi) * photon_radius * photon_radius, 1e-10)
+
+            for k in range(cfg.k_photons):
+                lt = LIGHTS[k % L]
+
+                # point: cone toward origin (1f + 2f draws, wgsl :710-721)
+                uc, rng = rngmod.rand_1f(rng)
+                up1, rng = rngmod.rand_1f(rng)
+                _up2, rng = rngmod.rand_1f(rng)  # drawn, unused (ref parity)
+                ue1, rng = rngmod.rand_1f(rng)
+                ue2, rng = rngmod.rand_1f(rng)
+                uh1, rng = rngmod.rand_1f(rng)
+                uh2, rng = rngmod.rand_1f(rng)
+
+                if lt.ltype == 0:
+                    ct = 1.0 - uc * np.float32(1.0 - PHOTON_CONE_COS)
+                    stn = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+                    phi = jnp.float32(s.TWO_PI) * up1
+                    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+                    ph_d = tuple(
+                        stn * cphi * np.float32(lt.cone_t[c])
+                        + stn * sphi * np.float32(lt.cone_b[c])
+                        + ct * np.float32(lt.cone_axis[c]) for c in range(3))
+                    ph_o = s.vbroadcast(lt.pos, uc)
+                    cone_factor = (1.0 - PHOTON_CONE_COS) * 0.5
+                    ph_tp = s.vbroadcast(tuple(
+                        lt.color[c] * lt.intensity / cfg.k_photons * cone_factor
+                        for c in range(3)), uc)
+                else:
+                    su = (ue1 - 0.5) * np.float32(2.0 * lt.hw)
+                    sv = (ue2 - 0.5) * np.float32(2.0 * lt.hw)
+                    ph_o = tuple(
+                        np.float32(lt.pos[c] + lt.normal[c] * EPS)
+                        + su * np.float32(lt.tangent[c])
+                        + sv * np.float32(lt.bitangent[c]) for c in range(3))
+                    theta = jnp.float32(s.TWO_PI) * uh1
+                    r_ = jnp.sqrt(uh2)
+                    x_ = r_ * jnp.cos(theta)
+                    y_ = r_ * jnp.sin(theta)
+                    z_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - r_ * r_))
+                    ph_d = tuple(
+                        x_ * np.float32(lt.tangent[c])
+                        + y_ * np.float32(lt.bitangent[c])
+                        + z_ * np.float32(lt.normal[c]) for c in range(3))
+                    ph_tp = s.vbroadcast(tuple(
+                        lt.color[c] * lt.intensity / cfg.k_photons
+                        for c in range(3)), uc)
+
+                pst = {
+                    "b": jnp.int32(0), "anylive": jnp.max(vp_ok_i),
+                    "o": ph_o, "d": ph_d, "tp": ph_tp,
+                    "active": vp_ok_i, "rng": rng,
+                    "contrib": z3, "rays": jnp.float32(0.0),
+                }
+
+                def ph_cond(pst):
+                    return (pst["b"] < cfg.max_photon_bounces) & (pst["anylive"] > 0)
+
+                def ph_body(pst):
+                    o, d, tp = pst["o"], pst["d"], pst["tp"]
+                    active, rng = pst["active"] > 0, pst["rng"]
+                    rays = pst["rays"]
+                    if cfg.count_rays:
+                        rays = rays + jnp.sum(_mask_f32(active))
+
+                    t, loc, n, mat = _closest_sphere_static(SPH, o, d)
+                    found = t < _HIT
+                    live = active & found
+
+                    # density estimation at this lane's vispoint (wgsl :774-780)
+                    # vispoints re-read from the output block each bounce:
+                    # keeps them out of the loop carry (register pressure).
+                    vpos = (out_ref[_VPOS], out_ref[_VPOS + 1], out_ref[_VPOS + 2])
+                    vnorm = (out_ref[_VNORM], out_ref[_VNORM + 1], out_ref[_VNORM + 2])
+                    vwo = (out_ref[_VWO], out_ref[_VWO + 1], out_ref[_VWO + 2])
+                    vtp = (out_ref[_VTP], out_ref[_VTP + 1], out_ref[_VTP + 2])
+                    vmat = out_ref[_VMAT].astype(jnp.int32)
+                    v_color, v_rough, v_ior, v_isdiff = \
+                        _material_lookup_static(MATS, vmat)
+                    dvec = s.vsub(loc, vpos)
+                    dist = jnp.sqrt(jnp.maximum(s.vdot(dvec, dvec), 0.0))
+                    near = dist < photon_radius
+                    f = _evaluate_bsdf_c(vwo, s.vneg(d), vnorm,
+                                         v_color, v_rough, v_ior + cauchy_add,
+                                         v_isdiff)
+                    kern = (1.0 - dist / photon_radius) * inv_pi_r2
+                    dens = s.vscale(s.vmul(s.vmul(vtp, f), tp), kern)
+                    c = s.vadd(pst["contrib"], s.vwhere(live & near, dens, z3))
+
+                    # scatter (wgsl :782-853)
+                    color, rough, ior, is_diffuse = \
+                        _material_lookup_static(MATS, mat)
+                    wo = s.vneg(d)
+
+                    u2a, rng = rngmod.rand_1f(rng)
+                    u2b, rng = rngmod.rand_1f(rng)
+                    u_choice, rng = rngmod.rand_1f(rng)
+                    u_rr, rng = rngmod.rand_1f(rng)
+
+                    wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough,
+                                                     u2a, u2b)
+                    if any_dielectric:
+                        eta = ior + cauchy_add  # photons disperse (wgsl :797)
+                        alpha = jnp.sqrt(rough)
+                        wi_s, tpm_s, off_s, valid_s = _scatter_dielectric_c(
+                            wo, n, eta, alpha, u2a, u2b, u_choice,
+                            camera_pdf=False)
+                        wi = s.vwhere(is_diffuse, wi_d, wi_s)
+                        tpm = s.vwhere(is_diffuse, tpm_d,
+                                       (tpm_s, tpm_s, tpm_s))
+                        off = jnp.where(is_diffuse, EPS, off_s)
+                        scat_ok = is_diffuse | valid_s
+                    else:
+                        wi, tpm = wi_d, tpm_d
+                        off = jnp.full_like(uc, EPS)
+                        scat_ok = jnp.ones_like(uc, bool)
+
+                    new_tp = s.vmul(tp, tpm)
+                    new_o = s.vadd(loc, s.vscale(n, off))
+
+                    prob = s.vmax_comp(new_tp)
+                    rr_live = (prob >= cfg.photon_rr_threshold) & (u_rr <= prob)
+                    new_tp = s.vscale(new_tp, 1.0 / jnp.maximum(prob, 1e-30))
+
+                    cont = live & scat_ok & rr_live
+                    cont_i = _mask_i32(cont)
+                    return {
+                        "b": pst["b"] + 1, "anylive": jnp.max(cont_i),
+                        "o": s.vwhere(cont, new_o, o),
+                        "d": s.vwhere(cont, wi, d),
+                        "tp": s.vwhere(cont, new_tp, tp),
+                        "active": cont_i, "rng": rng,
+                        "contrib": c, "rays": rays,
+                    }
+
+                pst = jax.lax.while_loop(ph_cond, ph_body, pst)
+                contrib = s.vadd(contrib, pst["contrib"])
+                rng = pst["rng"]
+                rays_total = rays_total + pst["rays"]
+
+        # =========== accumulate (wgsl :1017-1021) ===========
+        total = s.vadd(rad, contrib)
+        out_ref[0] = planes_ref[0] + total[0]
+        out_ref[1] = planes_ref[1] + total[1]
+        out_ref[2] = planes_ref[2] + total[2]
+        rays_ref[tile, 0] = rays_total  # full-array SMEM block; own row only
+
+    return kernel
+
+
+# ----- pallas_call wrapper -----
+
+@functools.partial(jax.jit,
+                   static_argnames=("fscene", "cfg", "depth", "interpret"))
+def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
+                    seed, photon_radius, depth: int, interpret: bool = False):
+    """Advance every pixel by one progressive sample via the Pallas kernel.
+
+    planes: (16, TR, 128) f32 state (see N_CHANNELS layout); returns
+    (new_planes, rays_per_tile (n_tiles,)).
+    """
+    lanes = cfg.pallas_lanes
+    assert lanes % 128 == 0, "pallas_lanes must be a multiple of 128"
+    R = lanes // 128
+    TR = planes.shape[1]
+    assert TR % R == 0, (TR, R)
+    n_tiles = TR // R
+
+    cam = jnp.stack([camera.origin, camera.horizontal,
+                     camera.vertical, camera.lower_left])
+    seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1, 1)
+    rad_arr = jnp.asarray(photon_radius, jnp.float32).reshape(1, 1)
+
+    kernel = _make_kernel(fscene, cfg, depth, lanes)
+
+    new_planes, rays = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((N_CHANNELS, R, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((N_CHANNELS, R, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(planes.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(planes, cam, seed_arr, rad_arr)
+    return new_planes, rays[:, 0]
+
+
+# ----- RenderState <-> planes conversion (XLA side) -----
+
+def state_to_planes(state):
+    """RenderState arrays (P, 3)/(P,) -> (16, TR, 128) f32 planes."""
+    P = state.rgb_sum.shape[0]
+    TR = P // 128
+    cols = [state.rgb_sum[:, c] for c in range(3)]
+    for arr in (state.vis_pos, state.vis_norm, state.vis_wo, state.vis_tp):
+        cols.extend(arr[:, c] for c in range(3))
+    cols.append(state.vis_mat.astype(jnp.float32))
+    return jnp.stack(cols).reshape(N_CHANNELS, TR, 128)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fscene", "cfg", "spp", "depth",
+                                    "interpret"))
+def _render_pallas_jit(fscene, cfg, camera, state, base_seed, spp, depth,
+                       interpret):
+    from tpurt.render import _frame_seed
+
+    planes = state_to_planes(state)
+
+    def body(_, carry):
+        planes, it, radius, rays = carry
+        seed = _frame_seed(base_seed, it)
+        new_planes, tile_rays = megakernel_step(
+            fscene, cfg, camera, planes, seed, radius, depth,
+            interpret=interpret)
+        it_new = it + 1
+        k = it_new.astype(jnp.float32)
+        # SPPM radius schedule (ref: mega_kernel.rs:196-198)
+        r_new = radius * jnp.sqrt((k + cfg.sppm_alpha) / (k + 1.0))
+        return (new_planes, it_new, r_new, rays + jnp.sum(tile_rays))
+
+    planes, it, radius, rays = jax.lax.fori_loop(
+        0, spp, body,
+        (planes, state.iteration, state.photon_radius, state.rays))
+
+    P = planes.shape[1] * 128
+    flat = planes.reshape(N_CHANNELS, P)
+    v3 = lambda a: jnp.stack([flat[a], flat[a + 1], flat[a + 2]], axis=-1)
+    return dataclasses.replace(
+        state,
+        rgb_sum=v3(0),
+        n_samples=state.n_samples + spp,
+        vis_pos=v3(3), vis_norm=v3(6), vis_wo=v3(9), vis_tp=v3(12),
+        vis_mat=flat[15].astype(jnp.int32),
+        iteration=it, photon_radius=radius, rays=rays,
+    )
+
+
+def render_pallas(scene, cfg: RenderConfig, camera, state, base_seed,
+                  spp: int, depth: int | None = None,
+                  interpret: bool | None = None):
+    """Run `spp` progressive samples with the tile planes resident on device.
+
+    The scene must be concrete (not traced): it is frozen into compile-time
+    constants. The (P, 3) <-> planes layout conversion is paid ONCE per
+    call — on TPU the narrow (P, 3) arrays live in a padded tiled layout, so
+    per-step transposes would cost ~100x the kernel itself (measured).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fscene = freeze_scene(scene)
+    return _render_pallas_jit(fscene, cfg, camera, state,
+                              jnp.asarray(base_seed, jnp.uint32), spp,
+                              cfg.depth if depth is None else depth,
+                              interpret)
+
+
+def render_step_pallas(scene, cfg: RenderConfig, camera, state, base_seed,
+                       depth: int, interpret: bool | None = None):
+    """Single progressive sample via the Pallas backend (pays the layout
+    conversion both ways; use render_pallas for multi-spp rendering)."""
+    return render_pallas(scene, cfg, camera, state, base_seed, 1, depth,
+                         interpret=interpret)

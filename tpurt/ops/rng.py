@@ -14,24 +14,46 @@ returns (value, new_state).  There is no global RNG.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 # f32(0xFFFFFFFFu) rounds to 4294967296.0 in float32; the reference divides by
 # that rounded constant, so we use the identical factor for bit-exact floats.
-_INV_U32 = jnp.float32(1.0 / 4294967296.0)
+# (numpy scalars, not jnp arrays: Pallas kernels may not capture device
+# arrays as closure constants.)
+_INV_U32 = np.float32(1.0 / 4294967296.0)
 
-_MUL = jnp.uint32(747796405)
-_INC = jnp.uint32(2891336453)
-_XSH_MUL = jnp.uint32(277803737)
+_MUL = np.uint32(747796405)
+_INC = np.uint32(2891336453)
+_XSH_MUL = np.uint32(277803737)
 
 TWO_PI = 6.283185307179586
 
 
+def _bitcast_u32(x):
+    """int32 -> uint32 reinterpret (Mosaic-safe; astype casts are not)."""
+    if x.dtype == jnp.uint32:
+        return x
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
+def _u32_to_f32(bits):
+    """Exact uint32 -> float32 value conversion without a u32->f32 cast
+    (unsupported in Mosaic). hi*2^16 and lo are exact f32, so the single
+    rounding of their sum equals rounding the 32-bit integer directly —
+    bit-identical to f32(bits) on every backend."""
+    i = jax.lax.bitcast_convert_type(bits, jnp.int32)
+    hi = jax.lax.shift_right_logical(i, 16)
+    lo = jax.lax.bitwise_and(i, jnp.int32(0xFFFF))
+    return hi.astype(jnp.float32) * jnp.float32(65536.0) + lo.astype(jnp.float32)
+
+
 def seed_pixels(seed, x, y):
     """Per-pixel RNG stream: seed + 1203793*x + 7*y (ref: mega_kernel.wgsl:991)."""
-    seed = jnp.uint32(seed)
-    x = x.astype(jnp.uint32)
-    y = y.astype(jnp.uint32)
+    seed = jnp.asarray(seed, jnp.uint32)
+    x = _bitcast_u32(x)
+    y = _bitcast_u32(y)
     return seed + jnp.uint32(1203793) * x + jnp.uint32(7) * y
 
 
@@ -52,7 +74,7 @@ def rand_u32(state):
 def rand_1f(state):
     """Uniform float32 in [0, 1). (ref: mega_kernel.wgsl:662-664)."""
     bits, state = rand_u32(state)
-    return bits.astype(jnp.float32) * _INV_U32, state
+    return _u32_to_f32(bits) * _INV_U32, state
 
 
 def rand_2f(state):
@@ -64,11 +86,13 @@ def rand_2f(state):
 
 def unit_vec_from_u(u):
     """Uniform sphere direction from a (..., 2) uniform pair:
-    theta = 2*pi*u1, phi = acos(1 - 2*u2) (ref: mega_kernel.wgsl:670-675)."""
+    theta = 2*pi*u1, phi = acos(1 - 2*u2) (ref: mega_kernel.wgsl:670-675).
+    The acos cancels algebraically (cos(acos z) = z, sin(acos z) = sqrt(1-z^2))
+    — cheaper, and Mosaic has no acos lowering."""
     theta = jnp.float32(TWO_PI) * u[..., 0]
-    phi = jnp.arccos(jnp.clip(1.0 - 2.0 * u[..., 1], -1.0, 1.0))
-    sp = jnp.sin(phi)
-    v = jnp.stack([sp * jnp.cos(theta), sp * jnp.sin(theta), jnp.cos(phi)], axis=-1)
+    z = jnp.clip(1.0 - 2.0 * u[..., 1], -1.0, 1.0)
+    sp = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    v = jnp.stack([sp * jnp.cos(theta), sp * jnp.sin(theta), z], axis=-1)
     return v.astype(jnp.float32)
 
 

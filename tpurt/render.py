@@ -49,7 +49,9 @@ class RenderState:
 
 def padded_pixels(cfg: RenderConfig) -> int:
     n = cfg.n_pixels
-    t = cfg.tile_size
+    # The Pallas backend needs P divisible by its lane tile AND by 128 for
+    # the (16, TR, 128) plane layout; pallas_lanes is a multiple of 128.
+    t = cfg.pallas_lanes if cfg.backend == "pallas" else cfg.tile_size
     return ((n + t - 1) // t) * t
 
 
@@ -85,18 +87,42 @@ def _pixel_coords(cfg: RenderConfig):
     return jnp.asarray(px), jnp.asarray(py)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "depth"))
+def _use_pallas(scene, cfg) -> bool:
+    if cfg.backend != "pallas":
+        return False
+    from tpurt.kernels import mega_pallas
+    return mega_pallas.supports_scene(scene)
+
+
 def render_step(scene: Scene, cfg: RenderConfig, camera: Camera,
                 state: RenderState, base_seed, depth: int | None = None) -> RenderState:
-    """Advance every pixel by one progressive sample (one reference frame)."""
-    return _render_step_impl(scene, cfg, camera, state, base_seed,
-                             cfg.depth if depth is None else depth)
+    """Advance every pixel by one progressive sample (one reference frame).
+
+    Dispatches to the Pallas megakernel (cfg.backend == "pallas", sphere
+    scenes) or the XLA integrator. The Pallas path freezes the scene into
+    compile-time constants, so `scene` must be concrete here — call this
+    OUTSIDE any enclosing jit when using the pallas backend.
+    """
+    if _use_pallas(scene, cfg):
+        from tpurt.kernels import mega_pallas
+        return mega_pallas.render_step_pallas(
+            scene, cfg, camera, state, base_seed,
+            cfg.depth if depth is None else depth)
+    return _render_step_xla(scene, cfg, camera, state, base_seed,
+                            cfg.depth if depth is None else depth)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "depth"))
+def _render_step_xla(scene, cfg, camera, state, base_seed, depth: int):
+    return _render_step_impl(scene, cfg, camera, state, base_seed, depth)
 
 
 def _render_step_impl(scene, cfg, camera, state, base_seed, depth: int):
     seed = _frame_seed(base_seed, state.iteration)
     px, py = _pixel_coords(cfg)
-    T = cfg.tile_size
+    # tile unit must divide the padded pixel count (differs when a mesh
+    # scene falls back here from the pallas backend)
+    T = cfg.pallas_lanes if cfg.backend == "pallas" else cfg.tile_size
     P = padded_pixels(cfg)
     n_tiles = P // T
 
@@ -137,10 +163,23 @@ def _render_step_impl(scene, cfg, camera, state, base_seed, depth: int):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "spp"))
 def render(scene: Scene, cfg: RenderConfig, camera: Camera,
            state: RenderState, base_seed, spp: int) -> RenderState:
-    """Run `spp` progressive samples under ONE jit — no host round-trips."""
+    """Run `spp` progressive samples under ONE jit — no host round-trips.
+
+    Pallas backend: tile planes stay resident across all spp samples (the
+    (P,3)<->planes layout conversion is paid once, not per step), and the
+    scene is baked into the kernel as compile-time constants.
+    """
+    if _use_pallas(scene, cfg):
+        from tpurt.kernels import mega_pallas
+        return mega_pallas.render_pallas(
+            scene, cfg, camera, state, base_seed, spp)
+    return _render_xla(scene, cfg, camera, state, base_seed, spp)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "spp"))
+def _render_xla(scene, cfg, camera, state, base_seed, spp: int):
     def body(_, st):
         return _render_step_impl(scene, cfg, camera, st, base_seed, cfg.depth)
     return jax.lax.fori_loop(0, spp, body, state)
