@@ -36,22 +36,26 @@ def build_bench(config_id: int, small: bool):
     else:
         w, h = 1920, 1080
 
+    # Pallas megakernel backend: sphere scenes render in the fused kernel;
+    # scenes beyond its static budget (e.g. config 3's 256 instances) fall
+    # back to the XLA integrator automatically in tpurt.render.
+    kw = dict(backend="pallas")
     if config_id == 2:  # Cornell 512x512 64spp 8-bounce (BASELINE config 2)
         w = h = 512 if not small else 256
-        cfg = RenderConfig(width=w, height=h, depth=8)
+        cfg = RenderConfig(width=w, height=h, depth=8, **kw)
         scene = cornell_spheres_scene()
         cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0, aspect_ratio=w / h)
     elif config_id == 3:  # >=256 instances 1080p (BASELINE config 3)
-        cfg = RenderConfig(width=w, height=h, depth=30)
+        cfg = RenderConfig(width=w, height=h, depth=30, **kw)
         scene = instanced_scene(256)
         cam = make_camera((0, 10, -14), (0, 1, 8), vfov=55.0, aspect_ratio=w / h)
     elif config_id == 4:  # dispersive spectral scene (BASELINE config 4)
         cfg = RenderConfig(width=w, height=h, depth=30,
-                           dispersion_in_camera_path=True)
+                           dispersion_in_camera_path=True, **kw)
         scene = dispersive_scene()
         cam = make_camera((0, 3, -4), (0, 1, 5), vfov=55.0, aspect_ratio=w / h)
     else:  # headline: Cornell sphere scene @1080p, reference defaults
-        cfg = RenderConfig(width=w, height=h, depth=30)
+        cfg = RenderConfig(width=w, height=h, depth=30, **kw)
         scene = cornell_spheres_scene()
         cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0, aspect_ratio=w / h)
     return cfg, scene, cam

@@ -38,7 +38,9 @@ class RenderConfig:
     backend: str = "xla"               # "xla" | "pallas" (fused megakernel;
     #   sphere scenes only for now — mesh scenes auto-fall-back to XLA)
     tile_size: int = 16384             # pixels per tile in the XLA path
-    pallas_lanes: int = 4096           # pixels per Pallas tile (R=lanes/128)
+    pallas_lanes: int = 1024           # pixels per Pallas tile (R=lanes/128).
+    #   1024 (R=8, one native vreg per plane) measures fastest on v5e: the
+    #   kernel is VPU-issue-bound and larger tiles only add spill pressure.
     sphere_chunk: int = 512            # primitive chunk sizes for the sweeps
     tri_chunk: int = 256
     # Instrumentation
