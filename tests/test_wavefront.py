@@ -1,0 +1,64 @@
+"""Wavefront (persistent ray pool + regeneration) tests.
+
+The wavefront tracer enumerates the same per-(pixel, sample) PCG streams as
+the progressive renderer, so with photons disabled the two must agree to
+float accumulation noise — a much stronger check than statistical matching.
+(ref: src/wavefront.rs / src/kernels/wavefront.wgsl — the unfinished
+reference component this replaces; see tpurt/wavefront.py docstring.)
+"""
+
+import numpy as np
+
+from tpurt import RenderConfig, cornell_spheres_scene, make_camera
+from tpurt.render import init_state, render
+from tpurt.wavefront import wavefront_render
+
+
+def _setup(**kw):
+    cfg = RenderConfig(width=48, height=24, depth=4, tile_size=1152,
+                       enable_photons=False, **kw)
+    scene = cornell_spheres_scene()
+    cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                      aspect_ratio=2.0)
+    return cfg, scene, cam
+
+
+class TestWavefront:
+    def test_matches_progressive(self):
+        cfg, scene, cam = _setup(wf_pool=2048)
+        st_w = wavefront_render(scene, cfg, cam, init_state(cfg), 42, 3)
+        st_p = render(scene, cfg, cam, init_state(cfg), 42, 3)
+        n = cfg.n_pixels
+        a = np.asarray(st_w.rgb_sum)[:n]
+        b = np.asarray(st_p.rgb_sum)[:n]
+        # identical work items -> identical segment count
+        assert float(st_w.rays) == float(st_p.rays) != 0.0
+        np.testing.assert_allclose(a, b, atol=2e-2, rtol=1e-3)
+
+    def test_every_pixel_gets_spp_samples(self):
+        cfg, scene, cam = _setup(wf_pool=512)  # pool << pixel count
+        st = wavefront_render(scene, cfg, cam, init_state(cfg), 7, 2)
+        ns = np.asarray(st.n_samples)[:cfg.n_pixels]
+        assert (ns == 2.0).all()
+
+    def test_small_pool_same_image(self):
+        """Pool capacity must not change the result, only the schedule."""
+        cfg_a, scene, cam = _setup(wf_pool=256)
+        cfg_b, _, _ = _setup(wf_pool=4096)
+        st_a = wavefront_render(scene, cfg_a, cam, init_state(cfg_a), 9, 2)
+        st_b = wavefront_render(scene, cfg_b, cam, init_state(cfg_b), 9, 2)
+        n = cfg_a.n_pixels
+        np.testing.assert_allclose(np.asarray(st_a.rgb_sum)[:n],
+                                   np.asarray(st_b.rgb_sum)[:n],
+                                   atol=2e-2, rtol=1e-3)
+        assert float(st_a.rays) == float(st_b.rays)
+
+    def test_sky_gradient_flag(self):
+        """Legacy wavefront sky (wavefront.wgsl:129-131) adds energy on
+        miss; black sky (mega kernel) does not."""
+        cfg, scene, cam = _setup(wf_pool=1024)
+        cfg_sky = cfg.with_(sky_gradient=True)
+        st_k = wavefront_render(scene, cfg, cam, init_state(cfg), 3, 1)
+        st_s = wavefront_render(scene, cfg_sky, cam, init_state(cfg_sky), 3, 1)
+        n = cfg.n_pixels
+        assert np.asarray(st_s.rgb_sum)[:n].sum() > np.asarray(st_k.rgb_sum)[:n].sum()

@@ -24,6 +24,7 @@ from tpurt.render import (
     resolve_image,
     save_checkpoint,
 )
+from tpurt.wavefront import WavefrontPool, wavefront_render
 from tpurt.scene import (
     Light,
     Material,
@@ -47,4 +48,5 @@ __all__ = [
     "Light", "Material", "MeshData", "Scene", "Sphere",
     "build_scene", "cornell_spheres_scene", "default_scene",
     "dispersive_scene", "instanced_scene",
+    "WavefrontPool", "wavefront_render",
 ]

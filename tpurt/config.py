@@ -43,6 +43,11 @@ class RenderConfig:
     #   kernel is VPU-issue-bound and larger tiles only add spill pressure.
     sphere_chunk: int = 512            # primitive chunk sizes for the sweeps
     tri_chunk: int = 256
+    # Wavefront tracer (tpurt.wavefront; ref: src/wavefront.rs finished form)
+    wf_pool: int = 262144              # persistent ray-pool capacity Q
+    wf_max_sweeps: int = 100000        # safety bound on the sweep loop
+    sky_gradient: bool = False         # legacy wavefront sky (wavefront.wgsl
+    #   :129-131); False = black sky like the mega kernel (:617-620)
     # Instrumentation
     count_rays: bool = True            # accumulate traced-segment counter
     # Tonemap defaults (ref: blit.rs:99-101)

@@ -1,0 +1,274 @@
+"""Wavefront path tracer: a fixed-capacity persistent ray pool with
+compaction-by-regeneration.
+
+The reference ships a *disabled, unfinished* wavefront tracer
+(ref: src/wavefront.rs — commented out at lib.rs:24; src/kernels/
+wavefront.wgsl — stages wf_generate/extend/shade/accumulate looped x30 per
+pixel thread, per-ray state flags but NO compaction: its queue-length
+atomics are declared and never used, wavefront.wgsl:28-31 /
+wavefront.rs:134-138). BASELINE.json config 5 names the finished form:
+"ray queues with compaction".
+
+On a GPU, compaction means sorting the surviving rays to the front of a
+queue so warps stay dense. On a TPU — static shapes, no per-lane scatter in
+the hot loop — the idiomatic equivalent is **regeneration**: a persistent
+pool of Q ray slots that is ALWAYS dense. Each sweep:
+
+  extend   intersect all Q slots with the scene (batched sweeps, VPU)
+  shade    full material set: NEE + Oren-Nayar / dielectric GGX scatter
+           (the reference's wavefront shade stage was Lambertian-only;
+           ours matches the mega-kernel physics so mixed-material scenes
+           render identically — wgsl's sky gradient on miss is preserved
+           behind cfg.sky_gradient, default off to match the mega kernel's
+           black sky, mega_kernel.wgsl:617-620)
+  splat    terminated slots scatter-add their radiance into the image
+           (one segment-sum per sweep — the TPU-native "queue drain")
+  regen    dead slots immediately pull the next pending (pixel, sample)
+           work item and become fresh camera rays — occupancy stays ~100%
+           regardless of path-length divergence, which is exactly what GPU
+           queue compaction buys, without sorting inside the loop.
+
+Pool capacity Q is independent of the image size ("tiled so pixel count can
+exceed on-chip memory", SURVEY.md §5): work items are enumerated as
+pixel-major sample indices and handed to slots on demand.
+
+The photon/SPPM pass is a per-pixel-owned second stage in the reference
+mega kernel and has no wavefront counterpart there; wavefront rendering here
+is camera-path + NEE only (enable_photons is ignored), like the reference's.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt.camera import Camera, generate_rays
+from tpurt.config import RenderConfig
+from tpurt.integrate import (
+    _scatter_dielectric,
+    intersect_scene,
+    material_lookup,
+    sample_direct_lighting,
+)
+from tpurt.ops import rng as rngmod
+from tpurt.ops.bsdf import INV_PI, dot, normalize, oren_nayar_f, roughness_to_alpha
+from tpurt.ops.intersect import MISS
+from tpurt.ops.spectra import cauchy_ior, sample_wavelength
+from tpurt.render import RenderState, _frame_seed, init_state
+
+_HIT = MISS * 0.5
+EPS = 1e-5
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WavefrontPool:
+    """The persistent ray pool (all arrays length Q = cfg.wf_pool)."""
+    pix: jnp.ndarray        # (Q,)   i32 — owning pixel index
+    o: jnp.ndarray          # (Q, 3) f32 — ray origin
+    d: jnp.ndarray          # (Q, 3) f32 — ray direction
+    tp: jnp.ndarray         # (Q, 3) f32 — path throughput
+    rad: jnp.ndarray        # (Q, 3) f32 — accumulated radiance of this path
+    lam: jnp.ndarray        # (Q,)   f32 — hero wavelength
+    rng: jnp.ndarray        # (Q,)   u32 — PCG stream
+    bounce: jnp.ndarray     # (Q,)   i32 — bounces taken so far
+    active: jnp.ndarray     # (Q,)   bool
+
+
+def _regen(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
+           next_item, total_items, base_seed):
+    """Refill dead slots with the next pending (pixel, sample) work items.
+
+    Work item w = sample_index * n_pixels + pixel (pixel-major), so one
+    counter enumerates the whole frame's spp x pixels queue.
+    Returns (pool, new_next_item).
+    """
+    Q = pool.pix.shape[0]
+    n_pix = cfg.n_pixels
+    dead = ~pool.active
+    # rank of each dead slot among dead slots -> its claimed work item
+    rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+    item = next_item + rank
+    have_work = dead & (item < total_items)
+
+    pix = (item % n_pix).astype(jnp.int32)
+    sample = (item // n_pix).astype(jnp.int32)
+    px = pix % cfg.width
+    py = pix // cfg.width
+
+    # per-(pixel, sample) stream: identical construction to the progressive
+    # renderer (render.py) so wavefront images are statistically matched
+    seed = _frame_seed(base_seed, sample)
+    rng = rngmod.seed_pixels(seed, px, py)
+
+    u_jit, rng = rngmod.rand_2f(rng)
+    u = (px.astype(jnp.float32) + u_jit[:, 0]) / jnp.float32(cfg.width)
+    v = (py.astype(jnp.float32) + u_jit[:, 1]) / jnp.float32(cfg.height)
+    ro, rd = generate_rays(camera, u, v)
+
+    u_lam, rng = rngmod.rand_1f(rng)
+    lam = sample_wavelength(u_lam)
+
+    sel = have_work
+    sel3 = sel[:, None]
+    new_pool = WavefrontPool(
+        pix=jnp.where(sel, pix, pool.pix),
+        o=jnp.where(sel3, ro, pool.o),
+        d=jnp.where(sel3, rd, pool.d),
+        tp=jnp.where(sel3, 1.0, pool.tp),
+        rad=jnp.where(sel3, 0.0, pool.rad),
+        lam=jnp.where(sel, lam, pool.lam),
+        rng=jnp.where(sel, rng, pool.rng),
+        bounce=jnp.where(sel, 0, pool.bounce),
+        active=pool.active | sel,
+    )
+    n_dead = jnp.sum(dead.astype(jnp.int32))
+    issued = jnp.minimum(n_dead, jnp.maximum(total_items - next_item, 0))
+    return new_pool, next_item + issued
+
+
+def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool):
+    """One extend+shade sweep over the whole pool (the reference's
+    wf_extend + wf_shade stages, wavefront.wgsl:186-246, upgraded to the
+    mega kernel's full material set).
+
+    Returns (pool, terminated_mask, ray_count). Terminated slots keep their
+    rad/pix so the caller can splat them before regeneration.
+    """
+    active = pool.active
+    rng = pool.rng
+    rays = jnp.sum(active.astype(jnp.float32)) if cfg.count_rays else jnp.float32(0.0)
+
+    hit = intersect_scene(scene, cfg, pool.o, pool.d)
+    found = hit["t"] < _HIT
+
+    color, rough, ior, mtype = material_lookup(scene, hit["mat"])
+    is_diffuse = mtype == 0
+    wo = -pool.d
+    n = hit["normal"]
+    loc = hit["loc"]
+
+    # miss: black sky like the mega kernel, or the legacy wavefront's
+    # gradient (ref: wavefront.wgsl:129-131) behind a flag
+    rad = pool.rad
+    if cfg.sky_gradient:
+        t_sky = 0.5 * (normalize(pool.d, eps=1e-30)[:, 1] + 1.0)
+        sky = (1.0 - t_sky)[:, None] * jnp.ones((1, 3)) \
+            + t_sky[:, None] * jnp.asarray([[0.5, 0.7, 1.0]], jnp.float32)
+        rad = rad + jnp.where((active & ~found)[:, None], pool.tp * sky, 0.0)
+
+    # NEE (diffuse lanes consume it)
+    direct, rng, _ = sample_direct_lighting(scene, cfg, loc, n, pool.lam, rng)
+    lane_d = active & found & is_diffuse
+    rad = rad + jnp.where(lane_d[:, None], pool.tp * color * direct, 0.0)
+    if cfg.count_rays:
+        rays = rays + jnp.sum(lane_d.astype(jnp.float32)) * scene.num_lights
+
+    # scatter (same draw order as the mega integrator)
+    u2, rng = rngmod.rand_2f(rng)
+    u_choice, rng = rngmod.rand_1f(rng)
+    u_rr, rng = rngmod.rand_1f(rng)
+
+    rn = rngmod.unit_vec_from_u(u2)
+    wi_d = normalize(n + rn, eps=1e-30)
+    cosw = jnp.maximum(dot(n, wi_d), 1e-10)
+    pdf_d = cosw * jnp.float32(INV_PI)
+    f_diff = oren_nayar_f(normalize(wo, eps=1e-30), wi_d, n, color, rough)
+    tpm_d = f_diff * (cosw / jnp.maximum(pdf_d, 1e-10))[:, None]
+
+    if cfg.dispersion_in_camera_path:
+        eta = cauchy_ior(ior, pool.lam)
+    else:
+        eta = ior
+    alpha = roughness_to_alpha(rough)
+    wi_s, tpm_s, off_s, valid_s = _scatter_dielectric(
+        wo, n, eta, alpha, u2, u_choice, camera_pdf=True)
+
+    wi = jnp.where(is_diffuse[:, None], wi_d, wi_s)
+    tpm = jnp.where(is_diffuse[:, None], tpm_d, tpm_s[:, None] * jnp.ones((1, 3)))
+    off = jnp.where(is_diffuse, EPS, off_s)
+    scat_ok = jnp.where(is_diffuse, True, valid_s)
+
+    new_tp = pool.tp * tpm
+    new_o = loc + n * off[:, None]
+
+    prob = jnp.max(new_tp, axis=-1)
+    rr_live = (prob >= cfg.rr_threshold) & (u_rr <= prob)
+    new_tp = new_tp / jnp.maximum(prob, 1e-30)[:, None]
+
+    depth_ok = (pool.bounce + 1) < cfg.depth
+    cont = active & found & scat_ok & rr_live & depth_ok
+    terminated = active & ~cont
+
+    new_pool = WavefrontPool(
+        pix=pool.pix,
+        o=jnp.where(cont[:, None], new_o, pool.o),
+        d=jnp.where(cont[:, None], wi, pool.d),
+        tp=jnp.where(cont[:, None], new_tp, pool.tp),
+        rad=rad,
+        lam=pool.lam,
+        rng=rng,
+        bounce=pool.bounce + 1,
+        active=cont,
+    )
+    return new_pool, terminated, rays
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "spp"))
+def wavefront_render(scene, cfg: RenderConfig, camera: Camera,
+                     state: RenderState, base_seed, spp: int) -> RenderState:
+    """Render `spp` samples/pixel through the persistent wavefront pool.
+
+    Runs entirely under one jit: a while_loop of sweeps that exits when
+    every work item has been issued and the pool has drained. Accumulates
+    into the same RenderState as the progressive renderer (resolve_image /
+    checkpointing work unchanged); vispoints/photon state are untouched.
+    """
+    Q = cfg.wf_pool
+    P = state.rgb_sum.shape[0]
+    n_pix = cfg.n_pixels
+    total_items = jnp.int32(spp) * n_pix
+
+    pool = WavefrontPool(
+        pix=jnp.zeros((Q,), jnp.int32),
+        o=jnp.zeros((Q, 3)), d=jnp.zeros((Q, 3)),
+        tp=jnp.zeros((Q, 3)), rad=jnp.zeros((Q, 3)),
+        lam=jnp.zeros((Q,)), rng=jnp.zeros((Q,), jnp.uint32),
+        bounce=jnp.zeros((Q,), jnp.int32),
+        active=jnp.zeros((Q,), bool),
+    )
+
+    def cond(carry):
+        pool, next_item, rgb, ns, rays, sweeps = carry
+        more_work = next_item < total_items
+        return (more_work | jnp.any(pool.active)) & (sweeps < cfg.wf_max_sweeps)
+
+    def body(carry):
+        pool, next_item, rgb, ns, rays, sweeps = carry
+        pool, next_item = _regen(cfg, camera, pool, next_item, total_items,
+                                 base_seed)
+        pool, terminated, nrays = _sweep(scene, cfg, pool)
+        # splat: drain finished paths into the accumulation image
+        t3 = terminated[:, None]
+        rgb = rgb.at[pool.pix].add(jnp.where(t3, pool.rad, 0.0),
+                                   mode="drop")
+        ns = ns.at[pool.pix].add(jnp.where(terminated, 1.0, 0.0),
+                                 mode="drop")
+        return (pool, next_item, rgb, ns, rays + nrays, sweeps + 1)
+
+    carry = (pool, jnp.int32(0), state.rgb_sum, state.n_samples,
+             state.rays, jnp.int32(0))
+    pool, next_item, rgb, ns, rays, sweeps = jax.lax.while_loop(
+        cond, body, carry)
+
+    return dataclasses.replace(
+        state,
+        rgb_sum=rgb,
+        n_samples=ns,
+        iteration=state.iteration + spp,
+        rays=rays,
+    )
