@@ -1,0 +1,216 @@
+// tpurt native runtime pieces: BVH builder + OBJ parser (C ABI, ctypes).
+//
+// The reference implements these host-side hot paths in Rust
+// (ref: src/instance.rs:175-310 recursive median-split BVH build,
+//  src/instance.rs:56-106 OBJ load via tobj). This is the tpurt
+// counterpart: same algorithms, C++ behind a C ABI so the Python layer
+// loads it with ctypes (no pybind11 dependency). The Python/NumPy builder
+// in tpurt/accel.py remains the reference implementation and fallback;
+// tests assert bit-identical output between the two.
+//
+// Build: make -C native   ->  libtpurt_native.so
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// BVH builder
+//
+// Exact mirror of tpurt/accel.py::build_bvh (which itself mirrors
+// instance.rs:198-283): iterative depth-first median split on the longest
+// centroid axis with >= tie-breaking (x over y over z), stable sort, leaves
+// hold <= max_prims triangles, children allocated eagerly (left then right),
+// right subtree pushed first so the left is processed first.
+//
+// Outputs are written into caller-allocated arrays sized for the worst case
+// (max_nodes >= 2*T, order: T entries). Returns the node count, or -1 if
+// max_nodes would be exceeded.
+// ---------------------------------------------------------------------------
+
+int tpurt_build_bvh(
+    const float* tri_min,   // (T, 3)
+    const float* tri_max,   // (T, 3)
+    int64_t n_tris,
+    int max_prims,
+    float* bbox_min,        // (max_nodes, 3) out
+    float* bbox_max,        // (max_nodes, 3) out
+    int32_t* left,          // (max_nodes,) out
+    int32_t* right,         // (max_nodes,) out
+    int32_t* first,         // (max_nodes,) out
+    int32_t* count,         // (max_nodes,) out
+    int32_t* order,         // (T,) out — triangle permutation, leaf order
+    int64_t max_nodes)
+{
+    if (max_prims < 1) max_prims = 1;
+    if (n_tris == 0) {
+        if (max_nodes < 1) return -1;
+        for (int c = 0; c < 3; ++c) { bbox_min[c] = 0.f; bbox_max[c] = 0.f; }
+        left[0] = right[0] = first[0] = count[0] = 0;
+        return 1;
+    }
+
+    std::vector<float> centroid(static_cast<size_t>(n_tris) * 3);
+    for (int64_t i = 0; i < n_tris; ++i)
+        for (int c = 0; c < 3; ++c)
+            centroid[i * 3 + c] =
+                0.5f * tri_min[i * 3 + c] + 0.5f * tri_max[i * 3 + c];
+
+    std::vector<int64_t> idx(n_tris);
+    for (int64_t i = 0; i < n_tris; ++i) idx[i] = i;
+
+    int64_t n_nodes = 0;
+    auto alloc = [&]() -> int64_t {
+        if (n_nodes >= max_nodes) return -1;
+        int64_t n = n_nodes++;
+        for (int c = 0; c < 3; ++c) {
+            bbox_min[n * 3 + c] = 0.f;
+            bbox_max[n * 3 + c] = 0.f;
+        }
+        left[n] = right[n] = first[n] = count[n] = 0;
+        return n;
+    };
+
+    struct Task { int64_t node, lo, hi; };  // idx[lo, hi) belongs to node
+    std::vector<Task> stack;
+    int64_t root = alloc();
+    if (root < 0) return -1;
+    stack.push_back({root, 0, n_tris});
+    int64_t order_len = 0;
+
+    while (!stack.empty()) {
+        Task t = stack.back();
+        stack.pop_back();
+        int64_t n = t.hi - t.lo;
+
+        float bmin[3] = {3.4e38f, 3.4e38f, 3.4e38f};
+        float bmax[3] = {-3.4e38f, -3.4e38f, -3.4e38f};
+        for (int64_t k = t.lo; k < t.hi; ++k) {
+            int64_t i = idx[k];
+            for (int c = 0; c < 3; ++c) {
+                bmin[c] = std::min(bmin[c], tri_min[i * 3 + c]);
+                bmax[c] = std::max(bmax[c], tri_max[i * 3 + c]);
+            }
+        }
+        for (int c = 0; c < 3; ++c) {
+            bbox_min[t.node * 3 + c] = bmin[c];
+            bbox_max[t.node * 3 + c] = bmax[c];
+        }
+
+        if (n <= max_prims) {
+            first[t.node] = static_cast<int32_t>(order_len);
+            count[t.node] = static_cast<int32_t>(n);
+            for (int64_t k = t.lo; k < t.hi; ++k)
+                order[order_len++] = static_cast<int32_t>(idx[k]);
+            continue;
+        }
+
+        float cmin[3] = {3.4e38f, 3.4e38f, 3.4e38f};
+        float cmax[3] = {-3.4e38f, -3.4e38f, -3.4e38f};
+        for (int64_t k = t.lo; k < t.hi; ++k) {
+            int64_t i = idx[k];
+            for (int c = 0; c < 3; ++c) {
+                cmin[c] = std::min(cmin[c], centroid[i * 3 + c]);
+                cmax[c] = std::max(cmax[c], centroid[i * 3 + c]);
+            }
+        }
+        float d[3] = {cmax[0] - cmin[0], cmax[1] - cmin[1], cmax[2] - cmin[2]};
+        // >= tie-breaking: x over y over z (instance.rs:167-172)
+        int dim = (d[0] >= d[1] && d[0] >= d[2]) ? 0 : (d[1] >= d[2] ? 1 : 2);
+
+        std::stable_sort(idx.begin() + t.lo, idx.begin() + t.hi,
+                         [&](int64_t a, int64_t b) {
+                             return centroid[a * 3 + dim] < centroid[b * 3 + dim];
+                         });
+        int64_t mid = t.lo + n / 2;
+
+        int64_t lchild = alloc();
+        int64_t rchild = alloc();
+        if (lchild < 0 || rchild < 0) return -1;
+        left[t.node] = static_cast<int32_t>(lchild);
+        right[t.node] = static_cast<int32_t>(rchild);
+        // right first so left pops (and numbers its leaves) first
+        stack.push_back({rchild, mid, t.hi});
+        stack.push_back({lchild, t.lo, mid});
+    }
+    return static_cast<int>(n_nodes);
+}
+
+// ---------------------------------------------------------------------------
+// OBJ parser
+//
+// Capability mirror of tpurt/utils/obj.py::parse_obj (= the reference's tobj
+// usage with single_index + triangulate, instance.rs:56-106): vertex
+// positions only, fan triangulation, 1-based and negative indices.
+//
+// Two-call protocol so the caller owns all memory:
+//   1) tpurt_obj_open(path) -> handle (parses the file), or NULL
+//      tpurt_obj_counts(handle, &n_vertices, &n_triangles)
+//   2) tpurt_obj_fill(handle, positions, indices); tpurt_obj_close(handle)
+// ---------------------------------------------------------------------------
+
+struct ObjData {
+    std::vector<float> positions;   // 3 per vertex
+    std::vector<int32_t> indices;   // 3 per triangle
+};
+
+void* tpurt_obj_open(const char* path) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return nullptr;
+    auto* d = new ObjData();
+    std::vector<int64_t> face;
+    char line[8192];
+    while (std::fgets(line, sizeof line, f)) {
+        char* p = line;
+        while (*p == ' ' || *p == '\t') ++p;
+        if (p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) {
+            float x, y, z;
+            if (std::sscanf(p + 1, "%f %f %f", &x, &y, &z) == 3) {
+                d->positions.push_back(x);
+                d->positions.push_back(y);
+                d->positions.push_back(z);
+            }
+        } else if (p[0] == 'f' && (p[1] == ' ' || p[1] == '\t')) {
+            face.clear();
+            char* tok = std::strtok(p + 1, " \t\r\n");
+            while (tok) {
+                long i = std::strtol(tok, nullptr, 10);  // stops at '/'
+                int64_t nverts = static_cast<int64_t>(d->positions.size()) / 3;
+                face.push_back(i > 0 ? i - 1 : nverts + i);
+                tok = std::strtok(nullptr, " \t\r\n");
+            }
+            for (size_t k = 1; k + 1 < face.size(); ++k) {  // fan
+                d->indices.push_back(static_cast<int32_t>(face[0]));
+                d->indices.push_back(static_cast<int32_t>(face[k]));
+                d->indices.push_back(static_cast<int32_t>(face[k + 1]));
+            }
+        }
+    }
+    std::fclose(f);
+    return d;
+}
+
+void tpurt_obj_counts(void* handle, int64_t* n_vertices, int64_t* n_triangles) {
+    auto* d = static_cast<ObjData*>(handle);
+    *n_vertices = static_cast<int64_t>(d->positions.size()) / 3;
+    *n_triangles = static_cast<int64_t>(d->indices.size()) / 3;
+}
+
+void tpurt_obj_fill(void* handle, float* positions, int32_t* indices) {
+    auto* d = static_cast<ObjData*>(handle);
+    std::memcpy(positions, d->positions.data(),
+                d->positions.size() * sizeof(float));
+    std::memcpy(indices, d->indices.data(),
+                d->indices.size() * sizeof(int32_t));
+}
+
+void tpurt_obj_close(void* handle) {
+    delete static_cast<ObjData*>(handle);
+}
+
+}  // extern "C"

@@ -1,0 +1,107 @@
+"""Native C++ runtime (native/libtpurt_native.so) vs NumPy reference parity.
+
+The native BVH builder and OBJ parser must produce BIT-IDENTICAL output to
+the Python implementations (tpurt/accel.py, tpurt/utils/obj.py) — same
+median splits, same stable-sort ordering, same node numbering. The suite
+builds the library on the fly if g++ is available and the .so is missing.
+"""
+
+import os
+import pathlib
+import shutil
+import subprocess
+import textwrap
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    so = REPO / "native" / "libtpurt_native.so"
+    if not so.exists():
+        if shutil.which("g++") is None:
+            pytest.skip("no native library and no g++")
+        subprocess.run(["make", "-C", str(REPO / "native")], check=True,
+                       capture_output=True)
+    from tpurt.utils import native
+    native._TRIED = False
+    native._LIB = None
+    lib = native.load()
+    if lib is None:
+        pytest.skip("native library failed to load")
+    return lib
+
+
+def _numpy_bvh(tri_min, tri_max, max_prims):
+    os.environ["TPURT_NO_NATIVE"] = "1"
+    try:
+        from tpurt import accel
+        return accel.build_bvh(tri_min, tri_max, max_prims)
+    finally:
+        del os.environ["TPURT_NO_NATIVE"]
+
+
+class TestNativeBVH:
+    @pytest.mark.parametrize("n_tris,max_prims", [(1, 2), (7, 1), (64, 2),
+                                                  (333, 4), (2048, 2)])
+    def test_bit_identical_to_numpy(self, native_lib, n_tris, max_prims):
+        from tpurt.utils.native import build_bvh_native
+        rng = np.random.default_rng(n_tris)
+        lo = rng.uniform(-10, 10, (n_tris, 3)).astype(np.float32)
+        ext = rng.uniform(0, 2, (n_tris, 3)).astype(np.float32)
+        tri_min, tri_max = lo, (lo + ext).astype(np.float32)
+
+        ref = _numpy_bvh(tri_min, tri_max, max_prims)
+        nat = build_bvh_native(tri_min, tri_max, max_prims)
+        assert nat is not None
+        bbox_min, bbox_max, left, right, first, count, order = nat
+        np.testing.assert_array_equal(bbox_min, ref.bbox_min)
+        np.testing.assert_array_equal(bbox_max, ref.bbox_max)
+        np.testing.assert_array_equal(left, ref.left)
+        np.testing.assert_array_equal(right, ref.right)
+        np.testing.assert_array_equal(first, ref.first)
+        np.testing.assert_array_equal(count, ref.count)
+        np.testing.assert_array_equal(order, ref.order)
+
+    def test_invariants_hold(self, native_lib):
+        from tpurt import accel
+        rng = np.random.default_rng(0)
+        lo = rng.uniform(-5, 5, (500, 3)).astype(np.float32)
+        tri_min, tri_max = lo, (lo + 0.5).astype(np.float32)
+        bvh = accel.build_bvh(tri_min, tri_max, 2)  # native path
+        accel.validate_bvh(bvh, tri_min, tri_max)
+
+
+class TestNativeObj:
+    def test_matches_python_parser(self, native_lib, tmp_path):
+        obj = textwrap.dedent("""\
+            # comment
+            v 0.0 0.0 0.0
+            v 1.0 0.0 0.0
+            v 1.0 1.0 0.0
+            v 0.0 1.0 0.0
+            v 0.0 0.0 1.0
+            f 1 2 3 4
+            f 1/2/3 2/4 5//6
+            f -3 -2 -1
+        """)
+        p = tmp_path / "quad.obj"
+        p.write_text(obj)
+
+        from tpurt.utils.native import parse_obj_native
+        nat_pos, nat_idx = parse_obj_native(str(p))
+
+        os.environ["TPURT_NO_NATIVE"] = "1"
+        try:
+            import importlib
+            from tpurt.utils import obj as objmod
+            ref_pos, ref_idx = objmod.parse_obj(str(p))
+        finally:
+            del os.environ["TPURT_NO_NATIVE"]
+
+        np.testing.assert_array_equal(nat_pos, ref_pos)
+        np.testing.assert_array_equal(nat_idx, ref_idx)
+        assert nat_idx.shape == (2 + 1 + 1, 3)  # quad fan + tri + tri

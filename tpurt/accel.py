@@ -40,9 +40,17 @@ def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, max_prims: int = 2) -> B
     """Build the median-split BVH from per-triangle AABBs.
 
     tri_min/tri_max: (T, 3) float arrays. max_prims >= 1 triangles per leaf.
+    Uses the native C++ builder when native/libtpurt_native.so is present
+    (identical output — see tests/test_native.py); NumPy otherwise.
     """
     max_prims = max(int(max_prims), 1)
     T = int(tri_min.shape[0])
+    if T > 0:
+        from tpurt.utils.native import build_bvh_native
+        nat = build_bvh_native(np.asarray(tri_min, np.float32),
+                               np.asarray(tri_max, np.float32), max_prims)
+        if nat is not None:
+            return BVH(*nat)
     if T == 0:
         z3 = np.zeros((1, 3), np.float32)
         zi = np.zeros((1,), np.int32)

@@ -12,7 +12,15 @@ import numpy as np
 
 
 def parse_obj(path: str):
-    """Returns (positions (V, 3) float32, indices (T, 3) int32)."""
+    """Returns (positions (V, 3) float32, indices (T, 3) int32).
+
+    Uses the native C++ parser when native/libtpurt_native.so is present
+    (identical output — see tests/test_native.py); pure Python otherwise.
+    """
+    from tpurt.utils.native import parse_obj_native
+    nat = parse_obj_native(path)
+    if nat is not None:
+        return nat
     positions: list[list[float]] = []
     faces: list[tuple[int, int, int]] = []
     with open(path, "r", errors="replace") as f:

@@ -1,0 +1,260 @@
+"""Interactive progressive viewer + headless render loop.
+
+The TPU-native counterpart of the reference's winit app layer
+(ref: src/lib.rs:26-107 event loop, :494-543 render, :545-698 input):
+
+  * free-running progressive refinement (about_to_wait -> redraw,
+    lib.rs:102-106) -> a render_step loop
+  * camera move -> clear accumulation + one depth-1 preview frame
+    (lib.rs:692-696, mega_kernel.rs:199-202) -> same here
+  * live tonemap keys '=' '-' '[' ']' (lib.rs:602-654) -> same keys
+  * scroll-zoom vfov (lib.rs:655-666) -> '+'/'-' zoom via set_vfov
+  * swapchain present -> ANSI 24-bit half-block terminal blit, or PNG
+
+There is no window system on a TPU host, so "present" is a terminal blit
+(two pixels per character cell via the upper-half-block glyph) — fully
+interactive over SSH. Headless mode renders N frames and writes a PNG with
+per-frame stats on stdout (SURVEY.md §5 observability: spp, Mrays/s,
+photon radius; --csv for machine-readable logs).
+
+Keys (interactive): w/a/s/d move, e/c up/down, W/A/S/D boosted,
+arrow keys look, '='/'-' tonemap key, '['/']' saturation, 'z'/'x' zoom,
+'r' reset accumulation, 'p' save PNG, 'q' quit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import select
+import sys
+import termios
+import time
+import tty
+
+import numpy as np
+
+
+def _build(args):
+    from tpurt import (
+        RenderConfig,
+        cornell_spheres_scene,
+        default_scene,
+        dispersive_scene,
+        instanced_scene,
+        make_camera,
+    )
+    scenes = {
+        "cornell": (cornell_spheres_scene, ((0, 5, -12), (0, 5, 0), 60.0)),
+        "default": (default_scene, ((0, 0, -0.01), (0, 0, 1), 75.0)),
+        "dispersive": (dispersive_scene, ((0, 3, -4), (0, 1, 5), 55.0)),
+        "instanced": (lambda: instanced_scene(256), ((0, 10, -14), (0, 1, 8), 55.0)),
+    }
+    build, (eye, at, vfov) = scenes[args.scene]
+    scene = build()
+    cfg = RenderConfig(width=args.width, height=args.height, depth=args.depth,
+                       backend=args.backend)
+    cam = make_camera(eye, at, vfov=vfov, aspect_ratio=args.width / args.height)
+    return cfg, scene, cam, vfov
+
+
+def _stats_line(frame, state, dt, cfg):
+    rays = float(state.rays)
+    return (f"frame {frame:5d}  spp {int(state.iteration):5d}  "
+            f"{1.0 / max(dt, 1e-9):6.1f} fps  "
+            f"radius {float(state.photon_radius):.4f}  "
+            f"rays_total {rays:.3e}")
+
+
+def headless(args):
+    import jax
+    from tpurt.render import init_state, render_step, resolve_image
+    from tpurt.utils.image import write_png
+
+    cfg, scene, cam, _ = _build(args)
+    state = init_state(cfg)
+    csv = open(args.csv, "w") if args.csv else None
+    if csv:
+        csv.write("frame,spp,seconds,mrays_per_s,photon_radius\n")
+
+    prev_rays = 0.0
+    for frame in range(args.frames):
+        t0 = time.perf_counter()
+        state = render_step(scene, cfg, cam, state, args.seed)
+        jax.block_until_ready(state)
+        dt = time.perf_counter() - t0
+        rays = float(state.rays)
+        print(_stats_line(frame, state, dt, cfg), file=sys.stderr)
+        if csv:
+            csv.write(f"{frame},{int(state.iteration)},{dt:.6f},"
+                      f"{(rays - prev_rays) / dt / 1e6:.2f},"
+                      f"{float(state.photon_radius):.6f}\n")
+        prev_rays = rays
+    if csv:
+        csv.close()
+
+    img = np.asarray(resolve_image(cfg, state))
+    write_png(args.out, img)
+    print(f"wrote {args.out} ({int(state.iteration)} spp)", file=sys.stderr)
+
+
+# ----- terminal presentation -----
+
+def _ansi_blit(img, max_cols, max_rows):
+    """Present an (H, W, 3) [0,1] image as ANSI half-blocks (2 px/cell)."""
+    h, w, _ = img.shape
+    cols = min(max_cols, w)
+    rows2 = min(max_rows * 2, h)
+    ys = np.linspace(0, h - 1, rows2).astype(int)
+    xs = np.linspace(0, w - 1, cols).astype(int)
+    small = np.clip(img[ys][:, xs] * 255.0, 0, 255).astype(np.uint8)
+    out = []
+    for r in range(0, rows2 - 1, 2):
+        top, bot = small[r], small[r + 1]
+        line = "".join(
+            f"\x1b[38;2;{t[0]};{t[1]};{t[2]}m\x1b[48;2;{b[0]};{b[1]};{b[2]}m▀"
+            for t, b in zip(top, bot)
+        )
+        out.append(line + "\x1b[0m")
+    return "\n".join(out)
+
+
+class _RawTerm:
+    def __enter__(self):
+        self.fd = sys.stdin.fileno()
+        self.old = termios.tcgetattr(self.fd)
+        tty.setcbreak(self.fd)
+        sys.stdout.write("\x1b[?25l\x1b[2J")  # hide cursor, clear
+        return self
+
+    def __exit__(self, *a):
+        termios.tcsetattr(self.fd, termios.TCSADRAIN, self.old)
+        sys.stdout.write("\x1b[?25h\x1b[0m\n")
+
+    def keys(self):
+        """Drain pending keypresses (non-blocking); arrows -> names."""
+        out = []
+        while select.select([self.fd], [], [], 0)[0]:
+            ch = os.read(self.fd, 1).decode(errors="ignore")
+            if ch == "\x1b":  # maybe an arrow escape
+                seq = ""
+                while select.select([self.fd], [], [], 0)[0] and len(seq) < 2:
+                    seq += os.read(self.fd, 1).decode(errors="ignore")
+                out.append({"[A": "up_arrow", "[B": "down_arrow",
+                            "[C": "right_arrow", "[D": "left_arrow"}.get(seq, "esc"))
+            else:
+                out.append(ch)
+        return out
+
+
+def interactive(args):
+    import jax
+    from tpurt import CameraController, set_vfov
+    from tpurt.render import init_state, render_step, resolve_image
+    from tpurt.utils.image import write_png
+
+    cfg, scene, cam, vfov = _build(args)
+    controller = CameraController()
+    state = init_state(cfg)
+    key_tm, sat = cfg.tonemap_key, cfg.tonemap_saturation
+    preview = False
+    frame = 0
+    t_last = time.perf_counter()
+
+    MOVE = {"w": "forward", "s": "backward", "a": "left", "d": "right",
+            "e": "up", "c": "down"}
+    IMPULSE_US = 80_000.0  # one keypress = 80ms of reference fly time
+
+    with _RawTerm() as term:
+        while True:
+            changed = False
+            for k in term.keys():
+                if k == "q":
+                    return
+                elif k in MOVE or (k.lower() in MOVE and k.isupper()):
+                    boost = k.isupper()
+                    name = MOVE[k.lower()]
+                    controller.set_key("boost", boost)
+                    controller.set_key(name, True)
+                    cam, ch = controller.update(cam, IMPULSE_US)
+                    controller.set_key(name, False)
+                    controller.set_key("boost", False)
+                    changed |= ch
+                elif k in ("left_arrow", "right_arrow", "up_arrow", "down_arrow"):
+                    dx = {"left_arrow": -40.0, "right_arrow": 40.0}.get(k, 0.0)
+                    dy = {"up_arrow": -40.0, "down_arrow": 40.0}.get(k, 0.0)
+                    controller.mouse_move(dx, dy)
+                    cam, ch = controller.update(cam, IMPULSE_US)
+                    changed |= ch
+                elif k == "=":
+                    key_tm += 0.1           # ref: lib.rs:604-613
+                elif k == "-":
+                    key_tm = max(0.0, key_tm - 0.1)
+                elif k == "]":
+                    sat += 0.1              # ref: lib.rs:628-640
+                elif k == "[":
+                    sat = max(0.0, sat - 0.1)
+                elif k == "z":              # scroll-zoom in (lib.rs:655-666)
+                    vfov = max(5.0, vfov - 5.0)
+                    cam = set_vfov(cam, vfov, cfg.width / cfg.height)
+                    changed = True
+                elif k == "x":
+                    vfov = min(160.0, vfov + 5.0)
+                    cam = set_vfov(cam, vfov, cfg.width / cfg.height)
+                    changed = True
+                elif k == "r":
+                    changed = True
+                elif k == "p":
+                    img = np.asarray(resolve_image(cfg, state, key=key_tm,
+                                                   saturation=sat))
+                    write_png("viewer.png", img)
+
+            if changed:
+                # clear accumulation + 1-bounce preview next frame
+                # (ref: lib.rs:514-526, mega_kernel.rs:199-202)
+                state = init_state(cfg)
+                preview = True
+
+            depth = 1 if preview else None
+            state = render_step(scene, cfg, cam, state, args.seed, depth=depth)
+            jax.block_until_ready(state)
+            preview = False
+            frame += 1
+
+            size = os.get_terminal_size()
+            img = np.asarray(resolve_image(cfg, state, key=key_tm,
+                                           saturation=sat))
+            now = time.perf_counter()
+            sys.stdout.write("\x1b[H")
+            sys.stdout.write(_ansi_blit(img, size.columns, size.lines - 2))
+            sys.stdout.write(
+                f"\n\x1b[0m{_stats_line(frame, state, now - t_last, cfg)}  "
+                f"key {key_tm:.1f} sat {sat:.1f} | wasd/ec move, arrows look, "
+                f"z/x zoom, =/-/[/] tonemap, p png, q quit\x1b[K")
+            sys.stdout.flush()
+            t_last = now
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--scene", default="cornell",
+                    choices=["cornell", "default", "dispersive", "instanced"])
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--height", type=int, default=360)
+    ap.add_argument("--depth", type=int, default=30)
+    ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--headless", action="store_true")
+    ap.add_argument("--frames", type=int, default=64, help="headless frames")
+    ap.add_argument("--out", default="render.png")
+    ap.add_argument("--csv", default=None, help="per-frame stats CSV path")
+    args = ap.parse_args()
+
+    if args.headless or not sys.stdin.isatty():
+        headless(args)
+    else:
+        interactive(args)
+
+
+if __name__ == "__main__":
+    main()
