@@ -1,0 +1,64 @@
+"""Multi-chip Pallas megakernel: pixel-slab sharding must be invisible.
+
+tile_base offsets keep pixel ids (and therefore PCG streams) global, so an
+8-device sharded run must produce the same planes as one device running the
+whole frame — up to float reassociation in the per-tile ray-count sums.
+Runs on the 8-device virtual CPU mesh (kernel via the Pallas interpreter).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt import RenderConfig, cornell_spheres_scene, make_camera
+from tpurt.kernels import mega_pallas as mp
+from tpurt.parallel import sharding as sh
+
+
+def test_sharded_matches_single_device():
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, "conftest should provide 8 virtual CPU devices"
+    cfg = RenderConfig(width=64, height=32, depth=3, backend="pallas",
+                       pallas_lanes=256, k_photons=1, max_photon_bounces=2)
+    scene = cornell_spheres_scene()
+    cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                      aspect_ratio=2.0)
+
+    mesh = sh.make_mesh(8)
+    planes = sh.init_planes_sharded(cfg, mesh)
+    step = sh.make_pallas_sharded_step(mesh, cfg, scene, spp=2,
+                                       interpret=True)
+    planes, it, radius, rays = step(
+        cam, planes, jnp.int32(0),
+        jnp.float32(cfg.photon_radius_init), jnp.float32(0.0),
+        jnp.uint32(11))
+    assert int(it) == 2
+    assert float(rays) > 0
+
+    # single-device reference on the identically padded plane state
+    fscene = mp.freeze_scene(scene)
+    TR = planes.shape[1]
+    p1 = jnp.zeros((mp.N_CHANNELS, TR, 128), jnp.float32)
+    from tpurt.render import _frame_seed
+    it1 = jnp.int32(0)
+    r1 = jnp.float32(cfg.photon_radius_init)
+    rays1 = jnp.float32(0.0)
+    for _ in range(2):
+        seed = _frame_seed(jnp.uint32(11), it1)
+        p1, tr = mp.megakernel_step(fscene, cfg, cam, p1, seed, r1,
+                                    cfg.depth, interpret=True)
+        it1 = it1 + 1
+        k = it1.astype(jnp.float32)
+        r1 = r1 * jnp.sqrt((k + cfg.sppm_alpha) / (k + 1.0))
+        rays1 = rays1 + jnp.sum(tr)
+
+    a = np.asarray(planes)
+    b = np.asarray(p1)
+    assert float(rays) == float(rays1)
+    np.testing.assert_allclose(float(radius), float(r1), rtol=1e-6)
+    diff = np.abs(a - b)
+    assert (diff > 1e-4).mean() < 1e-3, f"max diff {diff.max()}"
+
+    img = sh.resolve_planes(cfg, planes, int(it))
+    assert img.shape == (32, 64, 3)
+    assert np.isfinite(img).all()

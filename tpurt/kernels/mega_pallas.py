@@ -396,11 +396,15 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
     L = len(LIGHTS)
     any_dielectric = any(m.mtype != 0 for m in MATS)
 
-    def kernel(planes_ref, cam_ref, seed_ref, rad_ref, out_ref, rays_ref):
+    def kernel(planes_ref, cam_ref, seed_ref, rad_ref, base_ref,
+               out_ref, rays_ref):
+        # base_ref: global tile offset of this shard (0 single-chip; device
+        # slab start under shard_map) — keeps pixel ids / RNG streams global.
         tile = pl.program_id(0)
+        gtile = base_ref[0, 0] + tile
         row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-        idx = tile * lanes + row * 128 + col
+        idx = gtile * lanes + row * 128 + col
         px = jnp.remainder(idx, W)
         py = jnp.minimum(idx // W, H - 1)
 
@@ -744,11 +748,13 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
 @functools.partial(jax.jit,
                    static_argnames=("fscene", "cfg", "depth", "interpret"))
 def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
-                    seed, photon_radius, depth: int, interpret: bool = False):
+                    seed, photon_radius, depth: int, interpret: bool = False,
+                    tile_base=0):
     """Advance every pixel by one progressive sample via the Pallas kernel.
 
     planes: (16, TR, 128) f32 state (see N_CHANNELS layout); returns
-    (new_planes, rays_per_tile (n_tiles,)).
+    (new_planes, rays_per_tile (n_tiles,)). tile_base is the global tile
+    offset of this planes shard (nonzero under shard_map pixel sharding).
     """
     lanes = cfg.pallas_lanes
     assert lanes % 128 == 0, "pallas_lanes must be a multiple of 128"
@@ -761,6 +767,7 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
                      camera.vertical, camera.lower_left])
     seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1, 1)
     rad_arr = jnp.asarray(photon_radius, jnp.float32).reshape(1, 1)
+    base_arr = jnp.asarray(tile_base, jnp.int32).reshape(1, 1)
 
     kernel = _make_kernel(fscene, cfg, depth, lanes)
 
@@ -770,6 +777,7 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
         in_specs=[
             pl.BlockSpec((N_CHANNELS, R, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -785,7 +793,7 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(planes, cam, seed_arr, rad_arr)
+    )(planes, cam, seed_arr, rad_arr, base_arr)
     return new_planes, rays[:, 0]
 
 

@@ -154,6 +154,84 @@ def make_sharded_step(mesh: Mesh, cfg: RenderConfig, depth: int | None = None,
     return jax.jit(sharded)
 
 
+# ----- Pallas megakernel over the mesh (the production multi-chip path) -----
+
+def padded_pixels_pallas(cfg: RenderConfig, n_dev: int) -> int:
+    unit = cfg.pallas_lanes * n_dev
+    return ((cfg.n_pixels + unit - 1) // unit) * unit
+
+
+def init_planes_sharded(cfg: RenderConfig, mesh: Mesh):
+    """Zeroed (16, TR, 128) plane state sharded over the mesh's tile axis."""
+    from tpurt.kernels.mega_pallas import N_CHANNELS
+    n_dev = mesh.devices.size
+    Pn = padded_pixels_pallas(cfg, n_dev)
+    sh = NamedSharding(mesh, P(None, AXIS, None))
+    return jnp.zeros((N_CHANNELS, Pn // 128, 128), jnp.float32, device=sh)
+
+
+def make_pallas_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
+                             spp: int = 1, depth: int | None = None,
+                             interpret: bool | None = None):
+    """Multi-chip megakernel step: each device runs the fused Pallas kernel
+    on its pixel slab (tile_base offsets keep pixel ids / RNG streams
+    global, so the image is bit-comparable to the single-chip kernel).
+
+    Scene is frozen into the kernel (concrete scene required). Returns
+    f(camera, planes, iteration, photon_radius, rays, base_seed) ->
+    (planes, iteration, photon_radius, rays); rays is psum-reduced.
+    """
+    from tpurt.kernels import mega_pallas as mp
+    from tpurt.render import _frame_seed
+
+    fscene = mp.freeze_scene(scene)
+    d = cfg.depth if depth is None else depth
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    R = cfg.pallas_lanes // 128
+
+    # rays: each device counts its own slab; one psum at the end, not per
+    # step (the only collective in the whole multi-chip frame).
+    def body_fixed(camera, planes, it, radius, rays, base_seed):
+        me = jax.lax.axis_index(AXIS)
+        tiles_local = planes.shape[1] // R
+        tile_base = me * tiles_local
+
+        def one(carry, _):
+            planes, it, radius, rays_l = carry
+            seed = _frame_seed(base_seed, it)
+            new_planes, tile_rays = mp.megakernel_step(
+                fscene, cfg, camera, planes, seed, radius, d,
+                interpret=interpret, tile_base=tile_base)
+            it1 = it + 1
+            k = it1.astype(jnp.float32)
+            r1 = radius * jnp.sqrt((k + cfg.sppm_alpha) / (k + 1.0))
+            return (new_planes, it1, r1, rays_l + jnp.sum(tile_rays)), None
+
+        (planes, it, radius, rays_l), _ = jax.lax.scan(
+            one, (planes, it, radius, jnp.float32(0.0)), None, length=spp)
+        return planes, it, radius, rays + jax.lax.psum(rays_l, AXIS)
+
+    sharded = jax.shard_map(
+        body_fixed, mesh=mesh,
+        in_specs=(P(), P(None, AXIS, None), P(), P(), P(), P()),
+        out_specs=(P(None, AXIS, None), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def resolve_planes(cfg: RenderConfig, planes, iteration):
+    """Gather + resolve sharded plane state to a host (H, W, 3) image."""
+    from tpurt import tonemap as tm
+    flat = np.asarray(jax.device_get(planes)).reshape(16, -1)
+    rgb = flat[0:3].T[: cfg.n_pixels]
+    avg = rgb / max(float(iteration), 1.0)
+    img = np.asarray(tm.tonemap(jnp.asarray(avg), cfg.tonemap_key,
+                                cfg.tonemap_saturation))
+    return img.reshape(cfg.height, cfg.width, 3)
+
+
 def resolve_image_sharded(cfg: RenderConfig, state: RenderState):
     """Gather + resolve the distributed accumulator to a host (H, W, 3)."""
     from tpurt import tonemap as tm
