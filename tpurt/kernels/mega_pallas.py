@@ -811,10 +811,11 @@ def state_to_planes(state):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fscene", "cfg", "spp", "depth",
-                                    "interpret"))
+                   static_argnames=("fscene", "cfg", "depth", "interpret"))
 def _render_pallas_jit(fscene, cfg, camera, state, base_seed, spp, depth,
                        interpret):
+    # spp is a TRACED fori_loop bound: one compile serves any sample count
+    # (the Mosaic kernel compile is the expensive part; don't repeat it).
     from tpurt.render import _frame_seed
 
     planes = state_to_planes(state)
@@ -841,7 +842,7 @@ def _render_pallas_jit(fscene, cfg, camera, state, base_seed, spp, depth,
     return dataclasses.replace(
         state,
         rgb_sum=v3(0),
-        n_samples=state.n_samples + spp,
+        n_samples=state.n_samples + spp.astype(jnp.float32),
         vis_pos=v3(3), vis_norm=v3(6), vis_wo=v3(9), vis_tp=v3(12),
         vis_mat=flat[15].astype(jnp.int32),
         iteration=it, photon_radius=radius, rays=rays,
@@ -862,7 +863,8 @@ def render_pallas(scene, cfg: RenderConfig, camera, state, base_seed,
         interpret = jax.default_backend() != "tpu"
     fscene = freeze_scene(scene)
     return _render_pallas_jit(fscene, cfg, camera, state,
-                              jnp.asarray(base_seed, jnp.uint32), spp,
+                              jnp.asarray(base_seed, jnp.uint32),
+                              jnp.asarray(spp, jnp.int32),
                               cfg.depth if depth is None else depth,
                               interpret)
 

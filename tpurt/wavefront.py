@@ -218,9 +218,9 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool):
     return new_pool, terminated, rays
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "spp"))
+@functools.partial(jax.jit, static_argnames=("cfg",))
 def wavefront_render(scene, cfg: RenderConfig, camera: Camera,
-                     state: RenderState, base_seed, spp: int) -> RenderState:
+                     state: RenderState, base_seed, spp) -> RenderState:
     """Render `spp` samples/pixel through the persistent wavefront pool.
 
     Runs entirely under one jit: a while_loop of sweeps that exits when
