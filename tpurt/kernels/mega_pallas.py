@@ -65,9 +65,13 @@ N_CHANNELS = 16  # rgb_sum 3 | vis_pos 3 | vis_norm 3 | vis_wo 3 | vis_tp 3 | vi
 # channel index bases for the persistent planes
 _VPOS, _VNORM, _VWO, _VTP, _VMAT = 3, 6, 9, 12, 15
 
-# How many spheres we are willing to unroll into the instruction stream
-# before compile time / code size makes the XLA path the better choice.
-MAX_STATIC_SPHERES = 192
+# Scenes up to this sphere count are unrolled into the instruction stream
+# (constant folding: diffuse occluders lose their Fresnel chains, padding
+# vanishes). Above it, spheres live in an SMEM table swept by a fori_loop —
+# same physics, runtime material branches, but seconds instead of minutes of
+# Mosaic compile (257 unrolled spheres measured at ~6 min).
+STATIC_SPHERE_UNROLL = 32
+MAX_DYNAMIC_SPHERES = 512  # SMEM table budget (S x 8 f32)
 
 
 def _mask_i32(m):
@@ -187,10 +191,11 @@ def freeze_scene(scene) -> FrozenScene:
 
 
 def supports_scene(scene) -> bool:
-    """The Pallas megakernel covers sphere scenes up to the static-unroll
-    budget; triangle meshes / huge instance counts run on the XLA path."""
+    """The Pallas megakernel covers sphere scenes (unrolled below
+    STATIC_SPHERE_UNROLL, SMEM-table sweep above it); triangle meshes and
+    huge instance counts run on the XLA path."""
     return (scene.num_triangles == 0
-            and scene.num_spheres <= MAX_STATIC_SPHERES)
+            and scene.num_spheres <= MAX_DYNAMIC_SPHERES)
 
 
 # ----- component-form integrator pieces (mirror tpurt.integrate) -----
@@ -252,6 +257,81 @@ def _shadow_static(spheres, o, d, t_max, lam):
         f = jnp.where(segment, (1.0 - R1) * (1.0 - R2), 1.0)
         atten = atten * jnp.where(overlap, f, 1.0)
     return atten
+
+
+def _closest_sphere_dyn(sph_ref, S, o, d):
+    """fori_loop winner sweep over an SMEM sphere table (S, 8) — used above
+    the static-unroll budget, where baking every sphere into the
+    instruction stream would explode compile time (measured: 257 unrolled
+    spheres -> ~6 min Mosaic compile; this mode -> seconds)."""
+    a = s.vdot(d, d)
+
+    def body(si, carry):
+        best_t, bcx, bcy, bcz, best_mat = carry
+        cx, cy, cz = sph_ref[si, 0], sph_ref[si, 1], sph_ref[si, 2]
+        r = sph_ref[si, 3]
+        oc = (o[0] - cx, o[1] - cy, o[2] - cz)
+        half_b = s.vdot(oc, d)
+        c = s.vdot(oc, oc) - r * r
+        disc = half_b * half_b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t = (-half_b - sq) / a
+        t = jnp.where((disc > 0.0) & (t > 0.0) & (r > 0.0), t, MISS)
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        bcx = jnp.where(better, cx, bcx)
+        bcy = jnp.where(better, cy, bcy)
+        bcz = jnp.where(better, cz, bcz)
+        best_mat = jnp.where(better, sph_ref[si, 4].astype(jnp.int32),
+                             best_mat)
+        return best_t, bcx, bcy, bcz, best_mat
+
+    z = jnp.zeros_like(o[0])
+    best_t, bcx, bcy, bcz, best_mat = jax.lax.fori_loop(
+        0, S, body,
+        (jnp.full_like(o[0], MISS), z, z, z,
+         jnp.zeros_like(o[0], jnp.int32)))
+    loc = s.vadd(o, s.vscale(d, best_t * 0.9999))
+    nrm = s.vnormalize(s.vsub(loc, (bcx, bcy, bcz)), eps=1e-30)
+    return best_t, loc, nrm, best_mat
+
+
+def _shadow_dyn(sph_ref, S, o, d, t_max, lam):
+    """fori_loop shadow sweep over the SMEM sphere table. Material types are
+    runtime scalars here, so both the diffuse and dielectric factors are
+    computed and selected (the static mode folds this away)."""
+    a = s.vdot(d, d)
+    cauchy = jnp.float32(DISPERSION_B) / ((lam * 1e-3) * (lam * 1e-3))
+
+    def body(si, atten):
+        cx, cy, cz = sph_ref[si, 0], sph_ref[si, 1], sph_ref[si, 2]
+        r = sph_ref[si, 3]
+        mtype = sph_ref[si, 5]
+        ior = sph_ref[si, 6]
+        cb = s.vbroadcast((cx, cy, cz), o[0])
+        oc = s.vsub(o, cb)
+        half_b = s.vdot(oc, d)
+        c = s.vdot(oc, oc) - r * r
+        disc = half_b * half_b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = (-half_b - sq) / a
+        t1 = (-half_b + sq) / a
+        overlap = (disc > 0.0) & (t1 > 0.0) & (t0 < t_max) & (r > 0.0)
+        t_entry = jnp.maximum(t0, 0.0)
+        t_exit = jnp.minimum(t1, t_max)
+        segment = t_entry < t_exit
+        eta = ior + cauchy
+        p1 = s.vadd(o, s.vscale(d, t_entry))
+        n1 = s.vnormalize(s.vsub(p1, cb), eps=1e-30)
+        R1 = fr_dielectric(-s.vdot(n1, d), eta)
+        p2 = s.vadd(o, s.vscale(d, t_exit))
+        n2 = s.vnormalize(s.vsub(p2, cb), eps=1e-30)
+        R2 = fr_dielectric(-s.vdot(n2, d), eta)
+        diel = jnp.where(segment, (1.0 - R1) * (1.0 - R2), 1.0)
+        f = jnp.where(mtype == 0.0, jnp.zeros_like(diel), diel)
+        return atten * jnp.where(overlap, f, 1.0)
+
+    return jax.lax.fori_loop(0, S, body, jnp.ones_like(o[0]))
 
 
 def _material_lookup_static(materials, mat_id):
@@ -395,9 +475,17 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
     LIGHTS = fscene.lights
     L = len(LIGHTS)
     any_dielectric = any(m.mtype != 0 for m in MATS)
+    dyn_spheres = len(SPH) > STATIC_SPHERE_UNROLL
 
-    def kernel(planes_ref, cam_ref, seed_ref, rad_ref, base_ref,
+    def kernel(planes_ref, cam_ref, seed_ref, rad_ref, base_ref, sph_ref,
                out_ref, rays_ref):
+        if dyn_spheres:
+            intersect = lambda o, d: _closest_sphere_dyn(sph_ref, len(SPH), o, d)
+            shadow = lambda o, d, tm, lam_: _shadow_dyn(
+                sph_ref, len(SPH), o, d, tm, lam_)
+        else:
+            intersect = lambda o, d: _closest_sphere_static(SPH, o, d)
+            shadow = lambda o, d, tm, lam_: _shadow_static(SPH, o, d, tm, lam_)
         # base_ref: global tile offset of this shard (0 single-chip; device
         # slab start under shard_map) — keeps pixel ids / RNG streams global.
         tile = pl.program_id(0)
@@ -476,7 +564,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             if cfg.count_rays:
                 rays = rays + jnp.sum(_mask_f32(active))
 
-            t, loc, n, mat = _closest_sphere_static(SPH, o, d)
+            t, loc, n, mat = intersect(o, d)
             found = t < _HIT
 
             color, rough, ior, is_diffuse = _material_lookup_static(MATS, mat)
@@ -523,7 +611,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                     geom = ndotl
 
                 so = s.vadd(loc, s.vscale(n, EPS))
-                atten = _shadow_static(SPH, so, ldir, dist - EPS, lam)
+                atten = shadow(so, ldir, dist - EPS, lam)
 
                 w = geom * atten / (dist * dist)
                 w = jnp.where(live, w, 0.0)
@@ -658,7 +746,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                     if cfg.count_rays:
                         rays = rays + jnp.sum(_mask_f32(active))
 
-                    t, loc, n, mat = _closest_sphere_static(SPH, o, d)
+                    t, loc, n, mat = intersect(o, d)
                     found = t < _HIT
                     live = active & found
 
@@ -769,6 +857,16 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
     rad_arr = jnp.asarray(photon_radius, jnp.float32).reshape(1, 1)
     base_arr = jnp.asarray(tile_base, jnp.int32).reshape(1, 1)
 
+    # SMEM sphere table, consumed only above the static-unroll budget
+    # (cx, cy, cz, r, mat, mtype, ior, 0)
+    if len(fscene.spheres) > STATIC_SPHERE_UNROLL:
+        sph_tab = jnp.asarray(
+            [[sp.c[0], sp.c[1], sp.c[2], sp.r,
+              float(sp.mat), float(sp.mtype), sp.ior, 0.0]
+             for sp in fscene.spheres], jnp.float32)
+    else:
+        sph_tab = jnp.zeros((1, 8), jnp.float32)
+
     kernel = _make_kernel(fscene, cfg, depth, lanes)
 
     new_planes, rays = pl.pallas_call(
@@ -777,6 +875,7 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
         in_specs=[
             pl.BlockSpec((N_CHANNELS, R, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -793,7 +892,7 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(planes, cam, seed_arr, rad_arr, base_arr)
+    )(planes, cam, seed_arr, rad_arr, base_arr, sph_tab)
     return new_planes, rays[:, 0]
 
 

@@ -1,0 +1,83 @@
+"""Pallas resolve + tonemap kernel: the blit stage on-device.
+
+ref: src/kernels/blit.wgsl:28-40 — resolve = rgb / max(alpha, 1), then the
+Reinhard-style tonemap c*key/(1+c*key) with a luminance-lerp saturation.
+
+Operates directly on the megakernel's plane state (16, TR, 128): reads the
+three rgb_sum channels, divides by the sample count, tonemaps, and writes a
+(3, TR, 128) image — so a full progressive render + present never leaves
+the plane layout (the (P,3) conversion is only for interop/checkpoints).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurt.tonemap import LUMA
+
+N_CHANNELS = 16
+
+
+def _kernel(key_sat_ref, ns_ref, planes_ref, out_ref):
+    key = key_sat_ref[0, 0]
+    sat = key_sat_ref[0, 1]
+    inv_n = 1.0 / jnp.maximum(ns_ref[0, 0], 1.0)
+    c = []
+    for ch in range(3):
+        v = planes_ref[ch] * inv_n * key
+        v = v / (1.0 + v)
+        c.append(v)
+    lum = c[0] * jnp.float32(LUMA[0]) + c[1] * jnp.float32(LUMA[1]) \
+        + c[2] * jnp.float32(LUMA[2])
+    for ch in range(3):
+        out_ref[ch] = lum + sat * (c[ch] - lum)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tonemap_planes(planes, n_samples, key=0.8, saturation=1.0,
+                   interpret: bool = False):
+    """planes (16, TR, 128) + scalar sample count -> tonemapped (3, TR, 128).
+
+    n_samples is a scalar: the megakernel adds exactly one sample per pixel
+    per step, so the per-pixel alpha of the reference texture is uniform.
+    """
+    TR = planes.shape[1]
+    R = min(TR, 256)
+    while TR % R:
+        R -= 1
+    n_tiles = TR // R
+    key_sat = jnp.asarray([key, saturation], jnp.float32).reshape(1, 2)
+    ns = jnp.asarray(n_samples, jnp.float32).reshape(1, 1)
+    return pl.pallas_call(
+        _kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((N_CHANNELS, R, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, R, 128), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, TR, 128), jnp.float32),
+        interpret=interpret,
+    )(key_sat, ns, planes)
+
+
+def image_from_planes(cfg, planes, n_samples, key=None, saturation=None,
+                      interpret: bool | None = None):
+    """Tonemapped (H, W, 3) image straight from plane state."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out = tonemap_planes(
+        planes, n_samples,
+        cfg.tonemap_key if key is None else key,
+        cfg.tonemap_saturation if saturation is None else saturation,
+        interpret=interpret)
+    flat = out.reshape(3, -1)[:, : cfg.n_pixels]
+    return jnp.transpose(flat).reshape(cfg.height, cfg.width, 3)
