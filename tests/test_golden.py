@@ -10,7 +10,6 @@ import pathlib
 import numpy as np
 
 from tpurt import (
-    Light,
     Material,
     RenderConfig,
     Sphere,

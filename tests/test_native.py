@@ -96,7 +96,6 @@ class TestNativeObj:
 
         os.environ["TPURT_NO_NATIVE"] = "1"
         try:
-            import importlib
             from tpurt.utils import obj as objmod
             ref_pos, ref_idx = objmod.parse_obj(str(p))
         finally:

@@ -63,7 +63,6 @@ from tpurt.ops.intersect import (
 )
 from tpurt.ops.sampling import (
     PHOTON_CONE_COS,
-    light_normal as _light_normal,
     sample_cone_toward,
     sample_cosine_hemisphere,
     sample_square_point,

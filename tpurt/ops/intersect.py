@@ -27,7 +27,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from tpurt.ops.bsdf import dot, normalize
+from tpurt.ops.bsdf import normalize
 from tpurt.ops.spectra import cauchy_ior
 
 F32_MIN_NORMAL = 1.17549435e-38  # bitcast<f32>(0x1p-126f) in the reference

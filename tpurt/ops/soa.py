@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from tpurt.ops.bsdf import INV_PI, PI, TWO_PI, fr_dielectric, tan2_theta  # noqa: F401
+from tpurt.ops.bsdf import INV_PI, PI, TWO_PI, fr_dielectric  # noqa: F401
 from tpurt.ops.spectra import CIE_RGB_TABLE, CIE_STEP, N_CIE, VISIBLE_MIN
 
 # ----- vec3 as a tuple of planes -----

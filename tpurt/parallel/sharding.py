@@ -20,17 +20,13 @@ virtual CPU mesh used by the tests and dryrun.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tpurt.camera import Camera
 from tpurt.config import RenderConfig
-from tpurt.render import RenderState, _render_step_impl, padded_pixels
-from tpurt.scene import Scene
+from tpurt.render import RenderState
 
 AXIS = "px"
 

@@ -58,7 +58,7 @@ from tpurt.ops import rng as rngmod
 from tpurt.ops.bsdf import INV_PI, dot, normalize, oren_nayar_f, roughness_to_alpha
 from tpurt.ops.intersect import MISS
 from tpurt.ops.spectra import cauchy_ior, sample_wavelength
-from tpurt.render import RenderState, _frame_seed, init_state
+from tpurt.render import RenderState, _frame_seed
 
 _HIT = MISS * 0.5
 EPS = 1e-5
