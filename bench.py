@@ -45,7 +45,10 @@ def build_bench(config_id: int, small: bool):
         scene = cornell_spheres_scene()
         cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0, aspect_ratio=w / h)
     elif config_id == 3:  # >=256 instances 1080p (BASELINE config 3)
-        cfg = RenderConfig(width=w, height=h, depth=30, **kw)
+        # full static unroll: ~6 min one-off Mosaic compile (warmup, not
+        # timed) buys ~4x the steady-state throughput of the SMEM sweep
+        cfg = RenderConfig(width=w, height=h, depth=30,
+                           pallas_static_unroll=512, **kw)
         scene = instanced_scene(256)
         cam = make_camera((0, 10, -14), (0, 1, 8), vfov=55.0, aspect_ratio=w / h)
     elif config_id == 4:  # dispersive spectral scene (BASELINE config 4)

@@ -41,6 +41,11 @@ class RenderConfig:
     pallas_lanes: int = 1024           # pixels per Pallas tile (R=lanes/128).
     #   1024 (R=8, one native vreg per plane) measures fastest on v5e: the
     #   kernel is VPU-issue-bound and larger tiles only add spill pressure.
+    pallas_static_unroll: int = 32     # spheres baked into the instruction
+    #   stream up to this count (fastest; compile grows with count — 257
+    #   spheres ~6 min). Above it: SMEM-table fori sweep (fast compile,
+    #   ~4x slower steady-state). Raise for benchmark-grade throughput on
+    #   big instanced scenes.
     sphere_chunk: int = 512            # primitive chunk sizes for the sweeps
     tri_chunk: int = 256
     # Wavefront tracer (tpurt.wavefront; ref: src/wavefront.rs finished form)

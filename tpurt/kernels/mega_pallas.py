@@ -64,12 +64,12 @@ N_CHANNELS = 16  # rgb_sum 3 | vis_pos 3 | vis_norm 3 | vis_wo 3 | vis_tp 3 | vi
 # channel index bases for the persistent planes
 _VPOS, _VNORM, _VWO, _VTP, _VMAT = 3, 6, 9, 12, 15
 
-# Scenes up to this sphere count are unrolled into the instruction stream
-# (constant folding: diffuse occluders lose their Fresnel chains, padding
-# vanishes). Above it, spheres live in an SMEM table swept by a fori_loop —
-# same physics, runtime material branches, but seconds instead of minutes of
-# Mosaic compile (257 unrolled spheres measured at ~6 min).
-STATIC_SPHERE_UNROLL = 32
+# Scenes up to cfg.pallas_static_unroll spheres are unrolled into the
+# instruction stream (constant folding: diffuse occluders lose their Fresnel
+# chains, padding vanishes). Above it, spheres live in an SMEM table swept by
+# a fori_loop — same physics, runtime material branches. Tradeoff measured at
+# 257 spheres on v5e: unroll = ~6 min Mosaic compile / 66 Mrays/s steady;
+# SMEM sweep = seconds of compile / 15 Mrays/s (the loop serializes).
 MAX_DYNAMIC_SPHERES = 512  # SMEM table budget (S x 8 f32)
 
 
@@ -191,8 +191,8 @@ def freeze_scene(scene) -> FrozenScene:
 
 def supports_scene(scene) -> bool:
     """The Pallas megakernel covers sphere scenes (unrolled below
-    STATIC_SPHERE_UNROLL, SMEM-table sweep above it); triangle meshes and
-    huge instance counts run on the XLA path."""
+    cfg.pallas_static_unroll, SMEM-table sweep above it); triangle meshes
+    and huge instance counts run on the XLA path."""
     return (scene.num_triangles == 0
             and scene.num_spheres <= MAX_DYNAMIC_SPHERES)
 
@@ -474,7 +474,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
     LIGHTS = fscene.lights
     L = len(LIGHTS)
     any_dielectric = any(m.mtype != 0 for m in MATS)
-    dyn_spheres = len(SPH) > STATIC_SPHERE_UNROLL
+    dyn_spheres = len(SPH) > cfg.pallas_static_unroll
 
     def kernel(planes_ref, cam_ref, seed_ref, rad_ref, base_ref, sph_ref,
                out_ref, rays_ref):
@@ -858,7 +858,7 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
 
     # SMEM sphere table, consumed only above the static-unroll budget
     # (cx, cy, cz, r, mat, mtype, ior, 0)
-    if len(fscene.spheres) > STATIC_SPHERE_UNROLL:
+    if len(fscene.spheres) > cfg.pallas_static_unroll:
         sph_tab = jnp.asarray(
             [[sp.c[0], sp.c[1], sp.c[2], sp.r,
               float(sp.mat), float(sp.mtype), sp.ior, 0.0]
