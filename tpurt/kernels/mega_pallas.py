@@ -29,8 +29,9 @@ RNG draw order matches tpurt.integrate *exactly*, so the kernel and the XLA
 integrator produce the same image for the same seed (up to float
 reassociation); tests/test_mega_pallas.py asserts this.
 
-Current scope: sphere scenes (the flagship benchmark configs). Scenes with
-triangle meshes fall back to the XLA integrator — see tpurt.render dispatch.
+Scope: sphere + small-mesh scenes (every benchmark config). Meshes beyond
+the SMEM-table budget (BVH territory) fall back to the XLA integrator —
+see the dispatch in tpurt.render.
 """
 
 from __future__ import annotations
@@ -71,6 +72,7 @@ _VPOS, _VNORM, _VWO, _VTP, _VMAT = 3, 6, 9, 12, 15
 # 257 spheres on v5e: unroll = ~6 min Mosaic compile / 66 Mrays/s steady;
 # SMEM sweep = seconds of compile / 15 Mrays/s (the loop serializes).
 MAX_DYNAMIC_SPHERES = 512  # SMEM table budget (S x 8 f32)
+MAX_DYNAMIC_TRIS = 256     # SMEM table budget (T x 16 f32)
 
 
 def _mask_i32(m):
@@ -118,10 +120,20 @@ class _FLight:
 
 
 @dataclasses.dataclass(frozen=True)
+class _FTriangle:
+    a: tuple
+    e1: tuple
+    e2: tuple
+    n: tuple        # unit geometric normal (leaf order, see tpurt.scene)
+    mat: int
+
+
+@dataclasses.dataclass(frozen=True)
 class FrozenScene:
     spheres: tuple
     materials: tuple
     lights: tuple
+    triangles: tuple = ()
 
 
 def _np_tangent_frame(n):
@@ -185,15 +197,26 @@ def freeze_scene(scene) -> FrozenScene:
             cone_axis=tuple(float(x) for x in axis),
             cone_t=cone_t, cone_b=cone_b,
         ))
+    ta = np.asarray(scene.tri_a, np.float32)
+    te1 = np.asarray(scene.tri_e1, np.float32)
+    te2 = np.asarray(scene.tri_e2, np.float32)
+    tn = np.asarray(scene.tri_n, np.float32)
+    tm = np.asarray(scene.tri_mat, np.int32)
+    tup = lambda v: tuple(float(x) for x in v)
+    triangles = tuple(
+        _FTriangle(a=tup(ta[i]), e1=tup(te1[i]), e2=tup(te2[i]),
+                   n=tup(tn[i]), mat=int(tm[i]))
+        for i in range(ta.shape[0])
+    )
     return FrozenScene(spheres=spheres, materials=materials,
-                       lights=tuple(lights))
+                       lights=tuple(lights), triangles=triangles)
 
 
 def supports_scene(scene) -> bool:
-    """The Pallas megakernel covers sphere scenes (unrolled below
-    cfg.pallas_static_unroll, SMEM-table sweep above it); triangle meshes
-    and huge instance counts run on the XLA path."""
-    return (scene.num_triangles == 0
+    """The Pallas megakernel covers sphere + small-mesh scenes (primitives
+    unroll below cfg.pallas_static_unroll, SMEM-table sweep above it).
+    Large meshes (BVH territory) run on the XLA path."""
+    return (scene.num_triangles <= MAX_DYNAMIC_TRIS
             and scene.num_spheres <= MAX_DYNAMIC_SPHERES)
 
 
@@ -331,6 +354,83 @@ def _shadow_dyn(sph_ref, S, o, d, t_max, lam):
         return atten * jnp.where(overlap, f, 1.0)
 
     return jax.lax.fori_loop(0, S, body, jnp.ones_like(o[0]))
+
+
+def _closest_tri_static(tris, o, d):
+    """Unrolled Moller-Trumbore winner loop over constant triangles
+    (wgsl :303-338, :395-428 — the brute-force equivalent of the BVH walk;
+    hit point offset along the geometric normal like the reference)."""
+    best_t = jnp.full_like(o[0], MISS)
+    best_n = (jnp.zeros_like(o[0]),) * 3
+    best_mat = jnp.zeros_like(o[0], jnp.int32)
+    for tr in tris:
+        t, valid = s.triangle_hit_c(o, d, tr.a, tr.e1, tr.e2)
+        t = jnp.where(valid, t, MISS)
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        best_n = s.vwhere(better, s.vbroadcast(tr.n, o[0]), best_n)
+        best_mat = jnp.where(better, np.int32(tr.mat), best_mat)
+    loc = s.vadd(s.vadd(o, s.vscale(best_n, 1e-5)), s.vscale(d, best_t))
+    return best_t, loc, best_n, best_mat
+
+
+def _tri_shadow_static(tris, o, d, t_max):
+    """Binary triangle occlusion (wgsl :540-562: all triangles block)."""
+    occluded = jnp.zeros_like(o[0], bool)
+    for tr in tris:
+        t, valid = s.triangle_hit_c(o, d, tr.a, tr.e1, tr.e2)
+        occluded = occluded | (valid & (t < t_max))
+    return occluded
+
+
+def _closest_tri_dyn(tri_ref, T, o, d):
+    """fori_loop MT winner sweep over an SMEM triangle table (T, 16):
+    ax,ay,az, e1x,e1y,e1z, e2x,e2y,e2z, nx,ny,nz, mat, 0,0,0."""
+    def body(ti, carry):
+        best_t, bnx, bny, bnz, best_mat = carry
+        a = (tri_ref[ti, 0], tri_ref[ti, 1], tri_ref[ti, 2])
+        e1 = (tri_ref[ti, 3], tri_ref[ti, 4], tri_ref[ti, 5])
+        e2 = (tri_ref[ti, 6], tri_ref[ti, 7], tri_ref[ti, 8])
+        t, valid = s.triangle_hit_c(o, d, a, e1, e2)
+        t = jnp.where(valid, t, MISS)
+        better = t < best_t
+        best_t = jnp.where(better, t, best_t)
+        bnx = jnp.where(better, tri_ref[ti, 9], bnx)
+        bny = jnp.where(better, tri_ref[ti, 10], bny)
+        bnz = jnp.where(better, tri_ref[ti, 11], bnz)
+        best_mat = jnp.where(better, tri_ref[ti, 12].astype(jnp.int32),
+                             best_mat)
+        return best_t, bnx, bny, bnz, best_mat
+
+    z = jnp.zeros_like(o[0])
+    best_t, bnx, bny, bnz, best_mat = jax.lax.fori_loop(
+        0, T, body, (jnp.full_like(o[0], MISS), z, z, z,
+                     jnp.zeros_like(o[0], jnp.int32)))
+    n = (bnx, bny, bnz)
+    loc = s.vadd(s.vadd(o, s.vscale(n, 1e-5)), s.vscale(d, best_t))
+    return best_t, loc, n, best_mat
+
+
+def _tri_shadow_dyn(tri_ref, T, o, d, t_max):
+    def body(ti, occ):
+        a = (tri_ref[ti, 0], tri_ref[ti, 1], tri_ref[ti, 2])
+        e1 = (tri_ref[ti, 3], tri_ref[ti, 4], tri_ref[ti, 5])
+        e2 = (tri_ref[ti, 6], tri_ref[ti, 7], tri_ref[ti, 8])
+        t, valid = s.triangle_hit_c(o, d, a, e1, e2)
+        return jnp.maximum(occ, _mask_i32(valid & (t < t_max)))
+    occ = jax.lax.fori_loop(0, T, body, jnp.zeros_like(o[0], jnp.int32))
+    return occ > 0
+
+
+def _combine_nearest(h1, h2):
+    """Nearest-of-two winner (ref: mega_kernel.wgsl:874-878)."""
+    t1, loc1, n1, m1 = h1
+    t2, loc2, n2, m2 = h2
+    take2 = t2 < t1
+    return (jnp.where(take2, t2, t1),
+            s.vwhere(take2, loc2, loc1),
+            s.vwhere(take2, n2, n1),
+            jnp.where(take2, m2, m1))
 
 
 def _material_lookup_static(materials, mat_id):
@@ -472,19 +572,41 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
     SPH = fscene.spheres
     MATS = fscene.materials
     LIGHTS = fscene.lights
+    TRIS = fscene.triangles
     L = len(LIGHTS)
     any_dielectric = any(m.mtype != 0 for m in MATS)
     dyn_spheres = len(SPH) > cfg.pallas_static_unroll
+    dyn_tris = len(TRIS) > cfg.pallas_static_unroll
 
     def kernel(planes_ref, cam_ref, seed_ref, rad_ref, base_ref, sph_ref,
-               out_ref, rays_ref):
+               tri_ref, out_ref, rays_ref):
         if dyn_spheres:
-            intersect = lambda o, d: _closest_sphere_dyn(sph_ref, len(SPH), o, d)
-            shadow = lambda o, d, tm, lam_: _shadow_dyn(
+            sph_hit = lambda o, d: _closest_sphere_dyn(sph_ref, len(SPH), o, d)
+            sph_shadow = lambda o, d, tm, lam_: _shadow_dyn(
                 sph_ref, len(SPH), o, d, tm, lam_)
         else:
-            intersect = lambda o, d: _closest_sphere_static(SPH, o, d)
-            shadow = lambda o, d, tm, lam_: _shadow_static(SPH, o, d, tm, lam_)
+            sph_hit = lambda o, d: _closest_sphere_static(SPH, o, d)
+            sph_shadow = lambda o, d, tm, lam_: _shadow_static(
+                SPH, o, d, tm, lam_)
+
+        if not TRIS:
+            intersect = sph_hit
+            shadow = sph_shadow
+        else:
+            if dyn_tris:
+                tri_hit = lambda o, d: _closest_tri_dyn(tri_ref, len(TRIS), o, d)
+                tri_occ = lambda o, d, tm: _tri_shadow_dyn(
+                    tri_ref, len(TRIS), o, d, tm)
+            else:
+                tri_hit = lambda o, d: _closest_tri_static(TRIS, o, d)
+                tri_occ = lambda o, d, tm: _tri_shadow_static(TRIS, o, d, tm)
+
+            def intersect(o, d):
+                return _combine_nearest(sph_hit(o, d), tri_hit(o, d))
+
+            def shadow(o, d, tm, lam_):
+                atten = sph_shadow(o, d, tm, lam_)
+                return jnp.where(tri_occ(o, d, tm), 0.0, atten)
         # base_ref: global tile offset of this shard (0 single-chip; device
         # slab start under shard_map) — keeps pixel ids / RNG streams global.
         tile = pl.program_id(0)
@@ -856,8 +978,8 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
     rad_arr = jnp.asarray(photon_radius, jnp.float32).reshape(1, 1)
     base_arr = jnp.asarray(tile_base, jnp.int32).reshape(1, 1)
 
-    # SMEM sphere table, consumed only above the static-unroll budget
-    # (cx, cy, cz, r, mat, mtype, ior, 0)
+    # SMEM primitive tables, consumed only above the static-unroll budget
+    # spheres: (cx, cy, cz, r, mat, mtype, ior, 0)
     if len(fscene.spheres) > cfg.pallas_static_unroll:
         sph_tab = jnp.asarray(
             [[sp.c[0], sp.c[1], sp.c[2], sp.r,
@@ -865,6 +987,14 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
              for sp in fscene.spheres], jnp.float32)
     else:
         sph_tab = jnp.zeros((1, 8), jnp.float32)
+    # triangles: (a, e1, e2, n, mat, pad3)
+    if len(fscene.triangles) > cfg.pallas_static_unroll:
+        tri_tab = jnp.asarray(
+            [list(tr.a) + list(tr.e1) + list(tr.e2) + list(tr.n)
+             + [float(tr.mat), 0.0, 0.0, 0.0]
+             for tr in fscene.triangles], jnp.float32)
+    else:
+        tri_tab = jnp.zeros((1, 16), jnp.float32)
 
     kernel = _make_kernel(fscene, cfg, depth, lanes)
 
@@ -874,6 +1004,7 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
         in_specs=[
             pl.BlockSpec((N_CHANNELS, R, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -891,7 +1022,7 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
         ],
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(planes, cam, seed_arr, rad_arr, base_arr, sph_tab)
+    )(planes, cam, seed_arr, rad_arr, base_arr, sph_tab, tri_tab)
     return new_planes, rays[:, 0]
 
 
