@@ -93,7 +93,8 @@ def intersect_scene(scene, cfg: RenderConfig, ray_o, ray_d):
     )
     if scene.num_triangles > 0:
         if cfg.use_bvh:
-            tri = bvh_hit(ray_o, ray_d, scene.bvh_dict())
+            tri = bvh_hit(ray_o, ray_d, scene.bvh_dict(),
+                          max_leaf=scene.bvh_max_leaf)
         else:
             tri = closest_triangle_hit(
                 ray_o, ray_d, scene.tri_a, scene.tri_e1, scene.tri_e2,
@@ -108,33 +109,48 @@ def _shadow(scene, cfg, o, d, t_max, lam):
         o, d, t_max, lam,
         scene.sph_center, scene.sph_radius, scene.sph_mtype, scene.sph_ior,
         scene.tri_a, scene.tri_e1, scene.tri_e2,
-        chunk=cfg.sphere_chunk,
+        chunk=cfg.sphere_chunk, tri_chunk=cfg.tri_chunk,
     )
 
 
-def sample_direct_lighting(scene, cfg, pos, norm, lam, rng):
+def light_emission_rgb(scene, lam):
+    """Per-light spectral emission at this path's wavelength
+    (ref: mega_kernel.wgsl:574-578): color*intensity * blackbody(lam,T) *
+    cie_to_rgb(lam) * range. Lambda-invariant per path, so callers hoist it
+    out of the bounce loop (the reference recomputes it per bounce)."""
+    cie = cie_to_rgb(lam)  # (N, 3)
+    out = []
+    for i in range(scene.num_lights):
+        lcol = scene.light_color[i]
+        lint = scene.light_intensity[i]
+        ltemp = scene.light_temp[i]
+        spd = jnp.where(ltemp > 0.0, blackbody(lam, jnp.maximum(ltemp, 1.0)), 1.0)
+        out.append(lcol[None, :] * lint * spd[:, None] * cie
+                   * jnp.float32(VISIBLE_RANGE))
+    return out
+
+
+def sample_direct_lighting(scene, cfg, pos, norm, lam, rng, light_rgbs=None):
     """Next-event estimation over all lights (ref: mega_kernel.wgsl:568-615).
 
     Returns (rgb (N,3), rng, shadow_ray_count). The loop over lights is a
     static Python loop (L is a compile-time constant); every lane draws the
     area-light 2f sample regardless of light type to stay branch-free.
+    light_rgbs: precomputed light_emission_rgb(scene, lam) (computed here
+    when None).
     """
     N = pos.shape[0]
     result = jnp.zeros((N, 3))
     shadow_rays = jnp.zeros((), jnp.float32)
-    cie = cie_to_rgb(lam)  # (N, 3)
+    if light_rgbs is None:
+        light_rgbs = light_emission_rgb(scene, lam)
 
     for i in range(scene.num_lights):
         lpos = scene.light_pos[i]
         lhw = scene.light_hw[i]
-        lcol = scene.light_color[i]
-        lint = scene.light_intensity[i]
-        ltemp = scene.light_temp[i]
         ltype = scene.light_type[i]
         lnorm = scene.light_normal[i]
-
-        spd = jnp.where(ltemp > 0.0, blackbody(lam, ltemp), 1.0)  # (N,)
-        light_rgb = lcol[None, :] * lint * spd[:, None] * cie * jnp.float32(VISIBLE_RANGE)
+        light_rgb = light_rgbs[i]
 
         u, rng = rngmod.rand_2f(rng)
         is_area = ltype == 1
@@ -294,11 +310,16 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
     Returns (radiance (N,3), rng, vis (dict), ray_count (f32 scalar)).
     vis_prev carries last frame's vispoints; lanes that hit a diffuse surface
     this frame overwrite their entry (first diffuse bounce only).
+    The bounce loop exits early once every lane in the tile is dead — safe
+    for cross-backend parity because the photon pass draws from its own
+    stream (rng.photon_stream), not a continuation of this one.
     """
     N = ray_o.shape[0]
     zero3 = jnp.zeros((N, 3))
+    light_rgbs = light_emission_rgb(scene, lam)  # hoisted: lambda-invariant
 
     state = {
+        "b": jnp.int32(0), "anylive": jnp.bool_(True),
         "o": ray_o, "d": ray_d,
         "tp": jnp.ones((N, 3)), "rad": zero3,
         "active": jnp.ones((N,), bool),
@@ -310,7 +331,10 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
         "rays": jnp.zeros((), jnp.float32),
     }
 
-    def bounce(_, st):
+    def cond(st):
+        return (st["b"] < depth) & st["anylive"]
+
+    def bounce(st):
         o, d, tp, rad = st["o"], st["d"], st["tp"], st["rad"]
         active, rng = st["active"], st["rng"]
 
@@ -339,7 +363,8 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
         # --- NEE (diffuse lanes only consume the result) ---
         # (the returned live-geometry count is NOT added to the ray counter:
         # shadow segments are counted once below as lane_d * num_lights)
-        direct, rng, _ = sample_direct_lighting(scene, cfg, loc, n, lam, rng)
+        direct, rng, _ = sample_direct_lighting(scene, cfg, loc, n, lam, rng,
+                                                light_rgbs=light_rgbs)
         nee = tp * color * direct
         lane_d = active & found & is_diffuse
         rad = rad + jnp.where(lane_d[:, None], nee, 0.0)
@@ -388,6 +413,7 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
 
         cont = active & found & scat_ok & rr_live
         return {
+            "b": st["b"] + 1, "anylive": jnp.any(cont),
             "o": jnp.where(cont[:, None], new_o, o),
             "d": jnp.where(cont[:, None], wi, d),
             "tp": jnp.where(cont[:, None], new_tp, tp),
@@ -400,7 +426,7 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
             "rays": st_rays,
         }
 
-    state = jax.lax.fori_loop(0, depth, bounce, state)
+    state = jax.lax.while_loop(cond, bounce, state)
     vis = {
         "pos": state["vis_pos"], "norm": state["vis_norm"],
         "wo": state["vis_wo"], "tp": state["vis_tp"], "mat": state["vis_mat"],
@@ -455,13 +481,17 @@ def trace_photons(scene, cfg: RenderConfig, lam, rng, vis, photon_radius):
         ph_tp = jnp.broadcast_to(jnp.where(is_point, tp_point, tp_area), (N, 3))
 
         st = {
+            "b": jnp.int32(0), "anylive": jnp.any(vp_ok),
             "o": ph_o, "d": ph_d, "tp": ph_tp,
             "active": vp_ok, "rng": rng,
             "contrib": jnp.zeros((N, 3)),
             "rays": jnp.zeros((), jnp.float32),
         }
 
-        def ph_bounce(_, st):
+        def ph_cond(st):
+            return (st["b"] < cfg.max_photon_bounces) & st["anylive"]
+
+        def ph_bounce(st):
             o, d, tp, active, rng = st["o"], st["d"], st["tp"], st["active"], st["rng"]
             if cfg.count_rays:
                 st = {**st, "rays": st["rays"] + jnp.sum(active.astype(jnp.float32))}
@@ -520,6 +550,7 @@ def trace_photons(scene, cfg: RenderConfig, lam, rng, vis, photon_radius):
 
             cont = live & scat_ok & rr_live
             return {
+                "b": st["b"] + 1, "anylive": jnp.any(cont),
                 "o": jnp.where(cont[:, None], new_o, o),
                 "d": jnp.where(cont[:, None], wi, d),
                 "tp": jnp.where(cont[:, None], new_tp, tp),
@@ -527,7 +558,7 @@ def trace_photons(scene, cfg: RenderConfig, lam, rng, vis, photon_radius):
                 "contrib": c, "rays": st["rays"],
             }
 
-        st = jax.lax.fori_loop(0, cfg.max_photon_bounces, ph_bounce, st)
+        st = jax.lax.while_loop(ph_cond, ph_bounce, st)
         contrib = contrib + st["contrib"]
         rng = st["rng"]
         rays = rays + st["rays"]
@@ -542,8 +573,8 @@ def render_tile(scene, cfg: RenderConfig, camera, px, py, seed, photon_radius,
     """One progressive sample for a tile of pixels (= one reference frame's
     work for those pixels, ref: mega_kernel.wgsl:984-1021).
 
-    px, py: integer pixel coords (N,). Returns (color (N,3), vis, rng_unused,
-    ray_count). Accumulation (+= color, count += 1) happens in the caller.
+    px, py: integer pixel coords (N,). Returns (color (N,3), vis, ray_count).
+    Accumulation (+= color, count += 1) happens in the caller.
     """
     rng = rngmod.seed_pixels(seed, px, py)
 
@@ -560,5 +591,10 @@ def render_tile(scene, cfg: RenderConfig, camera, px, py, seed, photon_radius,
     rad, rng, vis, rays = trace_camera_paths(
         scene, cfg, ray_o, ray_d, lam, rng, depth, vis_prev
     )
-    ph, rng, prays = trace_photons(scene, cfg, lam, rng, vis, photon_radius)
+    # Independent photon stream (see rng.photon_stream): invariant to how
+    # many draws the camera path consumed, so tile-level early exit cannot
+    # desynchronize the XLA and Pallas backends.
+    rng_ph = rngmod.photon_stream(seed, px, py)
+    ph, rng_ph, prays = trace_photons(scene, cfg, lam, rng_ph, vis,
+                                      photon_radius)
     return rad + ph, vis, rays + prays

@@ -792,7 +792,10 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
 
         st = jax.lax.while_loop(cam_cond, cam_body, st)
         rad = st["rad"]
-        rng = st["rng"]
+        # Independent photon stream (rng.photon_stream): invariant to how
+        # many draws the camera loop consumed, so the early exit above can
+        # never desynchronize this pass from the XLA integrator.
+        rng = rngmod.photon_stream(seed_ref[0, 0], px, py)
         rays_total = st["rays"]
 
         # =========== photon pass (wgsl :745-861, :998-1015) ===========

@@ -358,7 +358,7 @@ def shadow_attenuation(
     ray_o, ray_d, t_max, lambda_nm,
     centers, radii, sph_mtype, sph_ior,
     tri_a, tri_e1, tri_e2,
-    chunk=512,
+    chunk=512, tri_chunk=256,
 ):
     """Spectral shadow attenuation along (0, t_max) for a tile of rays.
 
@@ -395,7 +395,7 @@ def shadow_attenuation(
 
     T = tri_a.shape[0]
     if T > 0:
-        csize, nchunks = _chunk_iter(T, chunk)
+        csize, nchunks = _chunk_iter(T, tri_chunk)
         pad = csize * nchunks - T
         a_p = jnp.pad(tri_a, ((0, pad), (0, 0)))
         e1_p = jnp.pad(tri_e1, ((0, pad), (0, 0)))

@@ -57,6 +57,21 @@ def seed_pixels(seed, x, y):
     return seed + jnp.uint32(1203793) * x + jnp.uint32(7) * y
 
 
+# Golden-ratio offset decorrelates the photon stream from the camera stream.
+_PHOTON_OFFSET = np.uint32(0x9E3779B9)
+
+
+def photon_stream(seed, x, y):
+    """Per-pixel stream for the photon pass, seeded independently of the
+    camera path. The reference continues one stream through both passes
+    (mega_kernel.wgsl:998); an independent stream is statistically
+    equivalent but makes the draw sequence invariant to how many draws the
+    camera path consumed — so tile-level early exit (whose bounce count
+    depends on tile geometry) cannot desynchronize backends, and the XLA
+    and Pallas integrators stay same-seed comparable at ANY depth."""
+    return seed_pixels(jnp.asarray(seed, jnp.uint32) + _PHOTON_OFFSET, x, y)
+
+
 def rand_u32(state):
     """One PCG RXS-M-XS step. Returns (uint32 output, new state).
 

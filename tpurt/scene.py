@@ -171,6 +171,11 @@ class Scene:
     light_temp: jnp.ndarray      # (L,)   f32 — blackbody K; <=0 -> flat SPD
     light_type: jnp.ndarray      # (L,)   i32 — 0 point, 1 square area
     light_normal: jnp.ndarray    # (L, 3) f32
+    # static (pytree metadata, compile-time): the build-time leaf capacity —
+    # the traversal's per-leaf loop bound must cover it (fixes a silent
+    # miss when built with max_leaf_prims > the traversal default)
+    bvh_max_leaf: int = dataclasses.field(default=2,
+                                          metadata=dict(static=True))
 
     @property
     def num_spheres(self) -> int:
@@ -285,6 +290,7 @@ def build_scene(
         light_pos=j(light_pos), light_hw=j(light_hw), light_color=j(light_color),
         light_intensity=j(light_intensity), light_temp=j(light_temp),
         light_type=j(light_type), light_normal=j(light_normal),
+        bvh_max_leaf=int(max(max_leaf_prims, int(bvh.count.max(initial=0)))),
     )
 
 

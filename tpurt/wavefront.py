@@ -80,23 +80,21 @@ class WavefrontPool:
 
 
 def _regen(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
-           next_item, total_items, base_seed):
+           next_sample, next_pix, spp, base_seed):
     """Refill dead slots with the next pending (pixel, sample) work items.
 
-    Work item w = sample_index * n_pixels + pixel (pixel-major), so one
-    counter enumerates the whole frame's spp x pixels queue.
-    Returns (pool, new_next_item).
+    The work queue is enumerated pixel-major as a (sample, pixel) pair of
+    counters rather than one flat index — sample*n_pixels+pixel overflows
+    int32 past ~1k spp at 1080p. Returns (pool, next_sample, next_pix).
     """
-    Q = pool.pix.shape[0]
     n_pix = cfg.n_pixels
     dead = ~pool.active
     # rank of each dead slot among dead slots -> its claimed work item
     rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
-    item = next_item + rank
-    have_work = dead & (item < total_items)
-
-    pix = (item % n_pix).astype(jnp.int32)
-    sample = (item // n_pix).astype(jnp.int32)
+    p = next_pix + rank           # < n_pix + Q: no overflow
+    sample = next_sample + p // n_pix
+    pix = (p % n_pix).astype(jnp.int32)
+    have_work = dead & (sample < spp)
     px = pix % cfg.width
     py = pix // cfg.width
 
@@ -126,9 +124,9 @@ def _regen(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
         bounce=jnp.where(sel, 0, pool.bounce),
         active=pool.active | sel,
     )
-    n_dead = jnp.sum(dead.astype(jnp.int32))
-    issued = jnp.minimum(n_dead, jnp.maximum(total_items - next_item, 0))
-    return new_pool, next_item + issued
+    issued = jnp.sum(have_work.astype(jnp.int32))
+    np2 = next_pix + issued
+    return new_pool, next_sample + np2 // n_pix, np2 % n_pix
 
 
 def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool):
@@ -229,9 +227,7 @@ def wavefront_render(scene, cfg: RenderConfig, camera: Camera,
     checkpointing work unchanged); vispoints/photon state are untouched.
     """
     Q = cfg.wf_pool
-    P = state.rgb_sum.shape[0]
-    n_pix = cfg.n_pixels
-    total_items = jnp.int32(spp) * n_pix
+    spp = jnp.asarray(spp, jnp.int32)
 
     pool = WavefrontPool(
         pix=jnp.zeros((Q,), jnp.int32),
@@ -243,14 +239,14 @@ def wavefront_render(scene, cfg: RenderConfig, camera: Camera,
     )
 
     def cond(carry):
-        pool, next_item, rgb, ns, rays, sweeps = carry
-        more_work = next_item < total_items
+        pool, next_sample, next_pix, rgb, ns, rays, sweeps = carry
+        more_work = next_sample < spp
         return (more_work | jnp.any(pool.active)) & (sweeps < cfg.wf_max_sweeps)
 
     def body(carry):
-        pool, next_item, rgb, ns, rays, sweeps = carry
-        pool, next_item = _regen(cfg, camera, pool, next_item, total_items,
-                                 base_seed)
+        pool, next_sample, next_pix, rgb, ns, rays, sweeps = carry
+        pool, next_sample, next_pix = _regen(
+            cfg, camera, pool, next_sample, next_pix, spp, base_seed)
         pool, terminated, nrays = _sweep(scene, cfg, pool)
         # splat: drain finished paths into the accumulation image
         t3 = terminated[:, None]
@@ -258,11 +254,11 @@ def wavefront_render(scene, cfg: RenderConfig, camera: Camera,
                                    mode="drop")
         ns = ns.at[pool.pix].add(jnp.where(terminated, 1.0, 0.0),
                                  mode="drop")
-        return (pool, next_item, rgb, ns, rays + nrays, sweeps + 1)
+        return (pool, next_sample, next_pix, rgb, ns, rays + nrays, sweeps + 1)
 
-    carry = (pool, jnp.int32(0), state.rgb_sum, state.n_samples,
-             state.rays, jnp.int32(0))
-    pool, next_item, rgb, ns, rays, sweeps = jax.lax.while_loop(
+    carry = (pool, jnp.int32(0), jnp.int32(0), state.rgb_sum,
+             state.n_samples, state.rays, jnp.int32(0))
+    pool, next_sample, next_pix, rgb, ns, rays, sweeps = jax.lax.while_loop(
         cond, body, carry)
 
     return dataclasses.replace(
