@@ -129,3 +129,55 @@ class TestMegaPallasParity:
         st = render_step(scene, cfg, cam, st, 3)
         assert int(st.iteration) == 2
         assert float(st.photon_radius) < 2.0
+
+
+class TestMetalMaterial:
+    def test_metal_parity_all_backends(self):
+        """Material type 2 (GGX conductor, scene.Material.metal): XLA,
+        Pallas, and wavefront agree exactly on ray counts."""
+        from tpurt import dispersive_scene
+        from tpurt.wavefront import wavefront_render
+        scene = dispersive_scene()  # includes a gold metal sphere
+        cam = make_camera((0.0, 3.0, -4.0), (0.0, 1.0, 5.0), vfov=55.0,
+                          aspect_ratio=2.0)
+        kw = dict(width=48, height=24, depth=4, tile_size=1152,
+                  pallas_lanes=1152 - 1152 % 128 if (1152 % 128) else 1152,
+                  k_photons=1, max_photon_bounces=2,
+                  dispersion_in_camera_path=True)
+        kw["pallas_lanes"] = 1024
+        kw["tile_size"] = 1024
+        cfg_x = RenderConfig(backend="xla", **kw)
+        cfg_p = RenderConfig(backend="pallas", **kw)
+        st_x = render(scene, cfg_x, cam, init_state(cfg_x), 5, 2)
+        st_p = render(scene, cfg_p, cam, init_state(cfg_p), 5, 2)
+        n = cfg_x.n_pixels
+        a = np.asarray(st_x.rgb_sum)[:n]
+        b = np.asarray(st_p.rgb_sum)[:n]
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        assert abs(a.mean() - b.mean()) < 5e-3 * max(a.mean(), 1e-3)
+
+        cfg_w = cfg_x.with_(enable_photons=False, wf_pool=1024)
+        st_w = wavefront_render(scene, cfg_w, cam, init_state(cfg_w), 5, 2)
+        st_n = render(scene, cfg_w, cam, init_state(cfg_w), 5, 2)
+        assert float(st_w.rays) == float(st_n.rays) != 0.0
+
+    def test_metal_reflects_energy(self):
+        """A smooth metal mirror between camera and light contributes via
+        reflected diffuse paths; its F0 tints the result."""
+        from tpurt import Light, Material, Sphere, build_scene
+        mats = [Material.diffuse((0.8, 0.8, 0.8)),
+                Material.metal((1.0, 0.2, 0.2), 0.0)]
+        scene = build_scene(
+            materials=mats,
+            spheres=[Sphere(0, 1000.0, (0, -1000.5, 0)),
+                     Sphere(1, 1.0, (0, 1.0, 3.0))],
+            lights=[Light.point([0, 6, 0], [1, 1, 1], 30.0, 5500.0)],
+        )
+        cfg = RenderConfig(width=32, height=16, depth=4, tile_size=512,
+                           pallas_lanes=512, k_photons=1,
+                           max_photon_bounces=2, backend="pallas")
+        cam = make_camera((0, 1, -3), (0, 1, 3), vfov=60.0, aspect_ratio=2.0)
+        st = render(scene, cfg, cam, init_state(cfg), 9, 8)
+        img = np.asarray(st.rgb_sum)[:cfg.n_pixels]
+        assert np.isfinite(img).all()
+        assert img.sum() > 0.0

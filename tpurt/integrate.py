@@ -275,6 +275,40 @@ def _scatter_dielectric(wo, normal, eta, alpha, u2, u_choice, camera_pdf: bool):
     return wi, tp_mult, offset, valid
 
 
+def _scatter_metal(wo, normal, f0, alpha, u2, tangent_frame=None):
+    """GGX conductor scatter (material type 2 — beyond the reference's two
+    types, see scene.Material.metal). Smooth: mirror reflect, tp = Schlick F.
+    Rough: VNDF sample, tp = F(wo.wm) * G2/G1 (the standard VNDF estimator
+    weight). Returns (wi_world, tp_mult (N,3), offset (N,), valid (N,))."""
+    from tpurt.ops.bsdf import fr_schlick
+
+    # smooth branch
+    cos_t = dot(wo, normal)
+    wi_smooth = reflect_dir(wo, normal)
+    tp_smooth = fr_schlick(cos_t, f0)
+    valid_smooth = dot(wi_smooth, normal) * cos_t > 0.0
+
+    # rough GGX branch
+    T = build_tangent_frame(normal)
+    B = cross(normal, T)
+    wo_l = to_local(wo, normal, T, B)
+    wm = tr_sample_wm(wo_l, u2, alpha)
+    wi_l = reflect_dir(wo_l, wm)
+    valid_r = same_hemisphere(wo_l, wi_l)
+    F = fr_schlick(dot(wo_l, wm), f0)
+    G2 = tr_g(wo_l, wi_l, alpha)
+    G1 = tr_g1(wo_l, alpha)
+    tp_rough = F * (G2 / jnp.maximum(G1, 1e-10))[:, None]
+    wi_rough = to_world(wi_l, normal, T, B)
+
+    smooth = effectively_smooth(alpha)
+    wi = jnp.where(smooth[:, None], wi_smooth, wi_rough)
+    tp = jnp.where(smooth[:, None], tp_smooth, tp_rough)
+    valid = jnp.where(smooth, valid_smooth, valid_r)
+    N = wo.shape[0]
+    return wi, tp, jnp.full((N,), EPS), valid
+
+
 def evaluate_bsdf(wo, wi, n, color, rough, ior, mtype, lam):
     """Photon-gather BSDF (ref: mega_kernel.wgsl:725-743): Oren-Nayar for
     diffuse; GGX *reflection only* for dielectrics (transmission ignored)."""
@@ -296,15 +330,21 @@ def evaluate_bsdf(wo, wi, n, color, rough, ior, mtype, lam):
     wm_l = to_local(wm, n, T, B)
     D = tr_d(wm_l, alpha)
     G = tr_g(wo_l, wi_l, alpha)
-    spec = D * G * R / jnp.maximum(4.0 * abs_cos_theta(wi_l) * abs_cos_theta(wo_l), 1e-10)
+    denom = jnp.maximum(4.0 * abs_cos_theta(wi_l) * abs_cos_theta(wo_l), 1e-10)
+    spec = D * G * R / denom
     f_diel = jnp.where(refl, spec, 0.0)[:, None] * jnp.ones((1, 3))
-    return jnp.where((mtype == 0)[:, None], f_diff, f_diel)
+    # metal (type 2): same GGX reflection lobe, Schlick RGB Fresnel
+    from tpurt.ops.bsdf import fr_schlick
+    F_m = fr_schlick(dot(wo, wm), color)
+    f_metal = jnp.where(refl[:, None], F_m * (D * G / denom)[:, None], 0.0)
+    f_spec = jnp.where((mtype == 2)[:, None], f_metal, f_diel)
+    return jnp.where((mtype == 0)[:, None], f_diff, f_spec)
 
 
 # ----- Camera path -----
 
 def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: int,
-                       vis_prev: dict):
+                       vis_prev: dict, valid=None):
     """Trace one spectral sample per lane (ref: mega_kernel.wgsl:865-982).
 
     Returns (radiance (N,3), rng, vis (dict), ray_count (f32 scalar)).
@@ -318,11 +358,12 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
     zero3 = jnp.zeros((N, 3))
     light_rgbs = light_emission_rgb(scene, lam)  # hoisted: lambda-invariant
 
+    active0 = jnp.ones((N,), bool) if valid is None else valid
     state = {
         "b": jnp.int32(0), "anylive": jnp.bool_(True),
         "o": ray_o, "d": ray_d,
         "tp": jnp.ones((N, 3)), "rad": zero3,
-        "active": jnp.ones((N,), bool),
+        "active": active0,
         "rng": rng,
         "vp_stored": jnp.zeros((N,), bool),
         "vis_pos": vis_prev["pos"], "vis_norm": vis_prev["norm"],
@@ -397,11 +438,16 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
         wi_s, tpm_s, off_s, valid_s = _scatter_dielectric(
             wo, n, eta, alpha, u2, u_choice, camera_pdf=True
         )
+        wi_m, tpm_m, off_m, valid_m = _scatter_metal(wo, n, color, alpha, u2)
 
-        wi = jnp.where(is_diffuse[:, None], wi_d, wi_s)
-        tpm = jnp.where(is_diffuse[:, None], tpm_d, tpm_s[:, None] * jnp.ones((1, 3)))
-        off = jnp.where(is_diffuse, off_d, off_s)
-        scat_ok = jnp.where(is_diffuse, True, valid_s)
+        is_metal = mtype == 2
+        wi = jnp.where(is_diffuse[:, None], wi_d,
+                       jnp.where(is_metal[:, None], wi_m, wi_s))
+        tpm = jnp.where(is_diffuse[:, None], tpm_d,
+                        jnp.where(is_metal[:, None], tpm_m,
+                                  tpm_s[:, None] * jnp.ones((1, 3))))
+        off = jnp.where(is_diffuse, off_d, jnp.where(is_metal, off_m, off_s))
+        scat_ok = is_diffuse | jnp.where(is_metal, valid_m, valid_s)
 
         new_tp = tp * tpm
         new_o = loc + n * off[:, None]
@@ -436,7 +482,8 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
 
 # ----- Photon pass -----
 
-def trace_photons(scene, cfg: RenderConfig, lam, rng, vis, photon_radius):
+def trace_photons(scene, cfg: RenderConfig, lam, rng, vis, photon_radius,
+                  valid=None):
     """Per-pixel SPPM photon pass (ref: mega_kernel.wgsl:745-861, 998-1015).
 
     Each lane owns one vispoint; K_PHOTONS photons are emitted round-robin
@@ -452,6 +499,8 @@ def trace_photons(scene, cfg: RenderConfig, lam, rng, vis, photon_radius):
         return contrib, rng, rays
 
     vp_ok = jnp.sqrt(dot(vis["pos"], vis["pos"])) > 0.001  # (N,)
+    if valid is not None:
+        vp_ok = vp_ok & valid
     v_color, v_rough, v_ior, v_mtype = material_lookup(scene, vis["mat"])
 
     for k in range(cfg.k_photons):
@@ -534,12 +583,17 @@ def trace_photons(scene, cfg: RenderConfig, lam, rng, vis, photon_radius):
             wi_s, tpm_s, off_s, valid_s = _scatter_dielectric(
                 wo, n, eta, alpha, u2, u_choice, camera_pdf=False
             )
+            wi_m, tpm_m, off_m, valid_m = _scatter_metal(wo, n, color, alpha, u2)
 
             # smooth-dielectric photon offsets use +/-EPS along n like camera
-            wi = jnp.where(is_diffuse[:, None], wi_d, wi_s)
-            tpm = jnp.where(is_diffuse[:, None], tpm_d, tpm_s[:, None] * jnp.ones((1, 3)))
-            off = jnp.where(is_diffuse, EPS, off_s)
-            scat_ok = jnp.where(is_diffuse, True, valid_s)
+            is_metal = mtype == 2
+            wi = jnp.where(is_diffuse[:, None], wi_d,
+                           jnp.where(is_metal[:, None], wi_m, wi_s))
+            tpm = jnp.where(is_diffuse[:, None], tpm_d,
+                            jnp.where(is_metal[:, None], tpm_m,
+                                      tpm_s[:, None] * jnp.ones((1, 3))))
+            off = jnp.where(is_diffuse, EPS, jnp.where(is_metal, off_m, off_s))
+            scat_ok = is_diffuse | jnp.where(is_metal, valid_m, valid_s)
 
             new_tp = tp * tpm
             new_o = hit["loc"] + n * off[:, None]
@@ -569,11 +623,13 @@ def trace_photons(scene, cfg: RenderConfig, lam, rng, vis, photon_radius):
 # ----- Per-tile frame sample -----
 
 def render_tile(scene, cfg: RenderConfig, camera, px, py, seed, photon_radius,
-                depth: int, vis_prev: dict):
+                depth: int, vis_prev: dict, valid=None):
     """One progressive sample for a tile of pixels (= one reference frame's
     work for those pixels, ref: mega_kernel.wgsl:984-1021).
 
-    px, py: integer pixel coords (N,). Returns (color (N,3), vis, ray_count).
+    px, py: integer pixel coords (N,). valid: optional (N,) bool marking
+    real pixels — padding lanes (pixel-count round-up) stay inactive so the
+    traced-segment counter is exact. Returns (color (N,3), vis, ray_count).
     Accumulation (+= color, count += 1) happens in the caller.
     """
     rng = rngmod.seed_pixels(seed, px, py)
@@ -589,12 +645,12 @@ def render_tile(scene, cfg: RenderConfig, camera, px, py, seed, photon_radius,
     lam = sample_wavelength(u_lam)
 
     rad, rng, vis, rays = trace_camera_paths(
-        scene, cfg, ray_o, ray_d, lam, rng, depth, vis_prev
+        scene, cfg, ray_o, ray_d, lam, rng, depth, vis_prev, valid=valid
     )
     # Independent photon stream (see rng.photon_stream): invariant to how
     # many draws the camera path consumed, so tile-level early exit cannot
     # desynchronize the XLA and Pallas backends.
     rng_ph = rngmod.photon_stream(seed, px, py)
     ph, rng_ph, prays = trace_photons(scene, cfg, lam, rng_ph, vis,
-                                      photon_radius)
+                                      photon_radius, valid=valid)
     return rad + ph, vis, rays + prays

@@ -263,7 +263,7 @@ def _shadow_static(spheres, o, d, t_max, lam):
         t0 = (-half_b - sq) / a
         t1 = (-half_b + sq) / a
         overlap = (disc > 0.0) & (t1 > 0.0) & (t0 < t_max)
-        if sp.mtype == 0:
+        if sp.mtype != 1:  # diffuse and metal occlude fully
             atten = atten * jnp.where(overlap, 0.0, 1.0)
             continue
         t_entry = jnp.maximum(t0, 0.0)
@@ -350,7 +350,8 @@ def _shadow_dyn(sph_ref, S, o, d, t_max, lam):
         n2 = s.vnormalize(s.vsub(p2, cb), eps=1e-30)
         R2 = fr_dielectric(-s.vdot(n2, d), eta)
         diel = jnp.where(segment, (1.0 - R1) * (1.0 - R2), 1.0)
-        f = jnp.where(mtype == 0.0, jnp.zeros_like(diel), diel)
+        # only dielectrics (mtype 1) transmit; diffuse and metal occlude
+        f = jnp.where(mtype == 1.0, diel, jnp.zeros_like(diel))
         return atten * jnp.where(overlap, f, 1.0)
 
     return jax.lax.fori_loop(0, S, body, jnp.ones_like(o[0]))
@@ -434,10 +435,12 @@ def _combine_nearest(h1, h2):
 
 
 def _material_lookup_static(materials, mat_id):
-    """Per-lane material attributes via an unrolled constant select chain."""
+    """Per-lane material attributes via an unrolled constant select chain.
+    Returns (color, rough, ior, is_diffuse, is_metal)."""
     zero = jnp.zeros_like(mat_id, jnp.float32)
     cr, cg, cb_, rough, ior = zero, zero, zero, zero, zero
     is_diffuse = jnp.zeros_like(mat_id, bool)
+    is_metal = jnp.zeros_like(mat_id, bool)
     for m, mat in enumerate(materials):
         sel = mat_id == m
         cr = jnp.where(sel, np.float32(mat.color[0]), cr)
@@ -447,7 +450,46 @@ def _material_lookup_static(materials, mat_id):
         ior = jnp.where(sel, np.float32(mat.ior), ior)
         if mat.mtype == 0:
             is_diffuse = is_diffuse | sel
-    return (cr, cg, cb_), rough, ior, is_diffuse
+        elif mat.mtype == 2:
+            is_metal = is_metal | sel
+    return (cr, cg, cb_), rough, ior, is_diffuse, is_metal
+
+
+def _schlick_c(cos_t, f0):
+    """Schlick Fresnel, component form; f0 vec3 tuple, cos (R,128)."""
+    c = jnp.clip(jnp.abs(cos_t), 0.0, 1.0)
+    m = 1.0 - c
+    w = m * m * m * m * m
+    return tuple(f0[i] + (1.0 - f0[i]) * w for i in range(3))
+
+
+def _scatter_metal_c(wo, normal, f0, alpha, u2a, u2b):
+    """GGX conductor scatter (material type 2; see scene.Material.metal).
+    Smooth: mirror + Schlick F. Rough: VNDF sample, tp = F * G2/G1.
+    Returns (wi, tp (vec3), valid)."""
+    cos_t = s.vdot(wo, normal)
+    wi_sm = s.reflect_c(wo, normal)
+    tp_sm = _schlick_c(cos_t, f0)
+    valid_sm = s.vdot(wi_sm, normal) * cos_t > 0.0
+
+    T = s.build_tangent_frame_c(normal)
+    B = s.vcross(normal, T)
+    wo_l = s.to_local_c(wo, normal, T, B)
+    wm = s.tr_sample_wm_c(wo_l, u2a, u2b, alpha)
+    wi_l = s.reflect_c(wo_l, wm)
+    valid_r = wo_l[2] * wi_l[2] > 0.0
+    F = _schlick_c(s.vdot(wo_l, wm), f0)
+    G2 = s.tr_g_c(wo_l[2], wi_l[2], alpha)
+    G1 = s.tr_g1_c(wo_l[2], alpha)
+    w = G2 / jnp.maximum(G1, 1e-10)
+    tp_r = s.vscale(F, w)
+    wi_rough = s.to_world_c(wi_l, normal, T, B)
+
+    smooth = alpha < 1e-3
+    wi = s.vwhere(smooth, wi_sm, wi_rough)
+    tp = s.vwhere(smooth, tp_sm, tp_r)
+    valid = (smooth & valid_sm) | (~smooth & valid_r)
+    return wi, tp, valid
 
 
 def _scatter_dielectric_c(wo, normal, eta, alpha, u2a, u2b, u_choice, camera_pdf):
@@ -530,9 +572,9 @@ def _scatter_dielectric_c(wo, normal, eta, alpha, u2a, u2b, u_choice, camera_pdf
     return wi, tp_mult, offset, valid
 
 
-def _evaluate_bsdf_c(wo, wi, n, color, rough, ior_eta, is_diff):
+def _evaluate_bsdf_c(wo, wi, n, color, rough, ior_eta, is_diff, is_metal):
     """Photon-gather BSDF (wgsl :725-743): Oren-Nayar diffuse or
-    GGX-reflection-only dielectric. ior_eta is the pre-dispersed eta."""
+    GGX-reflection-only dielectric/metal. ior_eta is the pre-dispersed eta."""
     f_diff = s.oren_nayar_c(wo, wi, n, color, rough)
     ndotv = s.vdot(n, wo)
     ndotl = s.vdot(n, wi)
@@ -547,9 +589,14 @@ def _evaluate_bsdf_c(wo, wi, n, color, rough, ior_eta, is_diff):
     wm_l = s.to_local_c(wm, n, T, B)
     D = s.tr_d_c(wm_l[2], alpha)
     G = s.tr_g_c(wo_l[2], wi_l[2], alpha)
-    spec = D * G * R / jnp.maximum(4.0 * jnp.abs(wi_l[2]) * jnp.abs(wo_l[2]), 1e-10)
-    spec = jnp.where(refl, spec, 0.0)
-    return s.vwhere(is_diff, f_diff, (spec, spec, spec))
+    denom = jnp.maximum(4.0 * jnp.abs(wi_l[2]) * jnp.abs(wo_l[2]), 1e-10)
+    spec = jnp.where(refl, D * G * R / denom, 0.0)
+    # metal: same lobe, Schlick RGB Fresnel (color = F0)
+    F_m = _schlick_c(s.vdot(wo, wm), color)
+    dg = jnp.where(refl, D * G / denom, 0.0)
+    f_metal = s.vscale(F_m, dg)
+    f_spec = s.vwhere(is_metal, f_metal, (spec, spec, spec))
+    return s.vwhere(is_diff, f_diff, f_spec)
 
 
 def _diffuse_scatter_c(wo, n, color, rough, u2a, u2b):
@@ -574,7 +621,8 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
     LIGHTS = fscene.lights
     TRIS = fscene.triangles
     L = len(LIGHTS)
-    any_dielectric = any(m.mtype != 0 for m in MATS)
+    any_dielectric = any(m.mtype == 1 for m in MATS)
+    any_metal = any(m.mtype == 2 for m in MATS)
     dyn_spheres = len(SPH) > cfg.pallas_static_unroll
     dyn_tris = len(TRIS) > cfg.pallas_static_unroll
 
@@ -616,6 +664,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
         idx = gtile * lanes + row * 128 + col
         px = jnp.remainder(idx, W)
         py = jnp.minimum(idx // W, H - 1)
+        valid_px = idx < W * H  # padding lanes never trace (exact counts)
 
         # persistent planes: carry last frame's vispoints into the output
         # block; the bounce loop masked-updates them in place (cheaper than
@@ -670,7 +719,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
         st = {
             "b": jnp.int32(0), "anylive": jnp.int32(1),
             "o": o0, "d": d0, "tp": (zero + 1.0,) * 3, "rad": z3,
-            "active": jnp.ones_like(u, jnp.int32), "rng": rng,
+            "active": _mask_i32(valid_px), "rng": rng,
             "vp_stored": jnp.zeros_like(u, jnp.int32),
             "rays": jnp.float32(0.0),
         }
@@ -688,7 +737,8 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             t, loc, n, mat = intersect(o, d)
             found = t < _HIT
 
-            color, rough, ior, is_diffuse = _material_lookup_static(MATS, mat)
+            color, rough, ior, is_diffuse, is_metal = \
+                _material_lookup_static(MATS, mat)
             wo = s.vneg(d)
 
             # vispoint store at first diffuse hit (wgsl :893-900):
@@ -751,24 +801,29 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             u_rr, rng = rngmod.rand_1f(rng)
 
             wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough, u2a, u2b)
-
+            wi, tpm = wi_d, tpm_d
+            off = jnp.full_like(u, EPS)
+            scat_ok = jnp.ones_like(u, bool)
+            alpha = jnp.sqrt(rough)
             if any_dielectric:
                 # dielectric scatter (wgsl :914-973)
                 if cfg.dispersion_in_camera_path:
                     eta = ior + cauchy_add
                 else:
                     eta = ior  # reference quirk (wgsl :915)
-                alpha = jnp.sqrt(rough)
                 wi_s, tpm_s, off_s, valid_s = _scatter_dielectric_c(
                     wo, n, eta, alpha, u2a, u2b, u_choice, camera_pdf=True)
-                wi = s.vwhere(is_diffuse, wi_d, wi_s)
-                tpm = s.vwhere(is_diffuse, tpm_d, (tpm_s, tpm_s, tpm_s))
-                off = jnp.where(is_diffuse, EPS, off_s)
-                scat_ok = is_diffuse | valid_s
-            else:
-                wi, tpm = wi_d, tpm_d
-                off = jnp.full_like(u, EPS)
-                scat_ok = jnp.ones_like(u, bool)
+                is_diel = ~(is_diffuse | is_metal)
+                wi = s.vwhere(is_diel, wi_s, wi)
+                tpm = s.vwhere(is_diel, (tpm_s, tpm_s, tpm_s), tpm)
+                off = jnp.where(is_diel, off_s, off)
+                scat_ok = (is_diel & valid_s) | (~is_diel & scat_ok)
+            if any_metal:
+                wi_m, tpm_m, valid_m = _scatter_metal_c(
+                    wo, n, color, alpha, u2a, u2b)
+                wi = s.vwhere(is_metal, wi_m, wi)
+                tpm = s.vwhere(is_metal, tpm_m, tpm)
+                scat_ok = (is_metal & valid_m) | (~is_metal & scat_ok)
 
             new_tp = s.vmul(tp, tpm)
             new_o = s.vadd(loc, s.vscale(n, off))
@@ -802,7 +857,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
         contrib = z3
         if cfg.enable_photons and L > 0:
             vis_pos = (out_ref[_VPOS], out_ref[_VPOS + 1], out_ref[_VPOS + 2])
-            vp_ok = jnp.sqrt(s.vdot(vis_pos, vis_pos)) > 0.001
+            vp_ok = (jnp.sqrt(s.vdot(vis_pos, vis_pos)) > 0.001) & valid_px
             vp_ok_i = _mask_i32(vp_ok)
             inv_pi_r2 = 1.0 / jnp.maximum(
                 jnp.float32(np.pi) * photon_radius * photon_radius, 1e-10)
@@ -882,20 +937,20 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                     vwo = (out_ref[_VWO], out_ref[_VWO + 1], out_ref[_VWO + 2])
                     vtp = (out_ref[_VTP], out_ref[_VTP + 1], out_ref[_VTP + 2])
                     vmat = out_ref[_VMAT].astype(jnp.int32)
-                    v_color, v_rough, v_ior, v_isdiff = \
+                    v_color, v_rough, v_ior, v_isdiff, v_ismetal = \
                         _material_lookup_static(MATS, vmat)
                     dvec = s.vsub(loc, vpos)
                     dist = jnp.sqrt(jnp.maximum(s.vdot(dvec, dvec), 0.0))
                     near = dist < photon_radius
                     f = _evaluate_bsdf_c(vwo, s.vneg(d), vnorm,
                                          v_color, v_rough, v_ior + cauchy_add,
-                                         v_isdiff)
+                                         v_isdiff, v_ismetal)
                     kern = (1.0 - dist / photon_radius) * inv_pi_r2
                     dens = s.vscale(s.vmul(s.vmul(vtp, f), tp), kern)
                     c = s.vadd(pst["contrib"], s.vwhere(live & near, dens, z3))
 
                     # scatter (wgsl :782-853)
-                    color, rough, ior, is_diffuse = \
+                    color, rough, ior, is_diffuse, is_metal = \
                         _material_lookup_static(MATS, mat)
                     wo = s.vneg(d)
 
@@ -906,21 +961,26 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
 
                     wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough,
                                                      u2a, u2b)
+                    wi, tpm = wi_d, tpm_d
+                    off = jnp.full_like(uc, EPS)
+                    scat_ok = jnp.ones_like(uc, bool)
+                    alpha = jnp.sqrt(rough)
                     if any_dielectric:
                         eta = ior + cauchy_add  # photons disperse (wgsl :797)
-                        alpha = jnp.sqrt(rough)
                         wi_s, tpm_s, off_s, valid_s = _scatter_dielectric_c(
                             wo, n, eta, alpha, u2a, u2b, u_choice,
                             camera_pdf=False)
-                        wi = s.vwhere(is_diffuse, wi_d, wi_s)
-                        tpm = s.vwhere(is_diffuse, tpm_d,
-                                       (tpm_s, tpm_s, tpm_s))
-                        off = jnp.where(is_diffuse, EPS, off_s)
-                        scat_ok = is_diffuse | valid_s
-                    else:
-                        wi, tpm = wi_d, tpm_d
-                        off = jnp.full_like(uc, EPS)
-                        scat_ok = jnp.ones_like(uc, bool)
+                        is_diel = ~(is_diffuse | is_metal)
+                        wi = s.vwhere(is_diel, wi_s, wi)
+                        tpm = s.vwhere(is_diel, (tpm_s, tpm_s, tpm_s), tpm)
+                        off = jnp.where(is_diel, off_s, off)
+                        scat_ok = (is_diel & valid_s) | (~is_diel & scat_ok)
+                    if any_metal:
+                        wi_m, tpm_m, valid_m = _scatter_metal_c(
+                            wo, n, color, alpha, u2a, u2b)
+                        wi = s.vwhere(is_metal, wi_m, wi)
+                        tpm = s.vwhere(is_metal, tpm_m, tpm)
+                        scat_ok = (is_metal & valid_m) | (~is_metal & scat_ok)
 
                     new_tp = s.vmul(tp, tpm)
                     new_o = s.vadd(loc, s.vscale(n, off))

@@ -210,6 +210,16 @@ def refract_dir(wo, n, eta):
     return wi, ~tir
 
 
+def fr_schlick(cos_theta_i, f0):
+    """Schlick Fresnel for conductors: F0 + (1-F0)(1-cos)^5.
+    f0 is (..., 3) RGB reflectance at normal incidence; cos (...,)."""
+    c = jnp.clip(jnp.abs(cos_theta_i), 0.0, 1.0)
+    m = 1.0 - c
+    m2 = m * m
+    w = (m2 * m2 * m)[..., None]
+    return f0 + (1.0 - f0) * w
+
+
 # ----- Shading frames -----
 
 def build_tangent_frame(n):

@@ -349,8 +349,8 @@ def sphere_shadow_factors(ray_o, ray_d, t_max, centers, radii, mtype, ior, lambd
     R2 = fr_dielectric(cos2, eta)
 
     dielectric_f = jnp.where(segment, (1.0 - R1) * (1.0 - R2), 1.0)
-    is_diffuse = (mtype[None, :] == 0)
-    factor = jnp.where(is_diffuse, 0.0, dielectric_f)
+    # only dielectrics transmit; diffuse AND metal occlude fully
+    factor = jnp.where(mtype[None, :] == 1, dielectric_f, 0.0)
     return jnp.where(overlap, factor, 1.0)
 
 

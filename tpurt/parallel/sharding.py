@@ -84,10 +84,12 @@ def _local_step(scene, cfg, camera, state: RenderState, base_seed, depth, n_dev)
     n_tiles = Pl // T
 
     def tile_fn(args):
-        tpx, tpy, vis_prev = args
+        tpx, tpy, tvalid, vis_prev = args
         return render_tile(scene, cfg, camera, tpx, tpy, seed,
-                           state.photon_radius, depth, vis_prev)
+                           state.photon_radius, depth, vis_prev,
+                           valid=tvalid)
 
+    valid = gidx < cfg.n_pixels  # padding lanes never trace (exact counts)
     vis_prev = {
         "pos": state.vis_pos.reshape(n_tiles, T, 3),
         "norm": state.vis_norm.reshape(n_tiles, T, 3),
@@ -96,7 +98,8 @@ def _local_step(scene, cfg, camera, state: RenderState, base_seed, depth, n_dev)
         "mat": state.vis_mat.reshape(n_tiles, T),
     }
     color, vis, rays = jax.lax.map(
-        tile_fn, (px.reshape(n_tiles, T), py.reshape(n_tiles, T), vis_prev))
+        tile_fn, (px.reshape(n_tiles, T), py.reshape(n_tiles, T),
+                  valid.reshape(n_tiles, T), vis_prev))
 
     it_new = state.iteration + 1
     k = it_new.astype(jnp.float32)

@@ -127,14 +127,18 @@ def _render_step_impl(scene, cfg, camera, state, base_seed, depth: int):
     n_tiles = P // T
 
     def tile_fn(args):
-        tpx, tpy, vis_prev = args
+        tpx, tpy, tvalid, vis_prev = args
         color, vis, rays = render_tile(
-            scene, cfg, camera, tpx, tpy, seed, state.photon_radius, depth, vis_prev
+            scene, cfg, camera, tpx, tpy, seed, state.photon_radius, depth,
+            vis_prev, valid=tvalid,
         )
         return color, vis, rays
 
+    # padding lanes (pixel-count round-up) never trace: exact ray counts
+    valid = (jnp.arange(P, dtype=jnp.int32) < cfg.n_pixels)
     tiles_px = px.reshape(n_tiles, T)
     tiles_py = py.reshape(n_tiles, T)
+    tiles_valid = valid.reshape(n_tiles, T)
     vis_prev = {
         "pos": state.vis_pos.reshape(n_tiles, T, 3),
         "norm": state.vis_norm.reshape(n_tiles, T, 3),
@@ -142,7 +146,8 @@ def _render_step_impl(scene, cfg, camera, state, base_seed, depth: int):
         "tp": state.vis_tp.reshape(n_tiles, T, 3),
         "mat": state.vis_mat.reshape(n_tiles, T),
     }
-    color, vis, rays = jax.lax.map(tile_fn, (tiles_px, tiles_py, vis_prev))
+    color, vis, rays = jax.lax.map(
+        tile_fn, (tiles_px, tiles_py, tiles_valid, vis_prev))
 
     it_new = state.iteration + 1
     k = it_new.astype(jnp.float32)

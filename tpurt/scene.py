@@ -37,7 +37,10 @@ from tpurt import accel
 
 @dataclasses.dataclass(frozen=True)
 class Material:
-    """ref: src/material.rs:1-31 — type 0 diffuse(albedo), 1 dielectric(ior, roughness)."""
+    """ref: src/material.rs:1-31 — type 0 diffuse(albedo), 1 dielectric(ior,
+    roughness). Type 2 metal (GGX conductor, color = F0 Schlick reflectance)
+    is an extension beyond the reference's two types — BASELINE.json
+    config 4 names 'metal materials' as part of the finished spectral bench."""
     color: tuple = (0.0, 0.0, 0.0)
     roughness: float = 0.0
     ior: float = 1.0
@@ -50,6 +53,13 @@ class Material:
     @staticmethod
     def dielectric(ior: float, roughness: float) -> "Material":
         return Material(color=(0.0, 0.0, 0.0), roughness=roughness, ior=ior, mtype=1)
+
+    @staticmethod
+    def metal(f0_color, roughness: float = 0.0) -> "Material":
+        """GGX conductor; f0_color = reflectance at normal incidence
+        (e.g. gold ~ (1.0, 0.71, 0.29), silver ~ (0.95, 0.93, 0.88))."""
+        return Material(color=tuple(f0_color), roughness=roughness, ior=1.0,
+                        mtype=2)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -381,12 +391,12 @@ def instanced_scene(n_instances: int = 256, seed: int = 7) -> Scene:
 
 
 def dispersive_scene() -> Scene:
-    """Dispersive glass + rough metal-ish dielectrics (BASELINE config 4)."""
+    """Dispersive glass + metal materials (BASELINE config 4)."""
     materials = [
         Material.diffuse((0.8, 0.8, 0.8)),
         Material.dielectric(1.52, 0.0),    # crown-glass ball (dispersive)
         Material.dielectric(1.72, 0.0),    # dense flint
-        Material.dielectric(1.5, 0.09),    # rough GGX
+        Material.metal((1.0, 0.71, 0.29), 0.05),  # brushed gold
         Material.diffuse((0.3, 0.3, 0.8)),
     ]
     spheres = [

@@ -50,6 +50,7 @@ from tpurt.camera import Camera, generate_rays
 from tpurt.config import RenderConfig
 from tpurt.integrate import (
     _scatter_dielectric,
+    _scatter_metal,
     intersect_scene,
     material_lookup,
     sample_direct_lighting,
@@ -185,11 +186,16 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool):
     alpha = roughness_to_alpha(rough)
     wi_s, tpm_s, off_s, valid_s = _scatter_dielectric(
         wo, n, eta, alpha, u2, u_choice, camera_pdf=True)
+    wi_m, tpm_m, off_m, valid_m = _scatter_metal(wo, n, color, alpha, u2)
 
-    wi = jnp.where(is_diffuse[:, None], wi_d, wi_s)
-    tpm = jnp.where(is_diffuse[:, None], tpm_d, tpm_s[:, None] * jnp.ones((1, 3)))
-    off = jnp.where(is_diffuse, EPS, off_s)
-    scat_ok = jnp.where(is_diffuse, True, valid_s)
+    is_metal = mtype == 2
+    wi = jnp.where(is_diffuse[:, None], wi_d,
+                   jnp.where(is_metal[:, None], wi_m, wi_s))
+    tpm = jnp.where(is_diffuse[:, None], tpm_d,
+                    jnp.where(is_metal[:, None], tpm_m,
+                              tpm_s[:, None] * jnp.ones((1, 3))))
+    off = jnp.where(is_diffuse, EPS, jnp.where(is_metal, off_m, off_s))
+    scat_ok = is_diffuse | jnp.where(is_metal, valid_m, valid_s)
 
     new_tp = pool.tp * tpm
     new_o = loc + n * off[:, None]
