@@ -57,9 +57,9 @@ def build_bench(config_id: int, small: bool):
         scene = dispersive_scene()
         cam = make_camera((0, 3, -4), (0, 1, 5), vfov=55.0, aspect_ratio=w / h)
     elif config_id == 5:  # wavefront tracer, mixed materials (config 5)
-        cfg = RenderConfig(width=w, height=h, depth=30, backend="xla",
+        cfg = RenderConfig(width=w, height=h, depth=30, backend="pallas",
                            enable_photons=False, wf_pool=262144)
-        scene = dispersive_scene()  # mixed diffuse + dielectric materials
+        scene = dispersive_scene()  # diffuse + dielectric + metal materials
         cam = make_camera((0, 3, -4), (0, 1, 5), vfov=55.0, aspect_ratio=w / h)
     else:  # headline: Cornell sphere scene @1080p, reference defaults
         cfg = RenderConfig(width=w, height=h, depth=30, **kw)
@@ -77,10 +77,12 @@ def main():
     args = ap.parse_args()
 
     cfg, scene, cam = build_bench(args.config, args.small)
-    from tpurt import init_state, render, wavefront_render
+    from tpurt import init_state, render
     if args.config == 5:
+        # fused wavefront: per-lane sample regeneration inside one kernel
+        from tpurt.kernels.wavefront_pallas import wavefront_render_fused
         render = lambda sc, cf, ca, st, seed, spp: \
-            wavefront_render(sc, cf, ca, st, seed, spp)
+            wavefront_render_fused(sc, cf, ca, st, seed, spp)
 
     dev = jax.devices()[0]
     if not args.json_only:

@@ -62,3 +62,35 @@ class TestWavefront:
         st_s = wavefront_render(scene, cfg_sky, cam, init_state(cfg_sky), 3, 1)
         n = cfg.n_pixels
         assert np.asarray(st_s.rgb_sum)[:n].sum() > np.asarray(st_k.rgb_sum)[:n].sum()
+
+
+class TestWavefrontPallas:
+    def test_pool_sweep_matches_xla(self):
+        """Pool-based Pallas sweep == XLA wavefront (same streams)."""
+        from tpurt.kernels.wavefront_pallas import wavefront_render_pallas
+        cfg, scene, cam = _setup(wf_pool=1024, pallas_lanes=512)
+        st_x = wavefront_render(scene, cfg, cam, init_state(cfg), 42, 2)
+        st_p = wavefront_render_pallas(scene, cfg, cam, init_state(cfg), 42, 2)
+        assert float(st_x.rays) == float(st_p.rays) != 0.0
+        n = cfg.n_pixels
+        a = np.asarray(st_x.rgb_sum)[:n]
+        b = np.asarray(st_p.rgb_sum)[:n]
+        # rare near-threshold branch flips under reassociation: bound the
+        # fraction of diverged pixels, not every element
+        assert (np.abs(a - b).max(axis=-1) > 1e-2).mean() < 0.01
+        assert abs(a.mean() - b.mean()) < 5e-3 * max(abs(a.mean()), 1e-3)
+
+    def test_fused_matches_xla(self):
+        """Fused (in-kernel per-lane regeneration) == XLA wavefront."""
+        from tpurt.kernels.wavefront_pallas import wavefront_render_fused
+        cfg, scene, cam = _setup(backend="pallas", pallas_lanes=512)
+        st_x = wavefront_render(scene, cfg, cam, init_state(cfg), 42, 3)
+        st_f = wavefront_render_fused(scene, cfg, cam, init_state(cfg), 42, 3)
+        assert float(st_x.rays) == float(st_f.rays) != 0.0
+        n = cfg.n_pixels
+        ns = np.asarray(st_f.n_samples)[:n]
+        assert (ns == 3.0).all()
+        a = np.asarray(st_x.rgb_sum)[:n]
+        b = np.asarray(st_f.rgb_sum)[:n]
+        assert (np.abs(a - b).max(axis=-1) > 1e-2).mean() < 0.01
+        assert abs(a.mean() - b.mean()) < 5e-3 * max(abs(a.mean()), 1e-3)

@@ -1,0 +1,767 @@
+"""Pallas wavefront tracer: the persistent ray pool's extend+shade sweep as
+a fused TPU kernel.
+
+tpurt.wavefront implements the TPU-native wavefront architecture
+(fixed-capacity pool + compaction-by-regeneration, see its docstring) with
+XLA sweeps. This module swaps the hot stage — one bounce of every pool slot
+— for a Pallas kernel built from the same component-form pieces as the
+megakernel (tpurt.kernels.mega_pallas), with the pool resident in plane
+layout across the whole render:
+
+  regen  (XLA)    dead slots claim the next (pixel, sample) work items:
+                  cumsum ranking, camera rays, per-slot PCG streams, and the
+                  lambda-dependent CIE/emission factors (MXU one-hot matmul,
+                  computed ONCE per path here rather than per sweep in the
+                  kernel — the 81-entry select chain costs ~40% of a sweep)
+  sweep  (Pallas) intersect + NEE + scatter + RR for all Q slots — exactly
+                  the megakernel's bounce body, full material set
+  splat  (XLA)    terminated slots scatter-add into the image
+
+Pool plane layout (QR = Q/128):
+  f32 (13+3L, QR, 128): o xyz | d xyz | tp rgb | rad rgb | lam | em[l] rgb...
+  i32 (3, QR, 128):     pix | bounce | active
+  u32 (QR, 128):        PCG stream
+
+Draw order matches tpurt.wavefront exactly, so the two implementations
+produce the same image for the same seed (tests assert equal ray counts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurt.config import RenderConfig
+from tpurt.kernels.mega_pallas import (
+    EPS,
+    _HIT,
+    FrozenScene,
+    MISS,
+    _closest_sphere_dyn,
+    _closest_sphere_static,
+    _closest_tri_dyn,
+    _closest_tri_static,
+    _combine_nearest,
+    _diffuse_scatter_c,
+    _mask_f32,
+    _mask_i32,
+    _material_lookup_static,
+    _scatter_dielectric_c,
+    _scatter_metal_c,
+    _shadow_dyn,
+    _shadow_static,
+    _tri_shadow_dyn,
+    _tri_shadow_static,
+    freeze_scene,
+    supports_scene,
+)
+from tpurt.ops import rng as rngmod
+from tpurt.ops import soa as s
+from tpurt.ops.spectra import DISPERSION_B
+from tpurt.render import RenderState, _frame_seed
+
+# f32 channel bases (emission channels follow, 3 per light)
+_O, _D, _TP, _RAD, _LAM = 0, 3, 6, 9, 12
+_EM = 13
+
+
+def _n_fchannels(L: int) -> int:
+    return _EM + 3 * L
+
+
+# ----- the sweep kernel -----
+
+def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
+    R = lanes // 128
+    SPH = fscene.spheres
+    MATS = fscene.materials
+    LIGHTS = fscene.lights
+    TRIS = fscene.triangles
+    L = len(LIGHTS)
+    any_dielectric = any(m.mtype == 1 for m in MATS)
+    any_metal = any(m.mtype == 2 for m in MATS)
+    dyn_spheres = len(SPH) > cfg.pallas_static_unroll
+    dyn_tris = len(TRIS) > cfg.pallas_static_unroll
+
+    def kernel(pf_ref, pi_ref, rng_ref, sph_ref, tri_ref,
+               pf_out, pi_out, rng_out, term_ref, rays_ref):
+        tile = pl.program_id(0)
+
+        if dyn_spheres:
+            sph_hit = lambda o, d: _closest_sphere_dyn(sph_ref, len(SPH), o, d)
+            sph_shadow = lambda o, d, tm, lam_: _shadow_dyn(
+                sph_ref, len(SPH), o, d, tm, lam_)
+        else:
+            sph_hit = lambda o, d: _closest_sphere_static(SPH, o, d)
+            sph_shadow = lambda o, d, tm, lam_: _shadow_static(
+                SPH, o, d, tm, lam_)
+        if not TRIS:
+            intersect, shadow = sph_hit, sph_shadow
+        else:
+            if dyn_tris:
+                tri_hit = lambda o, d: _closest_tri_dyn(tri_ref, len(TRIS), o, d)
+                tri_occ = lambda o, d, tm: _tri_shadow_dyn(
+                    tri_ref, len(TRIS), o, d, tm)
+            else:
+                tri_hit = lambda o, d: _closest_tri_static(TRIS, o, d)
+                tri_occ = lambda o, d, tm: _tri_shadow_static(TRIS, o, d, tm)
+
+            def intersect(o, d):
+                return _combine_nearest(sph_hit(o, d), tri_hit(o, d))
+
+            def shadow(o, d, tm, lam_):
+                return jnp.where(tri_occ(o, d, tm), 0.0,
+                                 sph_shadow(o, d, tm, lam_))
+
+        o = (pf_ref[_O], pf_ref[_O + 1], pf_ref[_O + 2])
+        d = (pf_ref[_D], pf_ref[_D + 1], pf_ref[_D + 2])
+        tp = (pf_ref[_TP], pf_ref[_TP + 1], pf_ref[_TP + 2])
+        rad = (pf_ref[_RAD], pf_ref[_RAD + 1], pf_ref[_RAD + 2])
+        lam = pf_ref[_LAM]
+        rng = rng_ref[...]
+        bounce = pi_ref[1]
+        active = pi_ref[2] > 0
+
+        rays = jnp.sum(_mask_f32(active)) if cfg.count_rays else jnp.float32(0.0)
+        z3 = (jnp.zeros_like(lam),) * 3
+
+        t, loc, n, mat = intersect(o, d)
+        found = t < _HIT
+
+        color, rough, ior, is_diffuse, is_metal = \
+            _material_lookup_static(MATS, mat)
+        wo = s.vneg(d)
+
+        # miss: black sky (mega kernel) or the legacy wavefront gradient
+        if cfg.sky_gradient:
+            dn = s.vnormalize(d, eps=1e-30)
+            t_sky = 0.5 * (dn[1] + 1.0)
+            sky = tuple((1.0 - t_sky) + t_sky * np.float32(c)
+                        for c in (0.5, 0.7, 1.0))
+            miss = active & ~found
+            rad = tuple(jnp.where(miss, rad[c] + tp[c] * sky[c], rad[c])
+                        for c in range(3))
+
+        # NEE over all lights; emission factors precomputed at regen
+        direct = z3
+        for li, lt in enumerate(LIGHTS):
+            u1, rng = rngmod.rand_1f(rng)
+            u2, rng = rngmod.rand_1f(rng)
+            if lt.ltype == 1:
+                su = (u1 - 0.5) * np.float32(2.0 * lt.hw)
+                sv = (u2 - 0.5) * np.float32(2.0 * lt.hw)
+                lp = tuple(
+                    np.float32(lt.pos[c]) + su * np.float32(lt.tangent[c])
+                    + sv * np.float32(lt.bitangent[c]) for c in range(3))
+            else:
+                lp = s.vbroadcast(lt.pos, u1)
+
+            to_light = s.vsub(lp, loc)
+            dist = jnp.sqrt(jnp.maximum(s.vdot(to_light, to_light), 1e-30))
+            ldir = s.vscale(to_light, 1.0 / dist)
+            ndotl = s.vdot(n, ldir)
+            live = (dist >= EPS) & (ndotl > 0.0)
+            if lt.ltype == 1:
+                cos_light = jnp.maximum(
+                    0.0, -(lt.normal[0] * ldir[0] + lt.normal[1] * ldir[1]
+                           + lt.normal[2] * ldir[2]))
+                live = live & (cos_light > 0.0) & (lt.hw > 0.0)
+                geom = ndotl * cos_light * np.float32(
+                    max(4.0 * lt.hw * lt.hw, 1e-10))
+            else:
+                geom = ndotl
+
+            so = s.vadd(loc, s.vscale(n, EPS))
+            atten = shadow(so, ldir, dist - EPS, lam)
+            w = jnp.where(live, geom * atten / (dist * dist), 0.0)
+            em = (pf_ref[_EM + 3 * li], pf_ref[_EM + 3 * li + 1],
+                  pf_ref[_EM + 3 * li + 2])
+            direct = s.vadd(direct, s.vscale(em, w))
+
+        lane_d = active & found & is_diffuse
+        nee = s.vmul(s.vmul(tp, color), direct)
+        rad = tuple(jnp.where(lane_d, rad[c] + nee[c], rad[c])
+                    for c in range(3))
+        if cfg.count_rays:
+            rays = rays + jnp.sum(_mask_f32(lane_d)) * L
+
+        # scatter draws (order = tpurt.wavefront._sweep)
+        u2a, rng = rngmod.rand_1f(rng)
+        u2b, rng = rngmod.rand_1f(rng)
+        u_choice, rng = rngmod.rand_1f(rng)
+        u_rr, rng = rngmod.rand_1f(rng)
+
+        wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough, u2a, u2b)
+        wi, tpm = wi_d, tpm_d
+        off = jnp.full_like(lam, EPS)
+        scat_ok = jnp.ones_like(lam, bool)
+        alpha = jnp.sqrt(rough)
+        lam_um = lam * jnp.float32(1e-3)
+        cauchy_add = jnp.float32(DISPERSION_B) / (lam_um * lam_um)
+        if any_dielectric:
+            if cfg.dispersion_in_camera_path:
+                eta = ior + cauchy_add
+            else:
+                eta = ior
+            wi_s, tpm_s, off_s, valid_s = _scatter_dielectric_c(
+                wo, n, eta, alpha, u2a, u2b, u_choice, camera_pdf=True)
+            is_diel = ~(is_diffuse | is_metal)
+            wi = s.vwhere(is_diel, wi_s, wi)
+            tpm = s.vwhere(is_diel, (tpm_s, tpm_s, tpm_s), tpm)
+            off = jnp.where(is_diel, off_s, off)
+            scat_ok = (is_diel & valid_s) | (~is_diel & scat_ok)
+        if any_metal:
+            wi_m, tpm_m, valid_m = _scatter_metal_c(wo, n, color, alpha,
+                                                    u2a, u2b)
+            wi = s.vwhere(is_metal, wi_m, wi)
+            tpm = s.vwhere(is_metal, tpm_m, tpm)
+            scat_ok = (is_metal & valid_m) | (~is_metal & scat_ok)
+
+        new_tp = s.vmul(tp, tpm)
+        new_o = s.vadd(loc, s.vscale(n, off))
+
+        prob = s.vmax_comp(new_tp)
+        rr_live = (prob >= cfg.rr_threshold) & (u_rr <= prob)
+        new_tp = s.vscale(new_tp, 1.0 / jnp.maximum(prob, 1e-30))
+
+        depth_ok = (bounce + 1) < cfg.depth
+        cont = active & found & scat_ok & rr_live & depth_ok
+        terminated = active & ~cont
+
+        for c in range(3):
+            pf_out[_O + c] = jnp.where(cont, new_o[c], o[c])
+            pf_out[_D + c] = jnp.where(cont, wi[c], d[c])
+            pf_out[_TP + c] = jnp.where(cont, new_tp[c], tp[c])
+            pf_out[_RAD + c] = rad[c]
+        pf_out[_LAM] = lam
+        for ch in range(_EM, _EM + 3 * L):
+            pf_out[ch] = pf_ref[ch]
+        pi_out[0] = pi_ref[0]            # pix unchanged
+        pi_out[1] = bounce + 1
+        pi_out[2] = _mask_i32(cont)
+        rng_out[...] = rng
+        term_ref[...] = _mask_i32(terminated)
+        rays_ref[tile, 0] = rays
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fscene", "cfg", "interpret"))
+def sweep_pallas(fscene, cfg: RenderConfig, pf, pi, rng, interpret=False):
+    """One extend+shade sweep over the pool planes. Returns
+    (pf, pi, rng, terminated (QR,128) i32, rays_per_tile)."""
+    lanes = cfg.pallas_lanes
+    R = lanes // 128
+    QR = pf.shape[1]
+    assert QR % R == 0
+    n_tiles = QR // R
+    L = len(fscene.lights)
+    C = _n_fchannels(L)
+
+    # SMEM primitive tables (consumed above the static-unroll budget)
+    if len(fscene.spheres) > cfg.pallas_static_unroll:
+        sph_tab = jnp.asarray(
+            [[sp.c[0], sp.c[1], sp.c[2], sp.r,
+              float(sp.mat), float(sp.mtype), sp.ior, 0.0]
+             for sp in fscene.spheres], jnp.float32)
+    else:
+        sph_tab = jnp.zeros((1, 8), jnp.float32)
+    if len(fscene.triangles) > cfg.pallas_static_unroll:
+        tri_tab = jnp.asarray(
+            [list(tr.a) + list(tr.e1) + list(tr.e2) + list(tr.n)
+             + [float(tr.mat), 0.0, 0.0, 0.0]
+             for tr in fscene.triangles], jnp.float32)
+    else:
+        tri_tab = jnp.zeros((1, 16), jnp.float32)
+
+    kernel = _make_sweep_kernel(fscene, cfg, lanes)
+    vb = lambda c: pl.BlockSpec((c, R, 128), lambda i: (0, i, 0),
+                                memory_space=pltpu.VMEM)
+    v1 = pl.BlockSpec((R, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    pf2, pi2, rng2, term, rays = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[vb(C), vb(3), v1, sm, sm],
+        out_specs=[vb(C), vb(3), v1, v1, sm],
+        out_shape=[
+            jax.ShapeDtypeStruct(pf.shape, jnp.float32),
+            jax.ShapeDtypeStruct(pi.shape, jnp.int32),
+            jax.ShapeDtypeStruct(rng.shape, jnp.uint32),
+            jax.ShapeDtypeStruct(rng.shape, jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+        ],
+        input_output_aliases={0: 0, 1: 1, 2: 2},
+        interpret=interpret,
+    )(pf, pi, rng, sph_tab, tri_tab)
+    return pf2, pi2, rng2, term, rays[:, 0]
+
+
+# ----- XLA regen + splat driver -----
+
+def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
+                  next_sample, next_pix, spp, base_seed):
+    """Dead slots claim the next (pixel, sample) items; all math stays in
+    the (QR, 128) plane shape (no pool-sized relayouts). Mirrors
+    tpurt.wavefront._regen including draw order."""
+    from tpurt.camera import generate_rays
+    from tpurt.integrate import light_emission_rgb
+    from tpurt.ops.spectra import sample_wavelength
+
+    QR = pf.shape[1]
+    n_pix = cfg.n_pixels
+    dead = pi[2] == 0
+    flat_dead = dead.reshape(-1)
+    rank = (jnp.cumsum(flat_dead.astype(jnp.int32)) - 1).reshape(QR, 128)
+    p = next_pix + rank
+    sample = next_sample + p // n_pix
+    pix = (p % n_pix).astype(jnp.int32)
+    have_work = dead & (sample < spp)
+    px = pix % cfg.width
+    py = pix // cfg.width
+
+    seed = _frame_seed(base_seed, sample)
+    new_rng = rngmod.seed_pixels(seed, px, py)
+
+    uj1, new_rng = rngmod.rand_1f(new_rng)
+    uj2, new_rng = rngmod.rand_1f(new_rng)
+    u = (px.astype(jnp.float32) + uj1) / jnp.float32(cfg.width)
+    v = (py.astype(jnp.float32) + uj2) / jnp.float32(cfg.height)
+    # component-form camera ray (camera basis is a (3,) array here)
+    ll, ho, ve, og = (camera.lower_left, camera.horizontal,
+                      camera.vertical, camera.origin)
+    rd = tuple(ll[c] + u * ho[c] + v * ve[c] - og[c] for c in range(3))
+    ro = tuple(jnp.broadcast_to(og[c], u.shape) for c in range(3))
+
+    u_lam, new_rng = rngmod.rand_1f(new_rng)
+    lam = sample_wavelength(u_lam)
+
+    # lambda-dependent emission, once per path (MXU one-hot in XLA)
+    ems = light_emission_rgb(scene, lam.reshape(-1))  # list of (Q, 3)
+
+    sel = have_work
+    f = lambda new, ch: jnp.where(sel, new, pf[ch])
+    cols = [f(ro[0], _O), f(ro[1], _O + 1), f(ro[2], _O + 2),
+            f(rd[0], _D), f(rd[1], _D + 1), f(rd[2], _D + 2),
+            f(jnp.ones_like(u), _TP), f(jnp.ones_like(u), _TP + 1),
+            f(jnp.ones_like(u), _TP + 2),
+            f(jnp.zeros_like(u), _RAD), f(jnp.zeros_like(u), _RAD + 1),
+            f(jnp.zeros_like(u), _RAD + 2),
+            f(lam, _LAM)]
+    for li, em in enumerate(ems):
+        for c in range(3):
+            cols.append(f(em[:, c].reshape(QR, 128), _EM + 3 * li + c))
+    pf = jnp.stack(cols)
+
+    pi = jnp.stack([
+        jnp.where(sel, pix, pi[0]),
+        jnp.where(sel, 0, pi[1]),
+        jnp.where(sel, 1, pi[2]),
+    ])
+    rng = jnp.where(sel, new_rng, rng)
+
+    issued = jnp.sum(have_work.astype(jnp.int32))
+    np2 = next_pix + issued
+    return pf, pi, rng, next_sample + np2 // n_pix, np2 % n_pix
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fscene", "cfg", "interpret"))
+def _wavefront_pallas_jit(fscene, scene, cfg, camera, state, base_seed, spp,
+                          interpret):
+    Q = cfg.wf_pool
+    assert Q % 128 == 0, "wf_pool must be a multiple of 128"
+    QR = Q // 128
+    L = len(fscene.lights)
+
+    pf = jnp.zeros((_n_fchannels(L), QR, 128), jnp.float32)
+    pi = jnp.zeros((3, QR, 128), jnp.int32)
+    rng = jnp.zeros((QR, 128), jnp.uint32)
+
+    def cond(carry):
+        pf, pi, rng, ns_, npx, rgb, nsamp, rays, sweeps = carry
+        return ((ns_ < spp) | jnp.any(pi[2] > 0)) & (sweeps < cfg.wf_max_sweeps)
+
+    def body(carry):
+        pf, pi, rng, ns_, npx, rgb, nsamp, rays, sweeps = carry
+        pf, pi, rng, ns_, npx = _regen_planar(
+            scene, cfg, camera, pf, pi, rng, ns_, npx, spp, base_seed)
+        pf, pi, rng, term, trays = sweep_pallas(fscene, cfg, pf, pi, rng,
+                                                interpret=interpret)
+        pix = pi[0].reshape(-1)
+        t = (term.reshape(-1) > 0)
+        radf = pf[_RAD:_RAD + 3].reshape(3, -1)
+        rgb = rgb.at[pix].add(
+            jnp.where(t[:, None], jnp.transpose(radf), 0.0), mode="drop")
+        nsamp = nsamp.at[pix].add(jnp.where(t, 1.0, 0.0), mode="drop")
+        return (pf, pi, rng, ns_, npx, rgb, nsamp,
+                rays + jnp.sum(trays), sweeps + 1)
+
+    carry = (pf, pi, rng, jnp.int32(0), jnp.int32(0),
+             state.rgb_sum, state.n_samples, state.rays, jnp.int32(0))
+    carry = jax.lax.while_loop(cond, body, carry)
+    _, _, _, _, _, rgb, nsamp, rays, _ = carry
+
+    return dataclasses.replace(
+        state, rgb_sum=rgb, n_samples=nsamp,
+        iteration=state.iteration + spp, rays=rays)
+
+
+def wavefront_render_pallas(scene, cfg: RenderConfig, camera,
+                            state: RenderState, base_seed, spp,
+                            interpret: bool | None = None) -> RenderState:
+    """Wavefront render with the Pallas sweep kernel. Scene must be concrete
+    (frozen into the kernel); falls back to the XLA wavefront for scenes
+    beyond the kernel's budget."""
+    if not supports_scene(scene):
+        from tpurt.wavefront import wavefront_render
+        return wavefront_render(scene, cfg, camera, state, base_seed, spp)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fscene = freeze_scene(scene)
+    return _wavefront_pallas_jit(fscene, scene, cfg, camera, state,
+                                 jnp.asarray(base_seed, jnp.uint32),
+                                 jnp.asarray(spp, jnp.int32), interpret)
+
+
+# ======================================================================
+# Fused wavefront: per-lane sample regeneration INSIDE the kernel
+# ======================================================================
+#
+# The pool-based sweep above keeps the wavefront's regen/splat stages in
+# XLA; on TPU the per-sweep image scatter (262k random-index adds) costs
+# ~10x the sweep kernel itself. The fused form removes the host stages
+# entirely: each lane owns one pixel, loops over its own spp samples, and
+# RESPAWNS ITS NEXT SAMPLE THE MOMENT ITS PATH DIES — per-lane occupancy
+# stays ~100% with zero scatters (accumulation is a masked add into the
+# lane's own output element). This is what GPU queue compaction buys,
+# expressed as lane-local regeneration instead of cross-lane sorting.
+#
+# Draw streams are the same per-(pixel, sample) PCG sequences as
+# tpurt.wavefront, so all three wavefront implementations are
+# cross-checkable (equal ray counts).
+
+def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
+    R = lanes // 128
+    W, H = cfg.width, cfg.height
+    SPH = fscene.spheres
+    MATS = fscene.materials
+    LIGHTS = fscene.lights
+    TRIS = fscene.triangles
+    L = len(LIGHTS)
+    any_dielectric = any(m.mtype == 1 for m in MATS)
+    any_metal = any(m.mtype == 2 for m in MATS)
+    dyn_spheres = len(SPH) > cfg.pallas_static_unroll
+    dyn_tris = len(TRIS) > cfg.pallas_static_unroll
+
+    def kernel(acc_ref, cam_ref, seed_ref, spp_ref, base_ref, sph_ref,
+               tri_ref, out_ref, rays_ref):
+        tile = pl.program_id(0)
+        gtile = base_ref[0, 0] + tile
+        cam_o = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
+        cam_h = (cam_ref[1, 0], cam_ref[1, 1], cam_ref[1, 2])
+        cam_v = (cam_ref[2, 0], cam_ref[2, 1], cam_ref[2, 2])
+        cam_ll = (cam_ref[3, 0], cam_ref[3, 1], cam_ref[3, 2])
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        idx = gtile * lanes + row * 128 + col
+        px = jnp.remainder(idx, W)
+        py = jnp.minimum(idx // W, H - 1)
+        valid_px = idx < W * H
+        base_seed = seed_ref[0, 0]
+        spp = spp_ref[0, 0]
+
+        if dyn_spheres:
+            sph_hit = lambda o, d: _closest_sphere_dyn(sph_ref, len(SPH), o, d)
+            sph_shadow = lambda o, d, tm, lam_: _shadow_dyn(
+                sph_ref, len(SPH), o, d, tm, lam_)
+        else:
+            sph_hit = lambda o, d: _closest_sphere_static(SPH, o, d)
+            sph_shadow = lambda o, d, tm, lam_: _shadow_static(
+                SPH, o, d, tm, lam_)
+        if not TRIS:
+            intersect, shadow = sph_hit, sph_shadow
+        else:
+            if dyn_tris:
+                tri_hit = lambda o, d: _closest_tri_dyn(tri_ref, len(TRIS), o, d)
+                tri_occ = lambda o, d, tm: _tri_shadow_dyn(
+                    tri_ref, len(TRIS), o, d, tm)
+            else:
+                tri_hit = lambda o, d: _closest_tri_static(TRIS, o, d)
+                tri_occ = lambda o, d, tm: _tri_shadow_static(TRIS, o, d, tm)
+
+            def intersect(o, d):
+                return _combine_nearest(sph_hit(o, d), tri_hit(o, d))
+
+            def shadow(o, d, tm, lam_):
+                return jnp.where(tri_occ(o, d, tm), 0.0,
+                                 sph_shadow(o, d, tm, lam_))
+
+        # accumulation lives in the output block (masked adds in-loop)
+        for c in range(3):
+            out_ref[c] = acc_ref[c]
+
+        zero = jnp.zeros_like(px, jnp.float32)
+        z3 = (zero, zero, zero)
+        st = {
+            "anywork": jnp.int32(1),
+            "sample": jnp.zeros_like(px),          # i32: next/current sample
+            "active": jnp.zeros_like(px),          # i32 mask: path in flight
+            "bounce": jnp.zeros_like(px),
+            "o": z3, "d": z3, "tp": z3, "rad": z3,
+            "lam": zero,
+            "em": tuple(zero for _ in range(3 * L)),
+            "rng": jnp.zeros_like(px).astype(jnp.uint32),
+            "rays": jnp.float32(0.0),
+        }
+
+        def cond(st):
+            return st["anywork"] > 0
+
+        def body(st):
+            active = st["active"] > 0
+            sample = st["sample"]
+
+            # ---- per-lane regeneration: spawn this lane's next sample ----
+            regen = ~active & (sample < spp) & valid_px
+            seed = _frame_seed(base_seed, sample)
+            rng_new = rngmod.seed_pixels(seed, px, py)
+            uj1, rng_new = rngmod.rand_1f(rng_new)
+            uj2, rng_new = rngmod.rand_1f(rng_new)
+            u = (px.astype(jnp.float32) + uj1) / jnp.float32(W)
+            v = (py.astype(jnp.float32) + uj2) / jnp.float32(H)
+            d0 = tuple(
+                cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c]
+                for c in range(3))
+            o0 = s.vbroadcast(cam_o, u)
+            ulam, rng_new = rngmod.rand_1f(rng_new)
+            lam_new = jnp.float32(380.0) + ulam * jnp.float32(400.0)
+            cie_new = s.cie_to_rgb_c(lam_new)
+            em_new = []
+            for lt in LIGHTS:
+                if lt.temp > 0.0:
+                    from tpurt.ops.spectra import blackbody
+                    spd = blackbody(lam_new, np.float32(lt.temp))
+                else:
+                    spd = 1.0
+                for c in range(3):
+                    em_new.append(np.float32(lt.color[c] * lt.intensity * 400.0)
+                                  * spd * cie_new[c])
+
+            o = s.vwhere(regen, o0, st["o"])
+            d = s.vwhere(regen, d0, st["d"])
+            tp = s.vwhere(regen, (zero + 1.0,) * 3, st["tp"])
+            rad = s.vwhere(regen, z3, st["rad"])
+            lam = jnp.where(regen, lam_new, st["lam"])
+            em = tuple(jnp.where(regen, em_new[i], st["em"][i])
+                       for i in range(3 * L))
+            rng = jnp.where(regen, rng_new, st["rng"])
+            bounce = jnp.where(regen, 0, st["bounce"])
+            active = active | regen
+
+            rays = st["rays"]
+            if cfg.count_rays:
+                rays = rays + jnp.sum(_mask_f32(active))
+
+            # ---- one bounce (identical physics to the sweep kernel) ----
+            t, loc, n, mat = intersect(o, d)
+            found = t < _HIT
+            color, rough, ior, is_diffuse, is_metal = \
+                _material_lookup_static(MATS, mat)
+            wo = s.vneg(d)
+
+            if cfg.sky_gradient:
+                dn = s.vnormalize(d, eps=1e-30)
+                t_sky = 0.5 * (dn[1] + 1.0)
+                sky = tuple((1.0 - t_sky) + t_sky * np.float32(c)
+                            for c in (0.5, 0.7, 1.0))
+                miss = active & ~found
+                rad = tuple(jnp.where(miss, rad[c] + tp[c] * sky[c], rad[c])
+                            for c in range(3))
+
+            direct = z3
+            for li, lt in enumerate(LIGHTS):
+                u1, rng = rngmod.rand_1f(rng)
+                u2, rng = rngmod.rand_1f(rng)
+                if lt.ltype == 1:
+                    su = (u1 - 0.5) * np.float32(2.0 * lt.hw)
+                    sv = (u2 - 0.5) * np.float32(2.0 * lt.hw)
+                    lp = tuple(
+                        np.float32(lt.pos[c]) + su * np.float32(lt.tangent[c])
+                        + sv * np.float32(lt.bitangent[c]) for c in range(3))
+                else:
+                    lp = s.vbroadcast(lt.pos, u1)
+                to_light = s.vsub(lp, loc)
+                dist = jnp.sqrt(jnp.maximum(s.vdot(to_light, to_light), 1e-30))
+                ldir = s.vscale(to_light, 1.0 / dist)
+                ndotl = s.vdot(n, ldir)
+                live = (dist >= EPS) & (ndotl > 0.0)
+                if lt.ltype == 1:
+                    cos_light = jnp.maximum(
+                        0.0, -(lt.normal[0] * ldir[0] + lt.normal[1] * ldir[1]
+                               + lt.normal[2] * ldir[2]))
+                    live = live & (cos_light > 0.0) & (lt.hw > 0.0)
+                    geom = ndotl * cos_light * np.float32(
+                        max(4.0 * lt.hw * lt.hw, 1e-10))
+                else:
+                    geom = ndotl
+                so = s.vadd(loc, s.vscale(n, EPS))
+                atten = shadow(so, ldir, dist - EPS, lam)
+                w = jnp.where(live, geom * atten / (dist * dist), 0.0)
+                emv = (em[3 * li], em[3 * li + 1], em[3 * li + 2])
+                direct = s.vadd(direct, s.vscale(emv, w))
+
+            lane_d = active & found & is_diffuse
+            nee = s.vmul(s.vmul(tp, color), direct)
+            rad = tuple(jnp.where(lane_d, rad[c] + nee[c], rad[c])
+                        for c in range(3))
+            if cfg.count_rays:
+                rays = rays + jnp.sum(_mask_f32(lane_d)) * L
+
+            u2a, rng = rngmod.rand_1f(rng)
+            u2b, rng = rngmod.rand_1f(rng)
+            u_choice, rng = rngmod.rand_1f(rng)
+            u_rr, rng = rngmod.rand_1f(rng)
+
+            wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough, u2a, u2b)
+            wi, tpm = wi_d, tpm_d
+            off = jnp.full_like(lam, EPS)
+            scat_ok = jnp.ones_like(lam, bool)
+            alpha = jnp.sqrt(rough)
+            lam_um = lam * jnp.float32(1e-3)
+            cauchy_add = jnp.float32(DISPERSION_B) / (lam_um * lam_um)
+            if any_dielectric:
+                eta = ior + cauchy_add if cfg.dispersion_in_camera_path else ior
+                wi_s, tpm_s, off_s, valid_s = _scatter_dielectric_c(
+                    wo, n, eta, alpha, u2a, u2b, u_choice, camera_pdf=True)
+                is_diel = ~(is_diffuse | is_metal)
+                wi = s.vwhere(is_diel, wi_s, wi)
+                tpm = s.vwhere(is_diel, (tpm_s, tpm_s, tpm_s), tpm)
+                off = jnp.where(is_diel, off_s, off)
+                scat_ok = (is_diel & valid_s) | (~is_diel & scat_ok)
+            if any_metal:
+                wi_m, tpm_m, valid_m = _scatter_metal_c(wo, n, color, alpha,
+                                                        u2a, u2b)
+                wi = s.vwhere(is_metal, wi_m, wi)
+                tpm = s.vwhere(is_metal, tpm_m, tpm)
+                scat_ok = (is_metal & valid_m) | (~is_metal & scat_ok)
+
+            new_tp = s.vmul(tp, tpm)
+            new_o = s.vadd(loc, s.vscale(n, off))
+            prob = s.vmax_comp(new_tp)
+            rr_live = (prob >= cfg.rr_threshold) & (u_rr <= prob)
+            new_tp = s.vscale(new_tp, 1.0 / jnp.maximum(prob, 1e-30))
+
+            depth_ok = (bounce + 1) < cfg.depth
+            cont = active & found & scat_ok & rr_live & depth_ok
+            terminated = active & ~cont
+
+            # lane-local "splat": masked add into this lane's own texel
+            for c in range(3):
+                out_ref[c] = jnp.where(terminated, out_ref[c] + rad[c],
+                                       out_ref[c])
+            sample = jnp.where(terminated, sample + 1, sample)
+            cont_i = _mask_i32(cont)
+            anywork = jnp.max(_mask_i32(((sample < spp) & valid_px)
+                                        | (cont_i > 0)))
+            return {
+                "anywork": anywork,
+                "sample": sample, "active": cont_i,
+                "bounce": bounce + 1,
+                "o": s.vwhere(cont, new_o, o),
+                "d": s.vwhere(cont, wi, d),
+                "tp": s.vwhere(cont, new_tp, tp),
+                "rad": rad, "lam": lam, "em": em, "rng": rng,
+                "rays": rays,
+            }
+
+        st = jax.lax.while_loop(cond, body, st)
+        rays_ref[tile, 0] = st["rays"]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fscene", "cfg", "interpret"))
+def _fused_wavefront_jit(fscene, cfg, camera, state, base_seed, spp,
+                         interpret):
+    lanes = cfg.pallas_lanes
+    R = lanes // 128
+    P = state.rgb_sum.shape[0]
+    TR = P // 128
+    n_tiles = TR // R
+
+    # accumulation planes from state (conversion paid once per call)
+    acc = jnp.stack([state.rgb_sum[:, c] for c in range(3)]).reshape(3, TR, 128)
+    cam = jnp.stack([camera.origin, camera.horizontal,
+                     camera.vertical, camera.lower_left])
+    seed_arr = jnp.asarray(base_seed, jnp.uint32).reshape(1, 1)
+    spp_arr = jnp.asarray(spp, jnp.int32).reshape(1, 1)
+    base_arr = jnp.zeros((1, 1), jnp.int32)
+
+    if len(fscene.spheres) > cfg.pallas_static_unroll:
+        sph_tab = jnp.asarray(
+            [[sp.c[0], sp.c[1], sp.c[2], sp.r,
+              float(sp.mat), float(sp.mtype), sp.ior, 0.0]
+             for sp in fscene.spheres], jnp.float32)
+    else:
+        sph_tab = jnp.zeros((1, 8), jnp.float32)
+    if len(fscene.triangles) > cfg.pallas_static_unroll:
+        tri_tab = jnp.asarray(
+            [list(tr.a) + list(tr.e1) + list(tr.e2) + list(tr.n)
+             + [float(tr.mat), 0.0, 0.0, 0.0]
+             for tr in fscene.triangles], jnp.float32)
+    else:
+        tri_tab = jnp.zeros((1, 16), jnp.float32)
+
+    kernel = _make_fused_kernel(fscene, cfg, lanes)
+    vb3 = pl.BlockSpec((3, R, 128), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    new_acc, rays = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[vb3, sm, sm, sm, sm, sm, sm],
+        out_specs=[vb3, sm],
+        out_shape=[
+            jax.ShapeDtypeStruct(acc.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(acc, cam, seed_arr, spp_arr, base_arr, sph_tab, tri_tab)
+
+    flat = new_acc.reshape(3, P)
+    rgb = jnp.stack([flat[0], flat[1], flat[2]], axis=-1)
+    return dataclasses.replace(
+        state,
+        rgb_sum=rgb,
+        n_samples=state.n_samples + spp.astype(jnp.float32),
+        iteration=state.iteration + spp,
+        rays=state.rays + jnp.sum(rays),
+    )
+
+
+def wavefront_render_fused(scene, cfg: RenderConfig, camera,
+                           state: RenderState, base_seed, spp,
+                           interpret: bool | None = None) -> RenderState:
+    """Fully-fused wavefront render: per-lane sample regeneration inside one
+    Pallas kernel (see module notes) — no host stages between bounces.
+    Same per-(pixel, sample) streams as tpurt.wavefront; falls back to the
+    XLA wavefront for scenes beyond the kernel budget."""
+    if not supports_scene(scene):
+        from tpurt.wavefront import wavefront_render
+        return wavefront_render(scene, cfg, camera, state, base_seed, spp)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fscene = freeze_scene(scene)
+    return _fused_wavefront_jit(fscene, cfg, camera, state,
+                                jnp.asarray(base_seed, jnp.uint32),
+                                jnp.asarray(spp, jnp.int32), interpret)
