@@ -482,21 +482,22 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
 
 # ----- Photon pass -----
 
-def trace_photons(scene, cfg: RenderConfig, lam, rng, vis, photon_radius,
-                  valid=None):
+def trace_photons(scene, cfg: RenderConfig, lam, seed, px, py, vis,
+                  photon_radius, valid=None):
     """Per-pixel SPPM photon pass (ref: mega_kernel.wgsl:745-861, 998-1015).
 
     Each lane owns one vispoint; K_PHOTONS photons are emitted round-robin
     over the lights and contribute density-estimated radiance when they land
-    within photon_radius of the lane's vispoint.
-    Returns (contrib (N,3), rng, ray_count).
+    within photon_radius of the lane's vispoint. Every photon k draws from
+    its own stream rng.photon_stream(seed, px, py, k) — see that docstring.
+    Returns (contrib (N,3), ray_count).
     """
     N = lam.shape[0]
     L = scene.num_lights
     contrib = jnp.zeros((N, 3))
     rays = jnp.zeros((), jnp.float32)
     if L == 0 or not cfg.enable_photons:
-        return contrib, rng, rays
+        return contrib, rays
 
     vp_ok = jnp.sqrt(dot(vis["pos"], vis["pos"])) > 0.001  # (N,)
     if valid is not None:
@@ -504,6 +505,7 @@ def trace_photons(scene, cfg: RenderConfig, lam, rng, vis, photon_radius,
     v_color, v_rough, v_ior, v_mtype = material_lookup(scene, vis["mat"])
 
     for k in range(cfg.k_photons):
+        rng = rngmod.photon_stream(seed, px, py, k)
         li = k % L
         lpos = scene.light_pos[li]
         lhw = scene.light_hw[li]
@@ -614,10 +616,9 @@ def trace_photons(scene, cfg: RenderConfig, lam, rng, vis, photon_radius,
 
         st = jax.lax.while_loop(ph_cond, ph_bounce, st)
         contrib = contrib + st["contrib"]
-        rng = st["rng"]
         rays = rays + st["rays"]
 
-    return contrib, rng, rays
+    return contrib, rays
 
 
 # ----- Per-tile frame sample -----
@@ -647,10 +648,9 @@ def render_tile(scene, cfg: RenderConfig, camera, px, py, seed, photon_radius,
     rad, rng, vis, rays = trace_camera_paths(
         scene, cfg, ray_o, ray_d, lam, rng, depth, vis_prev, valid=valid
     )
-    # Independent photon stream (see rng.photon_stream): invariant to how
-    # many draws the camera path consumed, so tile-level early exit cannot
-    # desynchronize the XLA and Pallas backends.
-    rng_ph = rngmod.photon_stream(seed, px, py)
-    ph, rng_ph, prays = trace_photons(scene, cfg, lam, rng_ph, vis,
-                                      photon_radius, valid=valid)
+    # Independent per-photon streams (see rng.photon_stream): draw
+    # positions depend only on (pixel, sample, k), never on tile geometry
+    # or early exits — all backends stay same-seed comparable.
+    ph, prays = trace_photons(scene, cfg, lam, seed, px, py, vis,
+                              photon_radius, valid=valid)
     return rad + ph, vis, rays + prays

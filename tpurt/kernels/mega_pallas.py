@@ -847,10 +847,9 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
 
         st = jax.lax.while_loop(cam_cond, cam_body, st)
         rad = st["rad"]
-        # Independent photon stream (rng.photon_stream): invariant to how
-        # many draws the camera loop consumed, so the early exit above can
-        # never desynchronize this pass from the XLA integrator.
-        rng = rngmod.photon_stream(seed_ref[0, 0], px, py)
+        # Independent per-photon streams (rng.photon_stream): draw
+        # positions depend only on (pixel, sample, k) — never on early
+        # exits, tile geometry, or other lanes.
         rays_total = st["rays"]
 
         # =========== photon pass (wgsl :745-861, :998-1015) ===========
@@ -863,6 +862,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                 jnp.float32(np.pi) * photon_radius * photon_radius, 1e-10)
 
             for k in range(cfg.k_photons):
+                rng = rngmod.photon_stream(seed_ref[0, 0], px, py, k)
                 lt = LIGHTS[k % L]
 
                 # point: cone toward origin (1f + 2f draws, wgsl :710-721)
@@ -1002,7 +1002,6 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
 
                 pst = jax.lax.while_loop(ph_cond, ph_body, pst)
                 contrib = s.vadd(contrib, pst["contrib"])
-                rng = pst["rng"]
                 rays_total = rays_total + pst["rays"]
 
         # =========== accumulate (wgsl :1017-1021) ===========

@@ -57,19 +57,24 @@ def seed_pixels(seed, x, y):
     return seed + jnp.uint32(1203793) * x + jnp.uint32(7) * y
 
 
-# Golden-ratio offset decorrelates the photon stream from the camera stream.
+# Golden-ratio offsets decorrelate the photon streams from the camera
+# stream and from each other.
 _PHOTON_OFFSET = np.uint32(0x9E3779B9)
+_PHOTON_K_STEP = np.uint32(0x85EBCA6B)
 
 
-def photon_stream(seed, x, y):
-    """Per-pixel stream for the photon pass, seeded independently of the
-    camera path. The reference continues one stream through both passes
-    (mega_kernel.wgsl:998); an independent stream is statistically
-    equivalent but makes the draw sequence invariant to how many draws the
-    camera path consumed — so tile-level early exit (whose bounce count
-    depends on tile geometry) cannot desynchronize backends, and the XLA
-    and Pallas integrators stay same-seed comparable at ANY depth."""
-    return seed_pixels(jnp.asarray(seed, jnp.uint32) + _PHOTON_OFFSET, x, y)
+def photon_stream(seed, x, y, k: int = 0):
+    """Per-pixel stream for photon walk k, seeded independently of the
+    camera path AND of the other photons. The reference continues one
+    stream through everything (mega_kernel.wgsl:998); independent streams
+    are statistically equivalent but make every draw position a pure
+    function of (pixel, sample, phase, k) — invariant to how many draws
+    other lanes or phases consumed. That keeps the XLA integrator, the
+    Pallas megakernel, and the regenerative kernels same-seed comparable
+    at ANY depth, tile size, or scheduling order."""
+    # modular uint32 arithmetic by design (python ints avoid numpy warnings)
+    off = np.uint32((0x9E3779B9 + k * 0x85EBCA6B) & 0xFFFFFFFF)
+    return seed_pixels(jnp.asarray(seed, jnp.uint32) + off, x, y)
 
 
 def rand_u32(state):
