@@ -181,3 +181,42 @@ class TestMetalMaterial:
         img = np.asarray(st.rgb_sum)[:cfg.n_pixels]
         assert np.isfinite(img).all()
         assert img.sum() > 0.0
+
+
+class TestRegenKernel:
+    def test_exact_parity_with_tile_sync(self):
+        """The regenerative kernel (per-lane sample state machine) is
+        result-identical to the tile-synchronized megakernel: every draw
+        position is a pure function of (pixel, sample, phase, k)."""
+        from tpurt.kernels.mega_regen import render_regen
+        scene = cornell_spheres_scene()
+        cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                          aspect_ratio=2.0)
+        cfg = RenderConfig(width=64, height=32, depth=4, tile_size=2048,
+                           pallas_lanes=512, k_photons=2,
+                           max_photon_bounces=3, backend="pallas",
+                           pallas_regen=False)
+        st_m = render(scene, cfg, cam, init_state(cfg), 1234, 2)
+        st_r = render_regen(scene, cfg, cam, init_state(cfg), 1234, 2)
+        assert float(st_m.rays) == float(st_r.rays) != 0.0
+        a = np.asarray(st_m.rgb_sum)
+        b = np.asarray(st_r.rgb_sum)
+        assert np.abs(a - b).max() < 1e-3
+        np.testing.assert_allclose(float(st_m.photon_radius),
+                                   float(st_r.photon_radius), rtol=1e-6)
+        dv = np.abs(np.asarray(st_m.vis_pos) - np.asarray(st_r.vis_pos))
+        assert dv.max() < 1e-4
+
+    def test_default_dispatch_uses_regen(self):
+        """backend='pallas' + pallas_regen (default) renders correctly
+        through render()."""
+        scene = cornell_spheres_scene()
+        cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                          aspect_ratio=2.0)
+        cfg = RenderConfig(width=32, height=16, depth=3, backend="pallas",
+                           pallas_lanes=512, k_photons=1,
+                           max_photon_bounces=2)
+        st = render(scene, cfg, cam, init_state(cfg), 3, 4)
+        assert int(st.iteration) == 4
+        img = np.asarray(st.rgb_sum)[:cfg.n_pixels]
+        assert np.isfinite(img).all() and img.sum() > 0

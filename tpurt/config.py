@@ -41,6 +41,9 @@ class RenderConfig:
     pallas_lanes: int = 1024           # pixels per Pallas tile (R=lanes/128).
     #   1024 (R=8, one native vreg per plane) measures fastest on v5e: the
     #   kernel is VPU-issue-bound and larger tiles only add spill pressure.
+    pallas_regen: bool = True          # per-lane sample regeneration kernel
+    #   (kernels/mega_regen.py): ~100% occupancy, 1.4x the tile-synchronized
+    #   kernel, bit-comparable results. False = tile-sync kernel.
     pallas_static_unroll: int = 32     # spheres baked into the instruction
     #   stream up to this count (fastest; compile grows with count — 257
     #   spheres ~6 min). Above it: SMEM-table fori sweep (fast compile,

@@ -1,0 +1,568 @@
+"""Regenerative Pallas megakernel: per-lane sample regeneration with the
+full SPPM photon pass.
+
+The tile-synchronized megakernel (tpurt.kernels.mega_pallas) runs one
+progressive sample per kernel call: every lane waits for the tile's longest
+camera path, then for the longest walk of each of the K photons — measured
+lane occupancy on the Cornell benchmark is ~30%. This kernel keeps each
+lane busy on ITS OWN work instead: a per-lane state machine
+
+    camera path  ->  photon walk k=0..K-1  ->  finalize  ->  next sample
+
+where every transition spawns at the START of an iteration (finalize ->
+camera spawn -> photon spawn -> bounce), so a lane that dies in iteration i
+is already tracing its next task in iteration i+1 — no idle bubbles, ~100%
+occupancy for the whole spp batch, and zero host round-trips between
+samples.
+
+Results are mask-identical to the tile-synchronized kernel: every draw
+position is a pure function of (pixel, sample, phase, k) thanks to the
+per-photon streams (rng.photon_stream), the radius schedule is applied
+per-lane at sample transitions with the same float sequence, and vispoints
+live in the lane's own output channels (async-safe: no cross-lane reads).
+Tests assert exact ray-count equality against both other integrators.
+
+Physics, scene freezing, and primitive modes are shared with
+tpurt.kernels.mega_pallas (same reference citations apply).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurt.config import RenderConfig
+from tpurt.kernels.mega_pallas import (
+    EPS,
+    _HIT,
+    N_CHANNELS,
+    _VMAT,
+    _VNORM,
+    _VPOS,
+    _VTP,
+    _VWO,
+    FrozenScene,
+    _closest_sphere_dyn,
+    _closest_sphere_static,
+    _closest_tri_dyn,
+    _closest_tri_static,
+    _combine_nearest,
+    _diffuse_scatter_c,
+    _evaluate_bsdf_c,
+    _mask_f32,
+    _mask_i32,
+    _material_lookup_static,
+    _scatter_dielectric_c,
+    _scatter_metal_c,
+    _shadow_dyn,
+    _shadow_static,
+    _tri_shadow_dyn,
+    _tri_shadow_static,
+    freeze_scene,
+    state_to_planes,
+    supports_scene,
+)
+from tpurt.kernels.mega_pallas import PHOTON_CONE_COS  # noqa: E402
+from tpurt.ops import rng as rngmod
+from tpurt.ops import soa as s
+from tpurt.ops.spectra import DISPERSION_B, blackbody
+from tpurt.render import _frame_seed
+
+
+def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
+    R = lanes // 128
+    W, H = cfg.width, cfg.height
+    SPH = fscene.spheres
+    MATS = fscene.materials
+    LIGHTS = fscene.lights
+    TRIS = fscene.triangles
+    L = len(LIGHTS)
+    K = cfg.k_photons if (cfg.enable_photons and L > 0) else 0
+    any_dielectric = any(m.mtype == 1 for m in MATS)
+    any_metal = any(m.mtype == 2 for m in MATS)
+    dyn_spheres = len(SPH) > cfg.pallas_static_unroll
+    dyn_tris = len(TRIS) > cfg.pallas_static_unroll
+
+    def kernel(planes_ref, z_ref, cam_ref, seed_ref, spp_ref, rad_ref,
+               base_ref, sph_ref, tri_ref, out_ref, rays_ref):
+        tile = pl.program_id(0)
+        gtile = base_ref[0, 0] + tile
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+        idx = gtile * lanes + row * 128 + col
+        px = jnp.remainder(idx, W)
+        py = jnp.minimum(idx // W, H - 1)
+        valid_px = idx < W * H
+        base_seed = seed_ref[0, 0]
+        spp = spp_ref[0, 0]
+        r0 = rad_ref[0, 0]
+
+        cam_o = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
+        cam_h = (cam_ref[1, 0], cam_ref[1, 1], cam_ref[1, 2])
+        cam_v = (cam_ref[2, 0], cam_ref[2, 1], cam_ref[2, 2])
+        cam_ll = (cam_ref[3, 0], cam_ref[3, 1], cam_ref[3, 2])
+
+        if dyn_spheres:
+            sph_hit = lambda o, d: _closest_sphere_dyn(sph_ref, len(SPH), o, d)
+            sph_shadow = lambda o, d, tm, lam_: _shadow_dyn(
+                sph_ref, len(SPH), o, d, tm, lam_)
+        else:
+            sph_hit = lambda o, d: _closest_sphere_static(SPH, o, d)
+            sph_shadow = lambda o, d, tm, lam_: _shadow_static(
+                SPH, o, d, tm, lam_)
+        if not TRIS:
+            intersect, shadow = sph_hit, sph_shadow
+        else:
+            if dyn_tris:
+                tri_hit = lambda o, d: _closest_tri_dyn(tri_ref, len(TRIS), o, d)
+                tri_occ = lambda o, d, tm: _tri_shadow_dyn(
+                    tri_ref, len(TRIS), o, d, tm)
+            else:
+                tri_hit = lambda o, d: _closest_tri_static(TRIS, o, d)
+                tri_occ = lambda o, d, tm: _tri_shadow_static(TRIS, o, d, tm)
+
+            def intersect(o, d):
+                return _combine_nearest(sph_hit(o, d), tri_hit(o, d))
+
+            def shadow(o, d, tm, lam_):
+                return jnp.where(tri_occ(o, d, tm), 0.0,
+                                 sph_shadow(o, d, tm, lam_))
+
+        # persistent planes: accumulation + vispoints live in out_ref
+        for ch in range(N_CHANNELS):
+            out_ref[ch] = planes_ref[ch]
+
+        it0 = rad_ref[0, 1]          # starting iteration (f32)
+        depth_i = np.int32(cfg.depth)
+        # layout-anchored zeros: loaded from a real VMEM input, so every
+        # while-carry initialized from them has a concrete (non-replicated)
+        # layout. Mosaic's layout solver otherwise pins constant-initialized
+        # carries replicated and then rejects the non-replicated loop
+        # updates ("Invalid relayout ... {0,0} -> {*,*}").
+        izero = z_ref[...]
+        zero = izero.astype(jnp.float32)
+        z3 = (zero, zero, zero)
+        st = {
+            "anywork": jnp.int32(1),
+            "phase": izero,              # 0 camera, 1 photon
+            "sample": izero,
+            "k": izero,
+            "bounce": izero,
+            "active": izero,
+            "vp_stored": izero,
+            "o": z3, "d": z3, "tp": z3, "rad": z3,
+            "lam": zero,
+            "em": tuple(zero for _ in range(3 * L)),
+            "rng": izero.astype(jnp.uint32),
+            "radius": zero + r0,
+            "rays": jnp.float32(0.0),
+        }
+
+        def cond(st):
+            return st["anywork"] > 0
+
+        def body(st):
+            phase, sample, k = st["phase"], st["sample"], st["k"]
+            active = st["active"] > 0
+            rad = st["rad"]
+            radius = st["radius"]
+            vp_stored = st["vp_stored"]
+
+            # ---- finalize: all K photons done -> accumulate, next sample
+            fin = ~active & (phase == 1) & (k >= K)
+            for c in range(3):
+                # add-form (not select-form): anchors the layout to out_ref —
+                # Mosaic rejects relayouts of non-replicated updates into a
+                # replicated-constant-initialized carry otherwise
+                out_ref[c] = out_ref[c] + jnp.where(fin, rad[c],
+                                                    jnp.float32(0.0))
+            sample = jnp.where(fin, sample + 1, sample)
+            # SPPM radius schedule, per lane (same float sequence as the
+            # host loop: it_new = it0 + sample, ref mega_kernel.rs:196-198)
+            it_new = it0 + sample.astype(jnp.float32)
+            factor = jnp.sqrt((it_new + np.float32(cfg.sppm_alpha))
+                              / (it_new + 1.0))
+            # multiply-form (see the accumulate above for why not select-form)
+            radius = radius * jnp.where(fin, factor, jnp.float32(1.0))
+            phase = jnp.where(fin, 0, phase)
+            rad = s.vwhere(fin, z3, rad)
+
+            # ---- camera spawn
+            spawn_c = ~active & (phase == 0) & (sample < spp) & valid_px
+            samp_seed = _frame_seed(base_seed, sample)
+            rng_c = rngmod.seed_pixels(samp_seed, px, py)
+            uj1, rng_c = rngmod.rand_1f(rng_c)
+            uj2, rng_c = rngmod.rand_1f(rng_c)
+            u = (px.astype(jnp.float32) + uj1) / jnp.float32(W)
+            v = (py.astype(jnp.float32) + uj2) / jnp.float32(H)
+            d0 = tuple(cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c]
+                       for c in range(3))
+            o0 = s.vbroadcast(cam_o, u)
+            ulam, rng_c = rngmod.rand_1f(rng_c)
+            lam_new = jnp.float32(380.0) + ulam * jnp.float32(400.0)
+            cie_new = s.cie_to_rgb_c(lam_new)
+            em_new = []
+            for lt in LIGHTS:
+                spd = (blackbody(lam_new, np.float32(lt.temp))
+                       if lt.temp > 0.0 else 1.0)
+                for c in range(3):
+                    em_new.append(
+                        np.float32(lt.color[c] * lt.intensity * 400.0)
+                        * spd * cie_new[c])
+
+            o = s.vwhere(spawn_c, o0, st["o"])
+            d = s.vwhere(spawn_c, d0, st["d"])
+            tp = s.vwhere(spawn_c, (zero + 1.0,) * 3, st["tp"])
+            lam = jnp.where(spawn_c, lam_new, st["lam"])
+            em = tuple(jnp.where(spawn_c, em_new[i], st["em"][i])
+                       for i in range(3 * L))
+            rng = jnp.where(spawn_c, rng_c, st["rng"])
+            bounce = jnp.where(spawn_c, 0, st["bounce"])
+            vp_stored = jnp.where(spawn_c, 0, vp_stored)
+            active = active | spawn_c
+
+            # ---- photon spawn (k < K; per-photon stream; dynamic light)
+            if K > 0:
+                spawn_p = ~active & (phase == 1) & (k < K)
+                ph_o, ph_d, ph_tp = z3, z3, z3
+                rng_pk = rng
+                for kk in range(K):
+                    sel = spawn_p & (k == kk)
+                    rkk = rngmod.photon_stream(samp_seed, px, py, kk)
+                    lt = LIGHTS[kk % L]
+                    uc, rkk = rngmod.rand_1f(rkk)
+                    up1, rkk = rngmod.rand_1f(rkk)
+                    _u, rkk = rngmod.rand_1f(rkk)  # parity: drawn, unused
+                    ue1, rkk = rngmod.rand_1f(rkk)
+                    ue2, rkk = rngmod.rand_1f(rkk)
+                    uh1, rkk = rngmod.rand_1f(rkk)
+                    uh2, rkk = rngmod.rand_1f(rkk)
+                    if lt.ltype == 0:
+                        ct = 1.0 - uc * np.float32(1.0 - PHOTON_CONE_COS)
+                        stn = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+                        phi = jnp.float32(s.TWO_PI) * up1
+                        cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+                        kd = tuple(
+                            stn * cphi * np.float32(lt.cone_t[c])
+                            + stn * sphi * np.float32(lt.cone_b[c])
+                            + ct * np.float32(lt.cone_axis[c])
+                            for c in range(3))
+                        ko = s.vbroadcast(lt.pos, uc)
+                        cf = (1.0 - PHOTON_CONE_COS) * 0.5
+                        kt = s.vbroadcast(tuple(
+                            lt.color[c] * lt.intensity / cfg.k_photons * cf
+                            for c in range(3)), uc)
+                    else:
+                        su = (ue1 - 0.5) * np.float32(2.0 * lt.hw)
+                        sv = (ue2 - 0.5) * np.float32(2.0 * lt.hw)
+                        ko = tuple(
+                            np.float32(lt.pos[c] + lt.normal[c] * EPS)
+                            + su * np.float32(lt.tangent[c])
+                            + sv * np.float32(lt.bitangent[c])
+                            for c in range(3))
+                        theta = jnp.float32(s.TWO_PI) * uh1
+                        r_ = jnp.sqrt(uh2)
+                        x_ = r_ * jnp.cos(theta)
+                        y_ = r_ * jnp.sin(theta)
+                        z_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - r_ * r_))
+                        kd = tuple(
+                            x_ * np.float32(lt.tangent[c])
+                            + y_ * np.float32(lt.bitangent[c])
+                            + z_ * np.float32(lt.normal[c])
+                            for c in range(3))
+                        kt = s.vbroadcast(tuple(
+                            lt.color[c] * lt.intensity / cfg.k_photons
+                            for c in range(3)), uc)
+                    ph_o = s.vwhere(sel, ko, ph_o)
+                    ph_d = s.vwhere(sel, kd, ph_d)
+                    ph_tp = s.vwhere(sel, kt, ph_tp)
+                    rng_pk = jnp.where(sel, rkk, rng_pk)
+
+                o = s.vwhere(spawn_p, ph_o, o)
+                d = s.vwhere(spawn_p, ph_d, d)
+                tp = s.vwhere(spawn_p, ph_tp, tp)
+                rng = jnp.where(spawn_p, rng_pk, rng)
+                bounce = jnp.where(spawn_p, 0, bounce)
+                active = active | spawn_p
+
+            rays = st["rays"]
+            if cfg.count_rays:
+                rays = rays + jnp.sum(_mask_f32(active))
+
+            is_cam = phase == 0
+            is_ph = phase == 1
+
+            # ---- shared bounce: intersect + material
+            t, loc, n, mat = intersect(o, d)
+            found = t < _HIT
+            color, rough, ior, is_diffuse, is_metal = \
+                _material_lookup_static(MATS, mat)
+            wo = s.vneg(d)
+            lam_um = lam * jnp.float32(1e-3)
+            cauchy_add = jnp.float32(DISPERSION_B) / (lam_um * lam_um)
+
+            # ---- camera-only: vispoint store + NEE
+            store = active & is_cam & found & is_diffuse & ~(vp_stored > 0)
+            for kb, val in ((_VPOS, loc), (_VNORM, n), (_VWO, wo), (_VTP, tp)):
+                for c in range(3):
+                    out_ref[kb + c] = jnp.where(store, val[c],
+                                                out_ref[kb + c])
+            out_ref[_VMAT] = jnp.where(store, mat.astype(jnp.float32),
+                                       out_ref[_VMAT])
+            vp_stored = jnp.maximum(vp_stored, _mask_i32(store))
+
+            # NEE consumes 2L draws on the CAMERA stream only (the photon
+            # walk draws exactly 4 per bounce in the reference/megakernel);
+            # photon lanes get their rng restored after this block.
+            rng_pre_nee = rng
+            direct = z3
+            for li, lt in enumerate(LIGHTS):
+                u1, rng = rngmod.rand_1f(rng)
+                u2, rng = rngmod.rand_1f(rng)
+                if lt.ltype == 1:
+                    su = (u1 - 0.5) * np.float32(2.0 * lt.hw)
+                    sv = (u2 - 0.5) * np.float32(2.0 * lt.hw)
+                    lp = tuple(
+                        np.float32(lt.pos[c]) + su * np.float32(lt.tangent[c])
+                        + sv * np.float32(lt.bitangent[c]) for c in range(3))
+                else:
+                    lp = s.vbroadcast(lt.pos, u1)
+                to_light = s.vsub(lp, loc)
+                dist = jnp.sqrt(jnp.maximum(s.vdot(to_light, to_light), 1e-30))
+                ldir = s.vscale(to_light, 1.0 / dist)
+                ndotl = s.vdot(n, ldir)
+                live = (dist >= EPS) & (ndotl > 0.0)
+                if lt.ltype == 1:
+                    cos_light = jnp.maximum(
+                        0.0, -(lt.normal[0] * ldir[0] + lt.normal[1] * ldir[1]
+                               + lt.normal[2] * ldir[2]))
+                    live = live & (cos_light > 0.0) & (lt.hw > 0.0)
+                    geom = ndotl * cos_light * np.float32(
+                        max(4.0 * lt.hw * lt.hw, 1e-10))
+                else:
+                    geom = ndotl
+                so = s.vadd(loc, s.vscale(n, EPS))
+                atten = shadow(so, ldir, dist - EPS, lam)
+                w = jnp.where(live, geom * atten / (dist * dist), 0.0)
+                emv = (em[3 * li], em[3 * li + 1], em[3 * li + 2])
+                direct = s.vadd(direct, s.vscale(emv, w))
+
+            rng = jnp.where(is_cam, rng, rng_pre_nee)
+
+            lane_d = active & is_cam & found & is_diffuse
+            nee = s.vmul(s.vmul(tp, color), direct)
+            rad = tuple(jnp.where(lane_d, rad[c] + nee[c], rad[c])
+                        for c in range(3))
+            if cfg.count_rays:
+                rays = rays + jnp.sum(_mask_f32(lane_d)) * L
+
+            # ---- photon-only: density estimation at own vispoint
+            if K > 0:
+                vpos = (out_ref[_VPOS], out_ref[_VPOS + 1], out_ref[_VPOS + 2])
+                vnorm = (out_ref[_VNORM], out_ref[_VNORM + 1],
+                         out_ref[_VNORM + 2])
+                vwo = (out_ref[_VWO], out_ref[_VWO + 1], out_ref[_VWO + 2])
+                vtp = (out_ref[_VTP], out_ref[_VTP + 1], out_ref[_VTP + 2])
+                vmat = out_ref[_VMAT].astype(jnp.int32)
+                v_color, v_rough, v_ior, v_isdiff, v_ismetal = \
+                    _material_lookup_static(MATS, vmat)
+                dvec = s.vsub(loc, vpos)
+                dist = jnp.sqrt(jnp.maximum(s.vdot(dvec, dvec), 0.0))
+                near = dist < radius
+                f = _evaluate_bsdf_c(vwo, s.vneg(d), vnorm, v_color, v_rough,
+                                     v_ior + cauchy_add, v_isdiff, v_ismetal)
+                inv_pi_r2 = 1.0 / jnp.maximum(
+                    jnp.float32(np.pi) * radius * radius, 1e-10)
+                kern = (1.0 - dist / radius) * inv_pi_r2
+                dens = s.vscale(s.vmul(s.vmul(vtp, f), tp), kern)
+                hit_ph = active & is_ph & found & near
+                rad = tuple(jnp.where(hit_ph, rad[c] + dens[c], rad[c])
+                            for c in range(3))
+
+            # ---- shared scatter (pdf mode + dispersion + RR per phase)
+            u2a, rng = rngmod.rand_1f(rng)
+            u2b, rng = rngmod.rand_1f(rng)
+            u_choice, rng = rngmod.rand_1f(rng)
+            u_rr, rng = rngmod.rand_1f(rng)
+
+            wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough, u2a, u2b)
+            wi, tpm = wi_d, tpm_d
+            off = jnp.full_like(lam, EPS)
+            scat_ok = jnp.ones_like(lam, bool)
+            alpha = jnp.sqrt(rough)
+            if any_dielectric:
+                if cfg.dispersion_in_camera_path:
+                    eta_cam = ior + cauchy_add
+                else:
+                    eta_cam = ior  # reference quirk (wgsl :915)
+                eta = jnp.where(is_cam, eta_cam, ior + cauchy_add)
+                wi_sc, tpm_sc, off_sc, valid_sc = _scatter_dielectric_c(
+                    wo, n, eta, alpha, u2a, u2b, u_choice, camera_pdf=True)
+                wi_sp, tpm_sp, off_sp, valid_sp = _scatter_dielectric_c(
+                    wo, n, eta, alpha, u2a, u2b, u_choice, camera_pdf=False)
+                wi_s = s.vwhere(is_cam, wi_sc, wi_sp)
+                tpm_s = jnp.where(is_cam, tpm_sc, tpm_sp)
+                off_s = jnp.where(is_cam, off_sc, off_sp)
+                valid_s = (is_cam & valid_sc) | (~is_cam & valid_sp)
+                is_diel = ~(is_diffuse | is_metal)
+                wi = s.vwhere(is_diel, wi_s, wi)
+                tpm = s.vwhere(is_diel, (tpm_s, tpm_s, tpm_s), tpm)
+                # photons offset +/-EPS like the camera for smooth, but the
+                # reference photon path uses +EPS for diffuse only; both
+                # kernels share the camera offset convention (mega_pallas)
+                off = jnp.where(is_diel, off_s, off)
+                scat_ok = (is_diel & valid_s) | (~is_diel & scat_ok)
+            if any_metal:
+                wi_m, tpm_m, valid_m = _scatter_metal_c(wo, n, color, alpha,
+                                                        u2a, u2b)
+                wi = s.vwhere(is_metal, wi_m, wi)
+                tpm = s.vwhere(is_metal, tpm_m, tpm)
+                scat_ok = (is_metal & valid_m) | (~is_metal & scat_ok)
+
+            new_tp = s.vmul(tp, tpm)
+            new_o = s.vadd(loc, s.vscale(n, off))
+            prob = s.vmax_comp(new_tp)
+            rr_thresh = jnp.where(is_cam, np.float32(cfg.rr_threshold),
+                                  np.float32(cfg.photon_rr_threshold))
+            rr_live = (prob >= rr_thresh) & (u_rr <= prob)
+            new_tp = s.vscale(new_tp, 1.0 / jnp.maximum(prob, 1e-30))
+
+            max_b = jnp.where(is_cam, depth_i, np.int32(cfg.max_photon_bounces))
+            depth_ok = (bounce + 1) < max_b
+            cont = active & found & scat_ok & rr_live & depth_ok
+
+            # ---- deaths
+            died = active & ~cont
+            cam_died = died & is_cam
+            ph_died = died & is_ph
+            if K > 0:
+                vpos0 = (out_ref[_VPOS], out_ref[_VPOS + 1],
+                         out_ref[_VPOS + 2])
+                vp_ok = (jnp.sqrt(s.vdot(vpos0, vpos0)) > 0.001) & valid_px
+                phase = jnp.where(cam_died, 1, phase)
+                k = jnp.where(cam_died, jnp.where(vp_ok, 0, K), k)
+                k = jnp.where(ph_died, k + 1, k)
+            else:
+                # no photons: camera death goes straight to finalize
+                phase = jnp.where(cam_died, 1, phase)
+                k = jnp.where(cam_died, K, k)
+
+            cont_i = _mask_i32(cont)
+            pending = ((sample < spp) & valid_px) | (cont_i > 0) \
+                | ((phase == 1) & ~active)
+            # note: a lane at (phase 1, k>=K, inactive) still needs one
+            # finalize pass; `pending` covers it via the phase-1 term until
+            # sample passes spp... after the last sample finalizes, phase
+            # returns to 0 and sample == spp, so pending goes false.
+            anywork = jnp.max(_mask_i32(pending))
+
+            return {
+                "anywork": anywork,
+                "phase": phase, "sample": sample, "k": k,
+                "bounce": bounce + 1,
+                "active": cont_i, "vp_stored": vp_stored,
+                "o": s.vwhere(cont, new_o, o),
+                "d": s.vwhere(cont, wi, d),
+                "tp": s.vwhere(cont, new_tp, tp),
+                "rad": rad, "lam": lam, "em": em, "rng": rng,
+                "radius": radius, "rays": rays,
+            }
+
+        st = jax.lax.while_loop(cond, body, st)
+        rays_ref[tile, 0] = st["rays"]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fscene", "cfg", "interpret"))
+def _render_regen_jit(fscene, cfg, camera, state, base_seed, spp, interpret):
+    lanes = cfg.pallas_lanes
+    R = lanes // 128
+    planes = state_to_planes(state)
+    TR = planes.shape[1]
+    n_tiles = TR // R
+
+    cam = jnp.stack([camera.origin, camera.horizontal,
+                     camera.vertical, camera.lower_left])
+    seed_arr = jnp.asarray(base_seed, jnp.uint32).reshape(1, 1)
+    spp_arr = jnp.asarray(spp, jnp.int32).reshape(1, 1)
+    rad_arr = jnp.stack([state.photon_radius,
+                         state.iteration.astype(jnp.float32)]).reshape(1, 2)
+    base_arr = jnp.zeros((1, 1), jnp.int32)
+
+    if len(fscene.spheres) > cfg.pallas_static_unroll:
+        sph_tab = jnp.asarray(
+            [[sp.c[0], sp.c[1], sp.c[2], sp.r,
+              float(sp.mat), float(sp.mtype), sp.ior, 0.0]
+             for sp in fscene.spheres], jnp.float32)
+    else:
+        sph_tab = jnp.zeros((1, 8), jnp.float32)
+    if len(fscene.triangles) > cfg.pallas_static_unroll:
+        tri_tab = jnp.asarray(
+            [list(tr.a) + list(tr.e1) + list(tr.e2) + list(tr.n)
+             + [float(tr.mat), 0.0, 0.0, 0.0]
+             for tr in fscene.triangles], jnp.float32)
+    else:
+        tri_tab = jnp.zeros((1, 16), jnp.float32)
+
+    kernel = _make_regen_kernel(fscene, cfg, lanes)
+    vb = pl.BlockSpec((N_CHANNELS, R, 128), lambda i: (0, i, 0),
+                      memory_space=pltpu.VMEM)
+    vz = pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    zeros_in = jnp.zeros((R, 128), jnp.int32)
+    new_planes, rays = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[vb, vz, sm, sm, sm, sm, sm, sm, sm],
+        out_specs=[vb, sm],
+        out_shape=[
+            jax.ShapeDtypeStruct(planes.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+        ],
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(planes, zeros_in, cam, seed_arr, spp_arr, rad_arr, base_arr,
+      sph_tab, tri_tab)
+
+    P = new_planes.shape[1] * 128
+    flat = new_planes.reshape(N_CHANNELS, P)
+    v3 = lambda a: jnp.stack([flat[a], flat[a + 1], flat[a + 2]], axis=-1)
+    it_new = state.iteration + spp
+    # final radius = schedule applied spp times (same floats as per-lane)
+    def rstep(i, r):
+        kf = (state.iteration + i + 1).astype(jnp.float32)
+        return r * jnp.sqrt((kf + cfg.sppm_alpha) / (kf + 1.0))
+    r_new = jax.lax.fori_loop(0, spp, rstep, state.photon_radius)
+    return dataclasses.replace(
+        state,
+        rgb_sum=v3(0),
+        n_samples=state.n_samples + spp.astype(jnp.float32),
+        vis_pos=v3(3), vis_norm=v3(6), vis_wo=v3(9), vis_tp=v3(12),
+        vis_mat=flat[15].astype(jnp.int32),
+        iteration=it_new, photon_radius=r_new,
+        rays=state.rays + jnp.sum(rays),
+    )
+
+
+def render_regen(scene, cfg: RenderConfig, camera, state, base_seed, spp,
+                 interpret: bool | None = None):
+    """Progressive render via the regenerative megakernel (full SPPM).
+    Scene must be concrete; falls back to render_pallas for scenes beyond
+    the kernel budget."""
+    if not supports_scene(scene):
+        from tpurt.kernels.mega_pallas import render_pallas
+        return render_pallas(scene, cfg, camera, state, base_seed, spp)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fscene = freeze_scene(scene)
+    return _render_regen_jit(fscene, cfg, camera, state,
+                             jnp.asarray(base_seed, jnp.uint32),
+                             jnp.asarray(spp, jnp.int32), interpret)

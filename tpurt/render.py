@@ -104,10 +104,16 @@ def render_step(scene: Scene, cfg: RenderConfig, camera: Camera,
     OUTSIDE any enclosing jit when using the pallas backend.
     """
     if _use_pallas(scene, cfg):
+        d = cfg.depth if depth is None else depth
+        if cfg.pallas_regen and d == cfg.depth:
+            from tpurt.kernels import mega_regen
+            return mega_regen.render_regen(scene, cfg, camera, state,
+                                           base_seed, 1)
+        # depth overrides (preview frames) use the tile-sync kernel, whose
+        # depth is a direct argument
         from tpurt.kernels import mega_pallas
         return mega_pallas.render_step_pallas(
-            scene, cfg, camera, state, base_seed,
-            cfg.depth if depth is None else depth)
+            scene, cfg, camera, state, base_seed, d)
     return _render_step_xla(scene, cfg, camera, state, base_seed,
                             cfg.depth if depth is None else depth)
 
@@ -177,6 +183,10 @@ def render(scene: Scene, cfg: RenderConfig, camera: Camera,
     scene is baked into the kernel as compile-time constants.
     """
     if _use_pallas(scene, cfg):
+        if cfg.pallas_regen:
+            from tpurt.kernels import mega_regen
+            return mega_regen.render_regen(scene, cfg, camera, state,
+                                           base_seed, spp)
         from tpurt.kernels import mega_pallas
         return mega_pallas.render_pallas(
             scene, cfg, camera, state, base_seed, spp)
