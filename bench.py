@@ -15,8 +15,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# persistent compilation cache: the Mosaic kernels take minutes to compile
+# cold; cached reruns warm up in seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_compilation"))
 
 import jax
 

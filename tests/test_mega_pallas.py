@@ -220,3 +220,21 @@ class TestRegenKernel:
         assert int(st.iteration) == 4
         img = np.asarray(st.rgb_sum)[:cfg.n_pixels]
         assert np.isfinite(img).all() and img.sum() > 0
+
+    def test_progressive_continuation_exact(self):
+        """2 spp then 2 more == 4 spp straight: the regen kernel folds
+        state.iteration into its per-sample seeds (regression: it used to
+        restart at sample 0 every call and re-render identical samples)."""
+        from tpurt.kernels.mega_regen import render_regen
+        scene = cornell_spheres_scene()
+        cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                          aspect_ratio=2.0)
+        cfg = RenderConfig(width=32, height=16, depth=3, backend="pallas",
+                           pallas_lanes=512, k_photons=1,
+                           max_photon_bounces=2)
+        st_a = render_regen(scene, cfg, cam, init_state(cfg), 1234, 2)
+        st_a = render_regen(scene, cfg, cam, st_a, 1234, 2)
+        st_b = render_regen(scene, cfg, cam, init_state(cfg), 1234, 4)
+        assert float(st_a.rays) == float(st_b.rays)
+        np.testing.assert_array_equal(np.asarray(st_a.rgb_sum),
+                                      np.asarray(st_b.rgb_sum))

@@ -494,7 +494,12 @@ def _scatter_metal_c(wo, normal, f0, alpha, u2a, u2b):
 
 def _scatter_dielectric_c(wo, normal, eta, alpha, u2a, u2b, u_choice, camera_pdf):
     """Component-form mirror of tpurt.integrate._scatter_dielectric
-    (ref: mega_kernel.wgsl:914-973 camera, :795-852 photon)."""
+    (ref: mega_kernel.wgsl:914-973 camera, :795-852 photon).
+
+    camera_pdf: True/False selects the camera path's VNDF pdf vs the photon
+    path's Lambda+1 approximation statically; a per-lane MASK computes both
+    pdf variants (the only terms that differ) and selects — the regenerative
+    kernel uses this so mixed camera/photon lanes share one scatter pass."""
     # --- effectively smooth ---
     cos_t = s.vdot(wo, normal)
     R_s = fr_dielectric(jnp.abs(cos_t), eta)
@@ -526,13 +531,18 @@ def _scatter_dielectric_c(wo, normal, eta, alpha, u2a, u2b, u_choice, camera_pdf
     ct_i_r = jnp.abs(wi_l_refl[2])
     ct_o = jnp.abs(wo_l[2])
     bsdf_r = D * G_r * R / jnp.maximum(4.0 * ct_i_r * ct_o, 1e-10)
-    if camera_pdf:
+    static_pdf = isinstance(camera_pdf, bool)
+    if (not static_pdf) or camera_pdf:
         G1 = s.tr_g1_c(wo_l[2], alpha)
         pdf_wm = (G1 / jnp.maximum(ct_o, 1e-10)) * D * dot_wowm
-        pdf_r = jnp.maximum(pdf_wm / jnp.maximum(4.0 * dot_wowm, 1e-10), 1e-10) \
-            * (R / jnp.maximum(R + Tns, 1e-10))
+        pdf_r_cam = jnp.maximum(pdf_wm / jnp.maximum(4.0 * dot_wowm, 1e-10),
+                                1e-10) * (R / jnp.maximum(R + Tns, 1e-10))
+    if (not static_pdf) or not camera_pdf:
+        pdf_r_ph = s.tr_lambda_c(wo_l[2], alpha) + 1.0
+    if static_pdf:
+        pdf_r = pdf_r_cam if camera_pdf else pdf_r_ph
     else:
-        pdf_r = s.tr_lambda_c(wo_l[2], alpha) + 1.0
+        pdf_r = jnp.where(camera_pdf, pdf_r_cam, pdf_r_ph)
     tp_r = bsdf_r * ct_i_r / jnp.maximum(pdf_r, 1e-10)
 
     wi_l_refr, refr_l_ok = s.refract_c(wo_l, wm, eta)
@@ -544,16 +554,20 @@ def _scatter_dielectric_c(wo, normal, eta, alpha, u2a, u2b, u_choice, camera_pdf
         s.vdot(wi_l_refr, wm) * s.vdot(wo_l, wm)
         / jnp.maximum(ct_i_t * ct_o * denom * denom, 1e-10)
     )
-    if camera_pdf:
+    if (not static_pdf) or camera_pdf:
         dwm_dwi = jnp.abs(s.vdot(wi_l_refr, wm)) / jnp.maximum(denom * denom, 1e-10)
         G1 = s.tr_g1_c(wo_l[2], alpha)
-        pdf_t = jnp.maximum(
+        pdf_t_cam = jnp.maximum(
             (G1 / jnp.maximum(ct_o, 1e-10)) * D * dot_wowm * dwm_dwi
             * (Tns / jnp.maximum(R + Tns, 1e-10)),
             1e-10,
         )
+    if (not static_pdf) or not camera_pdf:
+        pdf_t_ph = s.tr_lambda_c(wo_l[2], alpha) + 1.0
+    if static_pdf:
+        pdf_t = pdf_t_cam if camera_pdf else pdf_t_ph
     else:
-        pdf_t = s.tr_lambda_c(wo_l[2], alpha) + 1.0
+        pdf_t = jnp.where(camera_pdf, pdf_t_cam, pdf_t_ph)
     etap_t = jnp.where(wo_l[2] < 0.0, 1.0 / eta, eta)
     tp_t = bsdf_t * ct_i_t / jnp.maximum(pdf_t, 1e-10) / (etap_t * etap_t)
 
@@ -610,6 +624,58 @@ def _diffuse_scatter_c(wo, n, color, rough, u2a, u2b):
     return wi_d, tpm_d
 
 
+
+
+def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
+    """SMEM primitive tables, consumed only above the static-unroll budget.
+    spheres: (cx, cy, cz, r, mat, mtype, ior, 0); triangles: (a, e1, e2, n,
+    mat, pad3). Shared by every Pallas kernel wrapper."""
+    if len(fscene.spheres) > cfg.pallas_static_unroll:
+        sph_tab = jnp.asarray(
+            [[sp.c[0], sp.c[1], sp.c[2], sp.r,
+              float(sp.mat), float(sp.mtype), sp.ior, 0.0]
+             for sp in fscene.spheres], jnp.float32)
+    else:
+        sph_tab = jnp.zeros((1, 8), jnp.float32)
+    if len(fscene.triangles) > cfg.pallas_static_unroll:
+        tri_tab = jnp.asarray(
+            [list(tr.a) + list(tr.e1) + list(tr.e2) + list(tr.n)
+             + [float(tr.mat), 0.0, 0.0, 0.0]
+             for tr in fscene.triangles], jnp.float32)
+    else:
+        tri_tab = jnp.zeros((1, 16), jnp.float32)
+    return sph_tab, tri_tab
+
+
+def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref):
+    """(intersect, shadow) closures over the frozen scene + SMEM tables,
+    picking static-unroll or dynamic-sweep mode per primitive kind."""
+    SPH, TRIS = fscene.spheres, fscene.triangles
+    if len(SPH) > cfg.pallas_static_unroll:
+        sph_hit = lambda o, d: _closest_sphere_dyn(sph_ref, len(SPH), o, d)
+        sph_shadow = lambda o, d, tm, lam_: _shadow_dyn(
+            sph_ref, len(SPH), o, d, tm, lam_)
+    else:
+        sph_hit = lambda o, d: _closest_sphere_static(SPH, o, d)
+        sph_shadow = lambda o, d, tm, lam_: _shadow_static(SPH, o, d, tm, lam_)
+    if not TRIS:
+        return sph_hit, sph_shadow
+    if len(TRIS) > cfg.pallas_static_unroll:
+        tri_hit = lambda o, d: _closest_tri_dyn(tri_ref, len(TRIS), o, d)
+        tri_occ = lambda o, d, tm: _tri_shadow_dyn(tri_ref, len(TRIS), o, d, tm)
+    else:
+        tri_hit = lambda o, d: _closest_tri_static(TRIS, o, d)
+        tri_occ = lambda o, d, tm: _tri_shadow_static(TRIS, o, d, tm)
+
+    def intersect(o, d):
+        return _combine_nearest(sph_hit(o, d), tri_hit(o, d))
+
+    def shadow(o, d, tm, lam_):
+        return jnp.where(tri_occ(o, d, tm), 0.0, sph_shadow(o, d, tm, lam_))
+
+    return intersect, shadow
+
+
 # ----- the kernel body -----
 
 def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
@@ -623,38 +689,10 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
     L = len(LIGHTS)
     any_dielectric = any(m.mtype == 1 for m in MATS)
     any_metal = any(m.mtype == 2 for m in MATS)
-    dyn_spheres = len(SPH) > cfg.pallas_static_unroll
-    dyn_tris = len(TRIS) > cfg.pallas_static_unroll
 
     def kernel(planes_ref, cam_ref, seed_ref, rad_ref, base_ref, sph_ref,
                tri_ref, out_ref, rays_ref):
-        if dyn_spheres:
-            sph_hit = lambda o, d: _closest_sphere_dyn(sph_ref, len(SPH), o, d)
-            sph_shadow = lambda o, d, tm, lam_: _shadow_dyn(
-                sph_ref, len(SPH), o, d, tm, lam_)
-        else:
-            sph_hit = lambda o, d: _closest_sphere_static(SPH, o, d)
-            sph_shadow = lambda o, d, tm, lam_: _shadow_static(
-                SPH, o, d, tm, lam_)
-
-        if not TRIS:
-            intersect = sph_hit
-            shadow = sph_shadow
-        else:
-            if dyn_tris:
-                tri_hit = lambda o, d: _closest_tri_dyn(tri_ref, len(TRIS), o, d)
-                tri_occ = lambda o, d, tm: _tri_shadow_dyn(
-                    tri_ref, len(TRIS), o, d, tm)
-            else:
-                tri_hit = lambda o, d: _closest_tri_static(TRIS, o, d)
-                tri_occ = lambda o, d, tm: _tri_shadow_static(TRIS, o, d, tm)
-
-            def intersect(o, d):
-                return _combine_nearest(sph_hit(o, d), tri_hit(o, d))
-
-            def shadow(o, d, tm, lam_):
-                atten = sph_shadow(o, d, tm, lam_)
-                return jnp.where(tri_occ(o, d, tm), 0.0, atten)
+        intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref)
         # base_ref: global tile offset of this shard (0 single-chip; device
         # slab start under shard_map) — keeps pixel ids / RNG streams global.
         tile = pl.program_id(0)

@@ -48,22 +48,15 @@ from tpurt.kernels.mega_pallas import (
     _VTP,
     _VWO,
     FrozenScene,
-    _closest_sphere_dyn,
-    _closest_sphere_static,
-    _closest_tri_dyn,
-    _closest_tri_static,
-    _combine_nearest,
     _diffuse_scatter_c,
     _evaluate_bsdf_c,
     _mask_f32,
     _mask_i32,
     _material_lookup_static,
+    _make_scene_fns,
+    _prim_tables,
     _scatter_dielectric_c,
     _scatter_metal_c,
-    _shadow_dyn,
-    _shadow_static,
-    _tri_shadow_dyn,
-    _tri_shadow_static,
     freeze_scene,
     state_to_planes,
     supports_scene,
@@ -71,23 +64,20 @@ from tpurt.kernels.mega_pallas import (
 from tpurt.kernels.mega_pallas import PHOTON_CONE_COS  # noqa: E402
 from tpurt.ops import rng as rngmod
 from tpurt.ops import soa as s
-from tpurt.ops.spectra import DISPERSION_B, blackbody
+from tpurt.ops.spectra import (DISPERSION_B, VISIBLE_MIN, VISIBLE_RANGE,
+                               blackbody)
 from tpurt.render import _frame_seed
 
 
 def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
     R = lanes // 128
     W, H = cfg.width, cfg.height
-    SPH = fscene.spheres
     MATS = fscene.materials
     LIGHTS = fscene.lights
-    TRIS = fscene.triangles
     L = len(LIGHTS)
     K = cfg.k_photons if (cfg.enable_photons and L > 0) else 0
     any_dielectric = any(m.mtype == 1 for m in MATS)
     any_metal = any(m.mtype == 2 for m in MATS)
-    dyn_spheres = len(SPH) > cfg.pallas_static_unroll
-    dyn_tris = len(TRIS) > cfg.pallas_static_unroll
 
     def kernel(planes_ref, z_ref, cam_ref, seed_ref, spp_ref, rad_ref,
                base_ref, sph_ref, tri_ref, out_ref, rays_ref):
@@ -101,6 +91,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
         valid_px = idx < W * H
         base_seed = seed_ref[0, 0]
         spp = spp_ref[0, 0]
+        it0_i = spp_ref[0, 1]   # starting iteration (progressive continuation)
         r0 = rad_ref[0, 0]
 
         cam_o = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
@@ -108,31 +99,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
         cam_v = (cam_ref[2, 0], cam_ref[2, 1], cam_ref[2, 2])
         cam_ll = (cam_ref[3, 0], cam_ref[3, 1], cam_ref[3, 2])
 
-        if dyn_spheres:
-            sph_hit = lambda o, d: _closest_sphere_dyn(sph_ref, len(SPH), o, d)
-            sph_shadow = lambda o, d, tm, lam_: _shadow_dyn(
-                sph_ref, len(SPH), o, d, tm, lam_)
-        else:
-            sph_hit = lambda o, d: _closest_sphere_static(SPH, o, d)
-            sph_shadow = lambda o, d, tm, lam_: _shadow_static(
-                SPH, o, d, tm, lam_)
-        if not TRIS:
-            intersect, shadow = sph_hit, sph_shadow
-        else:
-            if dyn_tris:
-                tri_hit = lambda o, d: _closest_tri_dyn(tri_ref, len(TRIS), o, d)
-                tri_occ = lambda o, d, tm: _tri_shadow_dyn(
-                    tri_ref, len(TRIS), o, d, tm)
-            else:
-                tri_hit = lambda o, d: _closest_tri_static(TRIS, o, d)
-                tri_occ = lambda o, d, tm: _tri_shadow_static(TRIS, o, d, tm)
-
-            def intersect(o, d):
-                return _combine_nearest(sph_hit(o, d), tri_hit(o, d))
-
-            def shadow(o, d, tm, lam_):
-                return jnp.where(tri_occ(o, d, tm), 0.0,
-                                 sph_shadow(o, d, tm, lam_))
+        intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref)
 
         # persistent planes: accumulation + vispoints live in out_ref
         for ch in range(N_CHANNELS):
@@ -195,7 +162,9 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
 
             # ---- camera spawn
             spawn_c = ~active & (phase == 0) & (sample < spp) & valid_px
-            samp_seed = _frame_seed(base_seed, sample)
+            # global sample index = iteration at call start + local sample:
+            # progressive continuation draws NEW samples, never repeats
+            samp_seed = _frame_seed(base_seed, it0_i + sample)
             rng_c = rngmod.seed_pixels(samp_seed, px, py)
             uj1, rng_c = rngmod.rand_1f(rng_c)
             uj2, rng_c = rngmod.rand_1f(rng_c)
@@ -205,7 +174,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                        for c in range(3))
             o0 = s.vbroadcast(cam_o, u)
             ulam, rng_c = rngmod.rand_1f(rng_c)
-            lam_new = jnp.float32(380.0) + ulam * jnp.float32(400.0)
+            lam_new = jnp.float32(VISIBLE_MIN) + ulam * jnp.float32(VISIBLE_RANGE)
             cie_new = s.cie_to_rgb_c(lam_new)
             em_new = []
             for lt in LIGHTS:
@@ -213,7 +182,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                        if lt.temp > 0.0 else 1.0)
                 for c in range(3):
                     em_new.append(
-                        np.float32(lt.color[c] * lt.intensity * 400.0)
+                        np.float32(lt.color[c] * lt.intensity * VISIBLE_RANGE)
                         * spd * cie_new[c])
 
             o = s.vwhere(spawn_c, o0, st["o"])
@@ -402,14 +371,10 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                 else:
                     eta_cam = ior  # reference quirk (wgsl :915)
                 eta = jnp.where(is_cam, eta_cam, ior + cauchy_add)
-                wi_sc, tpm_sc, off_sc, valid_sc = _scatter_dielectric_c(
-                    wo, n, eta, alpha, u2a, u2b, u_choice, camera_pdf=True)
-                wi_sp, tpm_sp, off_sp, valid_sp = _scatter_dielectric_c(
-                    wo, n, eta, alpha, u2a, u2b, u_choice, camera_pdf=False)
-                wi_s = s.vwhere(is_cam, wi_sc, wi_sp)
-                tpm_s = jnp.where(is_cam, tpm_sc, tpm_sp)
-                off_s = jnp.where(is_cam, off_sc, off_sp)
-                valid_s = (is_cam & valid_sc) | (~is_cam & valid_sp)
+                # per-lane pdf mode: camera lanes use the VNDF pdf, photon
+                # lanes the Lambda+1 approximation — ONE shared scatter pass
+                wi_s, tpm_s, off_s, valid_s = _scatter_dielectric_c(
+                    wo, n, eta, alpha, u2a, u2b, u_choice, camera_pdf=is_cam)
                 is_diel = ~(is_diffuse | is_metal)
                 wi = s.vwhere(is_diel, wi_s, wi)
                 tpm = s.vwhere(is_diel, (tpm_s, tpm_s, tpm_s), tpm)
@@ -487,30 +452,21 @@ def _render_regen_jit(fscene, cfg, camera, state, base_seed, spp, interpret):
     R = lanes // 128
     planes = state_to_planes(state)
     TR = planes.shape[1]
+    assert TR % R == 0, (
+        f"state rows {TR} not divisible by pallas tile rows {R}; "
+        "init the state with cfg.backend='pallas'")
     n_tiles = TR // R
 
     cam = jnp.stack([camera.origin, camera.horizontal,
                      camera.vertical, camera.lower_left])
     seed_arr = jnp.asarray(base_seed, jnp.uint32).reshape(1, 1)
-    spp_arr = jnp.asarray(spp, jnp.int32).reshape(1, 1)
+    spp_arr = jnp.stack([jnp.asarray(spp, jnp.int32),
+                         state.iteration.astype(jnp.int32)]).reshape(1, 2)
     rad_arr = jnp.stack([state.photon_radius,
                          state.iteration.astype(jnp.float32)]).reshape(1, 2)
     base_arr = jnp.zeros((1, 1), jnp.int32)
 
-    if len(fscene.spheres) > cfg.pallas_static_unroll:
-        sph_tab = jnp.asarray(
-            [[sp.c[0], sp.c[1], sp.c[2], sp.r,
-              float(sp.mat), float(sp.mtype), sp.ior, 0.0]
-             for sp in fscene.spheres], jnp.float32)
-    else:
-        sph_tab = jnp.zeros((1, 8), jnp.float32)
-    if len(fscene.triangles) > cfg.pallas_static_unroll:
-        tri_tab = jnp.asarray(
-            [list(tr.a) + list(tr.e1) + list(tr.e2) + list(tr.n)
-             + [float(tr.mat), 0.0, 0.0, 0.0]
-             for tr in fscene.triangles], jnp.float32)
-    else:
-        tri_tab = jnp.zeros((1, 16), jnp.float32)
+    sph_tab, tri_tab = _prim_tables(fscene, cfg)
 
     kernel = _make_regen_kernel(fscene, cfg, lanes)
     vb = pl.BlockSpec((N_CHANNELS, R, 128), lambda i: (0, i, 0),

@@ -42,28 +42,21 @@ from tpurt.kernels.mega_pallas import (
     EPS,
     _HIT,
     FrozenScene,
-    MISS,
-    _closest_sphere_dyn,
-    _closest_sphere_static,
-    _closest_tri_dyn,
-    _closest_tri_static,
-    _combine_nearest,
     _diffuse_scatter_c,
     _mask_f32,
     _mask_i32,
+    _make_scene_fns,
     _material_lookup_static,
+    _prim_tables,
     _scatter_dielectric_c,
     _scatter_metal_c,
-    _shadow_dyn,
-    _shadow_static,
-    _tri_shadow_dyn,
-    _tri_shadow_static,
     freeze_scene,
     supports_scene,
 )
 from tpurt.ops import rng as rngmod
 from tpurt.ops import soa as s
-from tpurt.ops.spectra import DISPERSION_B
+from tpurt.ops.spectra import (DISPERSION_B, VISIBLE_MIN, VISIBLE_RANGE,
+                               blackbody)
 from tpurt.render import RenderState, _frame_seed
 
 # f32 channel bases (emission channels follow, 3 per light)
@@ -79,45 +72,17 @@ def _n_fchannels(L: int) -> int:
 
 def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
     R = lanes // 128
-    SPH = fscene.spheres
     MATS = fscene.materials
     LIGHTS = fscene.lights
-    TRIS = fscene.triangles
     L = len(LIGHTS)
     any_dielectric = any(m.mtype == 1 for m in MATS)
     any_metal = any(m.mtype == 2 for m in MATS)
-    dyn_spheres = len(SPH) > cfg.pallas_static_unroll
-    dyn_tris = len(TRIS) > cfg.pallas_static_unroll
 
     def kernel(pf_ref, pi_ref, rng_ref, sph_ref, tri_ref,
                pf_out, pi_out, rng_out, term_ref, rays_ref):
         tile = pl.program_id(0)
 
-        if dyn_spheres:
-            sph_hit = lambda o, d: _closest_sphere_dyn(sph_ref, len(SPH), o, d)
-            sph_shadow = lambda o, d, tm, lam_: _shadow_dyn(
-                sph_ref, len(SPH), o, d, tm, lam_)
-        else:
-            sph_hit = lambda o, d: _closest_sphere_static(SPH, o, d)
-            sph_shadow = lambda o, d, tm, lam_: _shadow_static(
-                SPH, o, d, tm, lam_)
-        if not TRIS:
-            intersect, shadow = sph_hit, sph_shadow
-        else:
-            if dyn_tris:
-                tri_hit = lambda o, d: _closest_tri_dyn(tri_ref, len(TRIS), o, d)
-                tri_occ = lambda o, d, tm: _tri_shadow_dyn(
-                    tri_ref, len(TRIS), o, d, tm)
-            else:
-                tri_hit = lambda o, d: _closest_tri_static(TRIS, o, d)
-                tri_occ = lambda o, d, tm: _tri_shadow_static(TRIS, o, d, tm)
-
-            def intersect(o, d):
-                return _combine_nearest(sph_hit(o, d), tri_hit(o, d))
-
-            def shadow(o, d, tm, lam_):
-                return jnp.where(tri_occ(o, d, tm), 0.0,
-                                 sph_shadow(o, d, tm, lam_))
+        intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref)
 
         o = (pf_ref[_O], pf_ref[_O + 1], pf_ref[_O + 2])
         d = (pf_ref[_D], pf_ref[_D + 1], pf_ref[_D + 2])
@@ -265,21 +230,7 @@ def sweep_pallas(fscene, cfg: RenderConfig, pf, pi, rng, interpret=False):
     L = len(fscene.lights)
     C = _n_fchannels(L)
 
-    # SMEM primitive tables (consumed above the static-unroll budget)
-    if len(fscene.spheres) > cfg.pallas_static_unroll:
-        sph_tab = jnp.asarray(
-            [[sp.c[0], sp.c[1], sp.c[2], sp.r,
-              float(sp.mat), float(sp.mtype), sp.ior, 0.0]
-             for sp in fscene.spheres], jnp.float32)
-    else:
-        sph_tab = jnp.zeros((1, 8), jnp.float32)
-    if len(fscene.triangles) > cfg.pallas_static_unroll:
-        tri_tab = jnp.asarray(
-            [list(tr.a) + list(tr.e1) + list(tr.e2) + list(tr.n)
-             + [float(tr.mat), 0.0, 0.0, 0.0]
-             for tr in fscene.triangles], jnp.float32)
-    else:
-        tri_tab = jnp.zeros((1, 16), jnp.float32)
+    sph_tab, tri_tab = _prim_tables(fscene, cfg)
 
     kernel = _make_sweep_kernel(fscene, cfg, lanes)
     vb = lambda c: pl.BlockSpec((c, R, 128), lambda i: (0, i, 0),
@@ -311,7 +262,6 @@ def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
     """Dead slots claim the next (pixel, sample) items; all math stays in
     the (QR, 128) plane shape (no pool-sized relayouts). Mirrors
     tpurt.wavefront._regen including draw order."""
-    from tpurt.camera import generate_rays
     from tpurt.integrate import light_emission_rgb
     from tpurt.ops.spectra import sample_wavelength
 
@@ -451,15 +401,11 @@ def wavefront_render_pallas(scene, cfg: RenderConfig, camera,
 def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
     R = lanes // 128
     W, H = cfg.width, cfg.height
-    SPH = fscene.spheres
     MATS = fscene.materials
     LIGHTS = fscene.lights
-    TRIS = fscene.triangles
     L = len(LIGHTS)
     any_dielectric = any(m.mtype == 1 for m in MATS)
     any_metal = any(m.mtype == 2 for m in MATS)
-    dyn_spheres = len(SPH) > cfg.pallas_static_unroll
-    dyn_tris = len(TRIS) > cfg.pallas_static_unroll
 
     def kernel(acc_ref, cam_ref, seed_ref, spp_ref, base_ref, sph_ref,
                tri_ref, out_ref, rays_ref):
@@ -477,32 +423,9 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
         valid_px = idx < W * H
         base_seed = seed_ref[0, 0]
         spp = spp_ref[0, 0]
+        it0_i = spp_ref[0, 1]   # starting iteration (continuation)
 
-        if dyn_spheres:
-            sph_hit = lambda o, d: _closest_sphere_dyn(sph_ref, len(SPH), o, d)
-            sph_shadow = lambda o, d, tm, lam_: _shadow_dyn(
-                sph_ref, len(SPH), o, d, tm, lam_)
-        else:
-            sph_hit = lambda o, d: _closest_sphere_static(SPH, o, d)
-            sph_shadow = lambda o, d, tm, lam_: _shadow_static(
-                SPH, o, d, tm, lam_)
-        if not TRIS:
-            intersect, shadow = sph_hit, sph_shadow
-        else:
-            if dyn_tris:
-                tri_hit = lambda o, d: _closest_tri_dyn(tri_ref, len(TRIS), o, d)
-                tri_occ = lambda o, d, tm: _tri_shadow_dyn(
-                    tri_ref, len(TRIS), o, d, tm)
-            else:
-                tri_hit = lambda o, d: _closest_tri_static(TRIS, o, d)
-                tri_occ = lambda o, d, tm: _tri_shadow_static(TRIS, o, d, tm)
-
-            def intersect(o, d):
-                return _combine_nearest(sph_hit(o, d), tri_hit(o, d))
-
-            def shadow(o, d, tm, lam_):
-                return jnp.where(tri_occ(o, d, tm), 0.0,
-                                 sph_shadow(o, d, tm, lam_))
+        intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref)
 
         # accumulation lives in the output block (masked adds in-loop)
         for c in range(3):
@@ -531,7 +454,7 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
 
             # ---- per-lane regeneration: spawn this lane's next sample ----
             regen = ~active & (sample < spp) & valid_px
-            seed = _frame_seed(base_seed, sample)
+            seed = _frame_seed(base_seed, it0_i + sample)
             rng_new = rngmod.seed_pixels(seed, px, py)
             uj1, rng_new = rngmod.rand_1f(rng_new)
             uj2, rng_new = rngmod.rand_1f(rng_new)
@@ -542,18 +465,16 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                 for c in range(3))
             o0 = s.vbroadcast(cam_o, u)
             ulam, rng_new = rngmod.rand_1f(rng_new)
-            lam_new = jnp.float32(380.0) + ulam * jnp.float32(400.0)
+            lam_new = jnp.float32(VISIBLE_MIN) + ulam * jnp.float32(VISIBLE_RANGE)
             cie_new = s.cie_to_rgb_c(lam_new)
             em_new = []
             for lt in LIGHTS:
-                if lt.temp > 0.0:
-                    from tpurt.ops.spectra import blackbody
-                    spd = blackbody(lam_new, np.float32(lt.temp))
-                else:
-                    spd = 1.0
+                spd = (blackbody(lam_new, np.float32(lt.temp))
+                       if lt.temp > 0.0 else 1.0)
                 for c in range(3):
-                    em_new.append(np.float32(lt.color[c] * lt.intensity * 400.0)
-                                  * spd * cie_new[c])
+                    em_new.append(
+                        np.float32(lt.color[c] * lt.intensity * VISIBLE_RANGE)
+                        * spd * cie_new[c])
 
             o = s.vwhere(regen, o0, st["o"])
             d = s.vwhere(regen, d0, st["d"])
@@ -696,6 +617,9 @@ def _fused_wavefront_jit(fscene, cfg, camera, state, base_seed, spp,
     R = lanes // 128
     P = state.rgb_sum.shape[0]
     TR = P // 128
+    assert TR % R == 0, (
+        f"state rows {TR} not divisible by pallas tile rows {R}; "
+        "init the state with cfg.backend='pallas'")
     n_tiles = TR // R
 
     # accumulation planes from state (conversion paid once per call)
@@ -703,23 +627,10 @@ def _fused_wavefront_jit(fscene, cfg, camera, state, base_seed, spp,
     cam = jnp.stack([camera.origin, camera.horizontal,
                      camera.vertical, camera.lower_left])
     seed_arr = jnp.asarray(base_seed, jnp.uint32).reshape(1, 1)
-    spp_arr = jnp.asarray(spp, jnp.int32).reshape(1, 1)
+    spp_arr = jnp.stack([jnp.asarray(spp, jnp.int32),
+                         state.iteration.astype(jnp.int32)]).reshape(1, 2)
     base_arr = jnp.zeros((1, 1), jnp.int32)
-
-    if len(fscene.spheres) > cfg.pallas_static_unroll:
-        sph_tab = jnp.asarray(
-            [[sp.c[0], sp.c[1], sp.c[2], sp.r,
-              float(sp.mat), float(sp.mtype), sp.ior, 0.0]
-             for sp in fscene.spheres], jnp.float32)
-    else:
-        sph_tab = jnp.zeros((1, 8), jnp.float32)
-    if len(fscene.triangles) > cfg.pallas_static_unroll:
-        tri_tab = jnp.asarray(
-            [list(tr.a) + list(tr.e1) + list(tr.e2) + list(tr.n)
-             + [float(tr.mat), 0.0, 0.0, 0.0]
-             for tr in fscene.triangles], jnp.float32)
-    else:
-        tri_tab = jnp.zeros((1, 16), jnp.float32)
+    sph_tab, tri_tab = _prim_tables(fscene, cfg)
 
     kernel = _make_fused_kernel(fscene, cfg, lanes)
     vb3 = pl.BlockSpec((3, R, 128), lambda i: (0, i, 0),
