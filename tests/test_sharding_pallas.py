@@ -62,3 +62,26 @@ def test_sharded_matches_single_device():
     img = sh.resolve_planes(cfg, planes, int(it))
     assert img.shape == (32, 64, 3)
     assert np.isfinite(img).all()
+
+
+def test_sharded_regen_bit_identical():
+    """The sharded regenerative kernel equals single-chip bit-for-bit
+    (tile_base keeps all streams global; per-lane schedules identical)."""
+    from tpurt.kernels import mega_regen as mr
+    from tpurt.render import init_state, render
+    cfg = RenderConfig(width=64, height=32, depth=3, backend="pallas",
+                       pallas_lanes=1024, k_photons=1, max_photon_bounces=2)
+    scene = cornell_spheres_scene()
+    cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                      aspect_ratio=2.0)
+    mesh = sh.make_mesh(2)
+    planes = sh.init_planes_sharded(cfg, mesh)
+    step = sh.make_regen_sharded_step(mesh, cfg, scene, spp=2, interpret=True)
+    planes, it, radius, rays = step(
+        cam, planes, jnp.int32(0), jnp.float32(cfg.photon_radius_init),
+        jnp.float32(0.0), jnp.uint32(11))
+    st = render(scene, cfg, cam, init_state(cfg), 11, 2)
+    assert float(rays) == float(st.rays)
+    flat = np.asarray(planes).reshape(16, -1)
+    a = np.stack([flat[0], flat[1], flat[2]], -1)
+    np.testing.assert_array_equal(a, np.asarray(st.rgb_sum))

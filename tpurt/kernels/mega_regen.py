@@ -445,12 +445,13 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("fscene", "cfg", "interpret"))
-def _render_regen_jit(fscene, cfg, camera, state, base_seed, spp, interpret):
+def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
+               radius, tile_base, interpret):
+    """Planes-level regenerative step: the raw pallas_call. Shared by the
+    single-chip wrapper and the shard_map multi-chip step (tile_base = the
+    device slab's global tile offset). Returns (planes, rays_per_tile)."""
     lanes = cfg.pallas_lanes
     R = lanes // 128
-    planes = state_to_planes(state)
     TR = planes.shape[1]
     assert TR % R == 0, (
         f"state rows {TR} not divisible by pallas tile rows {R}; "
@@ -461,10 +462,11 @@ def _render_regen_jit(fscene, cfg, camera, state, base_seed, spp, interpret):
                      camera.vertical, camera.lower_left])
     seed_arr = jnp.asarray(base_seed, jnp.uint32).reshape(1, 1)
     spp_arr = jnp.stack([jnp.asarray(spp, jnp.int32),
-                         state.iteration.astype(jnp.int32)]).reshape(1, 2)
-    rad_arr = jnp.stack([state.photon_radius,
-                         state.iteration.astype(jnp.float32)]).reshape(1, 2)
-    base_arr = jnp.zeros((1, 1), jnp.int32)
+                         jnp.asarray(iteration, jnp.int32)]).reshape(1, 2)
+    rad_arr = jnp.stack([jnp.asarray(radius, jnp.float32),
+                         jnp.asarray(iteration, jnp.int32)
+                         .astype(jnp.float32)]).reshape(1, 2)
+    base_arr = jnp.asarray(tile_base, jnp.int32).reshape(1, 1)
 
     sph_tab, tri_tab = _prim_tables(fscene, cfg)
 
@@ -487,6 +489,25 @@ def _render_regen_jit(fscene, cfg, camera, state, base_seed, spp, interpret):
         interpret=interpret,
     )(planes, zeros_in, cam, seed_arr, spp_arr, rad_arr, base_arr,
       sph_tab, tri_tab)
+    return new_planes, rays[:, 0]
+
+
+def radius_after(cfg, iteration, radius, spp):
+    """SPPM radius after `spp` more samples (same floats as the kernel's
+    per-lane schedule, ref: mega_kernel.rs:196-198)."""
+    def rstep(i, r):
+        kf = (iteration + i + 1).astype(jnp.float32)
+        return r * jnp.sqrt((kf + cfg.sppm_alpha) / (kf + 1.0))
+    return jax.lax.fori_loop(0, spp, rstep, radius)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fscene", "cfg", "interpret"))
+def _render_regen_jit(fscene, cfg, camera, state, base_seed, spp, interpret):
+    planes = state_to_planes(state)
+    new_planes, rays = regen_call(
+        fscene, cfg, camera, planes, base_seed, spp, state.iteration,
+        state.photon_radius, 0, interpret)
 
     P = new_planes.shape[1] * 128
     flat = new_planes.reshape(N_CHANNELS, P)

@@ -220,6 +220,40 @@ def make_pallas_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
     return jax.jit(sharded)
 
 
+def make_regen_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
+                            spp: int = 1, interpret: bool | None = None):
+    """Multi-chip REGENERATIVE megakernel step (the fastest single-chip
+    path, sharded): each device runs the per-lane sample state machine on
+    its pixel slab; tile_base keeps pixel ids / RNG streams global.
+
+    Returns f(camera, planes, iteration, photon_radius, rays, base_seed) ->
+    (planes, iteration, photon_radius, rays)."""
+    from tpurt.kernels import mega_regen as mr
+
+    fscene = mr.freeze_scene(scene)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    R = cfg.pallas_lanes // 128
+
+    def body(camera, planes, it, radius, rays, base_seed):
+        me = jax.lax.axis_index(AXIS)
+        tiles_local = planes.shape[1] // R
+        new_planes, tile_rays = mr.regen_call(
+            fscene, cfg, camera, planes, base_seed, jnp.int32(spp), it,
+            radius, me * tiles_local, interpret)
+        r_new = mr.radius_after(cfg, it, radius, jnp.int32(spp))
+        return (new_planes, it + spp, r_new,
+                rays + jax.lax.psum(jnp.sum(tile_rays), AXIS))
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(None, AXIS, None), P(), P(), P(), P()),
+        out_specs=(P(None, AXIS, None), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def resolve_planes(cfg: RenderConfig, planes, iteration):
     """Gather + resolve sharded plane state to a host (H, W, 3) image."""
     from tpurt import tonemap as tm
