@@ -38,9 +38,11 @@ class RenderConfig:
     backend: str = "xla"               # "xla" | "pallas" (fused megakernel;
     #   sphere scenes only for now — mesh scenes auto-fall-back to XLA)
     tile_size: int = 16384             # pixels per tile in the XLA path
-    pallas_lanes: int = 1024           # pixels per Pallas tile (R=lanes/128).
-    #   1024 (R=8, one native vreg per plane) measures fastest on v5e: the
-    #   kernel is VPU-issue-bound and larger tiles only add spill pressure.
+    pallas_lanes: int = 4096           # pixels per Pallas tile (R=lanes/128).
+    #   Swept on v5e @1080p (regenerative kernel): 1024->778, 2048->893,
+    #   4096->900, 8192->851 Mrays/s — 4096 amortizes instruction issue
+    #   best before register spills bite. (The tile-synchronized kernel,
+    #   with its much larger live carry set, prefers 1024.)
     pallas_regen: bool = True          # per-lane sample regeneration kernel
     #   (kernels/mega_regen.py): ~100% occupancy, 1.4x the tile-synchronized
     #   kernel, bit-comparable results. False = tile-sync kernel.
