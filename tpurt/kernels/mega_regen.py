@@ -69,7 +69,8 @@ from tpurt.ops.spectra import (DISPERSION_B, VISIBLE_MIN, VISIBLE_RANGE,
 from tpurt.render import _frame_seed
 
 
-def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
+def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
+                       depth: int):
     R = lanes // 128
     W, H = cfg.width, cfg.height
     MATS = fscene.materials
@@ -106,7 +107,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
             out_ref[ch] = planes_ref[ch]
 
         it0 = rad_ref[0, 1]          # starting iteration (f32)
-        depth_i = np.int32(cfg.depth)
+        depth_i = np.int32(depth)
         # layout-anchored zeros: loaded from a real VMEM input, so every
         # while-carry initialized from them has a concrete (non-replicated)
         # layout. Mosaic's layout solver otherwise pins constant-initialized
@@ -446,7 +447,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
 
 
 def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
-               radius, tile_base, interpret):
+               radius, tile_base, interpret, depth=None):
     """Planes-level regenerative step: the raw pallas_call. Shared by the
     single-chip wrapper and the shard_map multi-chip step (tile_base = the
     device slab's global tile offset). Returns (planes, rays_per_tile)."""
@@ -470,7 +471,8 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
 
     sph_tab, tri_tab = _prim_tables(fscene, cfg)
 
-    kernel = _make_regen_kernel(fscene, cfg, lanes)
+    kernel = _make_regen_kernel(fscene, cfg, lanes,
+                                cfg.depth if depth is None else depth)
     vb = pl.BlockSpec((N_CHANNELS, R, 128), lambda i: (0, i, 0),
                       memory_space=pltpu.VMEM)
     vz = pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -502,12 +504,13 @@ def radius_after(cfg, iteration, radius, spp):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fscene", "cfg", "interpret"))
-def _render_regen_jit(fscene, cfg, camera, state, base_seed, spp, interpret):
+                   static_argnames=("fscene", "cfg", "interpret", "depth"))
+def _render_regen_jit(fscene, cfg, camera, state, base_seed, spp, interpret,
+                      depth=None):
     planes = state_to_planes(state)
     new_planes, rays = regen_call(
         fscene, cfg, camera, planes, base_seed, spp, state.iteration,
-        state.photon_radius, 0, interpret)
+        state.photon_radius, 0, interpret, depth=depth)
 
     P = new_planes.shape[1] * 128
     flat = new_planes.reshape(N_CHANNELS, P)
@@ -530,16 +533,18 @@ def _render_regen_jit(fscene, cfg, camera, state, base_seed, spp, interpret):
 
 
 def render_regen(scene, cfg: RenderConfig, camera, state, base_seed, spp,
-                 interpret: bool | None = None):
+                 interpret: bool | None = None, depth: int | None = None):
     """Progressive render via the regenerative megakernel (full SPPM).
     Scene must be concrete; falls back to render_pallas for scenes beyond
-    the kernel budget."""
+    the kernel budget. `depth` overrides cfg.depth (preview frames)."""
     if not supports_scene(scene):
         from tpurt.kernels.mega_pallas import render_pallas
-        return render_pallas(scene, cfg, camera, state, base_seed, spp)
+        return render_pallas(scene, cfg, camera, state, base_seed, spp,
+                             depth=depth)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     fscene = freeze_scene(scene)
     return _render_regen_jit(fscene, cfg, camera, state,
                              jnp.asarray(base_seed, jnp.uint32),
-                             jnp.asarray(spp, jnp.int32), interpret)
+                             jnp.asarray(spp, jnp.int32), interpret,
+                             depth=depth)

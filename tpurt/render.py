@@ -105,12 +105,10 @@ def render_step(scene: Scene, cfg: RenderConfig, camera: Camera,
     """
     if _use_pallas(scene, cfg):
         d = cfg.depth if depth is None else depth
-        if cfg.pallas_regen and d == cfg.depth:
+        if cfg.pallas_regen:
             from tpurt.kernels import mega_regen
             return mega_regen.render_regen(scene, cfg, camera, state,
-                                           base_seed, 1)
-        # depth overrides (preview frames) use the tile-sync kernel, whose
-        # depth is a direct argument
+                                           base_seed, 1, depth=d)
         from tpurt.kernels import mega_pallas
         return mega_pallas.render_step_pallas(
             scene, cfg, camera, state, base_seed, d)
