@@ -78,7 +78,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="640x360 quick mode")
     ap.add_argument("--config", type=int, default=1)
-    ap.add_argument("--spp", type=int, default=8, help="timed samples")
+    ap.add_argument("--spp", type=int, default=32, help="timed samples")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
