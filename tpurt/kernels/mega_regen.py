@@ -161,30 +161,48 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             phase = jnp.where(fin, 0, phase)
             rad = s.vwhere(fin, z3, rad)
 
-            # ---- camera spawn
+            # ---- camera spawn (lax.cond: most iterations have no spawning
+            # lane, skipping the ~650-op CIE select chain entirely)
             spawn_c = ~active & (phase == 0) & (sample < spp) & valid_px
             # global sample index = iteration at call start + local sample:
             # progressive continuation draws NEW samples, never repeats
             samp_seed = _frame_seed(base_seed, it0_i + sample)
-            rng_c = rngmod.seed_pixels(samp_seed, px, py)
-            uj1, rng_c = rngmod.rand_1f(rng_c)
-            uj2, rng_c = rngmod.rand_1f(rng_c)
-            u = (px.astype(jnp.float32) + uj1) / jnp.float32(W)
-            v = (py.astype(jnp.float32) + uj2) / jnp.float32(H)
-            d0 = tuple(cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c]
-                       for c in range(3))
-            o0 = s.vbroadcast(cam_o, u)
-            ulam, rng_c = rngmod.rand_1f(rng_c)
-            lam_new = jnp.float32(VISIBLE_MIN) + ulam * jnp.float32(VISIBLE_RANGE)
-            cie_new = s.cie_to_rgb_c(lam_new)
-            em_new = []
-            for lt in LIGHTS:
-                spd = (blackbody(lam_new, np.float32(lt.temp))
-                       if lt.temp > 0.0 else 1.0)
-                for c in range(3):
-                    em_new.append(
-                        np.float32(lt.color[c] * lt.intensity * VISIBLE_RANGE)
-                        * spd * cie_new[c])
+
+            def _cam_spawn_vals(_):
+                rng_c = rngmod.seed_pixels(samp_seed, px, py)
+                uj1, rng_c = rngmod.rand_1f(rng_c)
+                uj2, rng_c = rngmod.rand_1f(rng_c)
+                u = (px.astype(jnp.float32) + uj1) / jnp.float32(W)
+                v = (py.astype(jnp.float32) + uj2) / jnp.float32(H)
+                d0 = tuple(cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c]
+                           for c in range(3))
+                o0 = s.vbroadcast(cam_o, u)
+                ulam, rng_c = rngmod.rand_1f(rng_c)
+                lam_new = (jnp.float32(VISIBLE_MIN)
+                           + ulam * jnp.float32(VISIBLE_RANGE))
+                cie_new = s.cie_to_rgb_c(lam_new)
+                em_new = []
+                for lt in LIGHTS:
+                    spd = (blackbody(lam_new, np.float32(lt.temp))
+                           if lt.temp > 0.0 else 1.0)
+                    for c in range(3):
+                        em_new.append(
+                            np.float32(lt.color[c] * lt.intensity
+                                       * VISIBLE_RANGE) * spd * cie_new[c])
+                return (*o0, *d0, lam_new, rng_c, *em_new)
+
+            def _cam_spawn_skip(_):
+                # `zero` is anchored to the z_ref load -> concrete layout
+                return (zero,) * 7 + (izero.astype(jnp.uint32),) \
+                    + (zero,) * (3 * L)
+
+            vals = jax.lax.cond(jnp.any(spawn_c), _cam_spawn_vals,
+                                _cam_spawn_skip, 0)
+            o0 = vals[0:3]
+            d0 = vals[3:6]
+            lam_new = vals[6]
+            rng_c = vals[7]
+            em_new = vals[8:8 + 3 * L]
 
             o = s.vwhere(spawn_c, o0, st["o"])
             d = s.vwhere(spawn_c, d0, st["d"])
@@ -197,62 +215,77 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             vp_stored = jnp.where(spawn_c, 0, vp_stored)
             active = active | spawn_c
 
-            # ---- photon spawn (k < K; per-photon stream; dynamic light)
+            # ---- photon spawn (k < K; per-photon stream; dynamic light),
+            # also lax.cond-gated: photon emission construction only runs
+            # on iterations where some lane transitions
             if K > 0:
                 spawn_p = ~active & (phase == 1) & (k < K)
-                ph_o, ph_d, ph_tp = z3, z3, z3
-                rng_pk = rng
-                for kk in range(K):
-                    sel = spawn_p & (k == kk)
-                    rkk = rngmod.photon_stream(samp_seed, px, py, kk)
-                    lt = LIGHTS[kk % L]
-                    uc, rkk = rngmod.rand_1f(rkk)
-                    up1, rkk = rngmod.rand_1f(rkk)
-                    _u, rkk = rngmod.rand_1f(rkk)  # parity: drawn, unused
-                    ue1, rkk = rngmod.rand_1f(rkk)
-                    ue2, rkk = rngmod.rand_1f(rkk)
-                    uh1, rkk = rngmod.rand_1f(rkk)
-                    uh2, rkk = rngmod.rand_1f(rkk)
-                    if lt.ltype == 0:
-                        ct = 1.0 - uc * np.float32(1.0 - PHOTON_CONE_COS)
-                        stn = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
-                        phi = jnp.float32(s.TWO_PI) * up1
-                        cphi, sphi = jnp.cos(phi), jnp.sin(phi)
-                        kd = tuple(
-                            stn * cphi * np.float32(lt.cone_t[c])
-                            + stn * sphi * np.float32(lt.cone_b[c])
-                            + ct * np.float32(lt.cone_axis[c])
-                            for c in range(3))
-                        ko = s.vbroadcast(lt.pos, uc)
-                        cf = (1.0 - PHOTON_CONE_COS) * 0.5
-                        kt = s.vbroadcast(tuple(
-                            lt.color[c] * lt.intensity / cfg.k_photons * cf
-                            for c in range(3)), uc)
-                    else:
-                        su = (ue1 - 0.5) * np.float32(2.0 * lt.hw)
-                        sv = (ue2 - 0.5) * np.float32(2.0 * lt.hw)
-                        ko = tuple(
-                            np.float32(lt.pos[c] + lt.normal[c] * EPS)
-                            + su * np.float32(lt.tangent[c])
-                            + sv * np.float32(lt.bitangent[c])
-                            for c in range(3))
-                        theta = jnp.float32(s.TWO_PI) * uh1
-                        r_ = jnp.sqrt(uh2)
-                        x_ = r_ * jnp.cos(theta)
-                        y_ = r_ * jnp.sin(theta)
-                        z_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - r_ * r_))
-                        kd = tuple(
-                            x_ * np.float32(lt.tangent[c])
-                            + y_ * np.float32(lt.bitangent[c])
-                            + z_ * np.float32(lt.normal[c])
-                            for c in range(3))
-                        kt = s.vbroadcast(tuple(
-                            lt.color[c] * lt.intensity / cfg.k_photons
-                            for c in range(3)), uc)
-                    ph_o = s.vwhere(sel, ko, ph_o)
-                    ph_d = s.vwhere(sel, kd, ph_d)
-                    ph_tp = s.vwhere(sel, kt, ph_tp)
-                    rng_pk = jnp.where(sel, rkk, rng_pk)
+
+                def _ph_spawn_vals(_):
+                    ph_o, ph_d, ph_tp = z3, z3, z3
+                    rng_pk = izero.astype(jnp.uint32)
+                    for kk in range(K):
+                        sel = spawn_p & (k == kk)
+                        rkk = rngmod.photon_stream(samp_seed, px, py, kk)
+                        lt = LIGHTS[kk % L]
+                        uc, rkk = rngmod.rand_1f(rkk)
+                        up1, rkk = rngmod.rand_1f(rkk)
+                        _u, rkk = rngmod.rand_1f(rkk)  # parity: drawn, unused
+                        ue1, rkk = rngmod.rand_1f(rkk)
+                        ue2, rkk = rngmod.rand_1f(rkk)
+                        uh1, rkk = rngmod.rand_1f(rkk)
+                        uh2, rkk = rngmod.rand_1f(rkk)
+                        if lt.ltype == 0:
+                            ct = 1.0 - uc * np.float32(1.0 - PHOTON_CONE_COS)
+                            stn = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
+                            phi = jnp.float32(s.TWO_PI) * up1
+                            cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+                            kd = tuple(
+                                stn * cphi * np.float32(lt.cone_t[c])
+                                + stn * sphi * np.float32(lt.cone_b[c])
+                                + ct * np.float32(lt.cone_axis[c])
+                                for c in range(3))
+                            ko = s.vbroadcast(lt.pos, uc)
+                            cf = (1.0 - PHOTON_CONE_COS) * 0.5
+                            kt = s.vbroadcast(tuple(
+                                lt.color[c] * lt.intensity / cfg.k_photons * cf
+                                for c in range(3)), uc)
+                        else:
+                            su = (ue1 - 0.5) * np.float32(2.0 * lt.hw)
+                            sv = (ue2 - 0.5) * np.float32(2.0 * lt.hw)
+                            ko = tuple(
+                                np.float32(lt.pos[c] + lt.normal[c] * EPS)
+                                + su * np.float32(lt.tangent[c])
+                                + sv * np.float32(lt.bitangent[c])
+                                for c in range(3))
+                            theta = jnp.float32(s.TWO_PI) * uh1
+                            r_ = jnp.sqrt(uh2)
+                            x_ = r_ * jnp.cos(theta)
+                            y_ = r_ * jnp.sin(theta)
+                            z_ = jnp.sqrt(jnp.maximum(0.0, 1.0 - r_ * r_))
+                            kd = tuple(
+                                x_ * np.float32(lt.tangent[c])
+                                + y_ * np.float32(lt.bitangent[c])
+                                + z_ * np.float32(lt.normal[c])
+                                for c in range(3))
+                            kt = s.vbroadcast(tuple(
+                                lt.color[c] * lt.intensity / cfg.k_photons
+                                for c in range(3)), uc)
+                        ph_o = s.vwhere(sel, ko, ph_o)
+                        ph_d = s.vwhere(sel, kd, ph_d)
+                        ph_tp = s.vwhere(sel, kt, ph_tp)
+                        rng_pk = jnp.where(sel, rkk, rng_pk)
+                    return (*ph_o, *ph_d, *ph_tp, rng_pk)
+
+                def _ph_spawn_skip(_):
+                    return (zero,) * 9 + (izero.astype(jnp.uint32),)
+
+                pvals = jax.lax.cond(jnp.any(spawn_p), _ph_spawn_vals,
+                                     _ph_spawn_skip, 0)
+                ph_o = pvals[0:3]
+                ph_d = pvals[3:6]
+                ph_tp = pvals[6:9]
+                rng_pk = pvals[9]
 
                 o = s.vwhere(spawn_p, ph_o, o)
                 d = s.vwhere(spawn_p, ph_d, d)
