@@ -238,3 +238,42 @@ class TestRegenKernel:
         assert float(st_a.rays) == float(st_b.rays)
         np.testing.assert_array_equal(np.asarray(st_a.rgb_sum),
                                       np.asarray(st_b.rgb_sum))
+
+
+class TestClusteredSweep:
+    """Two-level AABB-culled sphere sweep (pallas_cluster_size) must be
+    bit-identical to the flat static unroll: the cond-gated groups evaluate
+    the same per-sphere math, culling only whole-tile no-ops."""
+
+    def _render(self, cluster_size):
+        from tpurt.scene import instanced_scene
+        scene = instanced_scene(72)  # 73 spheres: clusters engage at 16
+        cam = make_camera((0, 10, -14), (0, 1, 8), vfov=55.0,
+                          aspect_ratio=2.0)
+        cfg = RenderConfig(width=64, height=32, depth=3, backend="pallas",
+                           pallas_lanes=512, pallas_static_unroll=128,
+                           pallas_cluster_size=cluster_size,
+                           k_photons=1, max_photon_bounces=2)
+        return render(scene, cfg, cam, init_state(cfg), 99, 2), cfg
+
+    def test_bit_identical_to_flat_sweep(self):
+        st_c, cfg = self._render(16)
+        st_f, _ = self._render(0)
+        assert float(st_c.rays) == float(st_f.rays) != 0.0
+        np.testing.assert_array_equal(np.asarray(st_c.rgb_sum),
+                                      np.asarray(st_f.rgb_sum))
+
+    def test_cluster_partition_covers_all_spheres(self):
+        from tpurt.kernels.mega_pallas import _cluster_spheres, freeze_scene
+        from tpurt.scene import instanced_scene
+        fs = freeze_scene(instanced_scene(72))
+        cl = _cluster_spheres(fs.spheres, 16)
+        got = list(cl.always) + [sp for g in cl.groups for sp in g.spheres]
+        assert sorted(id(sp) for sp in got) == \
+            sorted(id(sp) for sp in fs.spheres)
+        assert all(len(g.spheres) <= 16 for g in cl.groups)
+        for g in cl.groups:  # AABBs actually bound their spheres
+            for sp in g.spheres:
+                for c in range(3):
+                    assert g.bmin[c] <= sp.c[c] - sp.r + 1e-4
+                    assert g.bmax[c] >= sp.c[c] + sp.r - 1e-4

@@ -51,6 +51,12 @@ class RenderConfig:
     #   spheres ~6 min). Above it: SMEM-table fori sweep (fast compile,
     #   ~4x slower steady-state). Raise for benchmark-grade throughput on
     #   big instanced scenes.
+    pallas_cluster_size: int = 16      # two-level sphere culling in the
+    #   static-unroll mode: spheres are median-split into spatial groups of
+    #   this size, and each group's unrolled sweep is gated by a whole-tile
+    #   lax.cond on its AABB slab test (any active lane hits the box AND is
+    #   still closer than its current best). Tile-coherent rays skip most
+    #   groups. 0 disables (flat sweep). Only engages above 4x this count.
     sphere_chunk: int = 512            # primitive chunk sizes for the sweeps
     tri_chunk: int = 256
     # Wavefront tracer (tpurt.wavefront; ref: src/wavefront.rs finished form)

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -222,12 +223,11 @@ def supports_scene(scene) -> bool:
 
 # ----- component-form integrator pieces (mirror tpurt.integrate) -----
 
-def _closest_sphere_static(spheres, o, d):
-    """Unrolled winner loop over constant spheres (wgsl :342-354)."""
-    best_t = jnp.full_like(o[0], MISS)
-    best_c = (jnp.zeros_like(o[0]),) * 3
-    best_mat = jnp.zeros_like(o[0], jnp.int32)
-    a = s.vdot(d, d)
+def _sweep_spheres_static(spheres, o, d, a, state):
+    """Winner sweep over constant spheres, continuing from `state`
+    (best_t, best_center, best_mat) — the unrolled inner loop shared by the
+    flat and clustered intersectors (wgsl :342-354)."""
+    best_t, best_c, best_mat = state
     for sp in spheres:
         oc = (o[0] - sp.c[0], o[1] - sp.c[1], o[2] - sp.c[2])
         half_b = s.vdot(oc, d)
@@ -240,19 +240,32 @@ def _closest_sphere_static(spheres, o, d):
         best_t = jnp.where(better, t, best_t)
         best_c = s.vwhere(better, s.vbroadcast(sp.c, o[0]), best_c)
         best_mat = jnp.where(better, np.int32(sp.mat), best_mat)
+    return best_t, best_c, best_mat
+
+
+def _sphere_state_init(o):
+    return (jnp.full_like(o[0], MISS), (jnp.zeros_like(o[0]),) * 3,
+            jnp.zeros_like(o[0], jnp.int32))
+
+
+def _sphere_state_finish(o, d, state):
+    best_t, best_c, best_mat = state
     loc = s.vadd(o, s.vscale(d, best_t * 0.9999))
     nrm = s.vnormalize(s.vsub(loc, best_c), eps=1e-30)
     return best_t, loc, nrm, best_mat
 
 
-def _shadow_static(spheres, o, d, t_max, lam):
-    """Spectral shadow attenuation over constant spheres (wgsl :511-538).
-
-    Static material types let diffuse occluders skip the entire Fresnel
-    chain: their factor is just `overlap ? 0 : 1`.
-    """
-    atten = jnp.ones_like(o[0])
+def _closest_sphere_static(spheres, o, d):
+    """Unrolled winner loop over constant spheres (wgsl :342-354)."""
     a = s.vdot(d, d)
+    state = _sweep_spheres_static(spheres, o, d, a, _sphere_state_init(o))
+    return _sphere_state_finish(o, d, state)
+
+
+def _shadow_sweep_static(spheres, o, d, t_max, lam, a, atten):
+    """Shadow-factor sweep over constant spheres, continuing from `atten`
+    (wgsl :511-538). Static material types let diffuse occluders skip the
+    entire Fresnel chain: their factor is just `overlap ? 0 : 1`."""
     for sp in spheres:
         cb = s.vbroadcast(sp.c, o[0])
         oc = s.vsub(o, cb)
@@ -278,6 +291,118 @@ def _shadow_static(spheres, o, d, t_max, lam):
         R2 = fr_dielectric(-s.vdot(n2, d), eta)
         f = jnp.where(segment, (1.0 - R1) * (1.0 - R2), 1.0)
         atten = atten * jnp.where(overlap, f, 1.0)
+    return atten
+
+
+def _shadow_static(spheres, o, d, t_max, lam):
+    a = s.vdot(d, d)
+    return _shadow_sweep_static(spheres, o, d, t_max, lam, a,
+                                jnp.ones_like(o[0]))
+
+
+# ----- two-level clustered sweep (tile-coherent AABB culling) -----
+#
+# The instanced-scene sweep (e.g. BASELINE config 3: 257 spheres) is the
+# one place the megakernel is compute-bound on pure intersection math. A
+# per-lane BVH walk is hostile to the (R,128) SIMD model (divergent stacks,
+# per-lane gathers), but a tile-level frontier works with it: spheres are
+# median-split (same rule as accel.build_bvh, instance.rs:259-269) into
+# spatial groups, each group's unrolled sweep is wrapped in lax.cond, and
+# the whole tile skips the group unless SOME active lane's ray enters its
+# AABB closer than that lane's current best hit. Coherent tiles (camera
+# rays, shadow rays toward one light, ground-local bounces) prune most
+# groups; fully incoherent tiles degrade to the flat sweep + one slab test
+# per group (~4% overhead), never worse asymptotically.
+
+class _SphereGroup(NamedTuple):
+    spheres: tuple
+    bmin: tuple
+    bmax: tuple
+
+
+class _SphereClusters(NamedTuple):
+    always: tuple   # swept unconditionally (huge bounds cull nothing)
+    groups: tuple   # of _SphereGroup
+
+
+def _cluster_spheres(spheres, max_size: int) -> _SphereClusters:
+    """Host-side recursive median split on the longest centroid axis."""
+    radii = np.asarray([sp.r for sp in spheres], np.float32)
+    med = float(np.median(radii)) if len(radii) else 0.0
+    # Spheres much larger than the population (the ground sphere) span the
+    # whole scene: their AABB test would always pass, so sweep them flat.
+    huge = radii > max(10.0 * med, 1e-3)
+    always = tuple(sp for sp, h in zip(spheres, huge) if h)
+    rest = [sp for sp, h in zip(spheres, huge) if not h]
+    groups = []
+
+    def split(idx):
+        if len(idx) <= max_size:
+            sub = [rest[i] for i in idx]
+            c = np.asarray([sp.c for sp in sub], np.float32)
+            r = np.asarray([sp.r for sp in sub], np.float32)[:, None]
+            bmin = tuple(float(x) for x in (c - r).min(axis=0))
+            bmax = tuple(float(x) for x in (c + r).max(axis=0))
+            groups.append(_SphereGroup(tuple(sub), bmin, bmax))
+            return
+        cen = np.asarray([rest[i].c for i in idx], np.float32)
+        ax = int((cen.max(axis=0) - cen.min(axis=0)).argmax())
+        order = [idx[j] for j in np.argsort(cen[:, ax], kind="stable")]
+        h = len(order) // 2
+        split(order[:h])
+        split(order[h:])
+
+    if rest:
+        split(list(range(len(rest))))
+    return _SphereClusters(always=always, groups=tuple(groups))
+
+
+def _aabb_entry_exit(bmin, bmax, o, inv):
+    """Slab test (wgsl :358-393): per-lane (t_near, t_far) for a constant
+    box. Degenerate-direction NaNs fall out as non-hits in the compare."""
+    tn = jnp.full_like(o[0], -np.float32(np.inf))
+    tf = jnp.full_like(o[0], np.float32(np.inf))
+    for c in range(3):
+        t0 = (np.float32(bmin[c]) - o[c]) * inv[c]
+        t1 = (np.float32(bmax[c]) - o[c]) * inv[c]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    return tn, tf
+
+
+def _closest_sphere_clustered(clusters: _SphereClusters, o, d, mask):
+    a = s.vdot(d, d)
+    state = _sweep_spheres_static(clusters.always, o, d, a,
+                                  _sphere_state_init(o))
+    inv = tuple(1.0 / d[c] for c in range(3))
+    for grp in clusters.groups:
+        tn, tf = _aabb_entry_exit(grp.bmin, grp.bmax, o, inv)
+        best_t = state[0]
+        pred = jnp.any(mask & (tn <= tf) & (tf > 0.0) & (tn < best_t))
+        state = jax.lax.cond(
+            pred,
+            lambda st, g=grp: _sweep_spheres_static(g.spheres, o, d, a, st),
+            lambda st: st,
+            state)
+    return _sphere_state_finish(o, d, state)
+
+
+def _shadow_clustered(clusters: _SphereClusters, o, d, t_max, lam, mask):
+    a = s.vdot(d, d)
+    atten = _shadow_sweep_static(clusters.always, o, d, t_max, lam, a,
+                                 jnp.ones_like(o[0]))
+    inv = tuple(1.0 / d[c] for c in range(3))
+    for grp in clusters.groups:
+        tn, tf = _aabb_entry_exit(grp.bmin, grp.bmax, o, inv)
+        # already-black lanes can't get darker: drop them from the vote
+        pred = jnp.any(mask & (atten > 0.0) & (tn <= tf) & (tf > 0.0)
+                       & (tn < t_max))
+        atten = jax.lax.cond(
+            pred,
+            lambda at, g=grp: _shadow_sweep_static(g.spheres, o, d, t_max,
+                                                   lam, a, at),
+            lambda at: at,
+            atten)
     return atten
 
 
@@ -649,15 +774,27 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
 
 def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref):
     """(intersect, shadow) closures over the frozen scene + SMEM tables,
-    picking static-unroll or dynamic-sweep mode per primitive kind."""
+    picking clustered / static-unroll / dynamic-sweep mode per primitive
+    kind. Both take a lanes-relevance mask (the lanes whose result is
+    consumed), used only for tile-level culling votes — per-lane results
+    for masked-out lanes stay well-defined."""
     SPH, TRIS = fscene.spheres, fscene.triangles
-    if len(SPH) > cfg.pallas_static_unroll:
-        sph_hit = lambda o, d: _closest_sphere_dyn(sph_ref, len(SPH), o, d)
-        sph_shadow = lambda o, d, tm, lam_: _shadow_dyn(
+    use_clusters = (cfg.pallas_cluster_size > 0
+                    and len(SPH) > 4 * cfg.pallas_cluster_size
+                    and len(SPH) <= cfg.pallas_static_unroll)
+    if use_clusters:
+        CL = _cluster_spheres(SPH, cfg.pallas_cluster_size)
+        sph_hit = lambda o, d, m: _closest_sphere_clustered(CL, o, d, m)
+        sph_shadow = lambda o, d, tm, lam_, m: _shadow_clustered(
+            CL, o, d, tm, lam_, m)
+    elif len(SPH) > cfg.pallas_static_unroll:
+        sph_hit = lambda o, d, m: _closest_sphere_dyn(sph_ref, len(SPH), o, d)
+        sph_shadow = lambda o, d, tm, lam_, m: _shadow_dyn(
             sph_ref, len(SPH), o, d, tm, lam_)
     else:
-        sph_hit = lambda o, d: _closest_sphere_static(SPH, o, d)
-        sph_shadow = lambda o, d, tm, lam_: _shadow_static(SPH, o, d, tm, lam_)
+        sph_hit = lambda o, d, m: _closest_sphere_static(SPH, o, d)
+        sph_shadow = lambda o, d, tm, lam_, m: _shadow_static(
+            SPH, o, d, tm, lam_)
     if not TRIS:
         return sph_hit, sph_shadow
     if len(TRIS) > cfg.pallas_static_unroll:
@@ -667,11 +804,12 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref):
         tri_hit = lambda o, d: _closest_tri_static(TRIS, o, d)
         tri_occ = lambda o, d, tm: _tri_shadow_static(TRIS, o, d, tm)
 
-    def intersect(o, d):
-        return _combine_nearest(sph_hit(o, d), tri_hit(o, d))
+    def intersect(o, d, m):
+        return _combine_nearest(sph_hit(o, d, m), tri_hit(o, d))
 
-    def shadow(o, d, tm, lam_):
-        return jnp.where(tri_occ(o, d, tm), 0.0, sph_shadow(o, d, tm, lam_))
+    def shadow(o, d, tm, lam_, m):
+        return jnp.where(tri_occ(o, d, tm), 0.0,
+                         sph_shadow(o, d, tm, lam_, m))
 
     return intersect, shadow
 
@@ -772,7 +910,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             if cfg.count_rays:
                 rays = rays + jnp.sum(_mask_f32(active))
 
-            t, loc, n, mat = intersect(o, d)
+            t, loc, n, mat = intersect(o, d, active)
             found = t < _HIT
 
             color, rough, ior, is_diffuse, is_metal = \
@@ -820,7 +958,8 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                     geom = ndotl
 
                 so = s.vadd(loc, s.vscale(n, EPS))
-                atten = shadow(so, ldir, dist - EPS, lam)
+                atten = shadow(so, ldir, dist - EPS, lam,
+                               active & found & is_diffuse & live)
 
                 w = geom * atten / (dist * dist)
                 w = jnp.where(live, w, 0.0)
@@ -963,7 +1102,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                     if cfg.count_rays:
                         rays = rays + jnp.sum(_mask_f32(active))
 
-                    t, loc, n, mat = intersect(o, d)
+                    t, loc, n, mat = intersect(o, d, active)
                     found = t < _HIT
                     live = active & found
 

@@ -302,7 +302,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             is_ph = phase == 1
 
             # ---- shared bounce: intersect + material
-            t, loc, n, mat = intersect(o, d)
+            t, loc, n, mat = intersect(o, d, active)
             found = t < _HIT
             color, rough, ior, is_diffuse, is_metal = \
                 _material_lookup_static(MATS, mat)
@@ -351,7 +351,8 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 else:
                     geom = ndotl
                 so = s.vadd(loc, s.vscale(n, EPS))
-                atten = shadow(so, ldir, dist - EPS, lam)
+                atten = shadow(so, ldir, dist - EPS, lam,
+                               active & is_cam & found & is_diffuse & live)
                 w = jnp.where(live, geom * atten / (dist * dist), 0.0)
                 emv = (em[3 * li], em[3 * li + 1], em[3 * li + 2])
                 direct = s.vadd(direct, s.vscale(emv, w))

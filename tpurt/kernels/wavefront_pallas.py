@@ -96,7 +96,7 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
         rays = jnp.sum(_mask_f32(active)) if cfg.count_rays else jnp.float32(0.0)
         z3 = (jnp.zeros_like(lam),) * 3
 
-        t, loc, n, mat = intersect(o, d)
+        t, loc, n, mat = intersect(o, d, active)
         found = t < _HIT
 
         color, rough, ior, is_diffuse, is_metal = \
@@ -143,7 +143,8 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                 geom = ndotl
 
             so = s.vadd(loc, s.vscale(n, EPS))
-            atten = shadow(so, ldir, dist - EPS, lam)
+            atten = shadow(so, ldir, dist - EPS, lam,
+                           active & found & is_diffuse & live)
             w = jnp.where(live, geom * atten / (dist * dist), 0.0)
             em = (pf_ref[_EM + 3 * li], pf_ref[_EM + 3 * li + 1],
                   pf_ref[_EM + 3 * li + 2])
@@ -492,7 +493,7 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                 rays = rays + jnp.sum(_mask_f32(active))
 
             # ---- one bounce (identical physics to the sweep kernel) ----
-            t, loc, n, mat = intersect(o, d)
+            t, loc, n, mat = intersect(o, d, active)
             found = t < _HIT
             color, rough, ior, is_diffuse, is_metal = \
                 _material_lookup_static(MATS, mat)
@@ -534,7 +535,8 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                 else:
                     geom = ndotl
                 so = s.vadd(loc, s.vscale(n, EPS))
-                atten = shadow(so, ldir, dist - EPS, lam)
+                atten = shadow(so, ldir, dist - EPS, lam,
+                               active & found & is_diffuse & live)
                 w = jnp.where(live, geom * atten / (dist * dist), 0.0)
                 emv = (em[3 * li], em[3 * li + 1], em[3 * li + 2])
                 direct = s.vadd(direct, s.vscale(emv, w))
