@@ -109,8 +109,9 @@ class TestMegaPallasParity:
                                  pallas_static_unroll=unroll, **kw)
             st_p = render(scene, cfg_p, cam, init_state(cfg_p), 5, 2)
             assert float(st_p.rays) == float(st_x.rays)
-            a = np.asarray(st_x.rgb_sum)
-            b = np.asarray(st_p.rgb_sum)
+            n = 64 * 32  # padded sizes differ (block tiles); compare pixels
+            a = np.asarray(st_x.rgb_sum)[:n]
+            b = np.asarray(st_p.rgb_sum)[:n]
             assert (np.abs(a - b).max(axis=-1) > 1e-3).mean() < 0.01
 
     def test_vispoints_persist(self):

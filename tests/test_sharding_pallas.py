@@ -83,5 +83,6 @@ def test_sharded_regen_bit_identical():
     st = render(scene, cfg, cam, init_state(cfg), 11, 2)
     assert float(rays) == float(st.rays)
     flat = np.asarray(planes).reshape(16, -1)
+    flat = np.asarray(mp.planes_pixel_order(cfg, jnp.asarray(flat)))
     a = np.stack([flat[0], flat[1], flat[2]], -1)
     np.testing.assert_array_equal(a, np.asarray(st.rgb_sum))

@@ -16,7 +16,7 @@ def test_matches_jnp_blit():
                       aspect_ratio=2.0)
     st = render(scene, cfg, cam, init_state(cfg), 5, 4)
     ref = np.asarray(resolve_image(cfg, st))
-    planes = mp.state_to_planes(st)
+    planes = mp.state_to_planes(st, cfg)
     out = np.asarray(image_from_planes(cfg, planes, 4.0))
     np.testing.assert_allclose(out, ref, atol=1e-5)
     # live knobs (ref: blit.rs:161-168)

@@ -51,6 +51,13 @@ class RenderConfig:
     #   spheres ~6 min). Above it: SMEM-table fori sweep (fast compile,
     #   ~4x slower steady-state). Raise for benchmark-grade throughput on
     #   big instanced scenes.
+    pallas_block_tiles: bool = True    # map each Pallas tile to an
+    #   (R x 128)-pixel image BLOCK instead of `lanes` consecutive linear
+    #   pixels. A 32x128 block subtends a far narrower frustum than a
+    #   2-row slab of a 1080p image, so tile-level votes (cluster culling,
+    #   early loop exit) prune much more. Pixel<->plane order permutation
+    #   is paid once per render call in XLA (reshape/transpose), never in
+    #   the kernel.
     pallas_cluster_size: int = 16      # two-level sphere culling in the
     #   static-unroll mode: spheres are median-split into spatial groups of
     #   this size, and each group's unrolled sweep is gated by a whole-tile

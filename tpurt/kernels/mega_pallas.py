@@ -837,10 +837,20 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
         gtile = base_ref[0, 0] + tile
         row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-        idx = gtile * lanes + row * 128 + col
-        px = jnp.remainder(idx, W)
-        py = jnp.minimum(idx // W, H - 1)
-        valid_px = idx < W * H  # padding lanes never trace (exact counts)
+        if cfg.pallas_block_tiles:
+            # tile = (R x 128) image block: a far narrower frustum than a
+            # `lanes`-pixel row slab -> tile-level culling votes prune more
+            NBX = -(-W // 128)
+            px = (gtile % NBX) * 128 + col
+            py = (gtile // NBX) * R + row
+            valid_px = (px < W) & (py < H)  # padding lanes never trace
+            px = jnp.minimum(px, W - 1)
+            py = jnp.minimum(py, H - 1)
+        else:
+            idx = gtile * lanes + row * 128 + col
+            px = jnp.remainder(idx, W)
+            py = jnp.minimum(idx // W, H - 1)
+            valid_px = idx < W * H
 
         # persistent planes: carry last frame's vispoints into the output
         # block; the bounce loop masked-updates them in place (cheaper than
@@ -1267,15 +1277,63 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
 
 # ----- RenderState <-> planes conversion (XLA side) -----
 
-def state_to_planes(state):
-    """RenderState arrays (P, 3)/(P,) -> (16, TR, 128) f32 planes."""
+def block_grid(cfg: RenderConfig):
+    """(nbx, nby) image-block tile grid, or None for linear slab tiles."""
+    if not cfg.pallas_block_tiles:
+        return None
+    R = cfg.pallas_lanes // 128
+    return (-(-cfg.width // 128), -(-cfg.height // R))
+
+
+def pixels_to_planes_order(cfg: RenderConfig, flat):
+    """Linear-pixel-order channels (C, P) -> plane-order (C, P): each tile
+    becomes an (R x 128) image block (row-major over the block grid).
+    Identity when block tiles are off. Pure permutation — exact inverse of
+    planes_pixel_order."""
+    g = block_grid(cfg)
+    if g is None:
+        return flat
+    nbx, nby = g
+    R = cfg.pallas_lanes // 128
+    C, P = flat.shape
+    img = flat[:, :cfg.n_pixels].reshape(C, cfg.height, cfg.width)
+    img = jnp.pad(img, ((0, 0), (0, nby * R - cfg.height),
+                        (0, nbx * 128 - cfg.width)))
+    out = img.reshape(C, nby, R, nbx, 128).transpose(0, 1, 3, 2, 4)
+    out = out.reshape(C, nbx * nby * cfg.pallas_lanes)
+    if P > out.shape[1]:  # n_dev-rounding tiles carry no pixels
+        out = jnp.pad(out, ((0, 0), (0, P - out.shape[1])))
+    return out
+
+
+def planes_pixel_order(cfg: RenderConfig, flat):
+    """Plane-order channels (C, P) -> linear-pixel-order (C, P)."""
+    g = block_grid(cfg)
+    if g is None:
+        return flat
+    nbx, nby = g
+    R = cfg.pallas_lanes // 128
+    C, P = flat.shape
+    body = flat[:, : nbx * nby * cfg.pallas_lanes]
+    img = body.reshape(C, nby, nbx, R, 128).transpose(0, 1, 3, 2, 4)
+    img = img.reshape(C, nby * R, nbx * 128)[:, :cfg.height, :cfg.width]
+    out = img.reshape(C, cfg.n_pixels)
+    if P > cfg.n_pixels:
+        out = jnp.pad(out, ((0, 0), (0, P - cfg.n_pixels)))
+    return out
+
+
+def state_to_planes(state, cfg: RenderConfig):
+    """RenderState arrays (P, 3)/(P,) -> (16, TR, 128) f32 planes (block
+    order when cfg.pallas_block_tiles)."""
     P = state.rgb_sum.shape[0]
     TR = P // 128
     cols = [state.rgb_sum[:, c] for c in range(3)]
     for arr in (state.vis_pos, state.vis_norm, state.vis_wo, state.vis_tp):
         cols.extend(arr[:, c] for c in range(3))
     cols.append(state.vis_mat.astype(jnp.float32))
-    return jnp.stack(cols).reshape(N_CHANNELS, TR, 128)
+    flat = pixels_to_planes_order(cfg, jnp.stack(cols))
+    return flat.reshape(N_CHANNELS, TR, 128)
 
 
 @functools.partial(jax.jit,
@@ -1286,7 +1344,7 @@ def _render_pallas_jit(fscene, cfg, camera, state, base_seed, spp, depth,
     # (the Mosaic kernel compile is the expensive part; don't repeat it).
     from tpurt.render import _frame_seed
 
-    planes = state_to_planes(state)
+    planes = state_to_planes(state, cfg)
 
     def body(_, carry):
         planes, it, radius, rays = carry
@@ -1305,7 +1363,7 @@ def _render_pallas_jit(fscene, cfg, camera, state, base_seed, spp, depth,
         (planes, state.iteration, state.photon_radius, state.rays))
 
     P = planes.shape[1] * 128
-    flat = planes.reshape(N_CHANNELS, P)
+    flat = planes_pixel_order(cfg, planes.reshape(N_CHANNELS, P))
     v3 = lambda a: jnp.stack([flat[a], flat[a + 1], flat[a + 2]], axis=-1)
     return dataclasses.replace(
         state,

@@ -58,6 +58,7 @@ from tpurt.kernels.mega_pallas import (
     _scatter_dielectric_c,
     _scatter_metal_c,
     freeze_scene,
+    planes_pixel_order,
     state_to_planes,
     supports_scene,
 )
@@ -86,10 +87,18 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
         gtile = base_ref[0, 0] + tile
         row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
-        idx = gtile * lanes + row * 128 + col
-        px = jnp.remainder(idx, W)
-        py = jnp.minimum(idx // W, H - 1)
-        valid_px = idx < W * H
+        if cfg.pallas_block_tiles:
+            NBX = -(-W // 128)  # tile = (R x 128) image block (see config)
+            px = (gtile % NBX) * 128 + col
+            py = (gtile // NBX) * R + row
+            valid_px = (px < W) & (py < H)
+            px = jnp.minimum(px, W - 1)
+            py = jnp.minimum(py, H - 1)
+        else:
+            idx = gtile * lanes + row * 128 + col
+            px = jnp.remainder(idx, W)
+            py = jnp.minimum(idx // W, H - 1)
+            valid_px = idx < W * H
         base_seed = seed_ref[0, 0]
         spp = spp_ref[0, 0]
         it0_i = spp_ref[0, 1]   # starting iteration (progressive continuation)
@@ -541,13 +550,13 @@ def radius_after(cfg, iteration, radius, spp):
                    static_argnames=("fscene", "cfg", "interpret", "depth"))
 def _render_regen_jit(fscene, cfg, camera, state, base_seed, spp, interpret,
                       depth=None):
-    planes = state_to_planes(state)
+    planes = state_to_planes(state, cfg)
     new_planes, rays = regen_call(
         fscene, cfg, camera, planes, base_seed, spp, state.iteration,
         state.photon_radius, 0, interpret, depth=depth)
 
     P = new_planes.shape[1] * 128
-    flat = new_planes.reshape(N_CHANNELS, P)
+    flat = planes_pixel_order(cfg, new_planes.reshape(N_CHANNELS, P))
     v3 = lambda a: jnp.stack([flat[a], flat[a + 1], flat[a + 2]], axis=-1)
     it_new = state.iteration + spp
     # final radius = schedule applied spp times (same floats as per-lane)

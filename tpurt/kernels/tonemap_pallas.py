@@ -74,10 +74,11 @@ def image_from_planes(cfg, planes, n_samples, key=None, saturation=None,
     """Tonemapped (H, W, 3) image straight from plane state."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    from tpurt.kernels.mega_pallas import planes_pixel_order
     out = tonemap_planes(
         planes, n_samples,
         cfg.tonemap_key if key is None else key,
         cfg.tonemap_saturation if saturation is None else saturation,
         interpret=interpret)
-    flat = out.reshape(3, -1)[:, : cfg.n_pixels]
+    flat = planes_pixel_order(cfg, out.reshape(3, -1))[:, : cfg.n_pixels]
     return jnp.transpose(flat).reshape(cfg.height, cfg.width, 3)

@@ -156,6 +156,13 @@ def make_sharded_step(mesh: Mesh, cfg: RenderConfig, depth: int | None = None,
 # ----- Pallas megakernel over the mesh (the production multi-chip path) -----
 
 def padded_pixels_pallas(cfg: RenderConfig, n_dev: int) -> int:
+    from tpurt.kernels.mega_pallas import block_grid
+    g = block_grid(cfg)
+    if g is not None:
+        # whole (R x 128) image blocks, tile count rounded up so every
+        # device gets an equal slab of tiles (extra tiles are all-padding)
+        tiles = ((g[0] * g[1] + n_dev - 1) // n_dev) * n_dev
+        return tiles * cfg.pallas_lanes
     unit = cfg.pallas_lanes * n_dev
     return ((cfg.n_pixels + unit - 1) // unit) * unit
 
@@ -257,7 +264,9 @@ def make_regen_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
 def resolve_planes(cfg: RenderConfig, planes, iteration):
     """Gather + resolve sharded plane state to a host (H, W, 3) image."""
     from tpurt import tonemap as tm
+    from tpurt.kernels.mega_pallas import planes_pixel_order
     flat = np.asarray(jax.device_get(planes)).reshape(16, -1)
+    flat = np.asarray(planes_pixel_order(cfg, jnp.asarray(flat)))
     rgb = flat[0:3].T[: cfg.n_pixels]
     avg = rgb / max(float(iteration), 1.0)
     img = np.asarray(tm.tonemap(jnp.asarray(avg), cfg.tonemap_key,

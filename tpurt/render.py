@@ -51,6 +51,13 @@ def padded_pixels(cfg: RenderConfig) -> int:
     n = cfg.n_pixels
     # The Pallas backend needs P divisible by its lane tile AND by 128 for
     # the (16, TR, 128) plane layout; pallas_lanes is a multiple of 128.
+    # With block tiles, each tile is an (R x 128) image block, so P covers
+    # the image rounded up to whole blocks in both dimensions.
+    if cfg.backend == "pallas":
+        from tpurt.kernels.mega_pallas import block_grid
+        g = block_grid(cfg)
+        if g is not None:
+            return g[0] * g[1] * cfg.pallas_lanes
     t = cfg.pallas_lanes if cfg.backend == "pallas" else cfg.tile_size
     return ((n + t - 1) // t) * t
 
