@@ -54,7 +54,8 @@ def build_bench(config_id: int, small: bool):
         # full static unroll: ~6 min one-off Mosaic compile (warmup, not
         # timed) buys ~4x the steady-state throughput of the SMEM sweep
         cfg = RenderConfig(width=w, height=h, depth=30,
-                           pallas_static_unroll=512, **kw)
+                           pallas_static_unroll=512,
+                           pallas_cluster_size=32, **kw)
         scene = instanced_scene(256)
         cam = make_camera((0, 10, -14), (0, 1, 8), vfov=55.0, aspect_ratio=w / h)
     elif config_id == 4:  # dispersive spectral scene (BASELINE config 4)

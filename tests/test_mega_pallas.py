@@ -264,17 +264,79 @@ class TestClusteredSweep:
         np.testing.assert_array_equal(np.asarray(st_c.rgb_sum),
                                       np.asarray(st_f.rgb_sum))
 
-    def test_cluster_partition_covers_all_spheres(self):
-        from tpurt.kernels.mega_pallas import _cluster_spheres, freeze_scene
+    def test_cull_tree_covers_all_spheres(self):
+        from tpurt.kernels.mega_pallas import _sphere_cull_tree, freeze_scene
         from tpurt.scene import instanced_scene
         fs = freeze_scene(instanced_scene(72))
-        cl = _cluster_spheres(fs.spheres, 16)
-        got = list(cl.always) + [sp for g in cl.groups for sp in g.spheres]
+        tree = _sphere_cull_tree(fs.spheres, 16)
+
+        leaves = []
+
+        def walk(node, pmin, pmax):
+            for c in range(3):  # child boxes nest inside the parent's
+                assert node.bmin[c] >= pmin[c] - 1e-4
+                assert node.bmax[c] <= pmax[c] + 1e-4
+            if node.prims:
+                assert not node.children
+                assert len(node.prims) <= 16
+                leaves.append(node)
+                for sp in node.prims:  # leaf AABB bounds its spheres
+                    for c in range(3):
+                        assert node.bmin[c] <= sp.c[c] - sp.r + 1e-4
+                        assert node.bmax[c] >= sp.c[c] + sp.r - 1e-4
+            else:
+                assert len(node.children) == 2
+                for ch in node.children:
+                    walk(ch, node.bmin, node.bmax)
+
+        walk(tree.root, tree.root.bmin, tree.root.bmax)
+        got = list(tree.always) + [sp for lf in leaves for sp in lf.prims]
         assert sorted(id(sp) for sp in got) == \
             sorted(id(sp) for sp in fs.spheres)
-        assert all(len(g.spheres) <= 16 for g in cl.groups)
-        for g in cl.groups:  # AABBs actually bound their spheres
-            for sp in g.spheres:
-                for c in range(3):
-                    assert g.bmin[c] <= sp.c[c] - sp.r + 1e-4
-                    assert g.bmax[c] >= sp.c[c] + sp.r - 1e-4
+
+
+class TestClusteredTriangles:
+    """Cull-tree triangle sweep must agree with the flat unroll (exact ray
+    counts; values to float-fusion tolerance) and with the XLA integrator
+    on ray counts."""
+
+    @staticmethod
+    def _grid_mesh_scene(n=5):
+        from tpurt.scene import (Light, Material, MeshData, Sphere,
+                                 build_scene)
+        xs, zs = np.meshgrid(np.linspace(-4, 4, n), np.linspace(2, 10, n))
+        ys = 0.6 * np.sin(xs) * np.cos(zs)
+        pos = np.stack([xs, ys, zs], -1).reshape(-1, 3).astype(np.float32)
+        idx = []
+        for r in range(n - 1):
+            for c in range(n - 1):
+                a, b = r * n + c, r * n + c + 1
+                cc, dd = (r + 1) * n + c, (r + 1) * n + c + 1
+                idx += [[a, b, dd], [a, dd, cc]]
+        mesh = MeshData(material_id=1)
+        mesh.add_triangles(pos, np.asarray(idx, np.int32))
+        mats = [Material.diffuse((0.7, 0.7, 0.7)),
+                Material.diffuse((0.8, 0.3, 0.2))]
+        sph = [Sphere(0, 1000.0, (0.0, -1001.0, 0.0))]
+        lights = [Light.point([0.0, 8.0, 6.0], [1, 1, 1], 30.0, 5500.0)]
+        return build_scene(mats, sph, [mesh], lights)
+
+    def test_tree_matches_flat_and_xla(self):
+        scene = self._grid_mesh_scene()  # 32 triangles
+        w, h = 64, 32
+        cam = make_camera((0, 6, -6), (0, 0, 6), vfov=60.0,
+                          aspect_ratio=w / h)
+        out = {}
+        for name, kw in [
+            ("tree", dict(backend="pallas", pallas_static_unroll=64,
+                          pallas_cluster_size=4, pallas_lanes=512)),
+            ("flat", dict(backend="pallas", pallas_static_unroll=64,
+                          pallas_cluster_size=0, pallas_lanes=512)),
+            ("xla", dict(backend="xla")),
+        ]:
+            cfg = RenderConfig(width=w, height=h, depth=3, k_photons=1,
+                               max_photon_bounces=2, **kw)
+            st = render(scene, cfg, cam, init_state(cfg), 42, 2)
+            out[name] = (float(st.rays), np.asarray(st.rgb_sum)[:w * h])
+        assert out["tree"][0] == out["flat"][0] == out["xla"][0] != 0.0
+        np.testing.assert_allclose(out["tree"][1], out["flat"][1], atol=1e-4)

@@ -213,12 +213,16 @@ def freeze_scene(scene) -> FrozenScene:
                        lights=tuple(lights), triangles=triangles)
 
 
-def supports_scene(scene) -> bool:
-    """The Pallas megakernel covers sphere + small-mesh scenes (primitives
-    unroll below cfg.pallas_static_unroll, SMEM-table sweep above it).
-    Large meshes (BVH territory) run on the XLA path."""
-    return (scene.num_triangles <= MAX_DYNAMIC_TRIS
-            and scene.num_spheres <= MAX_DYNAMIC_SPHERES)
+def supports_scene(scene, cfg=None) -> bool:
+    """The Pallas megakernel covers sphere + mesh scenes: primitives unroll
+    below cfg.pallas_static_unroll (clustered with AABB culling above
+    4x pallas_cluster_size), SMEM-table sweep up to the MAX_DYNAMIC budget.
+    Scenes beyond both run on the XLA path (BVH territory)."""
+    tri_cap = sph_cap = 0
+    if cfg is not None:
+        tri_cap = sph_cap = cfg.pallas_static_unroll
+    return (scene.num_triangles <= max(MAX_DYNAMIC_TRIS, tri_cap)
+            and scene.num_spheres <= max(MAX_DYNAMIC_SPHERES, sph_cap))
 
 
 # ----- component-form integrator pieces (mirror tpurt.integrate) -----
@@ -300,61 +304,56 @@ def _shadow_static(spheres, o, d, t_max, lam):
                                 jnp.ones_like(o[0]))
 
 
-# ----- two-level clustered sweep (tile-coherent AABB culling) -----
+# ----- tile-coherent cull tree (whole-tile BVH traversal) -----
 #
 # The instanced-scene sweep (e.g. BASELINE config 3: 257 spheres) is the
 # one place the megakernel is compute-bound on pure intersection math. A
 # per-lane BVH walk is hostile to the (R,128) SIMD model (divergent stacks,
-# per-lane gathers), but a tile-level frontier works with it: spheres are
-# median-split (same rule as accel.build_bvh, instance.rs:259-269) into
-# spatial groups, each group's unrolled sweep is wrapped in lax.cond, and
-# the whole tile skips the group unless SOME active lane's ray enters its
-# AABB closer than that lane's current best hit. Coherent tiles (camera
-# rays, shadow rays toward one light, ground-local bounces) prune most
-# groups; fully incoherent tiles degrade to the flat sweep + one slab test
-# per group (~4% overhead), never worse asymptotically.
+# per-lane gathers), but a TILE-level traversal works with it: primitives
+# are median-split (same rule as accel.build_bvh, instance.rs:259-269) into
+# a BVH whose every node is a lax.cond — the whole tile descends into a
+# node only if SOME relevant lane's ray enters its AABB closer than that
+# lane's current best hit (/ shadow t_max). Leaves are unrolled constant
+# sweeps. Coherent tiles (camera rays, shadow rays toward one light,
+# ground-local bounces) prune whole subtrees; fully incoherent tiles
+# degrade to the flat sweep + ~2N/leaf box tests, never worse
+# asymptotically. Block-shaped tiles (pallas_block_tiles) keep the votes
+# coherent.
 
-class _SphereGroup(NamedTuple):
-    spheres: tuple
+class _CullNode(NamedTuple):
     bmin: tuple
     bmax: tuple
+    children: tuple   # of _CullNode; () for a leaf
+    prims: tuple      # leaf primitives; () for internal nodes
 
 
-class _SphereClusters(NamedTuple):
-    always: tuple   # swept unconditionally (huge bounds cull nothing)
-    groups: tuple   # of _SphereGroup
+class _CullTree(NamedTuple):
+    always: tuple     # swept unconditionally (scene-spanning bounds)
+    root: object      # _CullNode or None
 
 
-def _cluster_spheres(spheres, max_size: int) -> _SphereClusters:
-    """Host-side recursive median split on the longest centroid axis."""
-    radii = np.asarray([sp.r for sp in spheres], np.float32)
-    med = float(np.median(radii)) if len(radii) else 0.0
-    # Spheres much larger than the population (the ground sphere) span the
-    # whole scene: their AABB test would always pass, so sweep them flat.
-    huge = radii > max(10.0 * med, 1e-3)
-    always = tuple(sp for sp, h in zip(spheres, huge) if h)
-    rest = [sp for sp, h in zip(spheres, huge) if not h]
-    groups = []
+def _build_cull_tree(prims, lo, hi, leaf_size: int, always_mask) -> _CullTree:
+    """Host-side recursive median split on the longest centroid axis.
+    lo/hi: (N, 3) primitive AABBs; always_mask: primitives whose bounds
+    span the scene (culling them is useless — sweep flat)."""
+    always = tuple(p for p, h in zip(prims, always_mask) if h)
+    keep = np.flatnonzero(~np.asarray(always_mask))
 
-    def split(idx):
-        if len(idx) <= max_size:
-            sub = [rest[i] for i in idx]
-            c = np.asarray([sp.c for sp in sub], np.float32)
-            r = np.asarray([sp.r for sp in sub], np.float32)[:, None]
-            bmin = tuple(float(x) for x in (c - r).min(axis=0))
-            bmax = tuple(float(x) for x in (c + r).max(axis=0))
-            groups.append(_SphereGroup(tuple(sub), bmin, bmax))
-            return
-        cen = np.asarray([rest[i].c for i in idx], np.float32)
+    def build(idx):
+        bmin = tuple(float(x) for x in lo[idx].min(axis=0))
+        bmax = tuple(float(x) for x in hi[idx].max(axis=0))
+        if len(idx) <= leaf_size:
+            return _CullNode(bmin, bmax, (),
+                             tuple(prims[i] for i in idx))
+        cen = (lo[idx] + hi[idx]) * 0.5
         ax = int((cen.max(axis=0) - cen.min(axis=0)).argmax())
-        order = [idx[j] for j in np.argsort(cen[:, ax], kind="stable")]
+        order = idx[np.argsort(cen[:, ax], kind="stable")]
         h = len(order) // 2
-        split(order[:h])
-        split(order[h:])
+        return _CullNode(bmin, bmax,
+                         (build(order[:h]), build(order[h:])), ())
 
-    if rest:
-        split(list(range(len(rest))))
-    return _SphereClusters(always=always, groups=tuple(groups))
+    root = build(keep) if len(keep) else None
+    return _CullTree(always=always, root=root)
 
 
 def _aabb_entry_exit(bmin, bmax, o, inv):
@@ -370,40 +369,72 @@ def _aabb_entry_exit(bmin, bmax, o, inv):
     return tn, tf
 
 
-def _closest_sphere_clustered(clusters: _SphereClusters, o, d, mask):
-    a = s.vdot(d, d)
-    state = _sweep_spheres_static(clusters.always, o, d, a,
-                                  _sphere_state_init(o))
-    inv = tuple(1.0 / d[c] for c in range(3))
-    for grp in clusters.groups:
-        tn, tf = _aabb_entry_exit(grp.bmin, grp.bmax, o, inv)
-        best_t = state[0]
-        pred = jnp.any(mask & (tn <= tf) & (tf > 0.0) & (tn < best_t))
+def _tree_leaves(node):
+    if node is None:
+        return []
+    if node.prims:
+        return [node]
+    return [lf for ch in node.children for lf in _tree_leaves(ch)]
+
+
+def _tree_sweep(node, o, inv, state, vote, t_cap, leaf_fn):
+    """Whole-tile conditional sweep over the cull tree's LEAVES (DFS
+    order): one lax.cond per leaf box. Measured on the 257-sphere 1080p
+    scene, gating the internal nodes too (true nested descent) is ~5%
+    SLOWER — the top boxes almost never prune for a whole tile, so their
+    conds are pure overhead; all the pruning power is at the leaves.
+
+    vote(state) -> lanes whose result still matters; t_cap(state) ->
+    per-lane upper bound on useful entry distance (current best hit /
+    shadow range); leaf_fn(prims, state) -> state after the unrolled
+    leaf sweep."""
+    for leaf in _tree_leaves(node):
+        tn, tf = _aabb_entry_exit(leaf.bmin, leaf.bmax, o, inv)
+        pred = jnp.any(vote(state) & (tn <= tf) & (tf > 0.0)
+                       & (tn < t_cap(state)))
         state = jax.lax.cond(
             pred,
-            lambda st, g=grp: _sweep_spheres_static(g.spheres, o, d, a, st),
+            lambda st, lf=leaf: leaf_fn(lf.prims, st),
             lambda st: st,
             state)
+    return state
+
+
+def _sphere_cull_tree(spheres, leaf_size: int) -> _CullTree:
+    c = np.asarray([sp.c for sp in spheres], np.float32).reshape(-1, 3)
+    r = np.asarray([sp.r for sp in spheres], np.float32).reshape(-1, 1)
+    med = float(np.median(r)) if len(spheres) else 0.0
+    huge = (r[:, 0] > max(10.0 * med, 1e-3))  # e.g. the ground sphere
+    return _build_cull_tree(tuple(spheres), c - r, c + r, leaf_size, huge)
+
+
+def _closest_sphere_clustered(tree: _CullTree, o, d, mask):
+    a = s.vdot(d, d)
+    state = _sweep_spheres_static(tree.always, o, d, a,
+                                  _sphere_state_init(o))
+    if tree.root is None:
+        return _sphere_state_finish(o, d, state)
+    inv = tuple(1.0 / d[c] for c in range(3))
+    state = _tree_sweep(
+        tree.root, o, inv, state,
+        vote=lambda st: mask, t_cap=lambda st: st[0],
+        leaf_fn=lambda prims, st: _sweep_spheres_static(prims, o, d, a, st))
     return _sphere_state_finish(o, d, state)
 
 
-def _shadow_clustered(clusters: _SphereClusters, o, d, t_max, lam, mask):
+def _shadow_clustered(tree: _CullTree, o, d, t_max, lam, mask):
     a = s.vdot(d, d)
-    atten = _shadow_sweep_static(clusters.always, o, d, t_max, lam, a,
+    atten = _shadow_sweep_static(tree.always, o, d, t_max, lam, a,
                                  jnp.ones_like(o[0]))
+    if tree.root is None:
+        return atten
     inv = tuple(1.0 / d[c] for c in range(3))
-    for grp in clusters.groups:
-        tn, tf = _aabb_entry_exit(grp.bmin, grp.bmax, o, inv)
-        # already-black lanes can't get darker: drop them from the vote
-        pred = jnp.any(mask & (atten > 0.0) & (tn <= tf) & (tf > 0.0)
-                       & (tn < t_max))
-        atten = jax.lax.cond(
-            pred,
-            lambda at, g=grp: _shadow_sweep_static(g.spheres, o, d, t_max,
-                                                   lam, a, at),
-            lambda at: at,
-            atten)
-    return atten
+    # already-black lanes can't get darker: drop them from the vote
+    return _tree_sweep(
+        tree.root, o, inv, atten,
+        vote=lambda at: mask & (at > 0.0), t_cap=lambda at: t_max,
+        leaf_fn=lambda prims, at: _shadow_sweep_static(prims, o, d, t_max,
+                                                       lam, a, at))
 
 
 def _closest_sphere_dyn(sph_ref, S, o, d):
@@ -482,13 +513,11 @@ def _shadow_dyn(sph_ref, S, o, d, t_max, lam):
     return jax.lax.fori_loop(0, S, body, jnp.ones_like(o[0]))
 
 
-def _closest_tri_static(tris, o, d):
-    """Unrolled Moller-Trumbore winner loop over constant triangles
-    (wgsl :303-338, :395-428 — the brute-force equivalent of the BVH walk;
-    hit point offset along the geometric normal like the reference)."""
-    best_t = jnp.full_like(o[0], MISS)
-    best_n = (jnp.zeros_like(o[0]),) * 3
-    best_mat = jnp.zeros_like(o[0], jnp.int32)
+def _sweep_tris_static(tris, o, d, state):
+    """Unrolled Moller-Trumbore winner loop over constant triangles,
+    continuing from `state` (wgsl :303-338, :395-428 — the brute-force
+    equivalent of the BVH walk)."""
+    best_t, best_n, best_mat = state
     for tr in tris:
         t, valid = s.triangle_hit_c(o, d, tr.a, tr.e1, tr.e2)
         t = jnp.where(valid, t, MISS)
@@ -496,17 +525,80 @@ def _closest_tri_static(tris, o, d):
         best_t = jnp.where(better, t, best_t)
         best_n = s.vwhere(better, s.vbroadcast(tr.n, o[0]), best_n)
         best_mat = jnp.where(better, np.int32(tr.mat), best_mat)
+    return best_t, best_n, best_mat
+
+
+def _tri_state_init(o):
+    return (jnp.full_like(o[0], MISS), (jnp.zeros_like(o[0]),) * 3,
+            jnp.zeros_like(o[0], jnp.int32))
+
+
+def _tri_state_finish(o, d, state):
+    best_t, best_n, best_mat = state
+    # hit point offset along the geometric normal like the reference
     loc = s.vadd(s.vadd(o, s.vscale(best_n, 1e-5)), s.vscale(d, best_t))
     return best_t, loc, best_n, best_mat
 
 
-def _tri_shadow_static(tris, o, d, t_max):
+def _closest_tri_static(tris, o, d):
+    return _tri_state_finish(o, d,
+                             _sweep_tris_static(tris, o, d,
+                                                _tri_state_init(o)))
+
+
+def _tri_occ_sweep_static(tris, o, d, t_max, occluded):
     """Binary triangle occlusion (wgsl :540-562: all triangles block)."""
-    occluded = jnp.zeros_like(o[0], bool)
     for tr in tris:
         t, valid = s.triangle_hit_c(o, d, tr.a, tr.e1, tr.e2)
         occluded = occluded | (valid & (t < t_max))
     return occluded
+
+
+def _tri_shadow_static(tris, o, d, t_max):
+    return _tri_occ_sweep_static(tris, o, d, t_max,
+                                 jnp.zeros_like(o[0], bool))
+
+
+# ----- clustered triangle sweep (same tile-coherent cull tree) -----
+
+def _tri_cull_tree(tris, leaf_size: int) -> _CullTree:
+    if not tris:
+        return _CullTree(always=(), root=None)
+    verts = np.asarray(
+        [[tr.a,
+          [tr.a[c] + tr.e1[c] for c in range(3)],
+          [tr.a[c] + tr.e2[c] for c in range(3)]] for tr in tris],
+        np.float32)                      # (T, 3 verts, 3)
+    lo, hi = verts.min(axis=1), verts.max(axis=1)
+    diag = np.linalg.norm(hi - lo, axis=1)
+    med = float(np.median(diag))
+    huge = diag > max(10.0 * med, 1e-3)  # scene-spanning ground quads etc.
+    return _build_cull_tree(tuple(tris), lo, hi, leaf_size, huge)
+
+
+def _closest_tri_clustered(tree: _CullTree, o, d, mask):
+    state = _sweep_tris_static(tree.always, o, d, _tri_state_init(o))
+    if tree.root is None:
+        return _tri_state_finish(o, d, state)
+    inv = tuple(1.0 / d[c] for c in range(3))
+    state = _tree_sweep(
+        tree.root, o, inv, state,
+        vote=lambda st: mask, t_cap=lambda st: st[0],
+        leaf_fn=lambda prims, st: _sweep_tris_static(prims, o, d, st))
+    return _tri_state_finish(o, d, state)
+
+
+def _tri_shadow_clustered(tree: _CullTree, o, d, t_max, mask):
+    occ = _tri_occ_sweep_static(tree.always, o, d, t_max,
+                                jnp.zeros_like(o[0], bool))
+    if tree.root is None:
+        return occ
+    inv = tuple(1.0 / d[c] for c in range(3))
+    return _tree_sweep(
+        tree.root, o, inv, occ,
+        vote=lambda oc: mask & ~oc, t_cap=lambda oc: t_max,
+        leaf_fn=lambda prims, oc: _tri_occ_sweep_static(prims, o, d, t_max,
+                                                        oc))
 
 
 def _closest_tri_dyn(tri_ref, T, o, d):
@@ -783,7 +875,7 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref):
                     and len(SPH) > 4 * cfg.pallas_cluster_size
                     and len(SPH) <= cfg.pallas_static_unroll)
     if use_clusters:
-        CL = _cluster_spheres(SPH, cfg.pallas_cluster_size)
+        CL = _sphere_cull_tree(SPH, cfg.pallas_cluster_size)
         sph_hit = lambda o, d, m: _closest_sphere_clustered(CL, o, d, m)
         sph_shadow = lambda o, d, tm, lam_, m: _shadow_clustered(
             CL, o, d, tm, lam_, m)
@@ -797,18 +889,26 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref):
             SPH, o, d, tm, lam_)
     if not TRIS:
         return sph_hit, sph_shadow
-    if len(TRIS) > cfg.pallas_static_unroll:
-        tri_hit = lambda o, d: _closest_tri_dyn(tri_ref, len(TRIS), o, d)
-        tri_occ = lambda o, d, tm: _tri_shadow_dyn(tri_ref, len(TRIS), o, d, tm)
+    tri_clusters = (cfg.pallas_cluster_size > 0
+                    and len(TRIS) > 4 * cfg.pallas_cluster_size
+                    and len(TRIS) <= cfg.pallas_static_unroll)
+    if tri_clusters:
+        TCL = _tri_cull_tree(TRIS, cfg.pallas_cluster_size)
+        tri_hit = lambda o, d, m: _closest_tri_clustered(TCL, o, d, m)
+        tri_occ = lambda o, d, tm, m: _tri_shadow_clustered(TCL, o, d, tm, m)
+    elif len(TRIS) > cfg.pallas_static_unroll:
+        tri_hit = lambda o, d, m: _closest_tri_dyn(tri_ref, len(TRIS), o, d)
+        tri_occ = lambda o, d, tm, m: _tri_shadow_dyn(
+            tri_ref, len(TRIS), o, d, tm)
     else:
-        tri_hit = lambda o, d: _closest_tri_static(TRIS, o, d)
-        tri_occ = lambda o, d, tm: _tri_shadow_static(TRIS, o, d, tm)
+        tri_hit = lambda o, d, m: _closest_tri_static(TRIS, o, d)
+        tri_occ = lambda o, d, tm, m: _tri_shadow_static(TRIS, o, d, tm)
 
     def intersect(o, d, m):
-        return _combine_nearest(sph_hit(o, d, m), tri_hit(o, d))
+        return _combine_nearest(sph_hit(o, d, m), tri_hit(o, d, m))
 
     def shadow(o, d, tm, lam_, m):
-        return jnp.where(tri_occ(o, d, tm), 0.0,
+        return jnp.where(tri_occ(o, d, tm, m), 0.0,
                          sph_shadow(o, d, tm, lam_, m))
 
     return intersect, shadow

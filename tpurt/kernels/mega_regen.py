@@ -580,7 +580,7 @@ def render_regen(scene, cfg: RenderConfig, camera, state, base_seed, spp,
     """Progressive render via the regenerative megakernel (full SPPM).
     Scene must be concrete; falls back to render_pallas for scenes beyond
     the kernel budget. `depth` overrides cfg.depth (preview frames)."""
-    if not supports_scene(scene):
+    if not supports_scene(scene, cfg):
         from tpurt.kernels.mega_pallas import render_pallas
         return render_pallas(scene, cfg, camera, state, base_seed, spp,
                              depth=depth)

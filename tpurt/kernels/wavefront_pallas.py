@@ -371,7 +371,7 @@ def wavefront_render_pallas(scene, cfg: RenderConfig, camera,
     """Wavefront render with the Pallas sweep kernel. Scene must be concrete
     (frozen into the kernel); falls back to the XLA wavefront for scenes
     beyond the kernel's budget."""
-    if not supports_scene(scene):
+    if not supports_scene(scene, cfg):
         from tpurt.wavefront import wavefront_render
         return wavefront_render(scene, cfg, camera, state, base_seed, spp)
     if interpret is None:
@@ -669,7 +669,7 @@ def wavefront_render_fused(scene, cfg: RenderConfig, camera,
     Pallas kernel (see module notes) — no host stages between bounces.
     Same per-(pixel, sample) streams as tpurt.wavefront; falls back to the
     XLA wavefront for scenes beyond the kernel budget."""
-    if not supports_scene(scene):
+    if not supports_scene(scene, cfg):
         from tpurt.wavefront import wavefront_render
         return wavefront_render(scene, cfg, camera, state, base_seed, spp)
     if interpret is None:

@@ -98,7 +98,7 @@ def _use_pallas(scene, cfg) -> bool:
     if cfg.backend != "pallas":
         return False
     from tpurt.kernels import mega_pallas
-    return mega_pallas.supports_scene(scene)
+    return mega_pallas.supports_scene(scene, cfg)
 
 
 def render_step(scene: Scene, cfg: RenderConfig, camera: Camera,
