@@ -26,6 +26,17 @@ class RenderConfig:
     photon_rr_threshold: float = 0.01  # photon RR kill (wgsl :856)
     sppm_alpha: float = 0.67           # radius schedule (mega_kernel.rs:198)
     # Spectral
+    hero_wavelengths: int = 1          # 1 reproduces the reference (one
+    #   lambda per sample, wgsl :995). >1 enables hero-wavelength sampling
+    #   (Wilkie et al. 2014): C rotated wavelengths share each camera path,
+    #   the NEE emission term averages their CIE responses, and a lane
+    #   collapses to the hero on its first dispersive (dielectric) camera
+    #   interaction. ~C x less spectral chroma noise on diffuse surfaces at
+    #   near-zero extra cost (the rotation adds no RNG draws, so ray counts
+    #   and cross-backend exactness are unchanged). Shadow attenuation
+    #   through dielectrics is evaluated at the hero wavelength (documented
+    #   deviation: the reference's straight-through Fresnel shadow term is
+    #   itself an approximation).
     dispersion_in_camera_path: bool = False
     #   False reproduces the reference quirk (camera path uses the base IOR,
     #   wgsl :915, while photons/shadows use Cauchy). True applies Cauchy

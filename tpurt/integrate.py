@@ -356,7 +356,27 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
     """
     N = ray_o.shape[0]
     zero3 = jnp.zeros((N, 3))
-    light_rgbs = light_emission_rgb(scene, lam)  # hoisted: lambda-invariant
+    # Hero-wavelength sampling (cfg.hero_wavelengths > 1): the NEE emission
+    # term averages the CIE responses of C rotated wavelengths sharing this
+    # path; a lane collapses to the hero's response (at 1/C weight — the
+    # other C-1 wavelengths transport zero past a dispersive vertex) on its
+    # first dielectric camera interaction. C=1 reproduces the reference.
+    C = max(1, int(cfg.hero_wavelengths))
+    if C > 1:
+        # folded periodic emission table: one small lerp instead of C full
+        # CIE evaluations (see ops.spectra.hero_emission_table)
+        from tpurt.ops.spectra import (hero_emission_lookup,
+                                       hero_emission_table_jnp)
+        light_rgbs = [hero_emission_lookup(
+            hero_emission_table_jnp(scene.light_color[li],
+                                    scene.light_intensity[li],
+                                    scene.light_temp[li], C), C, lam)
+            for li in range(scene.num_lights)]
+        hero_rgbs = [r / C for r in light_emission_rgb(scene, lam)]
+    else:
+        light_rgbs = light_emission_rgb(scene, lam)  # lambda-invariant
+    # collapse can only happen when the camera path is dispersive
+    track_collapse = C > 1 and cfg.dispersion_in_camera_path
 
     active0 = jnp.ones((N,), bool) if valid is None else valid
     state = {
@@ -371,6 +391,8 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
         "vis_mat": vis_prev["mat"],
         "rays": jnp.zeros((), jnp.float32),
     }
+    if track_collapse:
+        state["collapsed"] = jnp.zeros((N,), bool)
 
     def cond(st):
         return (st["b"] < depth) & st["anylive"]
@@ -404,8 +426,14 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
         # --- NEE (diffuse lanes only consume the result) ---
         # (the returned live-geometry count is NOT added to the ray counter:
         # shadow segments are counted once below as lane_d * num_lights)
+        if track_collapse:
+            coll = st["collapsed"][:, None]
+            rgbs = [jnp.where(coll, hero_rgbs[li], light_rgbs[li])
+                    for li in range(scene.num_lights)]
+        else:
+            rgbs = light_rgbs
         direct, rng, _ = sample_direct_lighting(scene, cfg, loc, n, lam, rng,
-                                                light_rgbs=light_rgbs)
+                                                light_rgbs=rgbs)
         nee = tp * color * direct
         lane_d = active & found & is_diffuse
         rad = rad + jnp.where(lane_d[:, None], nee, 0.0)
@@ -458,7 +486,7 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
         new_tp = new_tp / jnp.maximum(prob, 1e-30)[:, None]
 
         cont = active & found & scat_ok & rr_live
-        return {
+        out = {
             "b": st["b"] + 1, "anylive": jnp.any(cont),
             "o": jnp.where(cont[:, None], new_o, o),
             "d": jnp.where(cont[:, None], wi, d),
@@ -471,6 +499,12 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
             "vis_wo": vis_wo, "vis_tp": vis_tp, "vis_mat": vis_mat,
             "rays": st_rays,
         }
+        if track_collapse:
+            # a dielectric interaction steers the path by eta(lambda):
+            # only the hero transports onward (Wilkie et al. 2014 dirac case)
+            out["collapsed"] = st["collapsed"] | \
+                (active & found & ~(is_diffuse | is_metal))
+        return out
 
     state = jax.lax.while_loop(cond, bounce, state)
     vis = {

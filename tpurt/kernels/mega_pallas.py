@@ -55,6 +55,7 @@ from tpurt.ops.spectra import (
     VISIBLE_MIN,
     VISIBLE_RANGE,
     blackbody,
+    hero_emission_table,
 )
 
 EPS = 1e-5
@@ -975,28 +976,39 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
         )
         o0 = s.vbroadcast(cam_o, u)
 
-        # --- one wavelength per sample (wgsl :995) ---
+        # --- one (hero) wavelength per sample (wgsl :995) ---
         u_lam, rng = rngmod.rand_1f(rng)
         lam = jnp.float32(VISIBLE_MIN) + u_lam * jnp.float32(VISIBLE_RANGE)
 
         # --- per-frame spectral precomputes (lambda-invariant per path) ---
-        cie = s.cie_to_rgb_c(lam)
         lam_um = lam * jnp.float32(1e-3)
         cauchy_add = jnp.float32(DISPERSION_B) / (lam_um * lam_um)
 
         # Per-light emission spectra (the reference recomputes these per
         # bounce, wgsl :574-578; they only depend on lambda, so hoist).
-        light_rgb = []
+        # C_HERO > 1: average C rotated wavelengths (hero sampling); the
+        # hero-only share is kept for post-collapse lanes.
+        C_HERO = max(1, int(cfg.hero_wavelengths))
+        track_collapse = (C_HERO > 1 and cfg.dispersion_in_camera_path
+                          and any_dielectric)
+        if C_HERO > 1:
+            delta = VISIBLE_RANGE / C_HERO
+            light_rgb = [
+                s.hero_em_lookup_c(
+                    hero_emission_table(lt.color, lt.intensity, lt.temp,
+                                        C_HERO), delta, lam)
+                for lt in LIGHTS]
+        cie = s.cie_to_rgb_c(lam)
+        hero_rgb = []
         for lt in LIGHTS:
-            if lt.temp > 0.0:
-                spd = blackbody(lam, np.float32(lt.temp))
-            else:
-                spd = 1.0
-            light_rgb.append(tuple(
-                np.float32(lt.color[c] * lt.intensity * VISIBLE_RANGE)
-                * spd * cie[c]
-                for c in range(3)
-            ))
+            spd = (blackbody(lam, np.float32(lt.temp))
+                   if lt.temp > 0.0 else 1.0)
+            hero_rgb.append(tuple(
+                np.float32(lt.color[c] * lt.intensity
+                           * VISIBLE_RANGE / C_HERO) * spd * cie[c]
+                for c in range(3)))
+        if C_HERO == 1:
+            light_rgb = hero_rgb
 
         zero = jnp.zeros_like(u)
         z3 = (zero, zero, zero)
@@ -1009,6 +1021,8 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             "vp_stored": jnp.zeros_like(u, jnp.int32),
             "rays": jnp.float32(0.0),
         }
+        if track_collapse:
+            st["coll"] = jnp.zeros_like(u, jnp.int32)
 
         def cam_cond(st):
             return (st["b"] < depth) & (st["anylive"] > 0)
@@ -1073,7 +1087,12 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
 
                 w = geom * atten / (dist * dist)
                 w = jnp.where(live, w, 0.0)
-                direct = s.vadd(direct, s.vscale(light_rgb[li], w))
+                if track_collapse:
+                    emv = s.vwhere(st["coll"] > 0, hero_rgb[li],
+                                   light_rgb[li])
+                else:
+                    emv = light_rgb[li]
+                direct = s.vadd(direct, s.vscale(emv, w))
 
             lane_d = active & found & is_diffuse
             nee = s.vmul(s.vmul(tp, color), direct)
@@ -1122,7 +1141,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
 
             cont = active & found & scat_ok & rr_live
             cont_i = _mask_i32(cont)
-            return {
+            out = {
                 "b": st["b"] + 1, "anylive": jnp.max(cont_i),
                 "o": s.vwhere(cont, new_o, o),
                 "d": s.vwhere(cont, wi, d),
@@ -1131,6 +1150,11 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                 "vp_stored": vp_stored,
                 "rays": rays,
             }
+            if track_collapse:
+                # hero collapse on dispersive interaction (see mega_regen)
+                out["coll"] = jnp.maximum(st["coll"], _mask_i32(
+                    active & found & ~(is_diffuse | is_metal)))
+            return out
 
         st = jax.lax.while_loop(cam_cond, cam_body, st)
         rad = st["rad"]

@@ -66,7 +66,7 @@ from tpurt.kernels.mega_pallas import PHOTON_CONE_COS  # noqa: E402
 from tpurt.ops import rng as rngmod
 from tpurt.ops import soa as s
 from tpurt.ops.spectra import (DISPERSION_B, VISIBLE_MIN, VISIBLE_RANGE,
-                               blackbody)
+                               blackbody, hero_emission_table)
 from tpurt.render import _frame_seed
 
 
@@ -80,6 +80,17 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
     K = cfg.k_photons if (cfg.enable_photons and L > 0) else 0
     any_dielectric = any(m.mtype == 1 for m in MATS)
     any_metal = any(m.mtype == 2 for m in MATS)
+    # hero-wavelength sampling (see RenderConfig.hero_wavelengths / the XLA
+    # integrator, integrate.trace_camera_paths): NEE emission averages C
+    # rotated wavelengths; a collapse bit is only needed when a dispersive
+    # camera interaction can make the path hero-specific
+    C_HERO = max(1, int(cfg.hero_wavelengths))
+    track_collapse = (C_HERO > 1 and cfg.dispersion_in_camera_path
+                      and any_dielectric)
+    if C_HERO > 1:
+        HERO_TABS = [hero_emission_table(lt.color, lt.intensity, lt.temp,
+                                         C_HERO) for lt in LIGHTS]
+        HERO_DELTA = VISIBLE_RANGE / C_HERO
 
     def kernel(planes_ref, z_ref, cam_ref, seed_ref, spp_ref, rad_ref,
                base_ref, sph_ref, tri_ref, out_ref, rays_ref):
@@ -140,6 +151,9 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             "radius": zero + r0,
             "rays": jnp.float32(0.0),
         }
+        if track_collapse:
+            st["emh"] = tuple(zero for _ in range(3 * L))
+            st["coll"] = izero
 
         def cond(st):
             return st["anywork"] > 0
@@ -189,21 +203,45 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 ulam, rng_c = rngmod.rand_1f(rng_c)
                 lam_new = (jnp.float32(VISIBLE_MIN)
                            + ulam * jnp.float32(VISIBLE_RANGE))
-                cie_new = s.cie_to_rgb_c(lam_new)
-                em_new = []
-                for lt in LIGHTS:
-                    spd = (blackbody(lam_new, np.float32(lt.temp))
-                           if lt.temp > 0.0 else 1.0)
-                    for c in range(3):
-                        em_new.append(
-                            np.float32(lt.color[c] * lt.intensity
-                                       * VISIBLE_RANGE) * spd * cie_new[c])
-                return (*o0, *d0, lam_new, rng_c, *em_new)
+                # hero-wavelength emission: C stratified lambdas share
+                # this path; em = their averaged CIE-weighted emission via
+                # the folded periodic table (one small lerp chain instead
+                # of C full CIE chains), em_h = the hero's share alone
+                # (used after a dispersive collapse)
+                if C_HERO > 1:
+                    em_new = []
+                    for tab in HERO_TABS:
+                        em_new.extend(s.hero_em_lookup_c(tab, HERO_DELTA,
+                                                         lam_new))
+                else:
+                    cie_new = s.cie_to_rgb_c(lam_new)
+                    em_new = []
+                    for lt in LIGHTS:
+                        spd = (blackbody(lam_new, np.float32(lt.temp))
+                               if lt.temp > 0.0 else 1.0)
+                        for c in range(3):
+                            em_new.append(
+                                np.float32(lt.color[c] * lt.intensity
+                                           * VISIBLE_RANGE) * spd
+                                * cie_new[c])
+                em_h = []
+                if track_collapse:
+                    cie_h = s.cie_to_rgb_c(lam_new)
+                    for lt in LIGHTS:
+                        spd = (blackbody(lam_new, np.float32(lt.temp))
+                               if lt.temp > 0.0 else 1.0)
+                        for c in range(3):
+                            em_h.append(
+                                np.float32(lt.color[c] * lt.intensity
+                                           * VISIBLE_RANGE / C_HERO)
+                                * spd * cie_h[c])
+                return (*o0, *d0, lam_new, rng_c, *em_new, *em_h)
 
             def _cam_spawn_skip(_):
                 # `zero` is anchored to the z_ref load -> concrete layout
+                n_em = 3 * L * (2 if track_collapse else 1)
                 return (zero,) * 7 + (izero.astype(jnp.uint32),) \
-                    + (zero,) * (3 * L)
+                    + (zero,) * n_em
 
             vals = jax.lax.cond(jnp.any(spawn_c), _cam_spawn_vals,
                                 _cam_spawn_skip, 0)
@@ -219,6 +257,11 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             lam = jnp.where(spawn_c, lam_new, st["lam"])
             em = tuple(jnp.where(spawn_c, em_new[i], st["em"][i])
                        for i in range(3 * L))
+            if track_collapse:
+                emh_new = vals[8 + 3 * L: 8 + 6 * L]
+                emh = tuple(jnp.where(spawn_c, emh_new[i], st["emh"][i])
+                            for i in range(3 * L))
+                coll = jnp.where(spawn_c, 0, st["coll"])
             rng = jnp.where(spawn_c, rng_c, st["rng"])
             bounce = jnp.where(spawn_c, 0, st["bounce"])
             vp_stored = jnp.where(spawn_c, 0, vp_stored)
@@ -363,7 +406,12 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 atten = shadow(so, ldir, dist - EPS, lam,
                                active & is_cam & found & is_diffuse & live)
                 w = jnp.where(live, geom * atten / (dist * dist), 0.0)
-                emv = (em[3 * li], em[3 * li + 1], em[3 * li + 2])
+                if track_collapse:
+                    # post-collapse lanes transport only the hero's share
+                    emv = tuple(jnp.where(coll > 0, emh[3 * li + c],
+                                          em[3 * li + c]) for c in range(3))
+                else:
+                    emv = (em[3 * li], em[3 * li + 1], em[3 * li + 2])
                 direct = s.vadd(direct, s.vscale(emv, w))
 
             rng = jnp.where(is_cam, rng, rng_pre_nee)
@@ -427,6 +475,11 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 # kernels share the camera offset convention (mega_pallas)
                 off = jnp.where(is_diel, off_s, off)
                 scat_ok = (is_diel & valid_s) | (~is_diel & scat_ok)
+                if track_collapse:
+                    # eta(lambda) steered this lane: only the hero transports
+                    # onward (the NEE above used the pre-collapse selection)
+                    coll = jnp.maximum(coll, _mask_i32(
+                        active & is_cam & found & is_diel))
             if any_metal:
                 wi_m, tpm_m, valid_m = _scatter_metal_c(wo, n, color, alpha,
                                                         u2a, u2b)
@@ -471,7 +524,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             # returns to 0 and sample == spp, so pending goes false.
             anywork = jnp.max(_mask_i32(pending))
 
-            return {
+            out = {
                 "anywork": anywork,
                 "phase": phase, "sample": sample, "k": k,
                 "bounce": bounce + 1,
@@ -482,6 +535,10 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 "rad": rad, "lam": lam, "em": em, "rng": rng,
                 "radius": radius, "rays": rays,
             }
+            if track_collapse:
+                out["emh"] = emh
+                out["coll"] = coll
+            return out
 
         st = jax.lax.while_loop(cond, body, st)
         rays_ref[tile, 0] = st["rays"]

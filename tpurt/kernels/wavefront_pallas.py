@@ -56,7 +56,7 @@ from tpurt.kernels.mega_pallas import (
 from tpurt.ops import rng as rngmod
 from tpurt.ops import soa as s
 from tpurt.ops.spectra import (DISPERSION_B, VISIBLE_MIN, VISIBLE_RANGE,
-                               blackbody)
+                               blackbody, hero_emission_table)
 from tpurt.render import RenderState, _frame_seed
 
 # f32 channel bases (emission channels follow, 3 per light)
@@ -77,6 +77,13 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
     L = len(LIGHTS)
     any_dielectric = any(m.mtype == 1 for m in MATS)
     any_metal = any(m.mtype == 2 for m in MATS)
+    # hero-wavelength collapse (see RenderConfig.hero_wavelengths): the em
+    # planes hold the C-averaged emission; a dispersive interaction
+    # REWRITES them to the hero's share (recomputed from lam, cond-gated),
+    # so no extra planes or collapse bit are needed.
+    C_HERO = max(1, int(cfg.hero_wavelengths))
+    track_collapse = (C_HERO > 1 and cfg.dispersion_in_camera_path
+                      and any_dielectric)
 
     def kernel(pf_ref, pi_ref, rng_ref, sph_ref, tri_ref,
                pf_out, pi_out, rng_out, term_ref, rays_ref):
@@ -206,8 +213,30 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
             pf_out[_TP + c] = jnp.where(cont, new_tp[c], tp[c])
             pf_out[_RAD + c] = rad[c]
         pf_out[_LAM] = lam
-        for ch in range(_EM, _EM + 3 * L):
-            pf_out[ch] = pf_ref[ch]
+        if track_collapse:
+            coll_now = active & found & ~(is_diffuse | is_metal)
+
+            def _hero_em(_):
+                cie_h = s.cie_to_rgb_c(lam)
+                vals = []
+                for lt in LIGHTS:
+                    spd = (blackbody(lam, np.float32(lt.temp))
+                           if lt.temp > 0.0 else 1.0)
+                    for c in range(3):
+                        vals.append(
+                            np.float32(lt.color[c] * lt.intensity
+                                       * VISIBLE_RANGE / C_HERO)
+                            * spd * cie_h[c])
+                return tuple(vals)
+
+            em_h = jax.lax.cond(jnp.any(coll_now), _hero_em,
+                                lambda _: (jnp.zeros_like(lam),) * (3 * L),
+                                0)
+            for i, ch in enumerate(range(_EM, _EM + 3 * L)):
+                pf_out[ch] = jnp.where(coll_now, em_h[i], pf_ref[ch])
+        else:
+            for ch in range(_EM, _EM + 3 * L):
+                pf_out[ch] = pf_ref[ch]
         pi_out[0] = pi_ref[0]            # pix unchanged
         pi_out[1] = bounce + 1
         pi_out[2] = _mask_i32(cont)
@@ -294,8 +323,19 @@ def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
     u_lam, new_rng = rngmod.rand_1f(new_rng)
     lam = sample_wavelength(u_lam)
 
-    # lambda-dependent emission, once per path (MXU one-hot in XLA)
-    ems = light_emission_rgb(scene, lam.reshape(-1))  # list of (Q, 3)
+    # lambda-dependent emission, once per path (MXU one-hot in XLA);
+    # hero-wavelength mode stores the C-averaged emission
+    C_HERO = max(1, int(cfg.hero_wavelengths))
+    if C_HERO > 1:
+        from tpurt.ops.spectra import (hero_emission_lookup,
+                                       hero_emission_table_jnp)
+        ems = [hero_emission_lookup(
+            hero_emission_table_jnp(scene.light_color[li],
+                                    scene.light_intensity[li],
+                                    scene.light_temp[li], C_HERO),
+            C_HERO, lam.reshape(-1)) for li in range(scene.num_lights)]
+    else:
+        ems = light_emission_rgb(scene, lam.reshape(-1))  # list of (Q, 3)
 
     sel = have_work
     f = lambda new, ch: jnp.where(sel, new, pf[ch])
@@ -407,6 +447,13 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
     L = len(LIGHTS)
     any_dielectric = any(m.mtype == 1 for m in MATS)
     any_metal = any(m.mtype == 2 for m in MATS)
+    C_HERO = max(1, int(cfg.hero_wavelengths))
+    track_collapse = (C_HERO > 1 and cfg.dispersion_in_camera_path
+                      and any_dielectric)
+    if C_HERO > 1:
+        HERO_TABS = [hero_emission_table(lt.color, lt.intensity, lt.temp,
+                                         C_HERO) for lt in LIGHTS]
+        HERO_DELTA = VISIBLE_RANGE / C_HERO
 
     def kernel(acc_ref, cam_ref, seed_ref, spp_ref, base_ref, sph_ref,
                tri_ref, out_ref, rays_ref):
@@ -467,15 +514,23 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
             o0 = s.vbroadcast(cam_o, u)
             ulam, rng_new = rngmod.rand_1f(rng_new)
             lam_new = jnp.float32(VISIBLE_MIN) + ulam * jnp.float32(VISIBLE_RANGE)
-            cie_new = s.cie_to_rgb_c(lam_new)
-            em_new = []
-            for lt in LIGHTS:
-                spd = (blackbody(lam_new, np.float32(lt.temp))
-                       if lt.temp > 0.0 else 1.0)
-                for c in range(3):
-                    em_new.append(
-                        np.float32(lt.color[c] * lt.intensity * VISIBLE_RANGE)
-                        * spd * cie_new[c])
+            # hero-wavelength mode: em = the C-averaged emission via the
+            # folded periodic table (collapse rewrites it to the hero below)
+            if C_HERO > 1:
+                em_new = []
+                for tab in HERO_TABS:
+                    em_new.extend(s.hero_em_lookup_c(tab, HERO_DELTA,
+                                                     lam_new))
+            else:
+                cie_new = s.cie_to_rgb_c(lam_new)
+                em_new = []
+                for lt in LIGHTS:
+                    spd = (blackbody(lam_new, np.float32(lt.temp))
+                           if lt.temp > 0.0 else 1.0)
+                    for c in range(3):
+                        em_new.append(
+                            np.float32(lt.color[c] * lt.intensity
+                                       * VISIBLE_RANGE) * spd * cie_new[c])
 
             o = s.vwhere(regen, o0, st["o"])
             d = s.vwhere(regen, d0, st["d"])
@@ -569,6 +624,29 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                 tpm = s.vwhere(is_diel, (tpm_s, tpm_s, tpm_s), tpm)
                 off = jnp.where(is_diel, off_s, off)
                 scat_ok = (is_diel & valid_s) | (~is_diel & scat_ok)
+                if track_collapse:
+                    # dispersive interaction: em collapses to the hero's
+                    # share (cond-gated recompute; idempotent)
+                    coll_now = active & found & is_diel
+
+                    def _hero_em(_):
+                        cie_h = s.cie_to_rgb_c(lam)
+                        vals = []
+                        for lt in LIGHTS:
+                            spd = (blackbody(lam, np.float32(lt.temp))
+                                   if lt.temp > 0.0 else 1.0)
+                            for c in range(3):
+                                vals.append(
+                                    np.float32(lt.color[c] * lt.intensity
+                                               * VISIBLE_RANGE / C_HERO)
+                                    * spd * cie_h[c])
+                        return tuple(vals)
+
+                    em_h = jax.lax.cond(
+                        jnp.any(coll_now), _hero_em,
+                        lambda _: (jnp.zeros_like(lam),) * (3 * L), 0)
+                    em = tuple(jnp.where(coll_now, em_h[i], em[i])
+                               for i in range(3 * L))
             if any_metal:
                 wi_m, tpm_m, valid_m = _scatter_metal_c(wo, n, color, alpha,
                                                         u2a, u2b)

@@ -369,3 +369,34 @@ def cone_toward_c(axis, uc, u1, cos_half):
         vadd(vscale(T, st * jnp.cos(phi)), vscale(B, st * jnp.sin(phi))),
         vscale(axis, ct),
     )
+
+
+def hero_em_lookup_c(tab, delta, lam):
+    """Folded periodic lookup into a hero_emission_table (see
+    tpurt.ops.spectra.hero_emission_table): the C-averaged emission is
+    periodic in lambda with period `delta` = range/C, so one small lerp
+    chain replaces C full CIE chains. `tab` is a host numpy (n_seg+1, 3)
+    whose entries bake in as immediates (like cie_to_rgb_c); lam is any
+    plane shape; returns a vec3 tuple."""
+    import numpy as np
+    n_seg = tab.shape[0] - 1
+    t = (lam - jnp.float32(VISIBLE_MIN)) / jnp.float32(delta)
+    frac = t - jnp.floor(t)                     # periodic fold to [0, 1)
+    u = frac * jnp.float32(n_seg)
+    i = jnp.clip(u.astype(jnp.int32), 0, n_seg - 1)
+    f = u - i.astype(jnp.float32)
+    zero = jnp.zeros_like(lam)
+    va = [zero, zero, zero]
+    vb = [zero, zero, zero]
+    for j in range(n_seg + 1):
+        ma = i == j
+        mb = (i + 1) == j
+        for c in range(3):
+            e = jnp.float32(tab[j, c])
+            va[c] = jnp.where(ma, e, va[c])
+            vb[c] = jnp.where(mb, e, vb[c])
+    return (
+        va[0] * (1.0 - f) + vb[0] * f,
+        va[1] * (1.0 - f) + vb[1] * f,
+        va[2] * (1.0 - f) + vb[2] * f,
+    )

@@ -143,3 +143,97 @@ def sample_wavelength(u):
     (ref: mega_kernel.wgsl:995). pdf = 1/VISIBLE_RANGE; the 400x factor in
     light emission is this pdf's reciprocal."""
     return jnp.float32(VISIBLE_MIN) + u * jnp.float32(VISIBLE_RANGE)
+
+
+def rotate_wavelengths(lam_hero, c: int):
+    """Hero-wavelength rotation (Wilkie et al. 2014, "Hero Wavelength
+    Spectral Sampling"): C equally-spaced wavelengths sharing one path,
+    lambda_j = wrap(lambda_hero + j*range/C). Stratified over the visible
+    range, so no extra RNG draws — draw positions (and therefore all
+    cross-backend exactness guarantees) are unchanged. Returns a tuple of
+    C arrays shaped like lam_hero; j=0 is the hero itself."""
+    out = [lam_hero]
+    for j in range(1, c):
+        lj = lam_hero + jnp.float32(j * VISIBLE_RANGE / c)
+        lj = jnp.where(lj >= jnp.float32(VISIBLE_MIN + VISIBLE_RANGE),
+                       lj - jnp.float32(VISIBLE_RANGE), lj)
+        out.append(lj)
+    return tuple(out)
+
+
+def _cie_rgb_np(lam_nm):
+    """NumPy mirror of cie_to_rgb (host-side, for table precomputation)."""
+    t = (np.asarray(lam_nm, np.float64) - VISIBLE_MIN) / CIE_STEP
+    i = np.clip(t.astype(np.int32), 0, N_CIE - 1)
+    j = np.clip(i + 1, 0, N_CIE - 1)
+    f = np.clip(t - i, 0.0, 1.0)[..., None]
+    return CIE_RGB_TABLE[i] * (1.0 - f) + CIE_RGB_TABLE[j] * f
+
+
+def _blackbody_np(lam_nm, temp_k):
+    """NumPy mirror of blackbody (host-side)."""
+    h, c, k = 6.62607015e-34, 2.99792458e8, 1.380649e-23
+    l = np.asarray(lam_nm, np.float64) * 1e-9
+    c1, c2 = 2.0 * h * c * c, h * c / k
+    return c1 / (l ** 5 * (np.exp(c2 / (l * temp_k)) - 1.0)) * 1e-14
+
+
+def hero_emission_table(color, intensity, temp, c: int):
+    """Host-precomputed table of the C-averaged spectral emission of one
+    light: G(lam) = (1/C) sum_j color*intensity*range * spd(lam_j) *
+    cie_rgb(lam_j), with lam_j the hero rotation of lam. G is PERIODIC
+    with period range/C (the rotation set is shift-invariant), so it folds
+    into one table over [VISIBLE_MIN, VISIBLE_MIN + range/C] — a single
+    ~range/(5C)-segment lookup replaces C full CIE chains in the kernels.
+    Returns (n_nodes, 3) float32; last node wraps to the first (periodic).
+    Node spacing matches the CIE 5nm grid when C divides range/5, making
+    the CIE part of the average exact (blackbody is lerped, error <1e-4)."""
+    delta = VISIBLE_RANGE / c
+    # 2.5nm nodes: the CIE part stays exactly representable (piecewise
+    # linear at 5nm), the blackbody-product lerp error drops ~4x (<6e-4)
+    n_seg = max(1, int(round(2.0 * delta / CIE_STEP)))
+    lam0 = VISIBLE_MIN + np.arange(n_seg + 1) * (delta / n_seg)
+    tab = np.zeros((n_seg + 1, 3), np.float64)
+    base = np.asarray(color, np.float64) * intensity * VISIBLE_RANGE / c
+    for j in range(c):
+        # no wrap: lam0 + j*delta <= VISIBLE_MAX exactly, and the fold
+        # boundary must carry em(780), not em(380) — G has a jump there
+        # (the rotation set of 480- ends at 780-, the set of 480 restarts
+        # at 380; both are represented: node 0 vs node n_seg)
+        lj = lam0 + j * delta
+        spd = _blackbody_np(lj, temp) if temp > 0.0 else np.ones_like(lj)
+        tab += base[None, :] * spd[:, None] * _cie_rgb_np(lj)
+    return tab.astype(np.float32)
+
+
+def hero_emission_table_jnp(color, intensity, temp, c: int):
+    """Traced-scene twin of hero_emission_table (the XLA paths jit with the
+    scene as a dynamic pytree, so the table is built in-graph — a few
+    hundred flops). Same node layout as the host version."""
+    delta = VISIBLE_RANGE / c
+    n_seg = max(1, int(round(2.0 * delta / CIE_STEP)))
+    lam0 = jnp.float32(VISIBLE_MIN) \
+        + jnp.arange(n_seg + 1, dtype=jnp.float32) * jnp.float32(delta / n_seg)
+    base = color * intensity * jnp.float32(VISIBLE_RANGE / c)   # (3,)
+    tab = jnp.zeros((n_seg + 1, 3), jnp.float32)
+    for j in range(c):
+        lj = lam0 + jnp.float32(j * delta)  # no wrap — see host twin
+        spd = jnp.where(temp > 0.0, blackbody(lj, jnp.maximum(temp, 1.0)),
+                        1.0)
+        tab = tab + base[None, :] * spd[:, None] * cie_to_rgb(lj)
+    return tab
+
+
+def hero_emission_lookup(tab, c: int, lam):
+    """Periodic lerp into a hero emission table (gather form, for the XLA
+    paths; kernels use ops.soa.hero_em_lookup_c — same arithmetic).
+    lam (N,) -> (N, 3)."""
+    n_seg = tab.shape[0] - 1
+    delta = VISIBLE_RANGE / c
+    t = (lam - jnp.float32(VISIBLE_MIN)) / jnp.float32(delta)
+    frac = t - jnp.floor(t)
+    u = frac * jnp.float32(n_seg)
+    i = jnp.clip(u.astype(jnp.int32), 0, n_seg - 1)
+    f = (u - i.astype(jnp.float32))[:, None]
+    tab = jnp.asarray(tab)
+    return tab[i] * (1.0 - f) + tab[i + 1] * f

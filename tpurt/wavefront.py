@@ -52,6 +52,7 @@ from tpurt.integrate import (
     _scatter_dielectric,
     _scatter_metal,
     intersect_scene,
+    light_emission_rgb,
     material_lookup,
     sample_direct_lighting,
 )
@@ -78,6 +79,8 @@ class WavefrontPool:
     rng: jnp.ndarray        # (Q,)   u32 — PCG stream
     bounce: jnp.ndarray     # (Q,)   i32 — bounces taken so far
     active: jnp.ndarray     # (Q,)   bool
+    coll: jnp.ndarray       # (Q,)   bool — hero-wavelength collapse (only
+    #   meaningful when cfg.hero_wavelengths > 1 and dispersion is on)
 
 
 def _regen(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
@@ -124,6 +127,7 @@ def _regen(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
         rng=jnp.where(sel, rng, pool.rng),
         bounce=jnp.where(sel, 0, pool.bounce),
         active=pool.active | sel,
+        coll=jnp.where(sel, False, pool.coll),
     )
     issued = jnp.sum(have_work.astype(jnp.int32))
     np2 = next_pix + issued
@@ -160,8 +164,26 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool):
             + t_sky[:, None] * jnp.asarray([[0.5, 0.7, 1.0]], jnp.float32)
         rad = rad + jnp.where((active & ~found)[:, None], pool.tp * sky, 0.0)
 
-    # NEE (diffuse lanes consume it)
-    direct, rng, _ = sample_direct_lighting(scene, cfg, loc, n, pool.lam, rng)
+    # NEE (diffuse lanes consume it); hero-wavelength averaging per
+    # RenderConfig.hero_wavelengths (see integrate.trace_camera_paths)
+    C = max(1, int(cfg.hero_wavelengths))
+    track_collapse = C > 1 and cfg.dispersion_in_camera_path
+    if C > 1:
+        from tpurt.ops.spectra import (hero_emission_lookup,
+                                       hero_emission_table_jnp)
+        rgbs = [hero_emission_lookup(
+            hero_emission_table_jnp(scene.light_color[li],
+                                    scene.light_intensity[li],
+                                    scene.light_temp[li], C), C, pool.lam)
+            for li in range(scene.num_lights)]
+        if track_collapse:
+            hero = light_emission_rgb(scene, pool.lam)
+            rgbs = [jnp.where(pool.coll[:, None], hero[li] / C, rgbs[li])
+                    for li in range(scene.num_lights)]
+    else:
+        rgbs = None
+    direct, rng, _ = sample_direct_lighting(scene, cfg, loc, n, pool.lam,
+                                            rng, light_rgbs=rgbs)
     lane_d = active & found & is_diffuse
     rad = rad + jnp.where(lane_d[:, None], pool.tp * color * direct, 0.0)
     if cfg.count_rays:
@@ -218,6 +240,8 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool):
         rng=rng,
         bounce=pool.bounce + 1,
         active=cont,
+        coll=pool.coll | (active & found & ~(is_diffuse | is_metal))
+        if track_collapse else pool.coll,
     )
     return new_pool, terminated, rays
 
@@ -242,6 +266,7 @@ def wavefront_render(scene, cfg: RenderConfig, camera: Camera,
         lam=jnp.zeros((Q,)), rng=jnp.zeros((Q,), jnp.uint32),
         bounce=jnp.zeros((Q,), jnp.int32),
         active=jnp.zeros((Q,), bool),
+        coll=jnp.zeros((Q,), bool),
     )
 
     def cond(carry):
