@@ -58,9 +58,11 @@ def build_bench(config_id: int, small: bool):
                            pallas_cluster_size=32, **kw)
         scene = instanced_scene(256)
         cam = make_camera((0, 10, -14), (0, 1, 8), vfov=55.0, aspect_ratio=w / h)
-    elif config_id == 4:  # dispersive spectral scene (BASELINE config 4)
+    elif config_id == 4:  # dispersive spectral scene (BASELINE config 4:
+        # "dispersive glass + metal materials, hero-wavelength sampling")
         cfg = RenderConfig(width=w, height=h, depth=30,
-                           dispersion_in_camera_path=True, **kw)
+                           dispersion_in_camera_path=True,
+                           hero_wavelengths=4, **kw)
         scene = dispersive_scene()
         cam = make_camera((0, 3, -4), (0, 1, 5), vfov=55.0, aspect_ratio=w / h)
     elif config_id == 5:  # wavefront tracer, mixed materials (config 5)

@@ -53,7 +53,8 @@ def _build(args):
     build, (eye, at, vfov) = scenes[args.scene]
     scene = build()
     cfg = RenderConfig(width=args.width, height=args.height, depth=args.depth,
-                       backend=args.backend)
+                       backend=args.backend, hero_wavelengths=args.hero,
+                       dispersion_in_camera_path=args.scene == "dispersive")
     cam = make_camera(eye, at, vfov=vfov, aspect_ratio=args.width / args.height)
     return cfg, scene, cam, vfov
 
@@ -248,6 +249,8 @@ def main():
     ap.add_argument("--frames", type=int, default=64, help="headless frames")
     ap.add_argument("--out", default="render.png")
     ap.add_argument("--csv", default=None, help="per-frame stats CSV path")
+    ap.add_argument("--hero", type=int, default=1, metavar="C",
+                    help="hero-wavelength count (1 = reference estimator)")
     args = ap.parse_args()
 
     if args.headless or not sys.stdin.isatty():
