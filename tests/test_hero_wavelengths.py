@@ -1,7 +1,7 @@
 """Hero-wavelength spectral sampling (cfg.hero_wavelengths, Wilkie et al.
 2014): C rotated wavelengths share each camera path; the NEE emission term
-averages their CIE responses and collapses to the hero's share on a
-dispersive interaction.
+averages their CIE responses and collapses to the hero's full-weight
+emission on a dispersive interaction.
 
 Pinned properties:
 - the rotation adds NO RNG draws, so ray counts are identical to C=1;
@@ -96,3 +96,30 @@ def test_chroma_variance_reduction():
         img = np.asarray(st.rgb_sum)[:W * H] / 4
         chroma[c] = np.sqrt(((img - (img @ luma)[:, None]) ** 2).mean())
     assert chroma[4] < 0.5 * chroma[1], chroma
+
+
+def test_collapse_keeps_full_hero_weight():
+    """Light transported THROUGH a dispersive dielectric must not dim with
+    C (regression: the collapsed hero share was weighted 1/C, rendering
+    glass interiors exactly C x too dark; the dirac continuation is
+    hero-only so its MIS weight is 1 — cf. pbrt-v4 TerminateSecondary)."""
+    mats = [Material.diffuse((0.8, 0.8, 0.8)), Material.dielectric(1.5, 0.0)]
+    sph = [Sphere(0, 1000.0, (0.0, -1000.0, 0.0)),   # floor
+           Sphere(1, 1.2, (0.0, 1.2, 3.0))]          # glass ball
+    lights = [Light.point([0.0, 6.0, 3.0], [1, 1, 1], 40.0, 5500.0)]
+    scene = build_scene(mats, sph, [], lights)
+    cam = make_camera((0, 1.2, -1.0), (0, 1.2, 3.0), vfov=40.0,
+                      aspect_ratio=W / H)
+    luma = np.array([0.2126, 0.7152, 0.0722])
+    mean_glass = {}
+    for c in (1, 4):
+        cfg = RenderConfig(width=W, height=H, depth=8, backend="xla",
+                           hero_wavelengths=c, enable_photons=False,
+                           dispersion_in_camera_path=True)
+        st = render(scene, cfg, cam, init_state(cfg), 555, 96)
+        img = (np.asarray(st.rgb_sum)[:W * H] / 96).reshape(H, W, 3)
+        # central block: seen through the glass ball
+        mean_glass[c] = float(
+            (img[H // 2 - 4:H // 2 + 4, W // 2 - 8:W // 2 + 8] @ luma).mean())
+    ratio = mean_glass[4] / mean_glass[1]
+    assert 0.8 < ratio < 1.25, mean_glass

@@ -30,8 +30,9 @@ class RenderConfig:
     #   lambda per sample, wgsl :995). >1 enables hero-wavelength sampling
     #   (Wilkie et al. 2014): C rotated wavelengths share each camera path,
     #   the NEE emission term averages their CIE responses, and a lane
-    #   collapses to the hero on its first dispersive (dielectric) camera
-    #   interaction. ~C x less spectral chroma noise on diffuse surfaces at
+    #   collapses to the hero's emission at FULL weight on its first
+    #   dispersive (dielectric) camera interaction (the dirac continuation
+    #   is hero-only, cf. pbrt-v4 TerminateSecondary). ~C x less spectral chroma noise on diffuse surfaces at
     #   near-zero extra cost (the rotation adds no RNG draws, so ray counts
     #   and cross-backend exactness are unchanged). Shadow attenuation
     #   through dielectrics is evaluated at the hero wavelength (documented

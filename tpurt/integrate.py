@@ -372,7 +372,10 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
                                     scene.light_intensity[li],
                                     scene.light_temp[li], C), C, lam)
             for li in range(scene.num_lights)]
-        hero_rgbs = [r / C for r in light_emission_rgb(scene, lam)]
+        # post-collapse hero emission at FULL weight: only the hero
+        # technique generates the dispersive dirac continuation (cf.
+        # pbrt-v4 SampledWavelengths::TerminateSecondary) — no 1/C
+        hero_rgbs = light_emission_rgb(scene, lam)
     else:
         light_rgbs = light_emission_rgb(scene, lam)  # lambda-invariant
     # collapse can only happen when the camera path is dispersive

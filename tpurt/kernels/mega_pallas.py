@@ -391,8 +391,12 @@ def _tree_sweep(node, o, inv, state, vote, t_cap, leaf_fn):
     leaf sweep."""
     for leaf in _tree_leaves(node):
         tn, tf = _aabb_entry_exit(leaf.bmin, leaf.bmax, o, inv)
-        pred = jnp.any(vote(state) & (tn <= tf) & (tf > 0.0)
-                       & (tn < t_cap(state)))
+        # negated compares: a NaN slab test (d component exactly 0 with o
+        # exactly on the plane -> 0*inf) must vote HIT (conservative — an
+        # extra sweep never changes results; a dropped vote can cull a
+        # leaf some lane actually hits)
+        pred = jnp.any(vote(state) & ~((tn > tf) | (tf <= 0.0)
+                                       | (tn >= t_cap(state))))
         state = jax.lax.cond(
             pred,
             lambda st, lf=leaf: leaf_fn(lf.prims, st),
@@ -650,6 +654,24 @@ def _combine_nearest(h1, h2):
             s.vwhere(take2, loc2, loc1),
             s.vwhere(take2, n2, n1),
             jnp.where(take2, m2, m1))
+
+
+def _single_lambda_em_c(lights, lam):
+    """Per-light spectral emission at one wavelength, component form
+    (ref: mega_kernel.wgsl:574-578): color*intensity*range * blackbody *
+    cie_rgb. Returns a flat list of 3*L planes. This is both the C=1
+    emission and the hero's post-collapse emission (the dispersive dirac
+    continuation keeps FULL weight — only the hero technique can generate
+    such a path, cf. pbrt-v4 SampledWavelengths::TerminateSecondary)."""
+    cie = s.cie_to_rgb_c(lam)
+    out = []
+    for lt in lights:
+        spd = (blackbody(lam, np.float32(lt.temp))
+               if lt.temp > 0.0 else 1.0)
+        for c in range(3):
+            out.append(np.float32(lt.color[c] * lt.intensity
+                                  * VISIBLE_RANGE) * spd * cie[c])
+    return out
 
 
 def _material_lookup_static(materials, mat_id):
@@ -991,6 +1013,13 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
         C_HERO = max(1, int(cfg.hero_wavelengths))
         track_collapse = (C_HERO > 1 and cfg.dispersion_in_camera_path
                           and any_dielectric)
+        if C_HERO == 1 or track_collapse:
+            # the single-lambda emission: the C=1 estimator, and the
+            # post-collapse hero emission at FULL weight (the dispersive
+            # dirac continuation is hero-only; no 1/C)
+            flat = _single_lambda_em_c(LIGHTS, lam)
+            hero_rgb = [tuple(flat[3 * li + c] for c in range(3))
+                        for li in range(L)]
         if C_HERO > 1:
             delta = VISIBLE_RANGE / C_HERO
             light_rgb = [
@@ -998,16 +1027,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                     hero_emission_table(lt.color, lt.intensity, lt.temp,
                                         C_HERO), delta, lam)
                 for lt in LIGHTS]
-        cie = s.cie_to_rgb_c(lam)
-        hero_rgb = []
-        for lt in LIGHTS:
-            spd = (blackbody(lam, np.float32(lt.temp))
-                   if lt.temp > 0.0 else 1.0)
-            hero_rgb.append(tuple(
-                np.float32(lt.color[c] * lt.intensity
-                           * VISIBLE_RANGE / C_HERO) * spd * cie[c]
-                for c in range(3)))
-        if C_HERO == 1:
+        else:
             light_rgb = hero_rgb
 
         zero = jnp.zeros_like(u)

@@ -54,6 +54,7 @@ from tpurt.kernels.mega_pallas import (
     _mask_i32,
     _material_lookup_static,
     _make_scene_fns,
+    _single_lambda_em_c,
     _prim_tables,
     _scatter_dielectric_c,
     _scatter_metal_c,
@@ -206,35 +207,20 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 # hero-wavelength emission: C stratified lambdas share
                 # this path; em = their averaged CIE-weighted emission via
                 # the folded periodic table (one small lerp chain instead
-                # of C full CIE chains), em_h = the hero's share alone
-                # (used after a dispersive collapse)
+                # of C full CIE chains), em_h = the hero's single-lambda
+                # emission at full weight (used after a dispersive collapse)
                 if C_HERO > 1:
                     em_new = []
                     for tab in HERO_TABS:
                         em_new.extend(s.hero_em_lookup_c(tab, HERO_DELTA,
                                                          lam_new))
                 else:
-                    cie_new = s.cie_to_rgb_c(lam_new)
-                    em_new = []
-                    for lt in LIGHTS:
-                        spd = (blackbody(lam_new, np.float32(lt.temp))
-                               if lt.temp > 0.0 else 1.0)
-                        for c in range(3):
-                            em_new.append(
-                                np.float32(lt.color[c] * lt.intensity
-                                           * VISIBLE_RANGE) * spd
-                                * cie_new[c])
-                em_h = []
-                if track_collapse:
-                    cie_h = s.cie_to_rgb_c(lam_new)
-                    for lt in LIGHTS:
-                        spd = (blackbody(lam_new, np.float32(lt.temp))
-                               if lt.temp > 0.0 else 1.0)
-                        for c in range(3):
-                            em_h.append(
-                                np.float32(lt.color[c] * lt.intensity
-                                           * VISIBLE_RANGE / C_HERO)
-                                * spd * cie_h[c])
+                    em_new = _single_lambda_em_c(LIGHTS, lam_new)
+                # post-collapse hero emission at FULL weight (the
+                # dispersive dirac continuation is hero-only; no 1/C —
+                # cf. pbrt-v4 TerminateSecondary)
+                em_h = (_single_lambda_em_c(LIGHTS, lam_new)
+                        if track_collapse else [])
                 return (*o0, *d0, lam_new, rng_c, *em_new, *em_h)
 
             def _cam_spawn_skip(_):

@@ -50,6 +50,7 @@ from tpurt.kernels.mega_pallas import (
     _prim_tables,
     _scatter_dielectric_c,
     _scatter_metal_c,
+    _single_lambda_em_c,
     freeze_scene,
     supports_scene,
 )
@@ -216,22 +217,12 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
         if track_collapse:
             coll_now = active & found & ~(is_diffuse | is_metal)
 
-            def _hero_em(_):
-                cie_h = s.cie_to_rgb_c(lam)
-                vals = []
-                for lt in LIGHTS:
-                    spd = (blackbody(lam, np.float32(lt.temp))
-                           if lt.temp > 0.0 else 1.0)
-                    for c in range(3):
-                        vals.append(
-                            np.float32(lt.color[c] * lt.intensity
-                                       * VISIBLE_RANGE / C_HERO)
-                            * spd * cie_h[c])
-                return tuple(vals)
-
-            em_h = jax.lax.cond(jnp.any(coll_now), _hero_em,
-                                lambda _: (jnp.zeros_like(lam),) * (3 * L),
-                                0)
+            # post-collapse hero emission at FULL weight (dirac
+            # continuation is hero-only; no 1/C)
+            em_h = jax.lax.cond(
+                jnp.any(coll_now),
+                lambda _: tuple(_single_lambda_em_c(LIGHTS, lam)),
+                lambda _: (jnp.zeros_like(lam),) * (3 * L), 0)
             for i, ch in enumerate(range(_EM, _EM + 3 * L)):
                 pf_out[ch] = jnp.where(coll_now, em_h[i], pf_ref[ch])
         else:
@@ -522,15 +513,7 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                     em_new.extend(s.hero_em_lookup_c(tab, HERO_DELTA,
                                                      lam_new))
             else:
-                cie_new = s.cie_to_rgb_c(lam_new)
-                em_new = []
-                for lt in LIGHTS:
-                    spd = (blackbody(lam_new, np.float32(lt.temp))
-                           if lt.temp > 0.0 else 1.0)
-                    for c in range(3):
-                        em_new.append(
-                            np.float32(lt.color[c] * lt.intensity
-                                       * VISIBLE_RANGE) * spd * cie_new[c])
+                em_new = _single_lambda_em_c(LIGHTS, lam_new)
 
             o = s.vwhere(regen, o0, st["o"])
             d = s.vwhere(regen, d0, st["d"])
@@ -629,21 +612,9 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                     # share (cond-gated recompute; idempotent)
                     coll_now = active & found & is_diel
 
-                    def _hero_em(_):
-                        cie_h = s.cie_to_rgb_c(lam)
-                        vals = []
-                        for lt in LIGHTS:
-                            spd = (blackbody(lam, np.float32(lt.temp))
-                                   if lt.temp > 0.0 else 1.0)
-                            for c in range(3):
-                                vals.append(
-                                    np.float32(lt.color[c] * lt.intensity
-                                               * VISIBLE_RANGE / C_HERO)
-                                    * spd * cie_h[c])
-                        return tuple(vals)
-
                     em_h = jax.lax.cond(
-                        jnp.any(coll_now), _hero_em,
+                        jnp.any(coll_now),
+                        lambda _: tuple(_single_lambda_em_c(LIGHTS, lam)),
                         lambda _: (jnp.zeros_like(lam),) * (3 * L), 0)
                     em = tuple(jnp.where(coll_now, em_h[i], em[i])
                                for i in range(3 * L))

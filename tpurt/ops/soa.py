@@ -378,7 +378,6 @@ def hero_em_lookup_c(tab, delta, lam):
     chain replaces C full CIE chains. `tab` is a host numpy (n_seg+1, 3)
     whose entries bake in as immediates (like cie_to_rgb_c); lam is any
     plane shape; returns a vec3 tuple."""
-    import numpy as np
     n_seg = tab.shape[0] - 1
     t = (lam - jnp.float32(VISIBLE_MIN)) / jnp.float32(delta)
     frac = t - jnp.floor(t)                     # periodic fold to [0, 1)

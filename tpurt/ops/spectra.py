@@ -145,22 +145,6 @@ def sample_wavelength(u):
     return jnp.float32(VISIBLE_MIN) + u * jnp.float32(VISIBLE_RANGE)
 
 
-def rotate_wavelengths(lam_hero, c: int):
-    """Hero-wavelength rotation (Wilkie et al. 2014, "Hero Wavelength
-    Spectral Sampling"): C equally-spaced wavelengths sharing one path,
-    lambda_j = wrap(lambda_hero + j*range/C). Stratified over the visible
-    range, so no extra RNG draws — draw positions (and therefore all
-    cross-backend exactness guarantees) are unchanged. Returns a tuple of
-    C arrays shaped like lam_hero; j=0 is the hero itself."""
-    out = [lam_hero]
-    for j in range(1, c):
-        lj = lam_hero + jnp.float32(j * VISIBLE_RANGE / c)
-        lj = jnp.where(lj >= jnp.float32(VISIBLE_MIN + VISIBLE_RANGE),
-                       lj - jnp.float32(VISIBLE_RANGE), lj)
-        out.append(lj)
-    return tuple(out)
-
-
 def _cie_rgb_np(lam_nm):
     """NumPy mirror of cie_to_rgb (host-side, for table precomputation)."""
     t = (np.asarray(lam_nm, np.float64) - VISIBLE_MIN) / CIE_STEP

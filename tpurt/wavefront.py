@@ -177,8 +177,9 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool):
                                     scene.light_temp[li], C), C, pool.lam)
             for li in range(scene.num_lights)]
         if track_collapse:
+            # full-weight hero after collapse (no 1/C; see integrate.py)
             hero = light_emission_rgb(scene, pool.lam)
-            rgbs = [jnp.where(pool.coll[:, None], hero[li] / C, rgbs[li])
+            rgbs = [jnp.where(pool.coll[:, None], hero[li], rgbs[li])
                     for li in range(scene.num_lights)]
     else:
         rgbs = None

@@ -54,7 +54,7 @@ def _build(args):
     scene = build()
     cfg = RenderConfig(width=args.width, height=args.height, depth=args.depth,
                        backend=args.backend, hero_wavelengths=args.hero,
-                       dispersion_in_camera_path=args.scene == "dispersive")
+                       dispersion_in_camera_path=args.dispersion)
     cam = make_camera(eye, at, vfov=vfov, aspect_ratio=args.width / args.height)
     return cfg, scene, cam, vfov
 
@@ -251,6 +251,9 @@ def main():
     ap.add_argument("--csv", default=None, help="per-frame stats CSV path")
     ap.add_argument("--hero", type=int, default=1, metavar="C",
                     help="hero-wavelength count (1 = reference estimator)")
+    ap.add_argument("--dispersion", action="store_true",
+                    help="Cauchy dispersion on the camera path too "
+                         "(default off = the reference quirk, wgsl :915)")
     args = ap.parse_args()
 
     if args.headless or not sys.stdin.isatty():
