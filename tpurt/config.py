@@ -44,8 +44,10 @@ class RenderConfig:
     #   dispersion on the camera path too — required for the dispersive-glass
     #   benchmark config; documented deviation per SURVEY.md §2a.
     # Geometry path
-    use_bvh: bool = False              # True: BVH traversal (XLA path only);
-    #   False: chunked brute-force triangle sweep (default; Pallas-compatible)
+    use_bvh: bool = False              # True: per-ray BVH traversal (XLA
+    #   path only). The Pallas kernels accelerate big scenes their own way:
+    #   the tile-coherent cull tree (pallas_cluster_size) — a BVH traversed
+    #   at whole-tile granularity with lax.cond votes.
     # Execution shape
     backend: str = "xla"               # "xla" | "pallas" (fused megakernel;
     #   sphere scenes only for now — mesh scenes auto-fall-back to XLA)

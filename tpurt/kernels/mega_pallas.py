@@ -233,13 +233,14 @@ def _sweep_spheres_static(spheres, o, d, a, state):
     (best_t, best_center, best_mat) — the unrolled inner loop shared by the
     flat and clustered intersectors (wgsl :342-354)."""
     best_t, best_c, best_mat = state
+    inv_a = 1.0 / a  # one reciprocal per lane; multiplies per sphere
     for sp in spheres:
         oc = (o[0] - sp.c[0], o[1] - sp.c[1], o[2] - sp.c[2])
         half_b = s.vdot(oc, d)
         c = s.vdot(oc, oc) - sp.r * sp.r
         disc = half_b * half_b - a * c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t = (-half_b - sq) / a
+        t = (-half_b - sq) * inv_a
         t = jnp.where((disc > 0.0) & (t > 0.0), t, MISS)
         better = t < best_t
         best_t = jnp.where(better, t, best_t)
@@ -271,6 +272,7 @@ def _shadow_sweep_static(spheres, o, d, t_max, lam, a, atten):
     """Shadow-factor sweep over constant spheres, continuing from `atten`
     (wgsl :511-538). Static material types let diffuse occluders skip the
     entire Fresnel chain: their factor is just `overlap ? 0 : 1`."""
+    inv_a = 1.0 / a
     for sp in spheres:
         cb = s.vbroadcast(sp.c, o[0])
         oc = s.vsub(o, cb)
@@ -278,8 +280,8 @@ def _shadow_sweep_static(spheres, o, d, t_max, lam, a, atten):
         c = s.vdot(oc, oc) - sp.r * sp.r
         disc = half_b * half_b - a * c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t0 = (-half_b - sq) / a
-        t1 = (-half_b + sq) / a
+        t0 = (-half_b - sq) * inv_a
+        t1 = (-half_b + sq) * inv_a
         overlap = (disc > 0.0) & (t1 > 0.0) & (t0 < t_max)
         if sp.mtype != 1:  # diffuse and metal occlude fully
             atten = atten * jnp.where(overlap, 0.0, 1.0)
@@ -448,6 +450,7 @@ def _closest_sphere_dyn(sph_ref, S, o, d):
     instruction stream would explode compile time (measured: 257 unrolled
     spheres -> ~6 min Mosaic compile; this mode -> seconds)."""
     a = s.vdot(d, d)
+    inv_a = 1.0 / a
 
     def body(si, carry):
         best_t, bcx, bcy, bcz, best_mat = carry
@@ -458,7 +461,7 @@ def _closest_sphere_dyn(sph_ref, S, o, d):
         c = s.vdot(oc, oc) - r * r
         disc = half_b * half_b - a * c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t = (-half_b - sq) / a
+        t = (-half_b - sq) * inv_a
         t = jnp.where((disc > 0.0) & (t > 0.0) & (r > 0.0), t, MISS)
         better = t < best_t
         best_t = jnp.where(better, t, best_t)
@@ -484,6 +487,7 @@ def _shadow_dyn(sph_ref, S, o, d, t_max, lam):
     runtime scalars here, so both the diffuse and dielectric factors are
     computed and selected (the static mode folds this away)."""
     a = s.vdot(d, d)
+    inv_a = 1.0 / a
     cauchy = jnp.float32(DISPERSION_B) / ((lam * 1e-3) * (lam * 1e-3))
 
     def body(si, atten):
@@ -497,8 +501,8 @@ def _shadow_dyn(sph_ref, S, o, d, t_max, lam):
         c = s.vdot(oc, oc) - r * r
         disc = half_b * half_b - a * c
         sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t0 = (-half_b - sq) / a
-        t1 = (-half_b + sq) / a
+        t0 = (-half_b - sq) * inv_a
+        t1 = (-half_b + sq) * inv_a
         overlap = (disc > 0.0) & (t1 > 0.0) & (t0 < t_max) & (r > 0.0)
         t_entry = jnp.maximum(t0, 0.0)
         t_exit = jnp.minimum(t1, t_max)

@@ -67,7 +67,8 @@ def sphere_candidates(ray_o, ray_d, centers, radii):
     c = jnp.sum(oc * oc, axis=-1) - (radii * radii)[None, :]
     disc = half_b * half_b - a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t = (-half_b - sq) / a
+    inv_a = 1.0 / a  # one reciprocal per ray, multiplies per sphere
+    t = (-half_b - sq) * inv_a
     valid = (disc > 0.0) & (t > 0.0) & (radii[None, :] > 0.0)
     return t, valid
 
@@ -329,8 +330,9 @@ def sphere_shadow_factors(ray_o, ray_d, t_max, centers, radii, mtype, ior, lambd
     c = jnp.sum(oc * oc, axis=-1) - (radii * radii)[None, :]
     disc = half_b * half_b - a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t0 = (-half_b - sq) / a
-    t1 = (-half_b + sq) / a
+    inv_a = 1.0 / a
+    t0 = (-half_b - sq) * inv_a
+    t1 = (-half_b + sq) * inv_a
     overlap = (disc > 0.0) & (t1 > 0.0) & (t0 < t_max[:, None]) & (radii[None, :] > 0.0)
 
     t_entry = jnp.maximum(t0, 0.0)

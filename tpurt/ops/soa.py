@@ -273,7 +273,7 @@ def sphere_hit_c(o, d, center, radius):
     c = vdot(oc, oc) - radius * radius
     disc = half_b * half_b - a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t = (-half_b - sq) / a
+    t = (-half_b - sq) * (1.0 / a)
     valid = (disc > 0.0) & (t > 0.0) & (radius > 0.0)
     return t, valid
 
@@ -288,8 +288,9 @@ def sphere_shadow_factor_c(o, d, t_max, lam, center, radius, mtype, ior):
     c = vdot(oc, oc) - radius * radius
     disc = half_b * half_b - a * c
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t0 = (-half_b - sq) / a
-    t1 = (-half_b + sq) / a
+    inv_a = 1.0 / a
+    t0 = (-half_b - sq) * inv_a
+    t1 = (-half_b + sq) * inv_a
     overlap = (disc > 0.0) & (t1 > 0.0) & (t0 < t_max) & (radius > 0.0)
 
     t_entry = jnp.maximum(t0, 0.0)
