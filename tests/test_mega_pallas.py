@@ -340,3 +340,23 @@ class TestClusteredTriangles:
             out[name] = (float(st.rays), np.asarray(st.rgb_sum)[:w * h])
         assert out["tree"][0] == out["flat"][0] == out["xla"][0] != 0.0
         np.testing.assert_allclose(out["tree"][1], out["flat"][1], atol=1e-4)
+
+    def test_torus_mesh_scene_renders(self):
+        """The 256-triangle procedural mesh scene (the mesh-at-scale demo)
+        runs through the fused kernel with the triangle cull tree and
+        matches the XLA integrator's exact ray count."""
+        from tpurt import torus_mesh_scene
+        scene = torus_mesh_scene()
+        assert scene.num_triangles == 256
+        cam = make_camera((0, 5.5, -2.5), (0, 1.0, 5.8), vfov=50.0,
+                          aspect_ratio=2.0)
+        kw = dict(width=48, height=24, depth=3, k_photons=1,
+                  max_photon_bounces=2, pallas_lanes=512, tile_size=1152,
+                  pallas_static_unroll=256, pallas_cluster_size=16)
+        cfg_p = RenderConfig(backend="pallas", **kw)
+        st_p = render(scene, cfg_p, cam, init_state(cfg_p), 5, 1)
+        cfg_x = RenderConfig(backend="xla", **kw)
+        st_x = render(scene, cfg_x, cam, init_state(cfg_x), 5, 1)
+        assert float(st_p.rays) == float(st_x.rays) != 0.0
+        img = np.asarray(st_p.rgb_sum)[:48 * 24]
+        assert np.isfinite(img).all() and img.sum() > 0

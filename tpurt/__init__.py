@@ -36,6 +36,7 @@ from tpurt.scene import (
     default_scene,
     dispersive_scene,
     instanced_scene,
+    torus_mesh_scene,
 )
 
 __version__ = "0.1.0"
@@ -47,6 +48,6 @@ __all__ = [
     "save_checkpoint", "load_checkpoint",
     "Light", "Material", "MeshData", "Scene", "Sphere",
     "build_scene", "cornell_spheres_scene", "default_scene",
-    "dispersive_scene", "instanced_scene",
+    "dispersive_scene", "instanced_scene", "torus_mesh_scene",
     "WavefrontPool", "wavefront_render",
 ]

@@ -603,11 +603,14 @@ def _tri_shadow_clustered(tree: _CullTree, o, d, t_max, mask):
     if tree.root is None:
         return occ
     inv = tuple(1.0 / d[c] for c in range(3))
-    return _tree_sweep(
-        tree.root, o, inv, occ,
-        vote=lambda oc: mask & ~oc, t_cap=lambda oc: t_max,
-        leaf_fn=lambda prims, oc: _tri_occ_sweep_static(prims, o, d, t_max,
-                                                        oc))
+    # the cond carry is an i32 mask, not bool: Mosaic rejects i1 vector
+    # carries (see the sphere sweeps' _mask_i32 convention)
+    occ_i = _tree_sweep(
+        tree.root, o, inv, _mask_i32(occ),
+        vote=lambda oc: mask & (oc == 0), t_cap=lambda oc: t_max,
+        leaf_fn=lambda prims, oc: _mask_i32(
+            _tri_occ_sweep_static(prims, o, d, t_max, oc > 0)))
+    return occ_i > 0
 
 
 def _closest_tri_dyn(tri_ref, T, o, d):

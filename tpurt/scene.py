@@ -414,6 +414,44 @@ def dispersive_scene() -> Scene:
     return build_scene(materials, spheres, [], lights)
 
 
+def torus_mesh_scene(nu: int = 16, nv: int = 8) -> Scene:
+    """Procedural 2*nu*nv-triangle torus mesh + two glass spheres on a
+    ground sphere — the mesh-at-scale demo scene (exercises the triangle
+    cull tree; 256 triangles by default). Outward winding: the integrator
+    shades the geometric normal single-sided like the reference."""
+    R0, r0 = 1.6, 0.55
+    verts = np.empty((nu * nv, 3), np.float32)
+    for i in range(nu):
+        for j in range(nv):
+            u = 2.0 * math.pi * i / nu
+            v = 2.0 * math.pi * j / nv
+            verts[i * nv + j] = ((R0 + r0 * math.cos(v)) * math.cos(u),
+                                 r0 * math.sin(v) + r0 + 1.0,
+                                 (R0 + r0 * math.cos(v)) * math.sin(u))
+    faces = []
+    for i in range(nu):
+        for j in range(nv):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            c = ((i + 1) % nu) * nv + (j + 1) % nv
+            d = i * nv + (j + 1) % nv
+            faces.append((a, c, b))
+            faces.append((a, d, c))
+    mesh = MeshData(material_id=2, translation=(0.0, 0.0, 6.0))
+    mesh.add_triangles(verts, np.asarray(faces, np.int32))
+    materials = [
+        Material.diffuse((0.75, 0.75, 0.75)),
+        Material.dielectric(1.5, 0.0),
+        Material.diffuse((0.85, 0.25, 0.2)),
+    ]
+    spheres = [Sphere(0, 1000.0, (0.0, -1000.0, 0.0)),
+               Sphere(1, 0.9, (-2.6, 0.9, 4.2)),
+               Sphere(1, 0.9, (2.6, 0.9, 4.2))]
+    lights = [Light.square_area([3, 8, 2], [-0.4, -1.0, 0.3], 2.5,
+                                [1.0, 1.0, 1.0], 6.0, 5000.0)]
+    return build_scene(materials, spheres, [mesh], lights)
+
+
 def tri_test_scene() -> Scene:
     """Small mesh scene used by tests: two-triangle quad + one sphere."""
     materials = [
