@@ -1,0 +1,169 @@
+"""Whole-tile dynamic BVH traversal (tpurt/kernels/bvh_pallas.py).
+
+Correctness is pinned three ways: the packed-table encoding round-trips,
+the raw traversal matches a brute-force Möller-Trumbore oracle on a random
+triangle soup (closest hit, misses, occlusion), and the full fused kernel
+on a mesh scene forced through the BVH path agrees with the XLA integrator
+(exact ray counts, image tolerance) — the same cross-backend contract as
+the static-unroll modes (tests/test_mega_pallas.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurt import (RenderConfig, init_state, make_camera, render,
+                   resolve_image, torus_mesh_scene)
+from tpurt.kernels.bvh_pallas import (MAX_BVH_TRIS, build_tri_bvh_tables,
+                                      closest_tri_bvh, pack_tables,
+                                      packed_views, tri_shadow_bvh)
+
+
+class _FT:
+    def __init__(self, a, e1, e2, n, mat):
+        self.a, self.e1, self.e2, self.n = (tuple(map(float, v))
+                                            for v in (a, e1, e2, n))
+        self.mat = int(mat)
+
+
+def _soup(T, seed=3):
+    rng = np.random.default_rng(seed)
+    ctr = rng.uniform(-6, 6, (T, 3)).astype(np.float32)
+    a = ctr + rng.uniform(-0.3, 0.3, (T, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.5, 0.5, (T, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.5, 0.5, (T, 3)).astype(np.float32)
+    n = np.cross(e1, e2)
+    n /= np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-30)
+    tris = [_FT(a[i], e1[i], e2[i], n[i], i % 7) for i in range(T)]
+    return tris, a, e1, e2
+
+
+def _brute_force(ro, rd, a, e1, e2):
+    oc = ro[:, None, :] - a[None, :, :]
+    h = np.cross(rd[:, None, :], e2[None, :, :])
+    det = np.einsum("tk,ntk->nt", e1, h)
+    eps = np.float32(1.17549435e-38)
+    inv = 1.0 / np.where(np.abs(det) < eps, 1.0, det)
+    u = inv * np.einsum("ntk,ntk->nt", oc, h)
+    q = np.cross(oc, e1[None, :, :])
+    v = inv * np.einsum("nk,ntk->nt", rd, q)
+    tt = inv * np.einsum("tk,ntk->nt", e2, q)
+    valid = ((np.abs(det) >= eps) & (u >= 0) & (u <= 1)
+             & (v >= 0) & (u + v <= 1) & (tt > eps))
+    return np.where(valid, tt, 1e30)
+
+
+def test_packed_table_roundtrip():
+    tris, *_ = _soup(100)
+    tri_tab, node_f, node_i = build_tri_bvh_tables(tris, leaf_size=4)
+    packed = pack_tables(tri_tab, node_f, node_i)
+    assert packed.shape[1] == 128
+    recs = packed.reshape(-1, 16)
+    T, B = tri_tab.shape[0], node_f.shape[0]
+    np.testing.assert_array_equal(recs[:T], tri_tab)
+    np.testing.assert_array_equal(recs[T:T + B, 0:6], node_f[:, 0:6])
+    np.testing.assert_array_equal(recs[T:T + B, 6:10].astype(np.int32),
+                                  node_i)
+    # leaves cover every triangle exactly once, contiguously
+    leaf = node_i[:, 3] > 0
+    spans = sorted((int(f), int(c))
+                   for f, c in zip(node_i[leaf, 2], node_i[leaf, 3]))
+    covered = [i for f, c in spans for i in range(f, f + c)]
+    assert covered == list(range(T))
+
+
+@pytest.mark.parametrize("T", [40, 300])
+def test_walk_matches_brute_force(T):
+    tris, a, e1, e2 = _soup(T)
+    tri_tab, node_f, node_i = build_tri_bvh_tables(tris, leaf_size=8)
+    packed = jnp.asarray(pack_tables(tri_tab, node_f, node_i))
+
+    R, NT = 2, 2
+    NR = NT * R * 128
+    rng = np.random.default_rng(11)
+    ro = rng.uniform(-8, 8, (NR, 3)).astype(np.float32)
+    rd = rng.uniform(-1, 1, (NR, 3)).astype(np.float32)
+    ro[: NR // 2] = (np.float32([0, 0, -10.0])
+                     + rng.uniform(-0.1, 0.1, (NR // 2, 3)).astype(np.float32))
+    rd[: NR // 2] = (rng.uniform(-6, 6, (NR // 2, 3)).astype(np.float32)
+                     - ro[: NR // 2])
+
+    def kernel(rays_ref, tab_ref, out_ref):
+        o = (rays_ref[0], rays_ref[1], rays_ref[2])
+        d = (rays_ref[3], rays_ref[4], rays_ref[5])
+        mask = jnp.ones_like(o[0], bool)
+        nodes, tv = packed_views(tab_ref, T)
+        t, nrm, mat = closest_tri_bvh(nodes, tv, o, d, mask)
+        occ = tri_shadow_bvh(nodes, tv, o, d,
+                             jnp.full_like(o[0], 4.0), mask)
+        out_ref[0] = t
+        out_ref[1] = mat.astype(jnp.float32)
+        out_ref[2] = jnp.where(occ, 1.0, 0.0)
+
+    rays = jnp.asarray(
+        np.stack([ro[:, 0], ro[:, 1], ro[:, 2],
+                  rd[:, 0], rd[:, 1], rd[:, 2]])
+        .reshape(6, NT, R, 128).swapaxes(0, 1).reshape(NT * 6, R, 128))
+    out = pl.pallas_call(
+        kernel,
+        grid=(NT,),
+        in_specs=[pl.BlockSpec((6, R, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((3, R, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NT * 3, R, 128), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(rays, packed)
+    out = np.asarray(out).reshape(NT, 3, R, 128)
+    t_k = out[:, 0].reshape(-1)
+    occ_k = out[:, 2].reshape(-1) > 0.5
+
+    tt = _brute_force(ro, rd, a, e1, e2)
+    t_ref = tt.min(axis=1)
+    hit = t_ref < 1e29
+    np.testing.assert_allclose(t_k[hit], t_ref[hit], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(t_k > 1e29, ~hit)
+    np.testing.assert_array_equal(occ_k, (tt < 4.0).any(axis=1))
+
+
+class TestFusedKernelBVHMode:
+    """Mesh scene forced through the dynamic-BVH path of the fused
+    megakernel vs the XLA integrator — same contract as the static modes."""
+
+    def _cfgs(self):
+        kw = dict(width=128, height=64, depth=5, pallas_lanes=1024,
+                  pallas_cluster_size=0)
+        # static_unroll=8 pushes the 256-triangle torus into BVH mode
+        return (RenderConfig(backend="pallas", pallas_static_unroll=8,
+                             pallas_bvh=True, pallas_bvh_leaf=8, **kw),
+                RenderConfig(backend="xla", **kw))
+
+    def test_exact_ray_counts_and_image(self):
+        from tpurt.kernels.mega_pallas import _use_tri_bvh, freeze_scene
+        scene = torus_mesh_scene(8, 4)  # 64 triangles + spheres + ground
+        cfg_p, cfg_x = self._cfgs()
+        assert _use_tri_bvh(freeze_scene(scene), cfg_p)
+        cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
+                          aspect_ratio=2.0)
+        st_p = render(scene, cfg_p, cam, init_state(cfg_p), 77, 2)
+        st_x = render(scene, cfg_x, cam, init_state(cfg_x), 77, 2)
+        assert float(st_p.rays) == float(st_x.rays) != 0.0
+        img_p = np.asarray(resolve_image(cfg_p, st_p))
+        img_x = np.asarray(resolve_image(cfg_x, st_x))
+        # identical paths up to float reassociation: ulp-level t differences
+        # through the glass spheres blow up on rare caustic fireflies, so
+        # (like the fused-wavefront suite) bound the divergent-pixel
+        # fraction instead of demanding allclose everywhere
+        diff = (np.abs(img_p - img_x) > 1e-4).any(axis=-1)
+        assert diff.mean() < 0.02, f"{diff.mean():.4f} of pixels diverge"
+
+    def test_supports_scene_budget(self):
+        from tpurt.kernels.mega_pallas import supports_scene
+        scene = torus_mesh_scene(8, 4)
+        cfg_p, _ = self._cfgs()
+        assert supports_scene(scene, cfg_p)
+        assert scene.num_triangles <= MAX_BVH_TRIS

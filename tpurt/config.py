@@ -80,6 +80,14 @@ class RenderConfig:
     #   groups. 0 disables (flat sweep). Only engages above 4x this count.
     sphere_chunk: int = 512            # primitive chunk sizes for the sweeps
     tri_chunk: int = 256
+    pallas_bvh: bool = True            # meshes beyond pallas_static_unroll
+    #   run a whole-tile DYNAMIC BVH walk inside the fused kernels (SMEM
+    #   node/triangle tables + per-tile stack, kernels/bvh_pallas.py):
+    #   compile time is O(1) in mesh size, budget MAX_BVH_TRIS. False
+    #   restores the flat SMEM-table sweep (MAX_DYNAMIC_TRIS).
+    pallas_bvh_leaf: int = 16          # triangles per BVH leaf in that walk
+    #   (tile-level votes want coarser leaves than the XLA path's 2 —
+    #   cf. the cluster-size findings in docs/DESIGN.md)
     # Wavefront tracer (tpurt.wavefront; ref: src/wavefront.rs finished form)
     wf_pool: int = 262144              # persistent ray-pool capacity Q
     wf_max_sweeps: int = 100000        # safety bound on the sweep loop

@@ -1,0 +1,268 @@
+"""Tile-coherent DYNAMIC BVH traversal for triangle meshes in the Pallas
+kernels — big-mesh support without static unrolling.
+
+The static cull tree (tpurt.kernels.mega_pallas._tri_cull_tree) bakes every
+triangle into the instruction stream: great throughput, but compile time and
+code size grow linearly with the mesh (measured ~6 min at 512 unrolled
+primitives), which caps fused-kernel scenes at ~1k triangles. This module
+keeps the SAME whole-tile traversal idea — the tile is the traversal granule,
+one scalar decision per node — but walks a *runtime* BVH:
+
+  * node tables live in SMEM ((B, 8) f32 bounds + (B, 4) i32 topology),
+    loaded as scalars during the walk;
+  * an explicit stack is a small SMEM scratch (pl.run_scoped), exactly the
+    device analogue of the reference's fixed 64-deep traversal stack
+    (ref: src/kernels/mega_kernel.wgsl:395-428);
+  * a node is descended only if SOME relevant lane's ray enters its AABB
+    closer than that lane's current best hit (/ within its shadow range) —
+    the whole-tile lax.cond vote of the static cull tree, applied to a
+    dynamically indexed node;
+  * leaf triangles are contiguous rows of the SMEM triangle table (the BVH
+    builder's leaf-order permutation, tpurt.accel), swept with a dynamic-trip
+    fori_loop of broadcast scalar loads.
+
+Compile time is O(1) in mesh size; the same kernel binary serves any mesh up
+to the table budget. The tree topology/splits are the reference's recursive
+median split (ref: src/instance.rs:259-269) via tpurt.accel.build_bvh, with
+a coarser leaf size than the XLA path (tile-level votes want 8-32 triangles
+per leaf, cf. the cluster-size findings in docs/DESIGN.md).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurt.ops import soa as s
+
+MISS = np.float32(1e30)
+# SMEM table budgets. Triangles: (T, 16) f32 rows; nodes: (B, 8) f32 +
+# (B, 4) i32. A median-split tree with leaf size K has < 2*ceil(T/K) nodes.
+MAX_BVH_TRIS = 8192
+STACK_DEPTH = 64  # ref: mega_kernel.wgsl:402 (fixed 64-deep stack)
+
+
+def build_tri_bvh_tables(triangles, leaf_size: int):
+    """Host: coarse BVH over the frozen triangle tuple.
+
+    Returns (tri_tab (T,16) f32, node_f (B,8) f32, node_i (B,4) i32) as
+    numpy arrays; the triangle rows are permuted into THIS tree's leaf order
+    so every leaf is a contiguous [first, first+count) row range.
+    node_f: bmin xyz, bmax xyz, 0, 0. node_i: left, right, first, count
+    (leaf iff count > 0), the reference's flat node layout
+    (ref: src/instance.rs:175-184).
+    """
+    from tpurt.accel import build_bvh
+
+    a = np.asarray([t.a for t in triangles], np.float32).reshape(-1, 3)
+    e1 = np.asarray([t.e1 for t in triangles], np.float32).reshape(-1, 3)
+    e2 = np.asarray([t.e2 for t in triangles], np.float32).reshape(-1, 3)
+    v1 = a + e1
+    v2 = a + e2
+    tri_min = np.minimum(a, np.minimum(v1, v2))
+    tri_max = np.maximum(a, np.maximum(v1, v2))
+    bvh = build_bvh(tri_min, tri_max, max_prims=max(1, int(leaf_size)))
+
+    T = len(triangles)
+    tri_tab = np.zeros((max(T, 1), 16), np.float32)
+    for row, ti in enumerate(bvh.order):
+        t = triangles[int(ti)]
+        tri_tab[row, 0:3] = t.a
+        tri_tab[row, 3:6] = t.e1
+        tri_tab[row, 6:9] = t.e2
+        tri_tab[row, 9:12] = t.n
+        tri_tab[row, 12] = float(t.mat)
+
+    B = bvh.bbox_min.shape[0]
+    node_f = np.zeros((B, 8), np.float32)
+    node_f[:, 0:3] = bvh.bbox_min
+    node_f[:, 3:6] = bvh.bbox_max
+    node_i = np.stack([bvh.left, bvh.right, bvh.first, bvh.count],
+                      axis=1).astype(np.int32)
+    return tri_tab, node_f, node_i
+
+
+class _PackedTable:
+    """Accessor for a (rows, 128) SMEM table holding 16-float logical
+    records 8 per row: SMEM windows pad the minor dimension to 128 lanes
+    (measured: a (2303, 16) window allocates 2304x128 f32), so packing 8
+    records per physical row is an 8x capacity win. Logical record r,
+    field c lives at [base0 + r >> 3, ((base0 + r) & 7) * 16 + c]."""
+
+    def __init__(self, ref, base0: int = 0):
+        self.ref = ref
+        self.base0 = base0
+
+    def record(self, r):
+        """(row, col_base) of logical record base0 + r (r may be traced)."""
+        idx = self.base0 + r
+        return idx >> 3, (idx & 7) * 16
+
+    def field(self, rowcol, c: int):
+        row, col = rowcol
+        return self.ref[row, col + c]
+
+
+def pack_tables(tri_tab: np.ndarray, node_f: np.ndarray,
+                node_i: np.ndarray) -> np.ndarray:
+    """One (ceil((T+B)/8), 128) f32 SMEM table: T triangle records then B
+    node records [bmin3 | bmax3 | left right first count | pad], 8 records
+    per 128-lane row. Topology i32s stored as exact f32s (< 2^24)."""
+    B = node_f.shape[0]
+    nrec = np.zeros((B, 16), np.float32)
+    nrec[:, 0:6] = node_f[:, 0:6]
+    nrec[:, 6:10] = node_i.astype(np.float32)
+    recs = np.concatenate([tri_tab, nrec], axis=0)
+    n = recs.shape[0]
+    rows = (n + 7) // 8
+    flat = np.zeros((rows * 8, 16), np.float32)
+    flat[:n] = recs
+    return flat.reshape(rows, 128)
+
+
+def packed_views(tab_ref, n_tris: int):
+    """(nodes, tris) accessor views over the packed table."""
+    return _PackedTable(tab_ref, base0=n_tris), _PackedTable(tab_ref, 0)
+
+
+def _node_box_entry(nodes: _PackedTable, node, o, inv):
+    """Slab test of all lanes vs ONE dynamically-indexed node box.
+    Returns (t_near, t_far, topo) where topo = (left, right, first, count)
+    scalars (cf. mega_pallas._aabb_entry_exit)."""
+    rc = nodes.record(node)
+    tn = jnp.full_like(o[0], -np.float32(np.inf))
+    tf = jnp.full_like(o[0], np.float32(np.inf))
+    for c in range(3):
+        bmin = nodes.field(rc, c)
+        bmax = nodes.field(rc, c + 3)
+        t0 = (bmin - o[c]) * inv[c]
+        t1 = (bmax - o[c]) * inv[c]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    topo = tuple(nodes.field(rc, 6 + j).astype(jnp.int32) for j in range(4))
+    return tn, tf, topo
+
+
+def _tri_record(tris: _PackedTable, ti):
+    """One triangle's scalars from the packed table (dynamic record ti)."""
+    rc = tris.record(ti)
+    av = tuple(tris.field(rc, c) for c in range(0, 3))
+    e1 = tuple(tris.field(rc, c) for c in range(3, 6))
+    e2 = tuple(tris.field(rc, c) for c in range(6, 9))
+    n = tuple(tris.field(rc, c) for c in range(9, 12))
+    mat = tris.field(rc, 12).astype(jnp.int32)
+    return av, e1, e2, n, mat
+
+
+def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state):
+    """Shared whole-tile stack walk. vote(state) -> relevance mask plane;
+    t_cap(state) -> per-lane useful-entry bound; leaf_fn(first, count,
+    state) -> state. `state` is a dict of planes (+ i32 scalars)."""
+
+    def walk(stack_ref):
+        stack_ref[0] = jnp.int32(0)  # root
+
+        def cond(carry):
+            sp, _ = carry
+            return sp > 0
+
+        def body(carry):
+            sp, st = carry
+            sp = sp - 1
+            node = stack_ref[sp]
+            tn, tf, (left, right, first, count) = _node_box_entry(
+                nodes, node, o, inv)
+            # negated compares: NaN slab results vote HIT (conservative,
+            # cf. mega_pallas._tree_sweep). Stack-overflow guard: depth 64
+            # covers ~2^32 prims for a median split; the guard makes
+            # overflow impossible rather than unlikely.
+            pred = jnp.any(vote(st) & ~((tn > tf) | (tf <= 0.0)
+                                        | (tn >= t_cap(st))))
+            pred = pred & (sp <= STACK_DEPTH - 2)
+
+            def descend(args):
+                sp, st = args
+
+                def leaf_case(args):
+                    sp, st = args
+                    return sp, leaf_fn(first, count, st)
+
+                def inner_case(args):
+                    sp, st = args
+                    # push right below left: left subtree pops first, so
+                    # leaves are visited in the reference's DFS order
+                    stack_ref[sp] = right
+                    stack_ref[sp + 1] = left
+                    return sp + 2, st
+
+                return jax.lax.cond(count > 0, leaf_case, inner_case,
+                                    (sp, st))
+
+            return jax.lax.cond(pred, descend, lambda a: a, (sp, st))
+
+        _, st = jax.lax.while_loop(cond, body, (jnp.int32(1), state))
+        return st
+
+    return pl.run_scoped(walk, pltpu.SMEM((STACK_DEPTH,), jnp.int32))
+
+
+def closest_tri_bvh(nodes, tris, o, d, mask):
+    """Closest triangle hit via the whole-tile BVH walk.
+    Returns (best_t, best_n (3-tuple), best_mat) planes — same contract as
+    mega_pallas._closest_tri_clustered's sweep state finish."""
+    inv = tuple(1.0 / d[c] for c in range(3))
+    zero = jnp.zeros_like(o[0])
+    state = {
+        "t": jnp.full_like(o[0], MISS),
+        "nx": zero, "ny": zero, "nz": zero,
+        "mat": jnp.zeros_like(o[0], jnp.int32),
+    }
+
+    def leaf_fn(first, count, st):
+        def tri_body(i, st):
+            av, e1, e2, n, mat = _tri_record(tris, first + i)
+            t, valid = s.triangle_hit_c(o, d, av, e1, e2)
+            t = jnp.where(valid, t, MISS)
+            better = t < st["t"]
+            return {
+                "t": jnp.where(better, t, st["t"]),
+                "nx": jnp.where(better, n[0], st["nx"]),
+                "ny": jnp.where(better, n[1], st["ny"]),
+                "nz": jnp.where(better, n[2], st["nz"]),
+                "mat": jnp.where(better, mat, st["mat"]),
+            }
+
+        return jax.lax.fori_loop(0, count, tri_body, st)
+
+    st = _bvh_walk(nodes, o, inv,
+                   vote=lambda st: mask, t_cap=lambda st: st["t"],
+                   leaf_fn=leaf_fn, state=state)
+    return st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
+
+
+def tri_shadow_bvh(nodes, tris, o, d, t_max, mask):
+    """Any-hit occlusion via the whole-tile BVH walk: triangles occlude
+    fully (ref: mega_kernel.wgsl:540-562). Returns a bool plane."""
+    inv = tuple(1.0 / d[c] for c in range(3))
+    state = {"occ": jnp.zeros_like(o[0], jnp.int32)}
+
+    def leaf_fn(first, count, st):
+        def tri_body(i, st):
+            av, e1, e2, _, _ = _tri_record(tris, first + i)
+            t, valid = s.triangle_hit_c(o, d, av, e1, e2)
+            hit = valid & (t < t_max)
+            return {"occ": jnp.maximum(st["occ"],
+                                       jnp.where(hit, 1, 0))}
+
+        return jax.lax.fori_loop(0, count, tri_body, st)
+
+    # already-occluded lanes drop out of the vote; fully-dark tiles pop
+    # the remaining stack at ~1 box test per node
+    st = _bvh_walk(nodes, o, inv,
+                   vote=lambda st: mask & ~(st["occ"] > 0),
+                   t_cap=lambda st: t_max,
+                   leaf_fn=leaf_fn, state=state)
+    return st["occ"] > 0

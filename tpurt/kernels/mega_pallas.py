@@ -217,12 +217,17 @@ def freeze_scene(scene) -> FrozenScene:
 def supports_scene(scene, cfg=None) -> bool:
     """The Pallas megakernel covers sphere + mesh scenes: primitives unroll
     below cfg.pallas_static_unroll (clustered with AABB culling above
-    4x pallas_cluster_size), SMEM-table sweep up to the MAX_DYNAMIC budget.
-    Scenes beyond both run on the XLA path (BVH territory)."""
+    4x pallas_cluster_size); above it, triangles run the whole-tile dynamic
+    BVH walk (kernels/bvh_pallas.py, budget MAX_BVH_TRIS) and spheres the
+    SMEM-table sweep (MAX_DYNAMIC budget). Scenes beyond run on XLA."""
     tri_cap = sph_cap = 0
+    tri_dyn = MAX_DYNAMIC_TRIS
     if cfg is not None:
         tri_cap = sph_cap = cfg.pallas_static_unroll
-    return (scene.num_triangles <= max(MAX_DYNAMIC_TRIS, tri_cap)
+        if cfg.pallas_bvh:
+            from tpurt.kernels.bvh_pallas import MAX_BVH_TRIS
+            tri_dyn = MAX_BVH_TRIS
+    return (scene.num_triangles <= max(tri_dyn, tri_cap)
             and scene.num_spheres <= max(MAX_DYNAMIC_SPHERES, sph_cap))
 
 
@@ -873,10 +878,16 @@ def _diffuse_scatter_c(wo, n, color, rough, u2a, u2b):
 
 
 
+def _use_tri_bvh(fscene: FrozenScene, cfg: RenderConfig) -> bool:
+    return (cfg.pallas_bvh
+            and len(fscene.triangles) > cfg.pallas_static_unroll)
+
+
 def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
     """SMEM primitive tables, consumed only above the static-unroll budget.
     spheres: (cx, cy, cz, r, mat, mtype, ior, 0); triangles: (a, e1, e2, n,
-    mat, pad3). Shared by every Pallas kernel wrapper."""
+    mat, pad3) — or, in BVH mode, the packed triangle+node table of
+    kernels/bvh_pallas.py. Shared by every Pallas kernel wrapper."""
     if len(fscene.spheres) > cfg.pallas_static_unroll:
         sph_tab = jnp.asarray(
             [[sp.c[0], sp.c[1], sp.c[2], sp.r,
@@ -884,7 +895,12 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
              for sp in fscene.spheres], jnp.float32)
     else:
         sph_tab = jnp.zeros((1, 8), jnp.float32)
-    if len(fscene.triangles) > cfg.pallas_static_unroll:
+    if _use_tri_bvh(fscene, cfg):
+        from tpurt.kernels import bvh_pallas
+        tri_tab = jnp.asarray(bvh_pallas.pack_tables(
+            *bvh_pallas.build_tri_bvh_tables(fscene.triangles,
+                                             cfg.pallas_bvh_leaf)))
+    elif len(fscene.triangles) > cfg.pallas_static_unroll:
         tri_tab = jnp.asarray(
             [list(tr.a) + list(tr.e1) + list(tr.e2) + list(tr.n)
              + [float(tr.mat), 0.0, 0.0, 0.0]
@@ -926,6 +942,18 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref):
         TCL = _tri_cull_tree(TRIS, cfg.pallas_cluster_size)
         tri_hit = lambda o, d, m: _closest_tri_clustered(TCL, o, d, m)
         tri_occ = lambda o, d, tm, m: _tri_shadow_clustered(TCL, o, d, tm, m)
+    elif _use_tri_bvh(fscene, cfg):
+        from tpurt.kernels import bvh_pallas
+
+        def tri_hit(o, d, m):
+            nodes, tris_v = bvh_pallas.packed_views(tri_ref, len(TRIS))
+            best_t, best_n, best_mat = bvh_pallas.closest_tri_bvh(
+                nodes, tris_v, o, d, m)
+            return _tri_state_finish(o, d, (best_t, best_n, best_mat))
+
+        def tri_occ(o, d, tm, m):
+            nodes, tris_v = bvh_pallas.packed_views(tri_ref, len(TRIS))
+            return bvh_pallas.tri_shadow_bvh(nodes, tris_v, o, d, tm, m)
     elif len(TRIS) > cfg.pallas_static_unroll:
         tri_hit = lambda o, d, m: _closest_tri_dyn(tri_ref, len(TRIS), o, d)
         tri_occ = lambda o, d, tm, m: _tri_shadow_dyn(
