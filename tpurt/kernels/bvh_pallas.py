@@ -116,10 +116,14 @@ def pack_tables(tri_tab: np.ndarray, node_f: np.ndarray,
     nrec[:, 0:6] = node_f[:, 0:6]
     nrec[:, 6:10] = node_i.astype(np.float32)
     recs = np.concatenate([tri_tab, nrec], axis=0)
-    n = recs.shape[0]
+    # 16 zero guard records: the statically-unrolled leaf sweep reads
+    # `leaf_size` rows from `first` regardless of count (masked), so the
+    # last short leaf may touch rows past the node records — zero
+    # triangles are degenerate (det == 0) and never pass the valid test
+    n = recs.shape[0] + 16
     rows = (n + 7) // 8
     flat = np.zeros((rows * 8, 16), np.float32)
-    flat[:n] = recs
+    flat[:recs.shape[0]] = recs
     return flat.reshape(rows, 128)
 
 
@@ -130,8 +134,7 @@ def packed_views(tab_ref, n_tris: int):
 
 def _node_box_entry(nodes: _PackedTable, node, o, inv):
     """Slab test of all lanes vs ONE dynamically-indexed node box.
-    Returns (t_near, t_far, topo) where topo = (left, right, first, count)
-    scalars (cf. mega_pallas._aabb_entry_exit)."""
+    Returns (t_near, t_far) planes (cf. mega_pallas._aabb_entry_exit)."""
     rc = nodes.record(node)
     tn = jnp.full_like(o[0], -np.float32(np.inf))
     tf = jnp.full_like(o[0], np.float32(np.inf))
@@ -142,8 +145,7 @@ def _node_box_entry(nodes: _PackedTable, node, o, inv):
         t1 = (bmax - o[c]) * inv[c]
         tn = jnp.maximum(tn, jnp.minimum(t0, t1))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-    topo = tuple(nodes.field(rc, 6 + j).astype(jnp.int32) for j in range(4))
-    return tn, tf, topo
+    return tn, tf
 
 
 def _tri_record(tris: _PackedTable, ti):
@@ -157,10 +159,17 @@ def _tri_record(tris: _PackedTable, ti):
     return av, e1, e2, n, mat
 
 
-def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state):
+def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True):
     """Shared whole-tile stack walk. vote(state) -> relevance mask plane;
     t_cap(state) -> per-lane useful-entry bound; leaf_fn(first, count,
-    state) -> state. `state` is a dict of planes (+ i32 scalars)."""
+    state) -> state. `state` is a dict of planes (+ i32 scalars).
+
+    At each inner node BOTH children are slab-tested and voted; unvoted
+    children are never pushed, and (ordered=True) the majority-nearer child
+    is pushed last so it pops first — near-to-far descent tightens the
+    per-lane t_cap early and the far subtree prunes away (the whole-tile
+    analogue of ordered per-ray BVH traversal). Pushes are branch-free:
+    write the slot, then bump sp by the vote."""
 
     def walk(stack_ref):
         stack_ref[0] = jnp.int32(0)  # root
@@ -173,35 +182,51 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state):
             sp, st = carry
             sp = sp - 1
             node = stack_ref[sp]
-            tn, tf, (left, right, first, count) = _node_box_entry(
-                nodes, node, o, inv)
-            # negated compares: NaN slab results vote HIT (conservative,
-            # cf. mega_pallas._tree_sweep). Stack-overflow guard: depth 64
-            # covers ~2^32 prims for a median split; the guard makes
-            # overflow impossible rather than unlikely.
-            pred = jnp.any(vote(st) & ~((tn > tf) | (tf <= 0.0)
-                                        | (tn >= t_cap(st))))
-            pred = pred & (sp <= STACK_DEPTH - 2)
+            rc = nodes.record(node)
+            count = nodes.field(rc, 9).astype(jnp.int32)
 
-            def descend(args):
+            def leaf_case(args):
                 sp, st = args
+                first = nodes.field(rc, 8).astype(jnp.int32)
+                return sp, leaf_fn(first, count, st)
 
-                def leaf_case(args):
-                    sp, st = args
-                    return sp, leaf_fn(first, count, st)
+            def inner_case(args):
+                sp, st = args
+                left = nodes.field(rc, 6).astype(jnp.int32)
+                right = nodes.field(rc, 7).astype(jnp.int32)
+                rel = vote(st)
+                cap = t_cap(st)
+                tnl, tfl = _node_box_entry(nodes, left, o, inv)
+                tnr, tfr = _node_box_entry(nodes, right, o, inv)
+                # negated compares: NaN slab results vote HIT
+                # (conservative, cf. mega_pallas._tree_sweep)
+                vl = rel & ~((tnl > tfl) | (tfl <= 0.0) | (tnl >= cap))
+                vr = rel & ~((tnr > tfr) | (tfr <= 0.0) | (tnr >= cap))
+                go_l = jnp.any(vl)
+                go_r = jnp.any(vr)
+                if ordered:
+                    # majority vote among lanes wanting both children
+                    sign = jnp.where(vl & vr,
+                                     jnp.where(tnl <= tnr, 1.0, -1.0), 0.0)
+                    near_l = jnp.sum(sign) >= 0.0
+                else:
+                    near_l = True
+                far_id = jnp.where(near_l, right, left)
+                far_go = jnp.where(near_l, go_r, go_l)
+                near_id = jnp.where(near_l, left, right)
+                near_go = jnp.where(near_l, go_l, go_r)
+                # branch-free conditional pushes, far first / near on top.
+                # Stack-overflow guard: depth 64 covers ~2^32 prims for a
+                # median split; the guard makes overflow impossible rather
+                # than unlikely (a dropped push only skips work).
+                fits = sp <= STACK_DEPTH - 2
+                stack_ref[sp] = far_id
+                sp = sp + jnp.where(far_go & fits, 1, 0)
+                stack_ref[sp] = near_id
+                sp = sp + jnp.where(near_go & fits, 1, 0)
+                return sp, st
 
-                def inner_case(args):
-                    sp, st = args
-                    # push right below left: left subtree pops first, so
-                    # leaves are visited in the reference's DFS order
-                    stack_ref[sp] = right
-                    stack_ref[sp + 1] = left
-                    return sp + 2, st
-
-                return jax.lax.cond(count > 0, leaf_case, inner_case,
-                                    (sp, st))
-
-            return jax.lax.cond(pred, descend, lambda a: a, (sp, st))
+            return jax.lax.cond(count > 0, leaf_case, inner_case, (sp, st))
 
         _, st = jax.lax.while_loop(cond, body, (jnp.int32(1), state))
         return st
@@ -209,10 +234,11 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state):
     return pl.run_scoped(walk, pltpu.SMEM((STACK_DEPTH,), jnp.int32))
 
 
-def closest_tri_bvh(nodes, tris, o, d, mask):
+def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0):
     """Closest triangle hit via the whole-tile BVH walk.
     Returns (best_t, best_n (3-tuple), best_mat) planes — same contract as
-    mega_pallas._closest_tri_clustered's sweep state finish."""
+    mega_pallas._closest_tri_clustered's sweep state finish. leaf_size > 0
+    unrolls the leaf sweep statically (masked by the runtime count)."""
     inv = tuple(1.0 / d[c] for c in range(3))
     zero = jnp.zeros_like(o[0])
     state = {
@@ -221,43 +247,56 @@ def closest_tri_bvh(nodes, tris, o, d, mask):
         "mat": jnp.zeros_like(o[0], jnp.int32),
     }
 
-    def leaf_fn(first, count, st):
-        def tri_body(i, st):
-            av, e1, e2, n, mat = _tri_record(tris, first + i)
-            t, valid = s.triangle_hit_c(o, d, av, e1, e2)
-            t = jnp.where(valid, t, MISS)
-            better = t < st["t"]
-            return {
-                "t": jnp.where(better, t, st["t"]),
-                "nx": jnp.where(better, n[0], st["nx"]),
-                "ny": jnp.where(better, n[1], st["ny"]),
-                "nz": jnp.where(better, n[2], st["nz"]),
-                "mat": jnp.where(better, mat, st["mat"]),
-            }
+    def tri_body(first, count, i, st):
+        av, e1, e2, n, mat = _tri_record(tris, first + i)
+        t, valid = s.triangle_hit_c(o, d, av, e1, e2)
+        t = jnp.where(valid & (i < count), t, MISS)
+        better = t < st["t"]
+        return {
+            "t": jnp.where(better, t, st["t"]),
+            "nx": jnp.where(better, n[0], st["nx"]),
+            "ny": jnp.where(better, n[1], st["ny"]),
+            "nz": jnp.where(better, n[2], st["nz"]),
+            "mat": jnp.where(better, mat, st["mat"]),
+        }
 
-        return jax.lax.fori_loop(0, count, tri_body, st)
-
+    leaf_fn = _make_leaf_fn(tri_body, leaf_size)
     st = _bvh_walk(nodes, o, inv,
                    vote=lambda st: mask, t_cap=lambda st: st["t"],
                    leaf_fn=leaf_fn, state=state)
     return st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
 
 
-def tri_shadow_bvh(nodes, tris, o, d, t_max, mask):
+def _make_leaf_fn(tri_body, leaf_size: int):
+    """leaf_size > 0: fully-unrolled masked sweep (median-split leaves are
+    almost all full, and the unroll pipelines the scalar loads); 0: a
+    dynamic-trip fori_loop."""
+    if leaf_size > 0:
+        def leaf_fn(first, count, st):
+            for i in range(leaf_size):
+                st = tri_body(first, count, jnp.int32(i), st)
+            return st
+    else:
+        def leaf_fn(first, count, st):
+            return jax.lax.fori_loop(
+                0, count,
+                lambda i, st: tri_body(first, count, i, st), st)
+    return leaf_fn
+
+
+def tri_shadow_bvh(nodes, tris, o, d, t_max, mask, leaf_size: int = 0):
     """Any-hit occlusion via the whole-tile BVH walk: triangles occlude
     fully (ref: mega_kernel.wgsl:540-562). Returns a bool plane."""
     inv = tuple(1.0 / d[c] for c in range(3))
     state = {"occ": jnp.zeros_like(o[0], jnp.int32)}
 
-    def leaf_fn(first, count, st):
-        def tri_body(i, st):
-            av, e1, e2, _, _ = _tri_record(tris, first + i)
-            t, valid = s.triangle_hit_c(o, d, av, e1, e2)
-            hit = valid & (t < t_max)
-            return {"occ": jnp.maximum(st["occ"],
-                                       jnp.where(hit, 1, 0))}
+    def tri_body(first, count, i, st):
+        av, e1, e2, _, _ = _tri_record(tris, first + i)
+        t, valid = s.triangle_hit_c(o, d, av, e1, e2)
+        hit = valid & (i < count) & (t < t_max)
+        return {"occ": jnp.maximum(st["occ"], jnp.where(hit, 1, 0))}
 
-        return jax.lax.fori_loop(0, count, tri_body, st)
+    leaf_fn = _make_leaf_fn(tri_body, leaf_size)
 
     # already-occluded lanes drop out of the vote; fully-dark tiles pop
     # the remaining stack at ~1 box test per node
