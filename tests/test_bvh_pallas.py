@@ -15,11 +15,14 @@ import pytest
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tpurt import (RenderConfig, init_state, make_camera, render,
-                   resolve_image, torus_mesh_scene)
-from tpurt.kernels.bvh_pallas import (MAX_BVH_TRIS, build_tri_bvh_tables,
-                                      closest_tri_bvh, pack_tables,
-                                      packed_views, tri_shadow_bvh)
+from tpurt import (RenderConfig, init_state, instanced_scene, make_camera,
+                   render, resolve_image, torus_mesh_scene)
+from tpurt.kernels.bvh_pallas import (MAX_BVH_TRIS, build_sphere_bvh_tables,
+                                      build_tri_bvh_tables,
+                                      closest_sphere_bvh, closest_tri_bvh,
+                                      pack_tables, packed_views,
+                                      sphere_shadow_bvh, split_huge_spheres,
+                                      tri_shadow_bvh)
 
 
 class _FT:
@@ -167,3 +170,117 @@ class TestFusedKernelBVHMode:
         cfg_p, _ = self._cfgs()
         assert supports_scene(scene, cfg_p)
         assert scene.num_triangles <= MAX_BVH_TRIS
+
+
+class _FS:
+    def __init__(self, c, r, mat, mtype=0, ior=1.0):
+        self.c = tuple(map(float, c))
+        self.r = float(r)
+        self.mat = int(mat)
+        self.mtype = int(mtype)
+        self.ior = float(ior)
+
+
+@pytest.mark.parametrize("leaf", [0, 8])
+def test_sphere_walk_matches_brute_force(leaf):
+    S = 120
+    rng = np.random.default_rng(5)
+    c = rng.uniform(-6, 6, (S, 3)).astype(np.float32)
+    r = rng.uniform(0.1, 0.6, S).astype(np.float32)
+    sphs = [_FS(c[i], r[i], i % 5, mtype=int(i % 3 == 0), ior=1.5)
+            for i in range(S)]
+    sph_tab, node_f, node_i = build_sphere_bvh_tables(sphs, leaf_size=8)
+    packed = jnp.asarray(pack_tables(sph_tab, node_f, node_i))
+
+    R, NT = 2, 2
+    NR = NT * R * 128
+    ro = rng.uniform(-8, 8, (NR, 3)).astype(np.float32)
+    rd = rng.uniform(-1, 1, (NR, 3)).astype(np.float32)
+
+    def kernel(rays_ref, tab_ref, out_ref):
+        o = (rays_ref[0], rays_ref[1], rays_ref[2])
+        d = (rays_ref[3], rays_ref[4], rays_ref[5])
+        mask = jnp.ones_like(o[0], bool)
+        a = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        nodes, sv = packed_views(tab_ref, S)
+        init = (jnp.full_like(o[0], 1e30), (jnp.zeros_like(o[0]),) * 3,
+                jnp.zeros_like(o[0], jnp.int32))
+        t, _, mat = closest_sphere_bvh(nodes, sv, o, d, a, mask, init,
+                                       leaf_size=leaf)
+        atten = sphere_shadow_bvh(nodes, sv, o, d,
+                                  jnp.full_like(o[0], 4.0),
+                                  jnp.full_like(o[0], 550.0), a, mask,
+                                  jnp.ones_like(o[0]), leaf_size=leaf)
+        out_ref[0] = t
+        out_ref[1] = mat.astype(jnp.float32)
+        out_ref[2] = atten
+
+    rays = jnp.asarray(
+        np.stack([ro[:, 0], ro[:, 1], ro[:, 2],
+                  rd[:, 0], rd[:, 1], rd[:, 2]])
+        .reshape(6, NT, R, 128).swapaxes(0, 1).reshape(NT * 6, R, 128))
+    out = pl.pallas_call(
+        kernel,
+        grid=(NT,),
+        in_specs=[pl.BlockSpec((6, R, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((3, R, 128), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NT * 3, R, 128), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(rays, packed)
+    out = np.asarray(out).reshape(NT, 3, R, 128)
+    t_k = out[:, 0].reshape(-1)
+    mat_k = out[:, 1].reshape(-1).astype(np.int32)
+    at_k = out[:, 2].reshape(-1)
+
+    # brute-force sphere oracle (same near-root-only formula)
+    a_np = np.einsum("nk,nk->n", rd, rd)
+    oc = ro[:, None, :] - c[None, :, :]
+    half_b = np.einsum("nsk,nk->ns", oc, rd)
+    cc = np.einsum("nsk,nsk->ns", oc, oc) - (r * r)[None, :]
+    disc = half_b * half_b - a_np[:, None] * cc
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    tt = (-half_b - sq) / a_np[:, None]
+    tt = np.where((disc > 0) & (tt > 0), tt, 1e30)
+    t_ref = tt.min(axis=1)
+    best = tt.argmin(axis=1)
+    hit = t_ref < 1e29
+    np.testing.assert_allclose(t_k[hit], t_ref[hit], rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(t_k > 1e29, ~hit)
+    np.testing.assert_array_equal(mat_k[hit], best[hit] % 5)
+    # shadow: fully-occluding (non-dielectric) sphere inside [0, 4) -> 0.
+    # overlap uses the RAW near root (origin-inside-sphere has t0 < 0 and
+    # still occludes, wgsl :520)
+    t0_raw = (-half_b - sq) / a_np[:, None]
+    t1 = (-half_b + sq) / a_np[:, None]
+    overlap = (disc > 0) & (t1 > 0) & (t0_raw < 4.0)
+    occ_full = (overlap & (np.arange(S)[None, :] % 3 != 0)).any(axis=1)
+    assert (at_k[occ_full] == 0.0).all()
+    assert (at_k[~overlap.any(axis=1)] == 1.0).all()
+
+
+class TestFusedKernelSphereBVH:
+    """Instanced sphere scene through the dynamic sphere-BVH walk vs the
+    XLA integrator AND vs the static cull tree: exact ray counts, image
+    bound (same contract as TestFusedKernelBVHMode)."""
+
+    def test_exact_ray_counts_and_image(self):
+        from tpurt.kernels.mega_pallas import _use_sph_bvh, freeze_scene
+        scene = instanced_scene(48)
+        cfg_b = RenderConfig(width=128, height=64, depth=5,
+                             pallas_lanes=1024, backend="pallas",
+                             pallas_sphere_bvh=True, pallas_bvh_leaf=8)
+        cfg_x = RenderConfig(width=128, height=64, depth=5, backend="xla")
+        assert _use_sph_bvh(freeze_scene(scene), cfg_b)
+        assert len(split_huge_spheres(freeze_scene(scene).spheres)[0]) >= 1
+        cam = make_camera((0, 10, -14), (0, 1, 8), vfov=55.0,
+                          aspect_ratio=2.0)
+        st_b = render(scene, cfg_b, cam, init_state(cfg_b), 77, 2)
+        st_x = render(scene, cfg_x, cam, init_state(cfg_x), 77, 2)
+        assert float(st_b.rays) == float(st_x.rays) != 0.0
+        img_b = np.asarray(resolve_image(cfg_b, st_b))
+        img_x = np.asarray(resolve_image(cfg_x, st_x))
+        diff = (np.abs(img_b - img_x) > 1e-4).any(axis=-1)
+        assert diff.mean() < 0.02, f"{diff.mean():.4f} of pixels diverge"

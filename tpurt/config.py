@@ -88,6 +88,10 @@ class RenderConfig:
     pallas_bvh_leaf: int = 16          # triangles per BVH leaf in that walk
     #   (tile-level votes want coarser leaves than the XLA path's 2 —
     #   cf. the cluster-size findings in docs/DESIGN.md)
+    pallas_sphere_bvh: bool = False    # many-sphere scenes (config 3) run
+    #   the same dynamic whole-tile walk instead of the static cull tree:
+    #   ordered near-to-far descent + per-lane t caps, O(1) compile time.
+    #   Scene-spanning spheres (the ground) stay in a flat static sweep.
     # Wavefront tracer (tpurt.wavefront; ref: src/wavefront.rs finished form)
     wf_pool: int = 262144              # persistent ray-pool capacity Q
     wf_max_sweeps: int = 100000        # safety bound on the sweep loop

@@ -37,11 +37,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpurt.ops import soa as s
+from tpurt.ops.bsdf import fr_dielectric
+from tpurt.ops.spectra import DISPERSION_B
 
 MISS = np.float32(1e30)
 # SMEM table budgets. Triangles: (T, 16) f32 rows; nodes: (B, 8) f32 +
 # (B, 4) i32. A median-split tree with leaf size K has < 2*ceil(T/K) nodes.
 MAX_BVH_TRIS = 8192
+MAX_BVH_SPHERES = 4096
 STACK_DEPTH = 64  # ref: mega_kernel.wgsl:402 (fixed 64-deep stack)
 
 
@@ -83,6 +86,49 @@ def build_tri_bvh_tables(triangles, leaf_size: int):
     node_i = np.stack([bvh.left, bvh.right, bvh.first, bvh.count],
                       axis=1).astype(np.int32)
     return tri_tab, node_f, node_i
+
+
+def split_huge_spheres(spheres):
+    """(always, tree) partition: scene-spanning spheres (e.g. the r=1000
+    ground, lib.rs:233) would bloat every node box and defeat near-to-far
+    ordering — sweep them flat, BVH the rest (cf. _sphere_cull_tree)."""
+    if not spheres:
+        return (), ()
+    r = np.asarray([sp.r for sp in spheres], np.float32)
+    med = float(np.median(r))
+    huge = r > max(10.0 * med, 1e-3)
+    return (tuple(sp for sp, h in zip(spheres, huge) if h),
+            tuple(sp for sp, h in zip(spheres, huge) if not h))
+
+
+def build_sphere_bvh_tables(spheres, leaf_size: int):
+    """Host: coarse BVH over a (non-huge) frozen sphere tuple. Same packed
+    layout as the triangle tables; sphere record = [cx cy cz r | mat mtype
+    ior | pad] (the dynamic-sweep fields, cf. mega_pallas._prim_tables).
+    Rows are permuted into leaf order; guard rows have r == 0."""
+    from tpurt.accel import build_bvh
+
+    c = np.asarray([sp.c for sp in spheres], np.float32).reshape(-1, 3)
+    r = np.asarray([sp.r for sp in spheres], np.float32).reshape(-1, 1)
+    bvh = build_bvh(c - r, c + r, max_prims=max(1, int(leaf_size)))
+
+    S = len(spheres)
+    sph_tab = np.zeros((max(S, 1), 16), np.float32)
+    for row, si in enumerate(bvh.order):
+        sp = spheres[int(si)]
+        sph_tab[row, 0:3] = sp.c
+        sph_tab[row, 3] = sp.r
+        sph_tab[row, 4] = float(sp.mat)
+        sph_tab[row, 5] = float(sp.mtype)
+        sph_tab[row, 6] = sp.ior
+
+    B = bvh.bbox_min.shape[0]
+    node_f = np.zeros((B, 8), np.float32)
+    node_f[:, 0:3] = bvh.bbox_min
+    node_f[:, 3:6] = bvh.bbox_max
+    node_i = np.stack([bvh.left, bvh.right, bvh.first, bvh.count],
+                      axis=1).astype(np.int32)
+    return sph_tab, node_f, node_i
 
 
 class _PackedTable:
@@ -305,3 +351,98 @@ def tri_shadow_bvh(nodes, tris, o, d, t_max, mask, leaf_size: int = 0):
                    t_cap=lambda st: t_max,
                    leaf_fn=leaf_fn, state=state)
     return st["occ"] > 0
+
+
+def _sphere_record(sphs: _PackedTable, si):
+    """One sphere's scalars from the packed table (dynamic record si)."""
+    rc = sphs.record(si)
+    c = tuple(sphs.field(rc, k) for k in range(3))
+    r = sphs.field(rc, 3)
+    mat = sphs.field(rc, 4).astype(jnp.int32)
+    mtype = sphs.field(rc, 5)
+    ior = sphs.field(rc, 6)
+    return c, r, mat, mtype, ior
+
+
+def closest_sphere_bvh(nodes, sphs, o, d, a, mask, state,
+                       leaf_size: int = 0):
+    """Closest sphere hit via the whole-tile BVH walk, continuing from
+    `state` = (best_t, best_c 3-tuple, best_mat) — the static 'always'
+    sweep's result (same contract as mega_pallas._sweep_spheres_static).
+    Guard records (r == 0) never pass the valid test."""
+    inv = tuple(1.0 / d[c] for c in range(3))
+    inv_a = 1.0 / a
+    best_t, best_c, best_mat = state
+    st = {"t": best_t, "cx": best_c[0], "cy": best_c[1], "cz": best_c[2],
+          "mat": best_mat}
+
+    def sph_body(first, count, i, st):
+        c, r, mat, _, _ = _sphere_record(sphs, first + i)
+        oc = (o[0] - c[0], o[1] - c[1], o[2] - c[2])
+        half_b = s.vdot(oc, d)
+        cc = s.vdot(oc, oc) - r * r
+        disc = half_b * half_b - a * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t = (-half_b - sq) * inv_a
+        t = jnp.where((disc > 0.0) & (t > 0.0) & (r > 0.0) & (i < count),
+                      t, MISS)
+        better = t < st["t"]
+        return {
+            "t": jnp.where(better, t, st["t"]),
+            "cx": jnp.where(better, c[0], st["cx"]),
+            "cy": jnp.where(better, c[1], st["cy"]),
+            "cz": jnp.where(better, c[2], st["cz"]),
+            "mat": jnp.where(better, mat, st["mat"]),
+        }
+
+    leaf_fn = _make_leaf_fn(sph_body, leaf_size)
+    st = _bvh_walk(nodes, o, inv,
+                   vote=lambda st: mask, t_cap=lambda st: st["t"],
+                   leaf_fn=leaf_fn, state=st)
+    return st["t"], (st["cx"], st["cy"], st["cz"]), st["mat"]
+
+
+def sphere_shadow_bvh(nodes, sphs, o, d, t_max, lam, a, mask, atten,
+                      leaf_size: int = 0):
+    """Shadow-factor walk (ref: mega_kernel.wgsl:511-538): dielectric
+    spheres transmit (1-R1)(1-R2) Fresnel, everything else occludes fully.
+    Continues from `atten` (the static 'always' sweep); material types are
+    runtime scalars, so both factors are computed and selected (cf.
+    mega_pallas._shadow_dyn)."""
+    inv = tuple(1.0 / d[c] for c in range(3))
+    inv_a = 1.0 / a
+    cauchy = jnp.float32(DISPERSION_B) / ((lam * 1e-3) * (lam * 1e-3))
+    st = {"atten": atten}
+
+    def sph_body(first, count, i, st):
+        c, r, _, mtype, ior = _sphere_record(sphs, first + i)
+        cb = s.vbroadcast(c, o[0])
+        oc = s.vsub(o, cb)
+        half_b = s.vdot(oc, d)
+        cc = s.vdot(oc, oc) - r * r
+        disc = half_b * half_b - a * cc
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = (-half_b - sq) * inv_a
+        t1 = (-half_b + sq) * inv_a
+        overlap = ((disc > 0.0) & (t1 > 0.0) & (t0 < t_max) & (r > 0.0)
+                   & (i < count))
+        t_entry = jnp.maximum(t0, 0.0)
+        t_exit = jnp.minimum(t1, t_max)
+        segment = t_entry < t_exit
+        eta = ior + cauchy
+        p1 = s.vadd(o, s.vscale(d, t_entry))
+        n1 = s.vnormalize(s.vsub(p1, cb), eps=1e-30)
+        R1 = fr_dielectric(-s.vdot(n1, d), eta)
+        p2 = s.vadd(o, s.vscale(d, t_exit))
+        n2 = s.vnormalize(s.vsub(p2, cb), eps=1e-30)
+        R2 = fr_dielectric(-s.vdot(n2, d), eta)
+        diel = jnp.where(segment, (1.0 - R1) * (1.0 - R2), 1.0)
+        f = jnp.where(mtype == 1.0, diel, jnp.zeros_like(diel))
+        return {"atten": st["atten"] * jnp.where(overlap, f, 1.0)}
+
+    leaf_fn = _make_leaf_fn(sph_body, leaf_size)
+    st = _bvh_walk(nodes, o, inv,
+                   vote=lambda st: mask & (st["atten"] > 0.0),
+                   t_cap=lambda st: t_max,
+                   leaf_fn=leaf_fn, state=st)
+    return st["atten"]

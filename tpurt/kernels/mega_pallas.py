@@ -222,13 +222,17 @@ def supports_scene(scene, cfg=None) -> bool:
     SMEM-table sweep (MAX_DYNAMIC budget). Scenes beyond run on XLA."""
     tri_cap = sph_cap = 0
     tri_dyn = MAX_DYNAMIC_TRIS
+    sph_dyn = MAX_DYNAMIC_SPHERES
     if cfg is not None:
         tri_cap = sph_cap = cfg.pallas_static_unroll
         if cfg.pallas_bvh:
             from tpurt.kernels.bvh_pallas import MAX_BVH_TRIS
             tri_dyn = MAX_BVH_TRIS
+        if cfg.pallas_sphere_bvh:
+            from tpurt.kernels.bvh_pallas import MAX_BVH_SPHERES
+            sph_dyn = max(sph_dyn, MAX_BVH_SPHERES)
     return (scene.num_triangles <= max(tri_dyn, tri_cap)
-            and scene.num_spheres <= max(MAX_DYNAMIC_SPHERES, sph_cap))
+            and scene.num_spheres <= max(sph_dyn, sph_cap))
 
 
 # ----- component-form integrator pieces (mirror tpurt.integrate) -----
@@ -883,12 +887,27 @@ def _use_tri_bvh(fscene: FrozenScene, cfg: RenderConfig) -> bool:
             and len(fscene.triangles) > cfg.pallas_static_unroll)
 
 
+def _use_sph_bvh(fscene: FrozenScene, cfg: RenderConfig) -> bool:
+    """Sphere dynamic-BVH mode: enough non-huge spheres that ordered
+    near-to-far descent has a tree to prune."""
+    if not cfg.pallas_sphere_bvh:
+        return False
+    from tpurt.kernels.bvh_pallas import split_huge_spheres
+    return len(split_huge_spheres(fscene.spheres)[1]) > 16
+
+
 def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
     """SMEM primitive tables, consumed only above the static-unroll budget.
     spheres: (cx, cy, cz, r, mat, mtype, ior, 0); triangles: (a, e1, e2, n,
     mat, pad3) — or, in BVH mode, the packed triangle+node table of
     kernels/bvh_pallas.py. Shared by every Pallas kernel wrapper."""
-    if len(fscene.spheres) > cfg.pallas_static_unroll:
+    if _use_sph_bvh(fscene, cfg):
+        from tpurt.kernels import bvh_pallas
+        _, tree_sph = bvh_pallas.split_huge_spheres(fscene.spheres)
+        sph_tab = jnp.asarray(bvh_pallas.pack_tables(
+            *bvh_pallas.build_sphere_bvh_tables(tree_sph,
+                                                cfg.pallas_bvh_leaf)))
+    elif len(fscene.spheres) > cfg.pallas_static_unroll:
         sph_tab = jnp.asarray(
             [[sp.c[0], sp.c[1], sp.c[2], sp.r,
               float(sp.mat), float(sp.mtype), sp.ior, 0.0]
@@ -920,7 +939,29 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref):
     use_clusters = (cfg.pallas_cluster_size > 0
                     and len(SPH) > 4 * cfg.pallas_cluster_size
                     and len(SPH) <= cfg.pallas_static_unroll)
-    if use_clusters:
+    if _use_sph_bvh(fscene, cfg):
+        from tpurt.kernels import bvh_pallas
+        ALWAYS, TREE_SPH = bvh_pallas.split_huge_spheres(SPH)
+
+        def sph_hit(o, d, m):
+            a = s.vdot(d, d)
+            st = _sweep_spheres_static(ALWAYS, o, d, a,
+                                       _sphere_state_init(o))
+            nodes, sphs_v = bvh_pallas.packed_views(sph_ref, len(TREE_SPH))
+            st = bvh_pallas.closest_sphere_bvh(
+                nodes, sphs_v, o, d, a, m, st,
+                leaf_size=cfg.pallas_bvh_leaf)
+            return _sphere_state_finish(o, d, st)
+
+        def sph_shadow(o, d, tm, lam_, m):
+            a = s.vdot(d, d)
+            atten = _shadow_sweep_static(ALWAYS, o, d, tm, lam_, a,
+                                         jnp.ones_like(o[0]))
+            nodes, sphs_v = bvh_pallas.packed_views(sph_ref, len(TREE_SPH))
+            return bvh_pallas.sphere_shadow_bvh(
+                nodes, sphs_v, o, d, tm, lam_, a, m & (atten > 0.0), atten,
+                leaf_size=cfg.pallas_bvh_leaf)
+    elif use_clusters:
         CL = _sphere_cull_tree(SPH, cfg.pallas_cluster_size)
         sph_hit = lambda o, d, m: _closest_sphere_clustered(CL, o, d, m)
         sph_shadow = lambda o, d, tm, lam_, m: _shadow_clustered(
@@ -1407,23 +1448,7 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
     rad_arr = jnp.asarray(photon_radius, jnp.float32).reshape(1, 1)
     base_arr = jnp.asarray(tile_base, jnp.int32).reshape(1, 1)
 
-    # SMEM primitive tables, consumed only above the static-unroll budget
-    # spheres: (cx, cy, cz, r, mat, mtype, ior, 0)
-    if len(fscene.spheres) > cfg.pallas_static_unroll:
-        sph_tab = jnp.asarray(
-            [[sp.c[0], sp.c[1], sp.c[2], sp.r,
-              float(sp.mat), float(sp.mtype), sp.ior, 0.0]
-             for sp in fscene.spheres], jnp.float32)
-    else:
-        sph_tab = jnp.zeros((1, 8), jnp.float32)
-    # triangles: (a, e1, e2, n, mat, pad3)
-    if len(fscene.triangles) > cfg.pallas_static_unroll:
-        tri_tab = jnp.asarray(
-            [list(tr.a) + list(tr.e1) + list(tr.e2) + list(tr.n)
-             + [float(tr.mat), 0.0, 0.0, 0.0]
-             for tr in fscene.triangles], jnp.float32)
-    else:
-        tri_tab = jnp.zeros((1, 16), jnp.float32)
+    sph_tab, tri_tab = _prim_tables(fscene, cfg)
 
     kernel = _make_kernel(fscene, cfg, depth, lanes)
 
