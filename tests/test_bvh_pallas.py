@@ -78,6 +78,22 @@ def test_packed_table_roundtrip():
     assert covered == list(range(T))
 
 
+@pytest.mark.parametrize("S,leaf", [(50, 48), (17, 64)])
+def test_guard_rows_cover_unrolled_leaf(S, leaf):
+    """A short trailing leaf's unrolled sweep reads leaf_size records from
+    `first`; the guard rows must keep that in-bounds (review finding:
+    fixed 16 guards under-covered leaf sizes above ~32)."""
+    rng = np.random.default_rng(2)
+    c = rng.uniform(-4, 4, (S, 3)).astype(np.float32)
+    sphs = [_FS(c[i], 0.3, 0) for i in range(S)]
+    sph_tab, node_f, node_i = build_sphere_bvh_tables(sphs, leaf_size=leaf)
+    packed = pack_tables(sph_tab, node_f, node_i, leaf_size=leaf)
+    n_recs = packed.reshape(-1, 16).shape[0]
+    leaves = node_i[node_i[:, 3] > 0]
+    worst = int((leaves[:, 2] + leaf).max())
+    assert worst <= n_recs, (worst, n_recs)
+
+
 @pytest.mark.parametrize("T", [40, 300])
 def test_walk_matches_brute_force(T):
     tris, a, e1, e2 = _soup(T)

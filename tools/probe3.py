@@ -1,4 +1,6 @@
 """Probe config-3 variants: where does the time go?"""
+import sys, os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os, sys, time, json
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_compilation"))
@@ -13,6 +15,8 @@ VARIANTS = {
     "no_photons":  dict(enable_photons=False),
     "lanes2048":   dict(pallas_lanes=2048),
     "cluster16":   dict(pallas_cluster_size=16),
+    "cluster64":   dict(pallas_cluster_size=64),
+    "lanes8192":   dict(pallas_lanes=8192),
     "tilesync":    dict(pallas_regen=False, pallas_lanes=1024),
     # coherence probes: depth-1 camera-only = perfectly coherent tiles
     "depth1":      dict(enable_photons=False),
@@ -26,9 +30,11 @@ VARIANTS = {
 name = sys.argv[1]
 kw = dict(VARIANTS[name])
 depth = kw.pop("depth", 1 if name == "depth1" else 30)
-cfg = RenderConfig(width=1920, height=1080, depth=depth,
-                   pallas_static_unroll=512, pallas_cluster_size=32,
-                   backend="pallas", **kw)
+base = dict(width=1920, height=1080, depth=depth,
+            pallas_static_unroll=512, pallas_cluster_size=32,
+            backend="pallas")
+base.update(kw)
+cfg = RenderConfig(**base)
 scene = instanced_scene(256)
 cam = make_camera((0, 10, -14), (0, 1, 8), vfov=55.0, aspect_ratio=16/9)
 spp = 32 if name == "base32" else 8

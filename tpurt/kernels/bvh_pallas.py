@@ -79,24 +79,42 @@ def build_tri_bvh_tables(triangles, leaf_size: int):
         tri_tab[row, 9:12] = t.n
         tri_tab[row, 12] = float(t.mat)
 
+    node_f, node_i = _pack_nodes(bvh)
+    return tri_tab, node_f, node_i
+
+
+def _pack_nodes(bvh):
+    """Flat node arrays shared by the triangle and sphere builders:
+    node_f = [bmin3 | bmax3 | pad2], node_i = [left right first count]."""
     B = bvh.bbox_min.shape[0]
     node_f = np.zeros((B, 8), np.float32)
     node_f[:, 0:3] = bvh.bbox_min
     node_f[:, 3:6] = bvh.bbox_max
     node_i = np.stack([bvh.left, bvh.right, bvh.first, bvh.count],
                       axis=1).astype(np.int32)
-    return tri_tab, node_f, node_i
+    return node_f, node_i
+
+
+MAX_ALWAYS_SPHERES = 8
 
 
 def split_huge_spheres(spheres):
     """(always, tree) partition: scene-spanning spheres (e.g. the r=1000
     ground, lib.rs:233) would bloat every node box and defeat near-to-far
-    ordering — sweep them flat, BVH the rest (cf. _sphere_cull_tree)."""
+    ordering — sweep them flat, BVH the rest (cf. _sphere_cull_tree).
+    The always side is statically unrolled per kernel, so it is capped at
+    the MAX_ALWAYS_SPHERES largest radii (a bimodal radius distribution
+    must not reintroduce the compile-time blowup the BVH exists to avoid);
+    overflow spheres go into the tree — correct, just less prunable."""
     if not spheres:
         return (), ()
     r = np.asarray([sp.r for sp in spheres], np.float32)
     med = float(np.median(r))
     huge = r > max(10.0 * med, 1e-3)
+    if int(huge.sum()) > MAX_ALWAYS_SPHERES:
+        cut = np.sort(r[huge])[-MAX_ALWAYS_SPHERES]
+        huge &= r >= cut
+        huge &= np.cumsum(huge) <= MAX_ALWAYS_SPHERES  # ties: keep first N
     return (tuple(sp for sp, h in zip(spheres, huge) if h),
             tuple(sp for sp, h in zip(spheres, huge) if not h))
 
@@ -122,12 +140,7 @@ def build_sphere_bvh_tables(spheres, leaf_size: int):
         sph_tab[row, 5] = float(sp.mtype)
         sph_tab[row, 6] = sp.ior
 
-    B = bvh.bbox_min.shape[0]
-    node_f = np.zeros((B, 8), np.float32)
-    node_f[:, 0:3] = bvh.bbox_min
-    node_f[:, 3:6] = bvh.bbox_max
-    node_i = np.stack([bvh.left, bvh.right, bvh.first, bvh.count],
-                      axis=1).astype(np.int32)
+    node_f, node_i = _pack_nodes(bvh)
     return sph_tab, node_f, node_i
 
 
@@ -153,20 +166,24 @@ class _PackedTable:
 
 
 def pack_tables(tri_tab: np.ndarray, node_f: np.ndarray,
-                node_i: np.ndarray) -> np.ndarray:
-    """One (ceil((T+B)/8), 128) f32 SMEM table: T triangle records then B
+                node_i: np.ndarray, leaf_size: int = 16) -> np.ndarray:
+    """One (ceil((T+B)/8), 128) f32 SMEM table: T primitive records then B
     node records [bmin3 | bmax3 | left right first count | pad], 8 records
-    per 128-lane row. Topology i32s stored as exact f32s (< 2^24)."""
+    per 128-lane row. Topology i32s stored as exact f32s (< 2^24).
+
+    `leaf_size` zero guard records keep the statically-unrolled leaf sweep
+    in-bounds: it reads `leaf_size` records from `first` regardless of the
+    runtime count, so a short leaf near the end of the primitive region can
+    read past the node records. The over-read records (node records or the
+    zero guards) are NOT meaningful geometry — correctness comes from the
+    `i < count` mask in every leaf body; the guards only guarantee the
+    reads stay inside the allocated table."""
     B = node_f.shape[0]
     nrec = np.zeros((B, 16), np.float32)
     nrec[:, 0:6] = node_f[:, 0:6]
     nrec[:, 6:10] = node_i.astype(np.float32)
     recs = np.concatenate([tri_tab, nrec], axis=0)
-    # 16 zero guard records: the statically-unrolled leaf sweep reads
-    # `leaf_size` rows from `first` regardless of count (masked), so the
-    # last short leaf may touch rows past the node records — zero
-    # triangles are degenerate (det == 0) and never pass the valid test
-    n = recs.shape[0] + 16
+    n = recs.shape[0] + max(16, int(leaf_size))
     rows = (n + 7) // 8
     flat = np.zeros((rows * 8, 16), np.float32)
     flat[:recs.shape[0]] = recs

@@ -883,17 +883,20 @@ def _diffuse_scatter_c(wo, n, color, rough, u2a, u2b):
 
 
 def _use_tri_bvh(fscene: FrozenScene, cfg: RenderConfig) -> bool:
+    from tpurt.kernels.bvh_pallas import MAX_BVH_TRIS
     return (cfg.pallas_bvh
-            and len(fscene.triangles) > cfg.pallas_static_unroll)
+            and cfg.pallas_static_unroll
+            < len(fscene.triangles) <= MAX_BVH_TRIS)
 
 
 def _use_sph_bvh(fscene: FrozenScene, cfg: RenderConfig) -> bool:
     """Sphere dynamic-BVH mode: enough non-huge spheres that ordered
-    near-to-far descent has a tree to prune."""
+    near-to-far descent has a tree to prune, within the SMEM table
+    budget (beyond it, dispatch falls to the other modes / XLA)."""
     if not cfg.pallas_sphere_bvh:
         return False
-    from tpurt.kernels.bvh_pallas import split_huge_spheres
-    return len(split_huge_spheres(fscene.spheres)[1]) > 16
+    from tpurt.kernels.bvh_pallas import MAX_BVH_SPHERES, split_huge_spheres
+    return 16 < len(split_huge_spheres(fscene.spheres)[1]) <= MAX_BVH_SPHERES
 
 
 def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
@@ -906,7 +909,8 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
         _, tree_sph = bvh_pallas.split_huge_spheres(fscene.spheres)
         sph_tab = jnp.asarray(bvh_pallas.pack_tables(
             *bvh_pallas.build_sphere_bvh_tables(tree_sph,
-                                                cfg.pallas_bvh_leaf)))
+                                                cfg.pallas_bvh_leaf),
+            leaf_size=cfg.pallas_bvh_leaf))
     elif len(fscene.spheres) > cfg.pallas_static_unroll:
         sph_tab = jnp.asarray(
             [[sp.c[0], sp.c[1], sp.c[2], sp.r,
@@ -918,7 +922,8 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
         from tpurt.kernels import bvh_pallas
         tri_tab = jnp.asarray(bvh_pallas.pack_tables(
             *bvh_pallas.build_tri_bvh_tables(fscene.triangles,
-                                             cfg.pallas_bvh_leaf)))
+                                             cfg.pallas_bvh_leaf),
+            leaf_size=cfg.pallas_bvh_leaf))
     elif len(fscene.triangles) > cfg.pallas_static_unroll:
         tri_tab = jnp.asarray(
             [list(tr.a) + list(tr.e1) + list(tr.e2) + list(tr.n)
