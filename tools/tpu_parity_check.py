@@ -1,0 +1,78 @@
+"""TPU <-> CPU identical-seed agreement check (SURVEY §4 item 4: the
+multi-backend golden test the CI suite can't run because tests force CPU).
+
+Renders small fixed-seed scenes on the real TPU (regen megakernel) and on
+CPU (same kernel, interpret mode), and asserts the images agree except for
+rare reassociation branch flips — the same contract the CPU-only suites pin
+between integrators. Run manually on a TPU host: python tools/tpu_parity_check.py
+"""
+import sys, os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_compilation"))
+
+import numpy as np
+
+
+def _render(platform: str, scene_name: str):
+    # separate process per platform would be cleaner; jax allows switching
+    # the default device only before init, so run CPU via interpret mode
+    # explicitly instead (same code path the tests drive).
+    import jax
+    from tpurt import (RenderConfig, cornell_spheres_scene, init_state,
+                       make_camera, render, resolve_image, torus_mesh_scene)
+
+    if scene_name == "cornell":
+        scene = cornell_spheres_scene()
+        cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0,
+                          aspect_ratio=16 / 9)
+        cfg = RenderConfig(width=192, height=108, depth=8, backend="pallas")
+    else:
+        scene = torus_mesh_scene(8, 4)
+        cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
+                          aspect_ratio=16 / 9)
+        cfg = RenderConfig(width=192, height=108, depth=6, backend="pallas",
+                           pallas_static_unroll=8, pallas_bvh=True)
+    state = init_state(cfg)
+    interpret = platform == "cpu"
+    from tpurt.kernels.mega_regen import render_regen
+    with jax.default_device(jax.devices(platform)[0]):
+        st = render_regen(scene, cfg, cam, state, 1234, 8,
+                          interpret=interpret)
+        img = np.asarray(resolve_image(cfg, st))
+    return img, float(st.rays)
+
+
+def main():
+    import jax
+    has_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if not has_tpu:
+        print("SKIP: no TPU attached (run on a TPU host)")
+        return 0
+    # Cross-HARDWARE bounds (measured 2026-08-17, v5e vs x86): the TPU
+    # fuses multiply-adds and runs with excess precision, so float results
+    # differ at ulp level (median abs diff ~1e-6, p90 ~4e-5) and a few
+    # grazing-boundary branches (RR, refraction, triangle det) flip —
+    # amplified to full-pixel diffs by the x400 single-wavelength weights
+    # at low spp. Contract: ray counts within 1e-5 relative (flips are
+    # countable-rare), <5% of pixels with >1% relative radiance diff.
+    ok = True
+    for scene in ("cornell", "mesh"):
+        img_t, rays_t = _render("tpu", scene)
+        img_c, rays_c = _render("cpu", scene)
+        rays_ok = abs(rays_t - rays_c) <= 1e-5 * max(rays_t, 1.0)
+        rel = np.abs(img_t - img_c) / np.maximum(np.abs(img_c), 1e-2)
+        frac = float((rel > 0.01).any(axis=-1).mean())
+        med = float(np.median(np.abs(img_t - img_c)))
+        passed = rays_ok and frac < 0.05 and med < 1e-4
+        ok &= passed
+        print(f"{scene}: rays tpu={rays_t:.0f} cpu={rays_c:.0f} "
+              f"(ok={rays_ok})  branch-flip pixels={frac:.4%}  "
+              f"median abs diff={med:.2e}  {'PASS' if passed else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
