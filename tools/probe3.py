@@ -21,6 +21,10 @@ VARIANTS = {
     # coherence probes: depth-1 camera-only = perfectly coherent tiles
     "depth1":      dict(enable_photons=False),
     "noclusters":  dict(pallas_cluster_size=0),
+    # tile-coherent stratified photon emission
+    "strata8":     dict(photon_strata=8),
+    "strata16":    dict(photon_strata=16),
+    "strata4":     dict(photon_strata=4),
     # dynamic sphere BVH walk (ordered near-to-far descent)
     "sphbvh8":     dict(pallas_sphere_bvh=True, pallas_bvh_leaf=8),
     "sphbvh16":    dict(pallas_sphere_bvh=True, pallas_bvh_leaf=16),

@@ -25,6 +25,12 @@ class RenderConfig:
     photon_radius_init: float = 2.0    # PHOTON_RADIUS_INIT (mega_kernel.rs:12)
     photon_rr_threshold: float = 0.01  # photon RR kill (wgsl :856)
     sppm_alpha: float = 0.67           # radius schedule (mega_kernel.rs:198)
+    photon_strata: int = 0             # EXTENSION (0 = reference sampling):
+    #   power-of-two N stratifies each photon's emission position and
+    #   direction into a per-(sample, k) hash-chosen cell shared by ALL
+    #   pixels — unbiased across samples, and the first photon segments of
+    #   a tile become coherent enough for the culling votes to prune
+    #   (ops/rng.emission_strata; docs/DESIGN.md)
     # Spectral
     hero_wavelengths: int = 1          # 1 reproduces the reference (one
     #   lambda per sample, wgsl :995). >1 enables hero-wavelength sampling

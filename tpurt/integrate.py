@@ -552,16 +552,34 @@ def trace_photons(scene, cfg: RenderConfig, lam, seed, px, py, vis,
         lnorm = scene.light_normal[li]
         light_power = lcol * lint  # (3,)
 
+        # tile-coherent stratification (cfg.photon_strata, EXTENSION):
+        # remap the emission uniforms into one hash-chosen cell per
+        # (sample, k), shared by every pixel — same remap in the kernels
+        if cfg.photon_strata:
+            S = cfg.photon_strata
+            inv_s = jnp.float32(1.0 / S)
+            pu, pv, da, db = rngmod.emission_strata(seed, k, S)
+            strat = lambda u, s: (s + u) * inv_s
+        else:
+            strat = None
+
         is_point = ltype == 0
         # Point light: cone toward origin (draws 1f + 2f)
         origin_b = jnp.broadcast_to(lpos, (N, 3))
-        d_cone, rng = sample_cone_toward(origin_b, jnp.zeros((N, 3)), rng)
+        d_cone, rng = sample_cone_toward(origin_b, jnp.zeros((N, 3)), rng,
+                                         strat=strat, strata=(da, db)
+                                         if strat else None)
         cone_factor = (1.0 - PHOTON_CONE_COS) * 0.5
         tp_point = light_power / cfg.k_photons * cone_factor
         # Area light: square point (2f) + cosine dir about the light normal (2f)
         u_emit, rng = rngmod.rand_2f(rng)
+        if strat is not None:
+            u_emit = jnp.stack([strat(u_emit[..., 0], pu),
+                                strat(u_emit[..., 1], pv)], axis=-1)
         lp = sample_square_point(lpos, lhw, lnorm, u_emit)  # (N,3)
-        d_cos, rng = sample_cosine_hemisphere(jnp.broadcast_to(lnorm, (N, 3)), rng)
+        d_cos, rng = sample_cosine_hemisphere(
+            jnp.broadcast_to(lnorm, (N, 3)), rng,
+            strat=strat, strata=(da, db) if strat else None)
         tp_area = light_power / cfg.k_photons
 
         ph_o = jnp.where(is_point, origin_b, lp + lnorm * EPS)

@@ -1286,6 +1286,18 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                 ue2, rng = rngmod.rand_1f(rng)
                 uh1, rng = rngmod.rand_1f(rng)
                 uh2, rng = rngmod.rand_1f(rng)
+                if cfg.photon_strata:
+                    # tile-coherent emission cell per (sample, k) —
+                    # identical remap to integrate.trace_photons
+                    inv_s = np.float32(1.0 / cfg.photon_strata)
+                    pu, pv, da, db = rngmod.emission_strata(
+                        seed_ref[0, 0], k, cfg.photon_strata)
+                    uc = (da + uc) * inv_s
+                    up1 = (db + up1) * inv_s
+                    ue1 = (pu + ue1) * inv_s
+                    ue2 = (pv + ue2) * inv_s
+                    uh1 = (da + uh1) * inv_s
+                    uh2 = (db + uh2) * inv_s
 
                 if lt.ltype == 0:
                     ct = 1.0 - uc * np.float32(1.0 - PHOTON_CONE_COS)

@@ -120,3 +120,29 @@ def rand_unit_vec(state):
     """Uniform direction on the unit sphere. Returns ((..., 3), new state)."""
     u, state = rand_2f(state)
     return unit_vec_from_u(u), state
+
+
+# tile-coherent photon emission (cfg.photon_strata) — extension over the
+# reference, see docs/DESIGN.md
+_STRATA_OFFSET = 0xA511E9B3
+_STRATA_K_STEP = 0x632BE5AB
+
+
+def emission_strata(seed, k: int, n: int):
+    """Four stratum indices in [0, n) (n a power of two) as exact f32s:
+    (pos_u, pos_v, dir_a, dir_b) for photon emission stratification.
+
+    A pure function of the FRAME seed and photon index k only — pixel-
+    independent, so every lane of a tile (and every backend) emitting its
+    (sample, k) photon shares ONE position patch and direction cell. The
+    emitted photons stay exactly light-distributed across samples (the
+    stratum is hash-uniform per sample); within a sample they are
+    correlated, which is the point: coherent first photon segments that
+    the whole-tile culling votes can prune."""
+    s = jnp.asarray(seed, jnp.uint32) + np.uint32(
+        (_STRATA_OFFSET + k * _STRATA_K_STEP) & 0xFFFFFFFF)
+    h, _ = rand_u32(s)
+    mask = jnp.uint32(n - 1)
+    idx = (h & mask, (h >> jnp.uint32(8)) & mask,
+           (h >> jnp.uint32(16)) & mask, (h >> jnp.uint32(24)) & mask)
+    return tuple(_u32_to_f32(i) for i in idx)
