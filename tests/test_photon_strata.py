@@ -50,19 +50,24 @@ def test_regen_tile_sync_exact_with_strata():
 
 def test_xla_kernel_parity_with_strata():
     """XLA vs regen with the flag on: the same contract as flag-off
-    (exact counts on this config, tiny divergent-pixel fraction)."""
-    scene = cornell_spheres_scene()
-    kw = dict(width=64, height=32, depth=3, tile_size=2048,
-              pallas_lanes=512, k_photons=1, max_photon_bounces=2,
-              photon_strata=8)
-    cfg_x = RenderConfig(backend="xla", **kw)
-    cfg_p = RenderConfig(backend="pallas", **kw)
-    st_x = render(scene, cfg_x, _cam(), init_state(cfg_x), 5, 2)
-    st_p = render(scene, cfg_p, _cam(), init_state(cfg_p), 5, 2)
-    assert float(st_x.rays) == float(st_p.rays) != 0.0
-    img_x = np.asarray(resolve_image(cfg_x, st_x))
-    img_p = np.asarray(resolve_image(cfg_p, st_p))
-    assert ((np.abs(img_x - img_p) > 1e-4).any(axis=-1)).mean() < 0.03
+    (exact counts on this config, tiny divergent-pixel fraction).
+    dispersive_scene has a POINT light too, exercising the cone remap."""
+    from tpurt import dispersive_scene
+    for scene, cam in ((cornell_spheres_scene(), _cam()),
+                       (dispersive_scene(),
+                        make_camera((0.0, 3.0, -4.0), (0.0, 1.0, 5.0),
+                                    vfov=55.0, aspect_ratio=2.0))):
+        kw = dict(width=64, height=32, depth=3, tile_size=2048,
+                  pallas_lanes=512, k_photons=2, max_photon_bounces=2,
+                  photon_strata=8)
+        cfg_x = RenderConfig(backend="xla", **kw)
+        cfg_p = RenderConfig(backend="pallas", **kw)
+        st_x = render(scene, cfg_x, cam, init_state(cfg_x), 5, 2)
+        st_p = render(scene, cfg_p, cam, init_state(cfg_p), 5, 2)
+        assert float(st_x.rays) == float(st_p.rays) != 0.0
+        img_x = np.asarray(resolve_image(cfg_x, st_x))
+        img_p = np.asarray(resolve_image(cfg_p, st_p))
+        assert ((np.abs(img_x - img_p) > 1e-4).any(axis=-1)).mean() < 0.03
 
 
 def test_strata_unbiased_vs_reference_sampler():
