@@ -25,6 +25,8 @@ VARIANTS = {
     "strata8":     dict(photon_strata=8),
     "strata16":    dict(photon_strata=16),
     "strata4":     dict(photon_strata=4),
+    "strata8c16":  dict(photon_strata=8, pallas_cluster_size=16),
+    "strata16c8":  dict(photon_strata=16, pallas_cluster_size=8),
     # dynamic sphere BVH walk (ordered near-to-far descent)
     "sphbvh8":     dict(pallas_sphere_bvh=True, pallas_bvh_leaf=8),
     "sphbvh16":    dict(pallas_sphere_bvh=True, pallas_bvh_leaf=16),

@@ -63,8 +63,8 @@ from tpurt.ops.intersect import (
 )
 from tpurt.ops.sampling import (
     PHOTON_CONE_COS,
-    sample_cone_toward,
-    sample_cosine_hemisphere,
+    cone_from_u,
+    cosine_hemisphere_from_u,
     sample_square_point,
 )
 from tpurt.ops.spectra import VISIBLE_RANGE, blackbody, cauchy_ior, cie_to_rgb
@@ -552,34 +552,33 @@ def trace_photons(scene, cfg: RenderConfig, lam, seed, px, py, vis,
         lnorm = scene.light_normal[li]
         light_power = lcol * lint  # (3,)
 
-        # tile-coherent stratification (cfg.photon_strata, EXTENSION):
-        # remap the emission uniforms into one hash-chosen cell per
-        # (sample, k), shared by every pixel — same remap in the kernels
+        # emission uniforms, reference draw order: cone 1f + 2f (second
+        # component drawn-unused), quad position 2f, hemisphere 2f
+        uc, rng = rngmod.rand_1f(rng)
+        u_cone, rng = rngmod.rand_2f(rng)
+        up1 = u_cone[..., 0]
+        u_emit, rng = rngmod.rand_2f(rng)
+        ue1, ue2 = u_emit[..., 0], u_emit[..., 1]
+        u_dir, rng = rngmod.rand_2f(rng)
+        uh1, uh2 = u_dir[..., 0], u_dir[..., 1]
         if cfg.photon_strata:
-            S = cfg.photon_strata
-            inv_s = jnp.float32(1.0 / S)
-            pu, pv, da, db = rngmod.emission_strata(seed, k, S)
-            strat = lambda u, s: (s + u) * inv_s
-        else:
-            strat = None
+            # tile-coherent stratification (EXTENSION): remap into one
+            # hash-chosen cell per (sample, k), shared by every pixel —
+            # the same helper the megakernels call
+            uc, up1, ue1, ue2, uh1, uh2 = rngmod.apply_emission_strata(
+                seed, k, cfg.photon_strata, uc, up1, ue1, ue2, uh1, uh2)
 
         is_point = ltype == 0
-        # Point light: cone toward origin (draws 1f + 2f)
+        # Point light: cone toward origin
         origin_b = jnp.broadcast_to(lpos, (N, 3))
-        d_cone, rng = sample_cone_toward(origin_b, jnp.zeros((N, 3)), rng,
-                                         strat=strat, strata=(da, db)
-                                         if strat else None)
+        d_cone = cone_from_u(origin_b, jnp.zeros((N, 3)), uc, up1)
         cone_factor = (1.0 - PHOTON_CONE_COS) * 0.5
         tp_point = light_power / cfg.k_photons * cone_factor
-        # Area light: square point (2f) + cosine dir about the light normal (2f)
-        u_emit, rng = rngmod.rand_2f(rng)
-        if strat is not None:
-            u_emit = jnp.stack([strat(u_emit[..., 0], pu),
-                                strat(u_emit[..., 1], pv)], axis=-1)
-        lp = sample_square_point(lpos, lhw, lnorm, u_emit)  # (N,3)
-        d_cos, rng = sample_cosine_hemisphere(
-            jnp.broadcast_to(lnorm, (N, 3)), rng,
-            strat=strat, strata=(da, db) if strat else None)
+        # Area light: square point + cosine dir about the light normal
+        lp = sample_square_point(lpos, lhw, lnorm,
+                                 jnp.stack([ue1, ue2], axis=-1))  # (N,3)
+        d_cos = cosine_hemisphere_from_u(
+            jnp.broadcast_to(lnorm, (N, 3)), uh1, uh2)
         tp_area = light_power / cfg.k_photons
 
         ph_o = jnp.where(is_point, origin_b, lp + lnorm * EPS)

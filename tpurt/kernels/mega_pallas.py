@@ -1287,17 +1287,11 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                 uh1, rng = rngmod.rand_1f(rng)
                 uh2, rng = rngmod.rand_1f(rng)
                 if cfg.photon_strata:
-                    # tile-coherent emission cell per (sample, k) —
-                    # identical remap to integrate.trace_photons
-                    inv_s = np.float32(1.0 / cfg.photon_strata)
-                    pu, pv, da, db = rngmod.emission_strata(
-                        seed_ref[0, 0], k, cfg.photon_strata)
-                    uc = (da + uc) * inv_s
-                    up1 = (db + up1) * inv_s
-                    ue1 = (pu + ue1) * inv_s
-                    ue2 = (pv + ue2) * inv_s
-                    uh1 = (da + uh1) * inv_s
-                    uh2 = (db + uh2) * inv_s
+                    # tile-coherent emission cell per (sample, k)
+                    uc, up1, ue1, ue2, uh1, uh2 = \
+                        rngmod.apply_emission_strata(
+                            seed_ref[0, 0], k, cfg.photon_strata,
+                            uc, up1, ue1, ue2, uh1, uh2)
 
                 if lt.ltype == 0:
                     ct = 1.0 - uc * np.float32(1.0 - PHOTON_CONE_COS)

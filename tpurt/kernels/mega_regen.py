@@ -275,16 +275,10 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                         uh2, rkk = rngmod.rand_1f(rkk)
                         if cfg.photon_strata:
                             # tile-coherent emission cell per (sample, k)
-                            # — identical remap to integrate.trace_photons
-                            inv_s = np.float32(1.0 / cfg.photon_strata)
-                            pu, pv, da, db = rngmod.emission_strata(
-                                samp_seed, kk, cfg.photon_strata)
-                            uc = (da + uc) * inv_s
-                            up1 = (db + up1) * inv_s
-                            ue1 = (pu + ue1) * inv_s
-                            ue2 = (pv + ue2) * inv_s
-                            uh1 = (da + uh1) * inv_s
-                            uh2 = (db + uh2) * inv_s
+                            uc, up1, ue1, ue2, uh1, uh2 = \
+                                rngmod.apply_emission_strata(
+                                    samp_seed, kk, cfg.photon_strata,
+                                    uc, up1, ue1, ue2, uh1, uh2)
                         if lt.ltype == 0:
                             ct = 1.0 - uc * np.float32(1.0 - PHOTON_CONE_COS)
                             stn = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))

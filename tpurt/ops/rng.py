@@ -139,6 +139,12 @@ def emission_strata(seed, k: int, n: int):
     stratum is hash-uniform per sample); within a sample they are
     correlated, which is the point: coherent first photon segments that
     the whole-tile culling votes can prune."""
+    # power-of-two: the bit-mask extraction below covers every stratum
+    # uniformly; other n silently NEVER sample some cells (biased image).
+    # <= 256: the four index fields live in disjoint 8-bit lanes of h.
+    if not (0 < n <= 256 and (n & (n - 1)) == 0):
+        raise ValueError(
+            f"photon_strata must be a power of two in [1, 256], got {n}")
     s = jnp.asarray(seed, jnp.uint32) + np.uint32(
         (_STRATA_OFFSET + k * _STRATA_K_STEP) & 0xFFFFFFFF)
     h, _ = rand_u32(s)
@@ -146,3 +152,24 @@ def emission_strata(seed, k: int, n: int):
     idx = (h & mask, (h >> jnp.uint32(8)) & mask,
            (h >> jnp.uint32(16)) & mask, (h >> jnp.uint32(24)) & mask)
     return tuple(_u32_to_f32(i) for i in idx)
+
+
+# largest f32 below 1.0: the remap must keep uniforms inside [0, 1)
+# (s + u can round up to n exactly when u is within an ulp of 1)
+_BELOW_ONE = np.float32(np.nextafter(np.float32(1.0), np.float32(0.0)))
+
+
+def apply_emission_strata(seed, k: int, n: int, uc, up1, ue1, ue2, uh1, uh2):
+    """Remap the six photon-emission uniforms into their (sample, k)
+    stratum cell. THE cross-backend pairing contract — used verbatim by
+    the XLA integrator and both megakernels: cone polar uc and hemisphere
+    theta uh1 share da; cone azimuth up1 and hemisphere radius uh2 share
+    db; quad position (ue1, ue2) gets (pu, pv). Results stay in [0, 1)."""
+    pu, pv, da, db = emission_strata(seed, k, n)
+    inv_s = np.float32(1.0 / n)
+
+    def r(u, s):
+        return jnp.minimum((s + u) * inv_s, _BELOW_ONE)
+
+    return r(uc, da), r(up1, db), r(ue1, pu), r(ue2, pv), r(uh1, da), \
+        r(uh2, db)

@@ -38,15 +38,9 @@ def sample_square_point(center, half_width, normal, u):
     return center + su[..., None] * T + sv[..., None] * B
 
 
-def sample_cosine_hemisphere(normal, state, strat=None, strata=None):
-    """Cosine-weighted hemisphere direction about `normal` via the concentric
-    disk construction the reference uses. Returns (dir, new_state).
-    strat/strata: optional (remap_fn, (sa, sb)) stratification of the two
-    uniforms (photon emission coherence, cfg.photon_strata)."""
-    u, state = rand_2f(state)
-    u0, u1 = u[..., 0], u[..., 1]
-    if strat is not None:
-        u0, u1 = strat(u0, strata[0]), strat(u1, strata[1])
+def cosine_hemisphere_from_u(normal, u0, u1):
+    """Cosine-weighted hemisphere direction about `normal` from two
+    pre-drawn uniforms (the construction the reference uses)."""
     theta = jnp.float32(TWO_PI) * u0
     r = jnp.sqrt(u1)
     x = r * jnp.cos(theta)
@@ -54,26 +48,32 @@ def sample_cosine_hemisphere(normal, state, strat=None, strata=None):
     z = jnp.sqrt(jnp.maximum(0.0, 1.0 - r * r))
     T = build_tangent_frame(normal)
     B = cross(normal, T)
-    d = x[..., None] * T + y[..., None] * B + z[..., None] * normal
-    return d, state
+    return x[..., None] * T + y[..., None] * B + z[..., None] * normal
 
 
-def sample_cone_toward(origin, target, state, cos_half=PHOTON_CONE_COS,
-                       strat=None, strata=None):
-    """Direction in a cone from `origin` aimed at `target` (photon emission
-    from point lights). Draws one 1f then one 2f, in reference order.
-    Returns (dir, new_state). strat/strata as in sample_cosine_hemisphere
-    (stratifies the polar and azimuth uniforms)."""
+def sample_cosine_hemisphere(normal, state):
+    """Draws 2f and builds the cosine direction. Returns (dir, new_state)."""
+    u, state = rand_2f(state)
+    return cosine_hemisphere_from_u(normal, u[..., 0], u[..., 1]), state
+
+
+def cone_from_u(origin, target, uc, uphi, cos_half=PHOTON_CONE_COS):
+    """Direction in a cone from `origin` aimed at `target` from two
+    pre-drawn uniforms (polar uc, azimuth uphi)."""
     axis = normalize(target - origin, eps=1e-30)
     T = build_tangent_frame(axis)
     B = cross(axis, T)
-    uc, state = rand_1f(state)
-    u, state = rand_2f(state)
-    if strat is not None:
-        uc = strat(uc, strata[0])
-        u = jnp.stack([strat(u[..., 0], strata[1]), u[..., 1]], axis=-1)
     ct = 1.0 - uc * (1.0 - cos_half)
     st = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
-    phi = jnp.float32(TWO_PI) * u[..., 0]
-    d = (st * jnp.cos(phi))[..., None] * T + (st * jnp.sin(phi))[..., None] * B + ct[..., None] * axis
-    return d, state
+    phi = jnp.float32(TWO_PI) * uphi
+    return (st * jnp.cos(phi))[..., None] * T \
+        + (st * jnp.sin(phi))[..., None] * B + ct[..., None] * axis
+
+
+def sample_cone_toward(origin, target, state, cos_half=PHOTON_CONE_COS):
+    """Direction in a cone from `origin` aimed at `target` (photon emission
+    from point lights). Draws one 1f then one 2f, in reference order.
+    Returns (dir, new_state)."""
+    uc, state = rand_1f(state)
+    u, state = rand_2f(state)
+    return cone_from_u(origin, target, uc, u[..., 0], cos_half), state
