@@ -52,10 +52,13 @@ def build_bench(config_id: int, small: bool):
         cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0, aspect_ratio=w / h)
     elif config_id == 3:  # >=256 instances 1080p (BASELINE config 3)
         # full static unroll: ~6 min one-off Mosaic compile (warmup, not
-        # timed) buys ~4x the steady-state throughput of the SMEM sweep
+        # timed) buys ~4x the steady-state throughput of the SMEM sweep;
+        # stratified photon emission (unbiased, docs/DESIGN.md) makes the
+        # photon phase vote-prunable (+5% measured)
         cfg = RenderConfig(width=w, height=h, depth=30,
                            pallas_static_unroll=512,
-                           pallas_cluster_size=32, **kw)
+                           pallas_cluster_size=32,
+                           photon_strata=16, **kw)
         scene = instanced_scene(256)
         cam = make_camera((0, 10, -14), (0, 1, 8), vfov=55.0, aspect_ratio=w / h)
     elif config_id == 4:  # dispersive spectral scene (BASELINE config 4:
@@ -81,7 +84,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="640x360 quick mode")
     ap.add_argument("--config", type=int, default=1)
-    ap.add_argument("--spp", type=int, default=32, help="timed samples")
+    ap.add_argument("--spp", type=int, default=64, help="timed samples")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
