@@ -41,6 +41,21 @@ class TestWavefront:
         ns = np.asarray(st.n_samples)[:cfg.n_pixels]
         assert (ns == 2.0).all()
 
+    def test_progressive_continuation_draws_new_samples(self):
+        """Two 2-spp calls must equal one 4-spp call: the second call's
+        samples are offset by the carried iteration (regression: they
+        used to re-trace samples 0-1 bit-identically — no convergence)."""
+        cfg, scene, cam = _setup(wf_pool=2048)
+        st_a = wavefront_render(scene, cfg, cam, init_state(cfg), 42, 2)
+        st_a = wavefront_render(scene, cfg, cam, st_a, 42, 2)
+        st_b = wavefront_render(scene, cfg, cam, init_state(cfg), 42, 4)
+        assert int(st_a.iteration) == int(st_b.iteration) == 4
+        assert float(st_a.rays) == float(st_b.rays) != 0.0
+        n = cfg.n_pixels
+        np.testing.assert_allclose(np.asarray(st_a.rgb_sum)[:n],
+                                   np.asarray(st_b.rgb_sum)[:n],
+                                   atol=1e-5, rtol=1e-5)
+
     def test_small_pool_same_image(self):
         """Pool capacity must not change the result, only the schedule."""
         cfg_a, scene, cam = _setup(wf_pool=256)

@@ -64,10 +64,11 @@ def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, max_prims: int = 2) -> B
     nodes_left, nodes_right, nodes_first, nodes_count = [], [], [], []
     order: list[int] = []
 
-    # Depth-first build with an explicit stack. Each entry is (node_idx,
-    # index_array, phase); phase 0 = first visit (allocate/split), the
-    # children patch their parent on allocation, mirroring the recursive
-    # control flow of the reference exactly.
+    # Depth-first build with an explicit stack of (node_idx, index_array)
+    # entries: each pop allocates/splits its node in a single visit and the
+    # PARENT writes its children's indices (left = next alloc, right after
+    # the left subtree), reproducing the reference's recursive control flow
+    # and leaf order exactly.
     def alloc():
         nodes_min.append(np.zeros(3, np.float32))
         nodes_max.append(np.zeros(3, np.float32))

@@ -91,9 +91,11 @@ class RenderConfig:
     #   node/triangle tables + per-tile stack, kernels/bvh_pallas.py):
     #   compile time is O(1) in mesh size, budget MAX_BVH_TRIS. False
     #   restores the flat SMEM-table sweep (MAX_DYNAMIC_TRIS).
-    pallas_bvh_leaf: int = 16          # triangles per BVH leaf in that walk
-    #   (tile-level votes want coarser leaves than the XLA path's 2 —
-    #   cf. the cluster-size findings in docs/DESIGN.md)
+    pallas_bvh_leaf: int = 32          # primitives per BVH leaf in that walk
+    #   (tile-level votes want coarser leaves than the XLA path's 2;
+    #   measured on 1080p torus meshes: 16/32/64 -> 47/51/53 Mrays/s at 1k
+    #   tris, 15.1/15.3/15.7 at 4k — prefer 64 for big meshes, 16 for the
+    #   sphere walk; cf. docs/DESIGN.md)
     pallas_sphere_bvh: bool = False    # many-sphere scenes (config 3) run
     #   the same dynamic whole-tile walk instead of the static cull tree:
     #   ordered near-to-far descent + per-lane t caps, O(1) compile time.

@@ -446,47 +446,9 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
         else:
             st_rays = st["rays"]
 
-        # --- shared random draws for the scatter step ---
-        u2, rng = rngmod.rand_2f(rng)
-        u_choice, rng = rngmod.rand_1f(rng)
-        u_rr, rng = rngmod.rand_1f(rng)
-
-        # --- diffuse scatter (wgsl :906-912) ---
-        rn = rngmod.unit_vec_from_u(u2)
-        wi_d = normalize(n + rn, eps=1e-30)
-        cosw = jnp.maximum(dot(n, wi_d), 1e-10)
-        pdf_d = cosw * jnp.float32(INV_PI)
-        f_diff = oren_nayar_f(normalize(wo, eps=1e-30), wi_d, n, color, rough)
-        tpm_d = f_diff * (cosw / jnp.maximum(pdf_d, 1e-10))[:, None]
-        off_d = jnp.full((N,), EPS)
-
-        # --- dielectric scatter (wgsl :914-973) ---
-        if cfg.dispersion_in_camera_path:
-            eta = cauchy_ior(ior, lam)
-        else:
-            eta = ior  # reference quirk: base IOR on the camera path (:915)
-        alpha = roughness_to_alpha(rough)
-        wi_s, tpm_s, off_s, valid_s = _scatter_dielectric(
-            wo, n, eta, alpha, u2, u_choice, camera_pdf=True
-        )
-        wi_m, tpm_m, off_m, valid_m = _scatter_metal(wo, n, color, alpha, u2)
-
-        is_metal = mtype == 2
-        wi = jnp.where(is_diffuse[:, None], wi_d,
-                       jnp.where(is_metal[:, None], wi_m, wi_s))
-        tpm = jnp.where(is_diffuse[:, None], tpm_d,
-                        jnp.where(is_metal[:, None], tpm_m,
-                                  tpm_s[:, None] * jnp.ones((1, 3))))
-        off = jnp.where(is_diffuse, off_d, jnp.where(is_metal, off_m, off_s))
-        scat_ok = is_diffuse | jnp.where(is_metal, valid_m, valid_s)
-
-        new_tp = tp * tpm
-        new_o = loc + n * off[:, None]
-
-        # --- Russian roulette (wgsl :976-979) ---
-        prob = jnp.max(new_tp, axis=-1)
-        rr_live = (prob >= cfg.rr_threshold) & (u_rr <= prob)
-        new_tp = new_tp / jnp.maximum(prob, 1e-30)[:, None]
+        wi, new_tp, new_o, scat_ok, rr_live, rng = scatter_and_rr(
+            cfg, wo, n, loc, color, rough, ior, mtype, lam, tp, rng,
+            camera_path=True)
 
         cont = active & found & scat_ok & rr_live
         out = {
@@ -518,6 +480,60 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
 
 
 # ----- Photon pass -----
+
+
+def scatter_and_rr(cfg: RenderConfig, wo, n, loc, color, rough, ior, mtype,
+                   lam, tp, rng, camera_path: bool):
+    """Shared scatter + Russian roulette step — draw order u2 (2f),
+    u_choice, u_rr (wgsl :906-979 camera / :782-858 photon). Used by the
+    camera bounce loop, the photon walk, and the wavefront sweep so the
+    physics and the RNG lattice cannot drift apart. camera_path selects
+    the VNDF pdf mode, the reference's base-IOR camera quirk
+    (dispersion_in_camera_path), and the RR threshold.
+    Returns (wi, new_tp, new_o, scat_ok, rr_live, rng)."""
+    u2, rng = rngmod.rand_2f(rng)
+    u_choice, rng = rngmod.rand_1f(rng)
+    u_rr, rng = rngmod.rand_1f(rng)
+
+    # diffuse: cosine scatter + Oren-Nayar (wgsl :906-912)
+    rn = rngmod.unit_vec_from_u(u2)
+    wi_d = normalize(n + rn, eps=1e-30)
+    cosw = jnp.maximum(dot(n, wi_d), 1e-10)
+    pdf_d = cosw * jnp.float32(INV_PI)
+    f_diff = oren_nayar_f(normalize(wo, eps=1e-30), wi_d, n, color, rough)
+    tpm_d = f_diff * (cosw / jnp.maximum(pdf_d, 1e-10))[:, None]
+
+    # dielectric (wgsl :914-973) / metal (extension)
+    if camera_path and not cfg.dispersion_in_camera_path:
+        eta = ior  # reference quirk: base IOR on the camera path (:915)
+    else:
+        eta = cauchy_ior(ior, lam)  # photons always disperse (:797)
+    alpha = roughness_to_alpha(rough)
+    wi_s, tpm_s, off_s, valid_s = _scatter_dielectric(
+        wo, n, eta, alpha, u2, u_choice, camera_pdf=camera_path
+    )
+    wi_m, tpm_m, off_m, valid_m = _scatter_metal(wo, n, color, alpha, u2)
+
+    is_diffuse = mtype == 0
+    is_metal = mtype == 2
+    wi = jnp.where(is_diffuse[:, None], wi_d,
+                   jnp.where(is_metal[:, None], wi_m, wi_s))
+    tpm = jnp.where(is_diffuse[:, None], tpm_d,
+                    jnp.where(is_metal[:, None], tpm_m,
+                              tpm_s[:, None] * jnp.ones((1, 3))))
+    off = jnp.where(is_diffuse, EPS, jnp.where(is_metal, off_m, off_s))
+    scat_ok = is_diffuse | jnp.where(is_metal, valid_m, valid_s)
+
+    new_tp = tp * tpm
+    new_o = loc + n * off[:, None]
+
+    # Russian roulette (wgsl :976-979 / :855-858)
+    prob = jnp.max(new_tp, axis=-1)
+    thr = cfg.rr_threshold if camera_path else cfg.photon_rr_threshold
+    rr_live = (prob >= thr) & (u_rr <= prob)
+    new_tp = new_tp / jnp.maximum(prob, 1e-30)[:, None]
+    return wi, new_tp, new_o, scat_ok, rr_live, rng
+
 
 def trace_photons(scene, cfg: RenderConfig, lam, seed, px, py, vis,
                   photon_radius, valid=None):
@@ -623,40 +639,9 @@ def trace_photons(scene, cfg: RenderConfig, lam, seed, px, py, vis,
             wo = -d
             n = hit["normal"]
 
-            u2, rng = rngmod.rand_2f(rng)
-            u_choice, rng = rngmod.rand_1f(rng)
-            u_rr, rng = rngmod.rand_1f(rng)
-
-            rn = rngmod.unit_vec_from_u(u2)
-            wi_d = normalize(n + rn, eps=1e-30)
-            cosw = jnp.maximum(dot(n, wi_d), 1e-10)
-            pdf_d = cosw * jnp.float32(INV_PI)
-            f_diff = oren_nayar_f(normalize(wo, eps=1e-30), wi_d, n, color, rough)
-            tpm_d = f_diff * (cosw / jnp.maximum(pdf_d, 1e-10))[:, None]
-
-            eta = cauchy_ior(ior, lam)  # photons always disperse (wgsl :797)
-            alpha = roughness_to_alpha(rough)
-            wi_s, tpm_s, off_s, valid_s = _scatter_dielectric(
-                wo, n, eta, alpha, u2, u_choice, camera_pdf=False
-            )
-            wi_m, tpm_m, off_m, valid_m = _scatter_metal(wo, n, color, alpha, u2)
-
-            # smooth-dielectric photon offsets use +/-EPS along n like camera
-            is_metal = mtype == 2
-            wi = jnp.where(is_diffuse[:, None], wi_d,
-                           jnp.where(is_metal[:, None], wi_m, wi_s))
-            tpm = jnp.where(is_diffuse[:, None], tpm_d,
-                            jnp.where(is_metal[:, None], tpm_m,
-                                      tpm_s[:, None] * jnp.ones((1, 3))))
-            off = jnp.where(is_diffuse, EPS, jnp.where(is_metal, off_m, off_s))
-            scat_ok = is_diffuse | jnp.where(is_metal, valid_m, valid_s)
-
-            new_tp = tp * tpm
-            new_o = hit["loc"] + n * off[:, None]
-
-            prob = jnp.max(new_tp, axis=-1)
-            rr_live = (prob >= cfg.photon_rr_threshold) & (u_rr <= prob)
-            new_tp = new_tp / jnp.maximum(prob, 1e-30)[:, None]
+            wi, new_tp, new_o, scat_ok, rr_live, rng = scatter_and_rr(
+                cfg, wo, n, hit["loc"], color, rough, ior, mtype, lam, tp,
+                rng, camera_path=False)
 
             cont = live & scat_ok & rr_live
             return {

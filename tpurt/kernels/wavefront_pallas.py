@@ -279,7 +279,7 @@ def sweep_pallas(fscene, cfg: RenderConfig, pf, pi, rng, interpret=False):
 # ----- XLA regen + splat driver -----
 
 def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
-                  next_sample, next_pix, spp, base_seed):
+                  next_sample, next_pix, spp, base_seed, it0):
     """Dead slots claim the next (pixel, sample) items; all math stays in
     the (QR, 128) plane shape (no pool-sized relayouts). Mirrors
     tpurt.wavefront._regen including draw order."""
@@ -298,7 +298,8 @@ def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
     px = pix % cfg.width
     py = pix // cfg.width
 
-    seed = _frame_seed(base_seed, sample)
+    # iteration offset: progressive continuation draws NEW samples
+    seed = _frame_seed(base_seed, it0 + sample)
     new_rng = rngmod.seed_pixels(seed, px, py)
 
     uj1, new_rng = rngmod.rand_1f(new_rng)
@@ -374,7 +375,8 @@ def _wavefront_pallas_jit(fscene, scene, cfg, camera, state, base_seed, spp,
     def body(carry):
         pf, pi, rng, ns_, npx, rgb, nsamp, rays, sweeps = carry
         pf, pi, rng, ns_, npx = _regen_planar(
-            scene, cfg, camera, pf, pi, rng, ns_, npx, spp, base_seed)
+            scene, cfg, camera, pf, pi, rng, ns_, npx, spp, base_seed,
+            state.iteration)
         pf, pi, rng, term, trays = sweep_pallas(fscene, cfg, pf, pi, rng,
                                                 interpret=interpret)
         pix = pi[0].reshape(-1)

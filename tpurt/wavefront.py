@@ -49,21 +49,17 @@ import numpy as np
 from tpurt.camera import Camera, generate_rays
 from tpurt.config import RenderConfig
 from tpurt.integrate import (
-    _scatter_dielectric,
-    _scatter_metal,
+    _HIT,
     intersect_scene,
     light_emission_rgb,
     material_lookup,
     sample_direct_lighting,
+    scatter_and_rr,
 )
 from tpurt.ops import rng as rngmod
-from tpurt.ops.bsdf import INV_PI, dot, normalize, oren_nayar_f, roughness_to_alpha
-from tpurt.ops.intersect import MISS
-from tpurt.ops.spectra import cauchy_ior, sample_wavelength
+from tpurt.ops.bsdf import normalize
+from tpurt.ops.spectra import sample_wavelength
 from tpurt.render import RenderState, _frame_seed
-
-_HIT = MISS * 0.5
-EPS = 1e-5
 
 
 @jax.tree_util.register_dataclass
@@ -84,7 +80,7 @@ class WavefrontPool:
 
 
 def _regen(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
-           next_sample, next_pix, spp, base_seed):
+           next_sample, next_pix, spp, base_seed, it0):
     """Refill dead slots with the next pending (pixel, sample) work items.
 
     The work queue is enumerated pixel-major as a (sample, pixel) pair of
@@ -103,8 +99,9 @@ def _regen(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
     py = pix // cfg.width
 
     # per-(pixel, sample) stream: identical construction to the progressive
-    # renderer (render.py) so wavefront images are statistically matched
-    seed = _frame_seed(base_seed, sample)
+    # renderer (render.py), offset by the carried iteration so progressive
+    # continuation draws NEW samples (cf. wavefront_pallas it0_i + sample)
+    seed = _frame_seed(base_seed, it0 + sample)
     rng = rngmod.seed_pixels(seed, px, py)
 
     u_jit, rng = rngmod.rand_2f(rng)
@@ -134,7 +131,8 @@ def _regen(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
     return new_pool, next_sample + np2 // n_pix, np2 % n_pix
 
 
-def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool):
+def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool,
+           hero_tabs=None):
     """One extend+shade sweep over the whole pool (the reference's
     wf_extend + wf_shade stages, wavefront.wgsl:186-246, upgraded to the
     mega kernel's full material set).
@@ -169,13 +167,11 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool):
     C = max(1, int(cfg.hero_wavelengths))
     track_collapse = C > 1 and cfg.dispersion_in_camera_path
     if C > 1:
-        from tpurt.ops.spectra import (hero_emission_lookup,
-                                       hero_emission_table_jnp)
-        rgbs = [hero_emission_lookup(
-            hero_emission_table_jnp(scene.light_color[li],
-                                    scene.light_intensity[li],
-                                    scene.light_temp[li], C), C, pool.lam)
-            for li in range(scene.num_lights)]
+        from tpurt.ops.spectra import hero_emission_lookup
+        # tables are scene constants, hoisted by the caller out of the
+        # sweep while_loop (cf. integrate.trace_camera_paths)
+        rgbs = [hero_emission_lookup(hero_tabs[li], C, pool.lam)
+                for li in range(scene.num_lights)]
         if track_collapse:
             # full-weight hero after collapse (no 1/C; see integrate.py)
             hero = light_emission_rgb(scene, pool.lam)
@@ -191,41 +187,9 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool):
         rays = rays + jnp.sum(lane_d.astype(jnp.float32)) * scene.num_lights
 
     # scatter (same draw order as the mega integrator)
-    u2, rng = rngmod.rand_2f(rng)
-    u_choice, rng = rngmod.rand_1f(rng)
-    u_rr, rng = rngmod.rand_1f(rng)
-
-    rn = rngmod.unit_vec_from_u(u2)
-    wi_d = normalize(n + rn, eps=1e-30)
-    cosw = jnp.maximum(dot(n, wi_d), 1e-10)
-    pdf_d = cosw * jnp.float32(INV_PI)
-    f_diff = oren_nayar_f(normalize(wo, eps=1e-30), wi_d, n, color, rough)
-    tpm_d = f_diff * (cosw / jnp.maximum(pdf_d, 1e-10))[:, None]
-
-    if cfg.dispersion_in_camera_path:
-        eta = cauchy_ior(ior, pool.lam)
-    else:
-        eta = ior
-    alpha = roughness_to_alpha(rough)
-    wi_s, tpm_s, off_s, valid_s = _scatter_dielectric(
-        wo, n, eta, alpha, u2, u_choice, camera_pdf=True)
-    wi_m, tpm_m, off_m, valid_m = _scatter_metal(wo, n, color, alpha, u2)
-
-    is_metal = mtype == 2
-    wi = jnp.where(is_diffuse[:, None], wi_d,
-                   jnp.where(is_metal[:, None], wi_m, wi_s))
-    tpm = jnp.where(is_diffuse[:, None], tpm_d,
-                    jnp.where(is_metal[:, None], tpm_m,
-                              tpm_s[:, None] * jnp.ones((1, 3))))
-    off = jnp.where(is_diffuse, EPS, jnp.where(is_metal, off_m, off_s))
-    scat_ok = is_diffuse | jnp.where(is_metal, valid_m, valid_s)
-
-    new_tp = pool.tp * tpm
-    new_o = loc + n * off[:, None]
-
-    prob = jnp.max(new_tp, axis=-1)
-    rr_live = (prob >= cfg.rr_threshold) & (u_rr <= prob)
-    new_tp = new_tp / jnp.maximum(prob, 1e-30)[:, None]
+    wi, new_tp, new_o, scat_ok, rr_live, rng = scatter_and_rr(
+        cfg, wo, n, loc, color, rough, ior, mtype, pool.lam, pool.tp, rng,
+        camera_path=True)
 
     depth_ok = (pool.bounce + 1) < cfg.depth
     cont = active & found & scat_ok & rr_live & depth_ok
@@ -259,6 +223,14 @@ def wavefront_render(scene, cfg: RenderConfig, camera: Camera,
     """
     Q = cfg.wf_pool
     spp = jnp.asarray(spp, jnp.int32)
+    C = max(1, int(cfg.hero_wavelengths))
+    if C > 1:
+        from tpurt.ops.spectra import hero_emission_table_jnp
+        hero_tabs = [hero_emission_table_jnp(
+            scene.light_color[li], scene.light_intensity[li],
+            scene.light_temp[li], C) for li in range(scene.num_lights)]
+    else:
+        hero_tabs = None
 
     pool = WavefrontPool(
         pix=jnp.zeros((Q,), jnp.int32),
@@ -278,8 +250,9 @@ def wavefront_render(scene, cfg: RenderConfig, camera: Camera,
     def body(carry):
         pool, next_sample, next_pix, rgb, ns, rays, sweeps = carry
         pool, next_sample, next_pix = _regen(
-            cfg, camera, pool, next_sample, next_pix, spp, base_seed)
-        pool, terminated, nrays = _sweep(scene, cfg, pool)
+            cfg, camera, pool, next_sample, next_pix, spp, base_seed,
+            state.iteration)
+        pool, terminated, nrays = _sweep(scene, cfg, pool, hero_tabs)
         # splat: drain finished paths into the accumulation image
         t3 = terminated[:, None]
         rgb = rgb.at[pool.pix].add(jnp.where(t3, pool.rad, 0.0),
