@@ -467,8 +467,9 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
         if track_collapse:
             # a dielectric interaction steers the path by eta(lambda):
             # only the hero transports onward (Wilkie et al. 2014 dirac case)
+            is_dielectric = ~(is_diffuse | (mtype == 2))
             out["collapsed"] = st["collapsed"] | \
-                (active & found & ~(is_diffuse | is_metal))
+                (active & found & is_dielectric)
         return out
 
     state = jax.lax.while_loop(cond, bounce, state)

@@ -24,8 +24,9 @@ one scalar decision per node — but walks a *runtime* BVH:
 Compile time is O(1) in mesh size; the same kernel binary serves any mesh up
 to the table budget. The tree topology/splits are the reference's recursive
 median split (ref: src/instance.rs:259-269) via tpurt.accel.build_bvh, with
-a coarser leaf size than the XLA path (tile-level votes want 8-32 triangles
-per leaf, cf. the cluster-size findings in docs/DESIGN.md).
+a coarser leaf size than the XLA path (tile-level votes want 32-64
+primitives per leaf for meshes, ~16 for the sphere walk — measured sweeps
+in tpurt/config.py's pallas_bvh_leaf comment and docs/DESIGN.md).
 """
 
 from __future__ import annotations

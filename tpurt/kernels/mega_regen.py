@@ -67,7 +67,7 @@ from tpurt.kernels.mega_pallas import PHOTON_CONE_COS  # noqa: E402
 from tpurt.ops import rng as rngmod
 from tpurt.ops import soa as s
 from tpurt.ops.spectra import (DISPERSION_B, VISIBLE_MIN, VISIBLE_RANGE,
-                               blackbody, hero_emission_table)
+                               hero_emission_table)
 from tpurt.render import _frame_seed
 
 
@@ -609,10 +609,7 @@ def _render_regen_jit(fscene, cfg, camera, state, base_seed, spp, interpret,
     v3 = lambda a: jnp.stack([flat[a], flat[a + 1], flat[a + 2]], axis=-1)
     it_new = state.iteration + spp
     # final radius = schedule applied spp times (same floats as per-lane)
-    def rstep(i, r):
-        kf = (state.iteration + i + 1).astype(jnp.float32)
-        return r * jnp.sqrt((kf + cfg.sppm_alpha) / (kf + 1.0))
-    r_new = jax.lax.fori_loop(0, spp, rstep, state.photon_radius)
+    r_new = radius_after(cfg, state.iteration, state.photon_radius, spp)
     return dataclasses.replace(
         state,
         rgb_sum=v3(0),

@@ -57,7 +57,7 @@ from tpurt.kernels.mega_pallas import (
 from tpurt.ops import rng as rngmod
 from tpurt.ops import soa as s
 from tpurt.ops.spectra import (DISPERSION_B, VISIBLE_MIN, VISIBLE_RANGE,
-                               blackbody, hero_emission_table)
+                               hero_emission_table)
 from tpurt.render import RenderState, _frame_seed
 
 # f32 channel bases (emission channels follow, 3 per light)
@@ -279,7 +279,8 @@ def sweep_pallas(fscene, cfg: RenderConfig, pf, pi, rng, interpret=False):
 # ----- XLA regen + splat driver -----
 
 def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
-                  next_sample, next_pix, spp, base_seed, it0):
+                  next_sample, next_pix, spp, base_seed, it0,
+                  hero_tabs=None):
     """Dead slots claim the next (pixel, sample) items; all math stays in
     the (QR, 128) plane shape (no pool-sized relayouts). Mirrors
     tpurt.wavefront._regen including draw order."""
@@ -316,16 +317,13 @@ def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
     lam = sample_wavelength(u_lam)
 
     # lambda-dependent emission, once per path (MXU one-hot in XLA);
-    # hero-wavelength mode stores the C-averaged emission
+    # hero-wavelength mode stores the C-averaged emission (tables are
+    # scene constants hoisted by the caller out of the sweep while_loop)
     C_HERO = max(1, int(cfg.hero_wavelengths))
     if C_HERO > 1:
-        from tpurt.ops.spectra import (hero_emission_lookup,
-                                       hero_emission_table_jnp)
-        ems = [hero_emission_lookup(
-            hero_emission_table_jnp(scene.light_color[li],
-                                    scene.light_intensity[li],
-                                    scene.light_temp[li], C_HERO),
-            C_HERO, lam.reshape(-1)) for li in range(scene.num_lights)]
+        from tpurt.ops.spectra import hero_emission_lookup
+        ems = [hero_emission_lookup(hero_tabs[li], C_HERO, lam.reshape(-1))
+               for li in range(scene.num_lights)]
     else:
         ems = light_emission_rgb(scene, lam.reshape(-1))  # list of (Q, 3)
 
@@ -367,6 +365,14 @@ def _wavefront_pallas_jit(fscene, scene, cfg, camera, state, base_seed, spp,
     pf = jnp.zeros((_n_fchannels(L), QR, 128), jnp.float32)
     pi = jnp.zeros((3, QR, 128), jnp.int32)
     rng = jnp.zeros((QR, 128), jnp.uint32)
+    C_HERO = max(1, int(cfg.hero_wavelengths))
+    if C_HERO > 1:
+        from tpurt.ops.spectra import hero_emission_table_jnp
+        hero_tabs = [hero_emission_table_jnp(
+            scene.light_color[li], scene.light_intensity[li],
+            scene.light_temp[li], C_HERO) for li in range(len(fscene.lights))]
+    else:
+        hero_tabs = None
 
     def cond(carry):
         pf, pi, rng, ns_, npx, rgb, nsamp, rays, sweeps = carry
@@ -376,7 +382,7 @@ def _wavefront_pallas_jit(fscene, scene, cfg, camera, state, base_seed, spp,
         pf, pi, rng, ns_, npx, rgb, nsamp, rays, sweeps = carry
         pf, pi, rng, ns_, npx = _regen_planar(
             scene, cfg, camera, pf, pi, rng, ns_, npx, spp, base_seed,
-            state.iteration)
+            state.iteration, hero_tabs)
         pf, pi, rng, term, trays = sweep_pallas(fscene, cfg, pf, pi, rng,
                                                 interpret=interpret)
         pix = pi[0].reshape(-1)
@@ -494,28 +500,47 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
             sample = st["sample"]
 
             # ---- per-lane regeneration: spawn this lane's next sample ----
+            # lax.cond-gated like mega_regen's camera spawn: iterations
+            # where no lane respawns (the drain tail) skip the seed/ray/
+            # emission chain entirely
             regen = ~active & (sample < spp) & valid_px
-            seed = _frame_seed(base_seed, it0_i + sample)
-            rng_new = rngmod.seed_pixels(seed, px, py)
-            uj1, rng_new = rngmod.rand_1f(rng_new)
-            uj2, rng_new = rngmod.rand_1f(rng_new)
-            u = (px.astype(jnp.float32) + uj1) / jnp.float32(W)
-            v = (py.astype(jnp.float32) + uj2) / jnp.float32(H)
-            d0 = tuple(
-                cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c]
-                for c in range(3))
-            o0 = s.vbroadcast(cam_o, u)
-            ulam, rng_new = rngmod.rand_1f(rng_new)
-            lam_new = jnp.float32(VISIBLE_MIN) + ulam * jnp.float32(VISIBLE_RANGE)
-            # hero-wavelength mode: em = the C-averaged emission via the
-            # folded periodic table (collapse rewrites it to the hero below)
-            if C_HERO > 1:
-                em_new = []
-                for tab in HERO_TABS:
-                    em_new.extend(s.hero_em_lookup_c(tab, HERO_DELTA,
-                                                     lam_new))
-            else:
-                em_new = _single_lambda_em_c(LIGHTS, lam_new)
+
+            def _spawn_vals(_):
+                seed = _frame_seed(base_seed, it0_i + sample)
+                rng_new = rngmod.seed_pixels(seed, px, py)
+                uj1, rng_new = rngmod.rand_1f(rng_new)
+                uj2, rng_new = rngmod.rand_1f(rng_new)
+                u = (px.astype(jnp.float32) + uj1) / jnp.float32(W)
+                v = (py.astype(jnp.float32) + uj2) / jnp.float32(H)
+                d0 = tuple(
+                    cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c]
+                    for c in range(3))
+                o0 = s.vbroadcast(cam_o, u)
+                ulam, rng_new = rngmod.rand_1f(rng_new)
+                lam_new = (jnp.float32(VISIBLE_MIN)
+                           + ulam * jnp.float32(VISIBLE_RANGE))
+                # hero-wavelength mode: em = the C-averaged emission via the
+                # folded table (collapse rewrites it to the hero below)
+                if C_HERO > 1:
+                    em_new = []
+                    for tab in HERO_TABS:
+                        em_new.extend(s.hero_em_lookup_c(tab, HERO_DELTA,
+                                                         lam_new))
+                else:
+                    em_new = _single_lambda_em_c(LIGHTS, lam_new)
+                return (*o0, *d0, lam_new, rng_new, *em_new)
+
+            def _spawn_skip(_):
+                return (zero,) * 7 \
+                    + (jnp.zeros_like(px).astype(jnp.uint32),) \
+                    + (zero,) * (3 * L)
+
+            vals = jax.lax.cond(jnp.any(regen), _spawn_vals, _spawn_skip, 0)
+            o0 = vals[0:3]
+            d0 = vals[3:6]
+            lam_new = vals[6]
+            rng_new = vals[7]
+            em_new = vals[8:8 + 3 * L]
 
             o = s.vwhere(regen, o0, st["o"])
             d = s.vwhere(regen, d0, st["d"])

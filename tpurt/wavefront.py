@@ -205,7 +205,7 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool,
         rng=rng,
         bounce=pool.bounce + 1,
         active=cont,
-        coll=pool.coll | (active & found & ~(is_diffuse | is_metal))
+        coll=pool.coll | (active & found & ~(is_diffuse | (mtype == 2)))
         if track_collapse else pool.coll,
     )
     return new_pool, terminated, rays
