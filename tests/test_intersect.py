@@ -205,6 +205,24 @@ def test_shadow_attenuation_semantics():
     assert np.asarray(a1)[2] == 1.0
 
 
+def test_sphere_shadow_factor_c_metal_occludes():
+    """The component-form shadow mirror must occlude metal (mtype 2) fully
+    like the batched twin and the reference (wgsl :521) — regression: it
+    used to let everything but diffuse transmit like glass."""
+    from tpurt.ops.soa import sphere_shadow_factor_c
+    o = tuple(jnp.zeros((4,)) for _ in range(3))
+    d = (jnp.zeros((4,)), jnp.zeros((4,)), jnp.ones((4,)))
+    t_max = jnp.full((4,), 10.0)
+    lam = jnp.full((4,), 550.0)
+    for mtype, expect_dark in ((0, True), (2, True), (1, False)):
+        f = np.asarray(sphere_shadow_factor_c(
+            o, d, t_max, lam, (0.0, 0.0, 5.0), 1.0, float(mtype), 1.5))
+        if expect_dark:
+            assert (f == 0.0).all(), (mtype, f)
+        else:
+            assert (0.0 < f).all() and (f < 1.0).all(), (mtype, f)
+
+
 def test_shadow_triangles_block():
     o = jnp.asarray([[0.0, 0.0, 0.0], [5.0, 0.0, 0.0]])
     d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])

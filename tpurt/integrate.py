@@ -78,10 +78,13 @@ def material_lookup(scene, mat_id):
     tiny so the (N, M) one-hot is cheap and MXU/VPU friendly)."""
     M = scene.mat_color.shape[0]
     oh = (mat_id[:, None] == jnp.arange(M, dtype=jnp.int32)).astype(jnp.float32)
-    color = oh @ scene.mat_color
-    rough = oh @ scene.mat_rough
-    ior = oh @ scene.mat_ior
-    mtype = jnp.round(oh @ scene.mat_type.astype(jnp.float32)).astype(jnp.int32)
+    # HIGHEST: default TPU matmul precision rounds the selected material
+    # attributes to bf16 otherwise
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+    color = mm(oh, scene.mat_color)
+    rough = mm(oh, scene.mat_rough)
+    ior = mm(oh, scene.mat_ior)
+    mtype = jnp.round(mm(oh, scene.mat_type.astype(jnp.float32))).astype(jnp.int32)
     return color, rough, ior, mtype
 
 

@@ -46,7 +46,14 @@ def cos2_theta(w):
 
 
 def tan2_theta(w):
-    """tan^2(theta) with the reference's 1e20 saturation at grazing."""
+    """tan^2(theta) with the reference's 1e20 saturation at grazing.
+
+    NOTE (reference quirk, kept deliberately): the saturation returns
+    EXACTLY 1e20 while tr_d/tr_lambda guard with a STRICT `tan2 > 1e20`,
+    so those guards never fire — at grazing, lambda evaluates huge
+    (G -> 0) instead of pbrt's return-0 (G -> 1). The reference WGSL has
+    the identical dead guard (mega_kernel.wgsl:171-226); changing the
+    compare to >= would diverge from it."""
     c2 = cos2_theta(w)
     safe = jnp.maximum(c2, 1e-10)
     t2 = (1.0 - c2) / safe

@@ -43,7 +43,9 @@ def _onehot_select(idx, chunk):
     """
     C = chunk.shape[0]
     oh = (idx[..., None] == jnp.arange(C, dtype=jnp.int32)).astype(chunk.dtype)
-    return oh @ chunk
+    # HIGHEST: default TPU matmul precision rounds operands to bf16 — the
+    # selected centers/normals/ids would silently lose ~16 mantissa bits
+    return jnp.matmul(oh, chunk, precision=jax.lax.Precision.HIGHEST)
 
 
 def _chunk_iter(n, chunk):
@@ -233,6 +235,23 @@ def ray_aabb(ray_o, ray_d, bmin, bmax):
     return (tmax >= tmin) & ok_par
 
 
+def ray_aabb_entry(ray_o, ray_d, bmin, bmax):
+    """ray_aabb plus the entry distance, for best-hit subtree pruning."""
+    parallel = jnp.abs(ray_d) < 1e-20
+    inv = 1.0 / jnp.where(parallel, 1.0, ray_d)
+    t0 = (bmin - ray_o) * inv
+    t1 = (bmax - ray_o) * inv
+    tlo = jnp.minimum(t0, t1)
+    thi = jnp.maximum(t0, t1)
+    tlo = jnp.where(parallel, 0.0, tlo)
+    thi = jnp.where(parallel, BIG, thi)
+    inside_par = (ray_o >= bmin) & (ray_o <= bmax)
+    ok_par = jnp.all(jnp.where(parallel, inside_par, True), axis=-1)
+    tmin = jnp.maximum(jnp.max(tlo, axis=-1), 0.0)
+    tmax = jnp.min(thi, axis=-1)
+    return (tmax >= tmin) & ok_par, tmin
+
+
 # ----- BVH traversal (XLA path; per-ray stack, vmapped over the tile) -----
 
 STACK_DEPTH = 64
@@ -256,7 +275,9 @@ def _bvh_hit_single(ray_o, ray_d, bvh, max_leaf):
         node = stack[sp]
         bmin = bvh["bbox_min"][node]
         bmax = bvh["bbox_max"][node]
-        hit_box = ray_aabb(ray_o, ray_d, bmin, bmax)
+        # prune subtrees whose box entry lies beyond the current best hit
+        in_box, t_entry = ray_aabb_entry(ray_o, ray_d, bmin, bmax)
+        hit_box = in_box & (t_entry < best_t)
         count = bvh["count"][node]
         is_leaf = count > 0
         first = bvh["first"][node]
@@ -343,7 +364,7 @@ def sphere_shadow_factors(ray_o, ray_d, t_max, centers, radii, mtype, ior, lambd
     p1 = ray_o[:, None, :] + ray_d[:, None, :] * t_entry[..., None]
     n1 = normalize(p1 - centers[None, :, :], eps=1e-30)
     cos1 = -jnp.sum(n1 * ray_d[:, None, :], axis=-1)
-    from tpurt.ops.bsdf import fr_dielectric  # local import avoids cycle
+    from tpurt.ops.bsdf import fr_dielectric
     R1 = fr_dielectric(cos1, eta)
     p2 = ray_o[:, None, :] + ray_d[:, None, :] * t_exit[..., None]
     n2 = normalize(p2 - centers[None, :, :], eps=1e-30)

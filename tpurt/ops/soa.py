@@ -21,7 +21,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from tpurt.ops.bsdf import INV_PI, PI, TWO_PI, fr_dielectric  # noqa: F401
-from tpurt.ops.spectra import CIE_RGB_TABLE, CIE_STEP, N_CIE, VISIBLE_MIN
+from tpurt.ops.spectra import (CIE_RGB_TABLE, CIE_STEP, N_CIE, VISIBLE_MIN,
+                               cauchy_ior)
 
 # ----- vec3 as a tuple of planes -----
 
@@ -297,7 +298,6 @@ def sphere_shadow_factor_c(o, d, t_max, lam, center, radius, mtype, ior):
     t_exit = jnp.minimum(t1, t_max)
     segment = t_entry < t_exit
 
-    from tpurt.ops.spectra import cauchy_ior
     eta = cauchy_ior(ior, lam)
     p1 = vadd(o, vscale(d, t_entry))
     n1 = vnormalize(vsub(p1, cb), eps=1e-30)
@@ -307,7 +307,9 @@ def sphere_shadow_factor_c(o, d, t_max, lam, center, radius, mtype, ior):
     R2 = fr_dielectric(-vdot(n2, d), eta)
 
     dielectric_f = jnp.where(segment, (1.0 - R1) * (1.0 - R2), 1.0)
-    factor = jnp.where(mtype == 0, jnp.zeros_like(dielectric_f), dielectric_f)
+    # ONLY dielectrics (mtype 1) transmit; diffuse and metal occlude fully
+    # (ref: mega_kernel.wgsl:521)
+    factor = jnp.where(mtype == 1, dielectric_f, jnp.zeros_like(dielectric_f))
     return jnp.where(overlap, factor, 1.0)
 
 

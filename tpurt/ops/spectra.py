@@ -11,6 +11,7 @@ so the identical code runs in the XLA path and inside Pallas kernels.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,7 +107,9 @@ def cie_to_rgb(lambda_nm, table=None):
     if table is None:
         table = jnp.asarray(CIE_RGB_TABLE)
     t = (lambda_nm - VISIBLE_MIN) / CIE_STEP
-    i = t.astype(jnp.int32)
+    # u32(t) in the reference clamps negatives to 0 (WGSL f32->u32), so the
+    # fractional part is taken against the CLAMPED index
+    i = jnp.maximum(t.astype(jnp.int32), 0)
     f = (t - i.astype(jnp.float32))[..., None]
     a = jnp.minimum(i, N_CIE - 1)
     b = jnp.minimum(i + 1, N_CIE - 1)
@@ -114,8 +117,10 @@ def cie_to_rgb(lambda_nm, table=None):
     # an MXU op; gathers from a 81-row table would serialize on the VPU.
     oh_a = (a[..., None] == jnp.arange(N_CIE, dtype=jnp.int32)).astype(jnp.float32)
     oh_b = (b[..., None] == jnp.arange(N_CIE, dtype=jnp.int32)).astype(jnp.float32)
-    va = oh_a @ table
-    vb = oh_b @ table
+    # HIGHEST: default TPU matmul precision would round the CIE values
+    # to bf16 through the one-hot select
+    va = jnp.matmul(oh_a, table, precision=jax.lax.Precision.HIGHEST)
+    vb = jnp.matmul(oh_b, table, precision=jax.lax.Precision.HIGHEST)
     return va * (1.0 - f) + vb * f
 
 
