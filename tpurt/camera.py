@@ -147,6 +147,9 @@ class CameraController:
         self.pressed[name] = pressed
 
     def mouse_move(self, dx: float, dy: float):
+        # OVERWRITE, not accumulate — reference quirk kept deliberately
+        # (camera.rs:161 assigns; events between updates drop all but the
+        # last delta). Callers pairing events 1:1 with update() are fine.
         self.mouse_delta = np.array([dx, dy], np.float32)
         self.mouse_dragged = True
 
@@ -172,6 +175,9 @@ class CameraController:
             origin = origin + delta
             lower_left = lower_left + delta
 
+        # the forward_mag > speed gate is the reference's own quirk
+        # (camera.rs:194): |cross(v,h)| is a viewport-area scale, so a very
+        # slow frame can swallow a forward press — kept for parity
         if p["forward"] and forward_mag > speed:
             move(forward_n * speed)
         if p["backward"]:

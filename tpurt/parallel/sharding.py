@@ -9,12 +9,12 @@ TPU rebuild scales two embarrassingly-parallel axes instead, per SURVEY.md
     slice of the accumulation / vispoint state; a frame needs zero
     communication (the scene is replicated), and only the final
     resolve/gather rides ICI.
-  * sample sharding — every chip renders the full image with decorrelated
-    RNG streams; accumulators are psum-reduced.  Useful when the image is
-    too small to keep many chips busy.
+  (A sample-sharding mode — full image per chip, psum-reduced
+  accumulators, for images too small to keep many chips busy — would slot
+  into the same shard_map structure but is NOT implemented here.)
 
-Both are expressed with shard_map over a 1-D mesh; XLA inserts the (trivial)
-collectives.  Works identically on real TPU slices and on the 8-device
+Pixel sharding is expressed with shard_map over a 1-D mesh; XLA inserts the
+(trivial) collectives.  Works identically on real TPU slices and on the 8-device
 virtual CPU mesh used by the tests and dryrun.
 """
 
@@ -62,7 +62,8 @@ def init_state_sharded(cfg: RenderConfig, mesh: Mesh) -> RenderState:
     )
 
 
-def _local_step(scene, cfg, camera, state: RenderState, base_seed, depth, n_dev):
+def _local_step(scene, cfg, camera, state: RenderState, base_seed, depth,
+                reduce_rays: bool = True):
     """Per-device body: render this device's pixel slab.
 
     Inside shard_map the state arrays are the local shard; pixel coordinates
@@ -104,7 +105,11 @@ def _local_step(scene, cfg, camera, state: RenderState, base_seed, depth, n_dev)
     it_new = state.iteration + 1
     k = it_new.astype(jnp.float32)
     r_new = state.photon_radius * jnp.sqrt((k + cfg.sppm_alpha) / (k + 1.0))
-    total_rays = jax.lax.psum(jnp.sum(rays), AXIS)
+    # reduce_rays=False: the caller's scan accumulates local counts and
+    # psums ONCE after the loop (1 collective per call instead of spp)
+    total_rays = jnp.sum(rays)
+    if reduce_rays:
+        total_rays = jax.lax.psum(total_rays, AXIS)
 
     return RenderState(
         rgb_sum=state.rgb_sum + color.reshape(Pl, 3),
@@ -139,10 +144,16 @@ def make_sharded_step(mesh: Mesh, cfg: RenderConfig, depth: int | None = None,
     )
 
     def body(scene, camera, state, base_seed):
+        rays0 = state.rays
+
         def one(st, _):
-            return _local_step(scene, cfg, camera, st, base_seed, d, n_dev), None
+            return _local_step(scene, cfg, camera, st, base_seed, d,
+                               reduce_rays=False), None
         st, _ = jax.lax.scan(one, state, None, length=spp)
-        return st
+        # one scalar psum per call: the scan accumulated local counts
+        import dataclasses as _dc
+        return _dc.replace(st, rays=rays0 + jax.lax.psum(st.rays - rays0,
+                                                         AXIS))
 
     sharded = jax.shard_map(
         body, mesh=mesh,
@@ -190,6 +201,11 @@ def make_pallas_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
     from tpurt.kernels import mega_pallas as mp
     from tpurt.render import _frame_seed
 
+    if not mp.supports_scene(scene, cfg):
+        raise ValueError(
+            "scene exceeds the fused-kernel budgets "
+            "(mega_pallas.supports_scene) — use make_sharded_step (XLA) "
+            f"for {scene.num_spheres} spheres / {scene.num_triangles} tris")
     fscene = mp.freeze_scene(scene)
     d = cfg.depth if depth is None else depth
     if interpret is None:
@@ -237,6 +253,11 @@ def make_regen_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
     (planes, iteration, photon_radius, rays)."""
     from tpurt.kernels import mega_regen as mr
 
+    if not mr.supports_scene(scene, cfg):
+        raise ValueError(
+            "scene exceeds the fused-kernel budgets "
+            "(mega_pallas.supports_scene) — use make_sharded_step (XLA) "
+            f"for {scene.num_spheres} spheres / {scene.num_triangles} tris")
     fscene = mr.freeze_scene(scene)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

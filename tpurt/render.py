@@ -229,8 +229,12 @@ def save_checkpoint(path: str, cfg: RenderConfig, state: RenderState) -> None:
 
 
 def load_checkpoint(path: str):
-    """Returns (cfg, state)."""
+    """Returns (cfg, state). Accepts the path save_checkpoint was given
+    even when np.savez appended the .npz suffix."""
     import ast
+    import os
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
     data = np.load(path)
     cfg_dict = ast.literal_eval(bytes(data["__cfg__"].tobytes()).decode())
     cfg = RenderConfig(**cfg_dict)
