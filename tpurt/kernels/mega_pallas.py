@@ -1569,9 +1569,8 @@ def _render_pallas_jit(fscene, cfg, camera, state, base_seed, spp, depth,
             fscene, cfg, camera, planes, seed, radius, depth,
             interpret=interpret)
         it_new = it + 1
-        k = it_new.astype(jnp.float32)
-        # SPPM radius schedule (ref: mega_kernel.rs:196-198)
-        r_new = radius * jnp.sqrt((k + cfg.sppm_alpha) / (k + 1.0))
+        from tpurt.render import sppm_radius_step
+        r_new = sppm_radius_step(cfg, it_new.astype(jnp.float32), radius)
         return (new_planes, it_new, r_new, rays + jnp.sum(tile_rays))
 
     planes, it, radius, rays = jax.lax.fori_loop(

@@ -68,7 +68,7 @@ from tpurt.ops import rng as rngmod
 from tpurt.ops import soa as s
 from tpurt.ops.spectra import (DISPERSION_B, VISIBLE_MIN, VISIBLE_RANGE,
                                hero_emission_table)
-from tpurt.render import _frame_seed
+from tpurt.render import _frame_seed, sppm_radius_step
 
 
 def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
@@ -590,8 +590,8 @@ def radius_after(cfg, iteration, radius, spp):
     """SPPM radius after `spp` more samples (same floats as the kernel's
     per-lane schedule, ref: mega_kernel.rs:196-198)."""
     def rstep(i, r):
-        kf = (iteration + i + 1).astype(jnp.float32)
-        return r * jnp.sqrt((kf + cfg.sppm_alpha) / (kf + 1.0))
+        return sppm_radius_step(cfg, (iteration + i + 1).astype(jnp.float32),
+                                r)
     return jax.lax.fori_loop(0, spp, rstep, radius)
 
 

@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpurt.config import RenderConfig
-from tpurt.render import RenderState
+from tpurt.render import RenderState, sppm_radius_step
 
 AXIS = "px"
 
@@ -103,8 +103,8 @@ def _local_step(scene, cfg, camera, state: RenderState, base_seed, depth,
                   valid.reshape(n_tiles, T), vis_prev))
 
     it_new = state.iteration + 1
-    k = it_new.astype(jnp.float32)
-    r_new = state.photon_radius * jnp.sqrt((k + cfg.sppm_alpha) / (k + 1.0))
+    r_new = sppm_radius_step(cfg, it_new.astype(jnp.float32),
+                             state.photon_radius)
     # reduce_rays=False: the caller's scan accumulates local counts and
     # psums ONCE after the loop (1 collective per call instead of spp)
     total_rays = jnp.sum(rays)
@@ -227,7 +227,7 @@ def make_pallas_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
                 interpret=interpret, tile_base=tile_base)
             it1 = it + 1
             k = it1.astype(jnp.float32)
-            r1 = radius * jnp.sqrt((k + cfg.sppm_alpha) / (k + 1.0))
+            r1 = sppm_radius_step(cfg, k, radius)
             return (new_planes, it1, r1, rays_l + jnp.sum(tile_rays)), None
 
         (planes, it, radius, rays_l), _ = jax.lax.scan(

@@ -77,6 +77,14 @@ def init_state(cfg: RenderConfig) -> RenderState:
     )
 
 
+def sppm_radius_step(cfg, k_f32, radius):
+    """One SPPM radius update r *= sqrt((k + alpha)/(k + 1)) for the
+    1-based sample index k (f32) — THE schedule formula, shared by every
+    integrator path so the float sequence cannot drift
+    (ref: mega_kernel.rs:196-198)."""
+    return radius * jnp.sqrt((k_f32 + cfg.sppm_alpha) / (k_f32 + 1.0))
+
+
 def _frame_seed(base_seed, iteration):
     """Per-frame seed sequence (reference draws rand::random() per frame,
     ref: mega_kernel.rs:191): decorrelate by hashing base ^ Weyl(iteration)."""
@@ -161,9 +169,8 @@ def _render_step_impl(scene, cfg, camera, state, base_seed, depth: int):
         tile_fn, (tiles_px, tiles_py, tiles_valid, vis_prev))
 
     it_new = state.iteration + 1
-    k = it_new.astype(jnp.float32)
-    # SPPM radius schedule R *= sqrt((k+alpha)/(k+1)) (ref: mega_kernel.rs:196-198)
-    r_new = state.photon_radius * jnp.sqrt((k + cfg.sppm_alpha) / (k + 1.0))
+    r_new = sppm_radius_step(cfg, it_new.astype(jnp.float32),
+                             state.photon_radius)
 
     return RenderState(
         rgb_sum=state.rgb_sum + color.reshape(P, 3),
