@@ -69,7 +69,8 @@ def build_bench(config_id: int, small: bool):
         scene = dispersive_scene()
         cam = make_camera((0, 3, -4), (0, 1, 5), vfov=55.0, aspect_ratio=w / h)
     elif config_id == 5:  # wavefront tracer, mixed materials (config 5)
-        cfg = RenderConfig(width=w, height=h, depth=30, backend="pallas",
+        cfg = RenderConfig(width=w, height=h, depth=30,
+                           backend="wavefront_fused",
                            enable_photons=False, wf_pool=262144)
         scene = dispersive_scene()  # diffuse + dielectric + metal materials
         cam = make_camera((0, 3, -4), (0, 1, 5), vfov=55.0, aspect_ratio=w / h)
@@ -80,24 +81,12 @@ def build_bench(config_id: int, small: bool):
     return cfg, scene, cam
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--small", action="store_true", help="640x360 quick mode")
-    ap.add_argument("--config", type=int, default=1)
-    ap.add_argument("--spp", type=int, default=64, help="timed samples")
-    ap.add_argument("--json-only", action="store_true")
-    args = ap.parse_args()
-
-    cfg, scene, cam = build_bench(args.config, args.small)
+def run_config(config_id: int, small: bool, spp: int, verbose: bool) -> dict:
+    cfg, scene, cam = build_bench(config_id, small)
     from tpurt import init_state, render
-    if args.config == 5:
-        # fused wavefront: per-lane sample regeneration inside one kernel
-        from tpurt.kernels.wavefront_pallas import wavefront_render_fused
-        render = lambda sc, cf, ca, st, seed, spp: \
-            wavefront_render_fused(sc, cf, ca, st, seed, spp)
 
     dev = jax.devices()[0]
-    if not args.json_only:
+    if verbose:
         print(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}",
               file=sys.stderr)
         print(f"scene: {scene.num_spheres} spheres, {scene.num_triangles} tris, "
@@ -108,36 +97,57 @@ def main():
     # Warmup with the SAME spp (spp is a static jit arg — a different count
     # would recompile inside the timed region) + primes vispoints.
     t0 = time.perf_counter()
-    state = render(scene, cfg, cam, state, 1234, args.spp)
+    state = render(scene, cfg, cam, state, 1234, spp)
     jax.block_until_ready(state)
-    if not args.json_only:
-        print(f"compile+warmup ({args.spp} spp): {time.perf_counter() - t0:.1f}s",
+    if verbose:
+        print(f"compile+warmup ({spp} spp): {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
 
     rays_before = float(state.rays)
     t0 = time.perf_counter()
-    state = render(scene, cfg, cam, state, 1234, args.spp)
+    state = render(scene, cfg, cam, state, 1234, spp)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
 
     rays = float(state.rays) - rays_before
     mrays = rays / dt / 1e6
-    samples_per_sec = cfg.n_pixels * args.spp / dt
+    samples_per_sec = cfg.n_pixels * spp / dt
 
     result = {
         "metric": "Mrays/sec/chip (1080p Cornell-box sphere scene)"
-                  if args.config == 1 and not args.small
-                  else f"Mrays/sec/chip (config {args.config}{', small' if args.small else ''})",
+                  if config_id == 1 and not small
+                  else f"Mrays/sec/chip (config {config_id}{', small' if small else ''})",
         "value": round(mrays, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 300.0, 4),
+        # run parameters (ADVICE r1): spp and sampler extensions change the
+        # measurement, so record them to keep rounds comparable
+        "spp": spp,
+        "photon_strata": cfg.photon_strata,
+        "backend": cfg.backend,
     }
-    if not args.json_only:
-        print(f"{args.spp} spp in {dt:.2f}s -> {mrays:.1f} Mrays/s, "
+    if verbose:
+        print(f"{spp} spp in {dt:.2f}s -> {mrays:.1f} Mrays/s, "
               f"{samples_per_sec / 1e6:.2f} Msamples/s, "
-              f"{rays / (cfg.n_pixels * args.spp):.1f} segments/pixel/spp",
+              f"{rays / (cfg.n_pixels * spp):.1f} segments/pixel/spp",
               file=sys.stderr)
-    print(json.dumps(result))
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="640x360 quick mode")
+    ap.add_argument("--config", type=int, default=1)
+    ap.add_argument("--all", action="store_true",
+                    help="run all 5 BASELINE configs, one JSON line each")
+    ap.add_argument("--spp", type=int, default=64, help="timed samples")
+    ap.add_argument("--json-only", action="store_true")
+    args = ap.parse_args()
+
+    configs = [1, 2, 3, 4, 5] if args.all else [args.config]
+    for cid in configs:
+        result = run_config(cid, args.small, args.spp, not args.json_only)
+        print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

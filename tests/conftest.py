@@ -20,3 +20,34 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+# ---- suite split by cost ----------------------------------------------
+# The interpreter-mode Pallas parity suites dominate the full-suite wall
+# clock (~15+ min); the fast oracle/unit set runs in a few minutes.  Run
+#   python -m pytest tests/ -m "not slow" -q     (fast set, < 5 min)
+#   python -m pytest tests/ -m slow -q           (interpreter-heavy parity)
+# Modules listed here are marked slow wholesale; everything else is fast.
+
+import pytest  # noqa: E402
+
+SLOW_MODULES = {
+    "test_mega_pallas",
+    "test_sharding_pallas",
+    "test_bvh_pallas",
+    "test_photon_strata",
+    "test_golden",
+    "test_hero_wavelengths",
+    "test_wavefront",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: interpreter-heavy Pallas parity suites")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

@@ -55,8 +55,11 @@ class RenderConfig:
     #   the tile-coherent cull tree (pallas_cluster_size) — a BVH traversed
     #   at whole-tile granularity with lax.cond votes.
     # Execution shape
-    backend: str = "xla"               # "xla" | "pallas" (fused megakernel;
-    #   sphere scenes only for now — mesh scenes auto-fall-back to XLA)
+    backend: str = "xla"               # "xla" | "pallas" (fused megakernel)
+    #   | "wavefront" | "wavefront_pallas" | "wavefront_fused" (the three
+    #   wavefront tracers, camera-path+NEE only — BASELINE config 5; see
+    #   render._wavefront_dispatch). Scenes beyond a kernel's static budget
+    #   auto-fall-back to the XLA implementation of the same algorithm.
     tile_size: int = 16384             # pixels per tile in the XLA path
     pallas_lanes: int = 4096           # pixels per Pallas tile (R=lanes/128).
     #   Swept on v5e @1080p (regenerative kernel): 1024->778, 2048->893,

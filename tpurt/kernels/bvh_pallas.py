@@ -87,6 +87,7 @@ def build_tri_bvh_tables(triangles, leaf_size: int):
 def _pack_nodes(bvh):
     """Flat node arrays shared by the triangle and sphere builders:
     node_f = [bmin3 | bmax3 | pad2], node_i = [left right first count]."""
+    _assert_stack_fits(bvh)
     B = bvh.bbox_min.shape[0]
     node_f = np.zeros((B, 8), np.float32)
     node_f[:, 0:3] = bvh.bbox_min
@@ -94,6 +95,37 @@ def _pack_nodes(bvh):
     node_i = np.stack([bvh.left, bvh.right, bvh.first, bvh.count],
                       axis=1).astype(np.int32)
     return node_f, node_i
+
+
+def _tree_depth(bvh) -> int:
+    """Max root-to-leaf depth of the built tree (host-side, iterative)."""
+    count = np.asarray(bvh.count)
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    if count.shape[0] == 0:
+        return 0
+    depth = 0
+    stack = [(0, 1)]
+    while stack:
+        node, d = stack.pop()
+        depth = max(depth, d)
+        if count[node] == 0:  # inner
+            stack.append((int(left[node]), d + 1))
+            stack.append((int(right[node]), d + 1))
+    return depth
+
+
+def _assert_stack_fits(bvh) -> None:
+    """The walk's push guard DROPS pushes past STACK_DEPTH-1 occupancy —
+    in the closest-hit walk a dropped push silently skips geometry (wrong
+    hit / missed occlusion), so it must be structurally unreachable: verify
+    at table-build time that the worst case (one stacked entry per level on
+    the path + both children at the deepest inner node) fits."""
+    d = _tree_depth(bvh)
+    if d + 1 > STACK_DEPTH - 1:
+        raise ValueError(
+            f"BVH depth {d} can overflow the {STACK_DEPTH}-deep traversal "
+            "stack; raise STACK_DEPTH or the leaf size")
 
 
 MAX_ALWAYS_SPHERES = 8
@@ -113,6 +145,13 @@ def split_huge_spheres(spheres):
     med = float(np.median(r))
     huge = r > max(10.0 * med, 1e-3)
     if int(huge.sum()) > MAX_ALWAYS_SPHERES:
+        import warnings
+        warnings.warn(
+            f"{int(huge.sum())} scene-spanning spheres exceed the "
+            f"{MAX_ALWAYS_SPHERES}-sphere flat-sweep cap; the overflow "
+            "goes into the BVH where each one bloats every ancestor box "
+            "and defeats near-to-far pruning (correct output, large perf "
+            "cliff on bimodal-radius scenes)", stacklevel=2)
         cut = np.sort(r[huge])[-MAX_ALWAYS_SPHERES]
         huge &= r >= cut
         huge &= np.cumsum(huge) <= MAX_ALWAYS_SPHERES  # ties: keep first N
@@ -280,9 +319,11 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True):
                 near_id = jnp.where(near_l, left, right)
                 near_go = jnp.where(near_l, go_l, go_r)
                 # branch-free conditional pushes, far first / near on top.
-                # Stack-overflow guard: depth 64 covers ~2^32 prims for a
-                # median split; the guard makes overflow impossible rather
-                # than unlikely (a dropped push only skips work).
+                # Stack-overflow guard: a dropped push would silently SKIP
+                # GEOMETRY (wrong closest hit / missed occlusion), so
+                # _assert_stack_fits proves at table-build time that the
+                # tree's depth cannot reach this guard — it exists only to
+                # bound the write index for the compiler.
                 fits = sp <= STACK_DEPTH - 2
                 stack_ref[sp] = far_id
                 sp = sp + jnp.where(far_go & fits, 1, 0)

@@ -178,8 +178,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             # SPPM radius schedule, per lane (same float sequence as the
             # host loop: it_new = it0 + sample, ref mega_kernel.rs:196-198)
             it_new = it0 + sample.astype(jnp.float32)
-            factor = jnp.sqrt((it_new + np.float32(cfg.sppm_alpha))
-                              / (it_new + 1.0))
+            factor = sppm_radius_step(cfg, it_new, jnp.float32(1.0))
             # multiply-form (see the accumulate above for why not select-form)
             radius = radius * jnp.where(fin, factor, jnp.float32(1.0))
             phase = jnp.where(fin, 0, phase)

@@ -7,6 +7,11 @@ Operates directly on the megakernel's plane state (16, TR, 128): reads the
 three rgb_sum channels, divides by the sample count, tonemaps, and writes a
 (3, TR, 128) image — so a full progressive render + present never leaves
 the plane layout (the (P,3) conversion is only for interop/checkpoints).
+
+The sample count is PER-PIXEL, exactly like the reference texture's alpha
+channel (blit.wgsl:38 divides each pixel by its own count): wavefront
+states mid-drain have non-uniform n_samples, and they resolve correctly
+here.  Scalar counts (the megakernel's uniform case) broadcast.
 """
 
 from __future__ import annotations
@@ -23,10 +28,11 @@ from tpurt.tonemap import LUMA
 N_CHANNELS = 16
 
 
-def _kernel(key_sat_ref, ns_ref, planes_ref, out_ref):
+def _kernel(key_sat_ref, planes_ref, ns_ref, out_ref):
     key = key_sat_ref[0, 0]
     sat = key_sat_ref[0, 1]
-    inv_n = 1.0 / jnp.maximum(ns_ref[0, 0], 1.0)
+    # per-pixel resolve: rgb / max(alpha, 1) (ref: blit.wgsl:38)
+    inv_n = 1.0 / jnp.maximum(ns_ref[...], 1.0)
     c = []
     for ch in range(3):
         v = planes_ref[ch] * inv_n * key
@@ -41,32 +47,39 @@ def _kernel(key_sat_ref, ns_ref, planes_ref, out_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def tonemap_planes(planes, n_samples, key=0.8, saturation=1.0,
                    interpret: bool = False):
-    """planes (16, TR, 128) + scalar sample count -> tonemapped (3, TR, 128).
+    """planes (C, TR, 128) + sample count -> tonemapped (3, TR, 128).
 
-    n_samples is a scalar: the megakernel adds exactly one sample per pixel
-    per step, so the per-pixel alpha of the reference texture is uniform.
+    n_samples may be a scalar (uniform count: the megakernel adds exactly
+    one sample per pixel per step), a (TR, 128) plane, or a flat (TR*128,)
+    vector — per-pixel counts match the reference texture's per-pixel
+    alpha (blit.wgsl:38), which wavefront-accumulated states need.
     """
-    TR = planes.shape[1]
+    C, TR, _ = planes.shape
     R = min(TR, 256)
     while TR % R:
         R -= 1
     n_tiles = TR // R
     key_sat = jnp.asarray([key, saturation], jnp.float32).reshape(1, 2)
-    ns = jnp.asarray(n_samples, jnp.float32).reshape(1, 1)
+    ns = jnp.asarray(n_samples, jnp.float32)
+    if ns.ndim == 0:
+        ns = jnp.full((TR, 128), ns, jnp.float32)
+    else:
+        ns = ns.reshape(TR, 128)
     return pl.pallas_call(
         _kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((N_CHANNELS, R, 128), lambda i: (0, i, 0),
+            pl.BlockSpec((C, R, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((3, R, 128), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, TR, 128), jnp.float32),
         interpret=interpret,
-    )(key_sat, ns, planes)
+    )(key_sat, planes, ns)
 
 
 def image_from_planes(cfg, planes, n_samples, key=None, saturation=None,
@@ -81,4 +94,23 @@ def image_from_planes(cfg, planes, n_samples, key=None, saturation=None,
         cfg.tonemap_saturation if saturation is None else saturation,
         interpret=interpret)
     flat = planes_pixel_order(cfg, out.reshape(3, -1))[:, : cfg.n_pixels]
+    return jnp.transpose(flat).reshape(cfg.height, cfg.width, 3)
+
+
+def resolve_state_pallas(cfg, state, key=None, saturation=None,
+                         interpret: bool | None = None):
+    """render.resolve_image, but through the Pallas blit kernel: resolves a
+    RenderState (linear pixel order, per-pixel n_samples) on-device.
+    Correct for wavefront states whose sample counts are non-uniform
+    mid-drain (ref: blit.wgsl:38 per-pixel alpha divide)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    P = state.rgb_sum.shape[0]
+    planes = jnp.transpose(state.rgb_sum).reshape(3, P // 128, 128)
+    out = tonemap_planes(
+        planes, state.n_samples,
+        cfg.tonemap_key if key is None else key,
+        cfg.tonemap_saturation if saturation is None else saturation,
+        interpret=interpret)
+    flat = out.reshape(3, P)[:, : cfg.n_pixels]
     return jnp.transpose(flat).reshape(cfg.height, cfg.width, 3)

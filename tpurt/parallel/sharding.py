@@ -68,61 +68,24 @@ def _local_step(scene, cfg, camera, state: RenderState, base_seed, depth,
 
     Inside shard_map the state arrays are the local shard; pixel coordinates
     are reconstructed from the device's position on the mesh axis, so RNG
-    streams stay globally consistent with the single-chip layout.
+    streams stay globally consistent with the single-chip layout.  The step
+    itself is render._step_body — the SAME code the single-chip renderer
+    runs, so the two paths cannot drift.
     """
-    from tpurt.integrate import render_tile
-    from tpurt.render import _frame_seed
+    from tpurt.render import _step_body
 
     me = jax.lax.axis_index(AXIS)
     Pl = state.rgb_sum.shape[0]  # local pixels
-    seed = _frame_seed(base_seed, state.iteration)
-
     gidx = me * Pl + jax.lax.broadcasted_iota(jnp.int32, (Pl, 1), 0)[:, 0]
     px = gidx % cfg.width
     py = jnp.minimum(gidx // cfg.width, cfg.height - 1)
-
-    T = cfg.tile_size
-    n_tiles = Pl // T
-
-    def tile_fn(args):
-        tpx, tpy, tvalid, vis_prev = args
-        return render_tile(scene, cfg, camera, tpx, tpy, seed,
-                           state.photon_radius, depth, vis_prev,
-                           valid=tvalid)
-
     valid = gidx < cfg.n_pixels  # padding lanes never trace (exact counts)
-    vis_prev = {
-        "pos": state.vis_pos.reshape(n_tiles, T, 3),
-        "norm": state.vis_norm.reshape(n_tiles, T, 3),
-        "wo": state.vis_wo.reshape(n_tiles, T, 3),
-        "tp": state.vis_tp.reshape(n_tiles, T, 3),
-        "mat": state.vis_mat.reshape(n_tiles, T),
-    }
-    color, vis, rays = jax.lax.map(
-        tile_fn, (px.reshape(n_tiles, T), py.reshape(n_tiles, T),
-                  valid.reshape(n_tiles, T), vis_prev))
 
-    it_new = state.iteration + 1
-    r_new = sppm_radius_step(cfg, it_new.astype(jnp.float32),
-                             state.photon_radius)
     # reduce_rays=False: the caller's scan accumulates local counts and
     # psums ONCE after the loop (1 collective per call instead of spp)
-    total_rays = jnp.sum(rays)
-    if reduce_rays:
-        total_rays = jax.lax.psum(total_rays, AXIS)
-
-    return RenderState(
-        rgb_sum=state.rgb_sum + color.reshape(Pl, 3),
-        n_samples=state.n_samples + 1.0,
-        vis_pos=vis["pos"].reshape(Pl, 3),
-        vis_norm=vis["norm"].reshape(Pl, 3),
-        vis_wo=vis["wo"].reshape(Pl, 3),
-        vis_tp=vis["tp"].reshape(Pl, 3),
-        vis_mat=vis["mat"].reshape(Pl),
-        iteration=it_new,
-        photon_radius=r_new,
-        rays=state.rays + total_rays,
-    )
+    reduce = (lambda r: jax.lax.psum(r, AXIS)) if reduce_rays else None
+    return _step_body(scene, cfg, camera, state, base_seed, depth,
+                      px, py, valid, cfg.tile_size, rays_reduce=reduce)
 
 
 def make_sharded_step(mesh: Mesh, cfg: RenderConfig, depth: int | None = None,
@@ -283,16 +246,12 @@ def make_regen_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
 
 
 def resolve_planes(cfg: RenderConfig, planes, iteration):
-    """Gather + resolve sharded plane state to a host (H, W, 3) image."""
-    from tpurt import tonemap as tm
-    from tpurt.kernels.mega_pallas import planes_pixel_order
-    flat = np.asarray(jax.device_get(planes)).reshape(16, -1)
-    flat = np.asarray(planes_pixel_order(cfg, jnp.asarray(flat)))
-    rgb = flat[0:3].T[: cfg.n_pixels]
-    avg = rgb / max(float(iteration), 1.0)
-    img = np.asarray(tm.tonemap(jnp.asarray(avg), cfg.tonemap_key,
-                                cfg.tonemap_saturation))
-    return img.reshape(cfg.height, cfg.width, 3)
+    """Resolve sharded plane state to an (H, W, 3) image — fully on-device
+    (the Pallas blit kernel + the XLA pixel-order permutation; XLA inserts
+    the gather collective), with one device->host transfer at the end."""
+    from tpurt.kernels.tonemap_pallas import image_from_planes
+    return np.asarray(image_from_planes(cfg, planes,
+                                        jnp.float32(iteration)))
 
 
 def resolve_image_sharded(cfg: RenderConfig, state: RenderState):

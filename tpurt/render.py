@@ -47,6 +47,9 @@ class RenderState:
     rays: jnp.ndarray           # ()     f32 — traced segments (metrics)
 
 
+WAVEFRONT_BACKENDS = ("wavefront", "wavefront_pallas", "wavefront_fused")
+
+
 def padded_pixels(cfg: RenderConfig) -> int:
     n = cfg.n_pixels
     # The Pallas backend needs P divisible by its lane tile AND by 128 for
@@ -58,8 +61,31 @@ def padded_pixels(cfg: RenderConfig) -> int:
         g = block_grid(cfg)
         if g is not None:
             return g[0] * g[1] * cfg.pallas_lanes
-    t = cfg.pallas_lanes if cfg.backend == "pallas" else cfg.tile_size
+    if cfg.backend in ("pallas",) + WAVEFRONT_BACKENDS:
+        # wavefront backends: the fused kernel maps linear-order lanes onto
+        # the flat state, so P only needs to cover whole lane tiles
+        t = cfg.pallas_lanes
+    else:
+        t = cfg.tile_size
     return ((n + t - 1) // t) * t
+
+
+def _wavefront_dispatch(cfg: RenderConfig):
+    """The wavefront tracer as a first-class backend (VERDICT r1 §5): all
+    three implementations are selectable via cfg.backend —
+      "wavefront"        pool + compaction-by-regeneration, pure XLA
+      "wavefront_pallas" pool form with the Pallas sweep kernel
+      "wavefront_fused"  fully-fused per-lane-regeneration kernel (fastest)
+    (ref: src/wavefront.rs / wavefront.wgsl — the reference's disabled
+    component, finished; BASELINE config 5)."""
+    if cfg.backend == "wavefront":
+        from tpurt.wavefront import wavefront_render
+        return wavefront_render
+    if cfg.backend == "wavefront_pallas":
+        from tpurt.kernels.wavefront_pallas import wavefront_render_pallas
+        return wavefront_render_pallas
+    from tpurt.kernels.wavefront_pallas import wavefront_render_fused
+    return wavefront_render_fused
 
 
 def init_state(cfg: RenderConfig) -> RenderState:
@@ -118,6 +144,9 @@ def render_step(scene: Scene, cfg: RenderConfig, camera: Camera,
     compile-time constants, so `scene` must be concrete here — call this
     OUTSIDE any enclosing jit when using the pallas backend.
     """
+    if cfg.backend in WAVEFRONT_BACKENDS:
+        return _wavefront_dispatch(cfg)(scene, cfg, camera, state,
+                                        base_seed, 1)
     if _use_pallas(scene, cfg):
         d = cfg.depth if depth is None else depth
         if cfg.pallas_regen:
@@ -137,12 +166,25 @@ def _render_step_xla(scene, cfg, camera, state, base_seed, depth: int):
 
 
 def _render_step_impl(scene, cfg, camera, state, base_seed, depth: int):
-    seed = _frame_seed(base_seed, state.iteration)
     px, py = _pixel_coords(cfg)
     # tile unit must divide the padded pixel count (differs when a mesh
     # scene falls back here from the pallas backend)
     T = cfg.pallas_lanes if cfg.backend == "pallas" else cfg.tile_size
     P = padded_pixels(cfg)
+    # padding lanes (pixel-count round-up) never trace: exact ray counts
+    valid = (jnp.arange(P, dtype=jnp.int32) < cfg.n_pixels)
+    return _step_body(scene, cfg, camera, state, base_seed, depth,
+                      px, py, valid, T)
+
+
+def _step_body(scene, cfg, camera, state, base_seed, depth: int,
+               px, py, valid, T: int, rays_reduce=None):
+    """ONE progressive XLA sample over the pixels (px, py) held in `state`
+    — the single step body shared by the single-chip renderer and the
+    shard_map per-device slab (parallel.sharding._local_step supplies
+    mesh-local coordinates and a psum ray reduction)."""
+    seed = _frame_seed(base_seed, state.iteration)
+    P = state.rgb_sum.shape[0]
     n_tiles = P // T
 
     def tile_fn(args):
@@ -153,11 +195,6 @@ def _render_step_impl(scene, cfg, camera, state, base_seed, depth: int):
         )
         return color, vis, rays
 
-    # padding lanes (pixel-count round-up) never trace: exact ray counts
-    valid = (jnp.arange(P, dtype=jnp.int32) < cfg.n_pixels)
-    tiles_px = px.reshape(n_tiles, T)
-    tiles_py = py.reshape(n_tiles, T)
-    tiles_valid = valid.reshape(n_tiles, T)
     vis_prev = {
         "pos": state.vis_pos.reshape(n_tiles, T, 3),
         "norm": state.vis_norm.reshape(n_tiles, T, 3),
@@ -166,11 +203,15 @@ def _render_step_impl(scene, cfg, camera, state, base_seed, depth: int):
         "mat": state.vis_mat.reshape(n_tiles, T),
     }
     color, vis, rays = jax.lax.map(
-        tile_fn, (tiles_px, tiles_py, tiles_valid, vis_prev))
+        tile_fn, (px.reshape(n_tiles, T), py.reshape(n_tiles, T),
+                  valid.reshape(n_tiles, T), vis_prev))
 
     it_new = state.iteration + 1
     r_new = sppm_radius_step(cfg, it_new.astype(jnp.float32),
                              state.photon_radius)
+    total_rays = jnp.sum(rays)
+    if rays_reduce is not None:
+        total_rays = rays_reduce(total_rays)
 
     return RenderState(
         rgb_sum=state.rgb_sum + color.reshape(P, 3),
@@ -182,7 +223,7 @@ def _render_step_impl(scene, cfg, camera, state, base_seed, depth: int):
         vis_mat=vis["mat"].reshape(P),
         iteration=it_new,
         photon_radius=r_new,
-        rays=state.rays + jnp.sum(rays),
+        rays=state.rays + total_rays,
     )
 
 
@@ -194,6 +235,9 @@ def render(scene: Scene, cfg: RenderConfig, camera: Camera,
     (P,3)<->planes layout conversion is paid once, not per step), and the
     scene is baked into the kernel as compile-time constants.
     """
+    if cfg.backend in WAVEFRONT_BACKENDS:
+        return _wavefront_dispatch(cfg)(scene, cfg, camera, state,
+                                        base_seed, spp)
     if _use_pallas(scene, cfg):
         if cfg.pallas_regen:
             from tpurt.kernels import mega_regen
