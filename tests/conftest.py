@@ -32,6 +32,7 @@ jax.config.update("jax_enable_x64", False)
 import pytest  # noqa: E402
 
 SLOW_MODULES = {
+    "test_reference_oracle",
     "test_mega_pallas",
     "test_sharding_pallas",
     "test_bvh_pallas",
