@@ -22,14 +22,22 @@ def _cam():
 def test_strata_indices_pure_and_in_range():
     import jax.numpy as jnp
     s = jnp.uint32(12345)
-    a = rngmod.emission_strata(s, 2, 8)
-    b = rngmod.emission_strata(s, 2, 8)
+    a = rngmod.emission_strata(s, 2, 8, 8)
+    b = rngmod.emission_strata(s, 2, 8, 8)
     for x, y in zip(a, b):
         assert float(x) == float(y)
         assert 0.0 <= float(x) <= 7.0
     # different k -> (almost surely) different cell
-    c = rngmod.emission_strata(s, 3, 8)
+    c = rngmod.emission_strata(s, 3, 8, 8)
     assert any(float(x) != float(y) for x, y in zip(a, c))
+    # decoupled direction count: position fields in [0, 4), dir in [0, 256)
+    pu, pv, da, db = rngmod.emission_strata(s, 2, 4, 256)
+    assert 0.0 <= float(pu) <= 3.0 and 0.0 <= float(pv) <= 3.0
+    assert 0.0 <= float(da) <= 255.0 and 0.0 <= float(db) <= 255.0
+    # dir=0 config means "same as photon_strata"
+    cfg = RenderConfig(photon_strata=16)
+    assert rngmod.strata_counts(cfg) == (16, 16)
+    assert rngmod.strata_counts(cfg.with_(photon_strata_dir=64)) == (16, 64)
 
 
 def test_regen_tile_sync_exact_with_strata():
@@ -83,3 +91,170 @@ def test_strata_unbiased_vs_reference_sampler():
     m_s = float(np.asarray(st_s.rgb_sum).mean())
     m_r = float(np.asarray(st_r.rgb_sum).mean())
     assert abs(m_s - m_r) < 5e-3 * max(m_r, 1e-6), (m_s, m_r)
+
+
+def test_dir_strata_parity_and_unbiased():
+    """photon_strata_dir decouples the direction cells: cross-backend
+    exactness and sampler unbiasedness both hold at (pos=8, dir=64)."""
+    from tpurt import dispersive_scene
+    scene = dispersive_scene()   # area + point light: cone remap covered
+    cam = make_camera((0.0, 3.0, -4.0), (0.0, 1.0, 5.0), vfov=55.0,
+                      aspect_ratio=2.0)
+    kw = dict(width=64, height=32, depth=3, tile_size=2048,
+              pallas_lanes=512, k_photons=2, max_photon_bounces=2,
+              photon_strata=8, photon_strata_dir=64)
+    cfg_x = RenderConfig(backend="xla", **kw)
+    cfg_p = RenderConfig(backend="pallas", **kw)
+    st_x = render(scene, cfg_x, cam, init_state(cfg_x), 5, 2)
+    st_p = render(scene, cfg_p, cam, init_state(cfg_p), 5, 2)
+    assert float(st_x.rays) == float(st_p.rays) != 0.0
+    img_x = np.asarray(resolve_image(cfg_x, st_x))
+    img_p = np.asarray(resolve_image(cfg_p, st_p))
+    assert ((np.abs(img_x - img_p) > 1e-4).any(axis=-1)).mean() < 0.03
+
+    # unbiasedness at fine dir strata vs the reference sampler
+    scene2 = cornell_spheres_scene()
+    kw2 = dict(width=48, height=24, depth=4, pallas_lanes=512,
+               k_photons=2, max_photon_bounces=3)
+    cfg_s = RenderConfig(backend="pallas", photon_strata=8,
+                         photon_strata_dir=64, **kw2)
+    cfg_r = RenderConfig(backend="pallas", **kw2)
+    st_s = render(scene2, cfg_s, _cam(), init_state(cfg_s), 1234, 32)
+    st_r = render(scene2, cfg_r, _cam(), init_state(cfg_r), 1234, 32)
+    m_s = float(np.asarray(st_s.rgb_sum).mean())
+    m_r = float(np.asarray(st_r.rgb_sum).mean())
+    assert abs(m_s - m_r) < 8e-3 * max(m_r, 1e-6), (m_s, m_r)
+
+
+def test_window_strata_parity_and_unbiased():
+    """photon_strata_window: consecutive samples share a cell epoch.  The
+    epoch is a function of the GLOBAL sample index, so all three backends
+    still compute identical strata (exact ray counts) and the sampler mean
+    is unchanged within (inflated) MC noise."""
+    scene = cornell_spheres_scene()
+    kw = dict(width=64, height=32, depth=3, tile_size=2048,
+              pallas_lanes=512, k_photons=2, max_photon_bounces=2,
+              photon_strata=8, photon_strata_dir=64,
+              photon_strata_shared_k=True, photon_strata_window=4)
+    cfg_x = RenderConfig(backend="xla", **kw)
+    cfg_p = RenderConfig(backend="pallas", **kw)
+    cfg_t = RenderConfig(backend="pallas", pallas_regen=False, **kw)
+    st_x = render(scene, cfg_x, _cam(), init_state(cfg_x), 5, 6)
+    st_p = render(scene, cfg_p, _cam(), init_state(cfg_p), 5, 6)
+    st_t = render(scene, cfg_t, _cam(), init_state(cfg_t), 5, 6)
+    # XLA-vs-Pallas is ulp-close, not bit-exact: at spp >= ~3 a branch
+    # flip (RR compare on an ulp-different throughput) shifts a count by
+    # ~1 (measured: +1 at spp 6 even with photon_strata=0).  Same 1e-5
+    # relative contract as tools/tpu_parity_check.py.
+    rx = float(st_x.rays)
+    assert rx != 0.0
+    for other in (st_p, st_t):
+        assert abs(float(other.rays) - rx) <= max(1e-5 * rx, 2.0)
+    img_x = np.asarray(resolve_image(cfg_x, st_x))
+    img_p = np.asarray(resolve_image(cfg_p, st_p))
+    # 0.05 (not the spp-2 tests' 0.03): flip pixels accumulate per sample,
+    # and this test runs 6 samples (measured 3.1% at spp 6)
+    assert ((np.abs(img_x - img_p) > 1e-4).any(axis=-1)).mean() < 0.05
+
+    # windowed continuation must equal one long call (epochs follow the
+    # global sample index, not the call boundary)
+    st_a = render(scene, cfg_p, _cam(), init_state(cfg_p), 5, 3)
+    st_a = render(scene, cfg_p, _cam(), st_a, 5, 3)
+    np.testing.assert_array_equal(np.asarray(st_a.rgb_sum),
+                                  np.asarray(st_p.rgb_sum))
+
+    kw2 = dict(width=48, height=24, depth=4, pallas_lanes=512,
+               k_photons=2, max_photon_bounces=3)
+    cfg_s = RenderConfig(backend="pallas", photon_strata=8,
+                         photon_strata_dir=64, photon_strata_shared_k=True,
+                         photon_strata_window=4, **kw2)
+    cfg_r = RenderConfig(backend="pallas", **kw2)
+    st_s = render(scene, cfg_s, _cam(), init_state(cfg_s), 1234, 64)
+    st_r = render(scene, cfg_r, _cam(), init_state(cfg_r), 1234, 64)
+    m_s = float(np.asarray(st_s.rgb_sum).mean())
+    m_r = float(np.asarray(st_r.rgb_sum).mean())
+    assert abs(m_s - m_r) < 2e-2 * max(m_r, 1e-6), (m_s, m_r)
+
+
+def test_shared_k_strata_parity_and_unbiased():
+    """photon_strata_shared_k folds all K photons of a sample into one
+    cell: cross-backend exactness holds, and the sampler stays unbiased
+    (k-correlation raises variance, never the mean)."""
+    scene = cornell_spheres_scene()
+    kw = dict(width=64, height=32, depth=3, tile_size=2048,
+              pallas_lanes=512, k_photons=4, max_photon_bounces=2,
+              photon_strata=8, photon_strata_dir=64,
+              photon_strata_shared_k=True)
+    cfg_x = RenderConfig(backend="xla", **kw)
+    cfg_p = RenderConfig(backend="pallas", **kw)
+    st_x = render(scene, cfg_x, _cam(), init_state(cfg_x), 5, 2)
+    st_p = render(scene, cfg_p, _cam(), init_state(cfg_p), 5, 2)
+    assert float(st_x.rays) == float(st_p.rays) != 0.0
+    img_x = np.asarray(resolve_image(cfg_x, st_x))
+    img_p = np.asarray(resolve_image(cfg_p, st_p))
+    assert ((np.abs(img_x - img_p) > 1e-4).any(axis=-1)).mean() < 0.03
+
+    kw2 = dict(width=48, height=24, depth=4, pallas_lanes=512,
+               k_photons=4, max_photon_bounces=3)
+    cfg_s = RenderConfig(backend="pallas", photon_strata=8,
+                         photon_strata_dir=64,
+                         photon_strata_shared_k=True, **kw2)
+    cfg_r = RenderConfig(backend="pallas", **kw2)
+    st_s = render(scene, cfg_s, _cam(), init_state(cfg_s), 1234, 48)
+    st_r = render(scene, cfg_r, _cam(), init_state(cfg_r), 1234, 48)
+    m_s = float(np.asarray(st_s.rgb_sum).mean())
+    m_r = float(np.asarray(st_r.rgb_sum).mean())
+    assert abs(m_s - m_r) < 1.2e-2 * max(m_r, 1e-6), (m_s, m_r)
+
+
+def test_bounce_strata_parity_and_unbiased():
+    """photon_strata_bounce remaps each photon BOUNCE's scatter uniforms
+    into a tile-shared (sample, k, bounce) cell: draw positions unchanged
+    (ray counts within the flip contract), cross-backend agreement within
+    the flip-pixel bound, and the sampler mean unchanged within MC noise
+    (the cell is hash-uniform per sample; the remap is measure-preserving
+    and independent of every lane's own draws)."""
+    import jax.numpy as jnp
+
+    # helper purity + range + [0,1) closure
+    s = jnp.uint32(999)
+    a = rngmod.apply_bounce_strata(s, 1, 2, 64, jnp.float32(0.999999),
+                                   jnp.float32(0.0), jnp.float32(0.5))
+    b = rngmod.apply_bounce_strata(s, 1, 2, 64, jnp.float32(0.999999),
+                                   jnp.float32(0.0), jnp.float32(0.5))
+    for x, y in zip(a, b):
+        assert float(x) == float(y) and 0.0 <= float(x) < 1.0
+    c = rngmod.apply_bounce_strata(s, 1, 3, 64, jnp.float32(0.999999),
+                                   jnp.float32(0.0), jnp.float32(0.5))
+    assert any(float(x) != float(y) for x, y in zip(a, c))
+
+    scene = cornell_spheres_scene()
+    kw = dict(width=64, height=32, depth=3, tile_size=2048,
+              pallas_lanes=512, k_photons=2, max_photon_bounces=3,
+              photon_strata=8, photon_strata_dir=64,
+              photon_strata_shared_k=True, photon_strata_bounce=True)
+    cfg_x = RenderConfig(backend="xla", **kw)
+    cfg_p = RenderConfig(backend="pallas", **kw)
+    cfg_t = RenderConfig(backend="pallas", pallas_regen=False, **kw)
+    st_x = render(scene, cfg_x, _cam(), init_state(cfg_x), 5, 3)
+    st_p = render(scene, cfg_p, _cam(), init_state(cfg_p), 5, 3)
+    st_t = render(scene, cfg_t, _cam(), init_state(cfg_t), 5, 3)
+    rx = float(st_x.rays)
+    assert rx != 0.0
+    for other in (st_p, st_t):
+        assert abs(float(other.rays) - rx) <= max(1e-5 * rx, 2.0)
+    img_x = np.asarray(resolve_image(cfg_x, st_x))
+    img_p = np.asarray(resolve_image(cfg_p, st_p))
+    assert ((np.abs(img_x - img_p) > 1e-4).any(axis=-1)).mean() < 0.03
+
+    kw2 = dict(width=48, height=24, depth=4, pallas_lanes=512,
+               k_photons=2, max_photon_bounces=3)
+    cfg_s = RenderConfig(backend="pallas", photon_strata=8,
+                         photon_strata_dir=64, photon_strata_shared_k=True,
+                         photon_strata_bounce=True, **kw2)
+    cfg_r = RenderConfig(backend="pallas", **kw2)
+    st_s = render(scene, cfg_s, _cam(), init_state(cfg_s), 1234, 64)
+    st_r = render(scene, cfg_r, _cam(), init_state(cfg_r), 1234, 64)
+    m_s = float(np.asarray(st_s.rgb_sum).mean())
+    m_r = float(np.asarray(st_r.rgb_sum).mean())
+    assert abs(m_s - m_r) < 2e-2 * max(m_r, 1e-6), (m_s, m_r)

@@ -31,6 +31,29 @@ class RenderConfig:
     #   pixels — unbiased across samples, and the first photon segments of
     #   a tile become coherent enough for the culling votes to prune
     #   (ops/rng.emission_strata; docs/DESIGN.md)
+    photon_strata_dir: int = 0         # direction-cell count when it should
+    #   differ from photon_strata (0 = same). Direction dominates the beam
+    #   footprint — a light tens of units away turns a coarse angular cell
+    #   into a scene-wide beam — so n_dir typically wants 64-256 while
+    #   position stays at 8-16.
+    photon_strata_shared_k: bool = False  # ONE emission cell for all K
+    #   photons of a sample (default: one cell per (sample, k)): the tile's
+    #   whole photon phase becomes a single beam — the regenerative kernel
+    #   interleaves different k across lanes, so per-k cells still mix K
+    #   beams per tile. Unbiased; a sample's photons become correlated.
+    photon_strata_bounce: bool = False  # extend the strata DEPTH-wise:
+    #   remap each photon bounce's scatter uniforms (diffuse/GGX u2 +
+    #   reflect/refract choice) into a tile-shared (sample, k, bounce)
+    #   cell (ops/rng.apply_bounce_strata). A tight emission beam hits
+    #   similar normals, so shared scatter cells keep segments 2+ coherent
+    #   for the culling votes; per-lane RR still terminates independently.
+    photon_strata_window: int = 1      # power-of-two run of CONSECUTIVE
+    #   samples sharing one cell epoch (stratum seed hashes the windowed
+    #   global sample index). The regenerative kernel's lanes drift a few
+    #   samples apart mid-render, so per-sample cells stop being
+    #   tile-coherent; a window >= the drift re-aligns them. Unbiased
+    #   (cells stay hash-uniform across epochs); convergence per sample
+    #   slows as the window grows — window*K photons share each beam.
     # Spectral
     hero_wavelengths: int = 1          # 1 reproduces the reference (one
     #   lambda per sample, wgsl :995). >1 enables hero-wavelength sampling
@@ -87,6 +110,15 @@ class RenderConfig:
     #   lax.cond on its AABB slab test (any active lane hits the box AND is
     #   still closer than its current best). Tile-coherent rays skip most
     #   groups. 0 disables (flat sweep). Only engages above 4x this count.
+    pallas_cluster_ordered: bool = False  # drive the static cull tree's
+    #   BAKED leaf sweeps from the dynamic near-to-far stack walk
+    #   (kernels/bvh_pallas._bvh_walk + lax.switch over the unrolled leaf
+    #   bodies) instead of fixed DFS order: nearer leaves sweep first, the
+    #   per-lane t-cap tightens early, and far leaves prune away — the
+    #   ordering that measured +40% in the all-dynamic walk, without its
+    #   SMEM scalar loads for sphere data (only the tiny node table is
+    #   SMEM). Closest-hit only; shadow sweeps have a fixed t_max and keep
+    #   the DFS cull loop.
     sphere_chunk: int = 512            # primitive chunk sizes for the sweeps
     tri_chunk: int = 256
     pallas_bvh: bool = True            # meshes beyond pallas_static_unroll

@@ -487,17 +487,26 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
 
 
 def scatter_and_rr(cfg: RenderConfig, wo, n, loc, color, rough, ior, mtype,
-                   lam, tp, rng, camera_path: bool):
+                   lam, tp, rng, camera_path: bool, bounce_strata=None):
     """Shared scatter + Russian roulette step — draw order u2 (2f),
     u_choice, u_rr (wgsl :906-979 camera / :782-858 photon). Used by the
     camera bounce loop, the photon walk, and the wavefront sweep so the
     physics and the RNG lattice cannot drift apart. camera_path selects
     the VNDF pdf mode, the reference's base-IOR camera quirk
     (dispersion_in_camera_path), and the RR threshold.
+    bounce_strata: (strata_seed, k, bounce) — photon-walk callers pass it
+    under cfg.photon_strata_bounce to remap (u2, u_choice) into the
+    tile-shared bounce cell (rng.apply_bounce_strata); u_rr never remaps.
     Returns (wi, new_tp, new_o, scat_ok, rr_live, rng)."""
     u2, rng = rngmod.rand_2f(rng)
     u_choice, rng = rngmod.rand_1f(rng)
     u_rr, rng = rngmod.rand_1f(rng)
+    if bounce_strata is not None:
+        b_seed, b_k, b_bounce = bounce_strata
+        u2a, u2b, u_choice = rngmod.apply_bounce_strata(
+            b_seed, b_k, b_bounce, rngmod.strata_counts(cfg)[1],
+            u2[..., 0], u2[..., 1], u_choice)
+        u2 = jnp.stack([u2a, u2b], axis=-1)
 
     # diffuse: cosine scatter + Oren-Nayar (wgsl :906-912)
     rn = rngmod.unit_vec_from_u(u2)
@@ -540,7 +549,7 @@ def scatter_and_rr(cfg: RenderConfig, wo, n, loc, color, rough, ior, mtype,
 
 
 def trace_photons(scene, cfg: RenderConfig, lam, seed, px, py, vis,
-                  photon_radius, valid=None):
+                  photon_radius, valid=None, strata_seed=None):
     """Per-pixel SPPM photon pass (ref: mega_kernel.wgsl:745-861, 998-1015).
 
     Each lane owns one vispoint; K_PHOTONS photons are emitted round-robin
@@ -586,7 +595,9 @@ def trace_photons(scene, cfg: RenderConfig, lam, seed, px, py, vis,
             # hash-chosen cell per (sample, k), shared by every pixel —
             # the same helper the megakernels call
             uc, up1, ue1, ue2, uh1, uh2 = rngmod.apply_emission_strata(
-                seed, k, cfg.photon_strata, uc, up1, ue1, ue2, uh1, uh2)
+                seed if strata_seed is None else strata_seed,
+                rngmod.strata_k(cfg, k), *rngmod.strata_counts(cfg),
+                uc, up1, ue1, ue2, uh1, uh2)
 
         is_point = ltype == 0
         # Point light: cone toward origin
@@ -643,9 +654,13 @@ def trace_photons(scene, cfg: RenderConfig, lam, seed, px, py, vis,
             wo = -d
             n = hit["normal"]
 
+            bs = None
+            if cfg.photon_strata and cfg.photon_strata_bounce:
+                bs = (seed if strata_seed is None else strata_seed,
+                      rngmod.strata_k(cfg, k), st["b"])
             wi, new_tp, new_o, scat_ok, rr_live, rng = scatter_and_rr(
                 cfg, wo, n, hit["loc"], color, rough, ior, mtype, lam, tp,
-                rng, camera_path=False)
+                rng, camera_path=False, bounce_strata=bs)
 
             cont = live & scat_ok & rr_live
             return {
@@ -667,7 +682,7 @@ def trace_photons(scene, cfg: RenderConfig, lam, seed, px, py, vis,
 # ----- Per-tile frame sample -----
 
 def render_tile(scene, cfg: RenderConfig, camera, px, py, seed, photon_radius,
-                depth: int, vis_prev: dict, valid=None):
+                depth: int, vis_prev: dict, valid=None, strata_seed=None):
     """One progressive sample for a tile of pixels (= one reference frame's
     work for those pixels, ref: mega_kernel.wgsl:984-1021).
 
@@ -695,5 +710,6 @@ def render_tile(scene, cfg: RenderConfig, camera, px, py, seed, photon_radius,
     # positions depend only on (pixel, sample, k), never on tile geometry
     # or early exits — all backends stay same-seed comparable.
     ph, prays = trace_photons(scene, cfg, lam, seed, px, py, vis,
-                              photon_radius, valid=valid)
+                              photon_radius, valid=valid,
+                              strata_seed=strata_seed)
     return rad + ph, vis, rays + prays

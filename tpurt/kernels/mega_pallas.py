@@ -424,6 +424,62 @@ def _sphere_cull_tree(spheres, leaf_size: int) -> _CullTree:
     return _build_cull_tree(tuple(spheres), c - r, c + r, leaf_size, huge)
 
 
+def _cull_tree_node_table(tree: _CullTree):
+    """Host: flat node table for the ORDERED walk over the static cull
+    tree (cfg.pallas_cluster_ordered) — boxes/topology packed exactly like
+    a bvh_pallas SMEM table (leaf `first` = leaf ordinal, `count` = 1);
+    primitive data is NOT in the table — leaves stay baked constants
+    inside lax.switch branches. Returns (packed (rows, 128) np.f32,
+    leaf-prims list in ordinal order)."""
+    from tpurt.kernels import bvh_pallas
+    nodes_f, nodes_i, leaves = [], [], []
+
+    def rec(n):
+        idx = len(nodes_f)
+        nodes_f.append(list(n.bmin) + list(n.bmax) + [0.0, 0.0])
+        nodes_i.append([0, 0, 0, 0])
+        if n.prims:
+            nodes_i[idx] = [0, 0, len(leaves), 1]
+            leaves.append(n.prims)
+        else:
+            nodes_i[idx][0] = rec(n.children[0])
+            nodes_i[idx][1] = rec(n.children[1])
+        return idx
+
+    rec(tree.root)
+    packed = bvh_pallas.pack_tables(
+        np.zeros((0, 16), np.float32), np.asarray(nodes_f, np.float32),
+        np.asarray(nodes_i, np.int32), leaf_size=0)
+    return packed, leaves
+
+
+def _closest_sphere_clustered_ordered(tree: _CullTree, leaves, node_ref,
+                                      o, d, mask):
+    """_closest_sphere_clustered with the leaf visits driven by the
+    near-to-far stack walk (bvh_pallas._bvh_walk) instead of fixed DFS
+    order: the lax.switch branches are the SAME baked unrolled sweeps,
+    but nearer leaves sweep first, so the per-lane t-cap tightens early
+    and far leaves prune away (the ordering that measured +40% in the
+    all-dynamic walk; docs/DESIGN.md)."""
+    from tpurt.kernels import bvh_pallas
+    a = s.vdot(d, d)
+    state = _sweep_spheres_static(tree.always, o, d, a,
+                                  _sphere_state_init(o))
+    inv = tuple(1.0 / d[c] for c in range(3))
+    nodes = bvh_pallas._PackedTable(node_ref, base0=0)
+    branches = [
+        (lambda st, prims=prims: _sweep_spheres_static(prims, o, d, a, st))
+        for prims in leaves]
+
+    def leaf_fn(first, count, st):
+        return jax.lax.switch(first, branches, st)
+
+    st = bvh_pallas._bvh_walk(
+        nodes, o, inv, vote=lambda st: mask, t_cap=lambda st: st[0],
+        leaf_fn=leaf_fn, state=state)
+    return _sphere_state_finish(o, d, st)
+
+
 def _closest_sphere_clustered(tree: _CullTree, o, d, mask):
     a = s.vdot(d, d)
     state = _sweep_spheres_static(tree.always, o, d, a,
@@ -899,11 +955,20 @@ def _use_sph_bvh(fscene: FrozenScene, cfg: RenderConfig) -> bool:
     return 16 < len(split_huge_spheres(fscene.spheres)[1]) <= MAX_BVH_SPHERES
 
 
+def _use_clusters(fscene: FrozenScene, cfg: RenderConfig) -> bool:
+    return (cfg.pallas_cluster_size > 0
+            and len(fscene.spheres) > 4 * cfg.pallas_cluster_size
+            and len(fscene.spheres) <= cfg.pallas_static_unroll
+            and not _use_sph_bvh(fscene, cfg))
+
+
 def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
     """SMEM primitive tables, consumed only above the static-unroll budget.
     spheres: (cx, cy, cz, r, mat, mtype, ior, 0); triangles: (a, e1, e2, n,
     mat, pad3) — or, in BVH mode, the packed triangle+node table of
-    kernels/bvh_pallas.py. Shared by every Pallas kernel wrapper."""
+    kernels/bvh_pallas.py. In ORDERED cluster mode the sphere slot carries
+    the cull tree's tiny node table instead (sphere data stays baked).
+    Shared by every Pallas kernel wrapper."""
     if _use_sph_bvh(fscene, cfg):
         from tpurt.kernels import bvh_pallas
         _, tree_sph = bvh_pallas.split_huge_spheres(fscene.spheres)
@@ -916,6 +981,12 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
             [[sp.c[0], sp.c[1], sp.c[2], sp.r,
               float(sp.mat), float(sp.mtype), sp.ior, 0.0]
              for sp in fscene.spheres], jnp.float32)
+    elif cfg.pallas_cluster_ordered and _use_clusters(fscene, cfg):
+        tree = _sphere_cull_tree(fscene.spheres, cfg.pallas_cluster_size)
+        if tree.root is not None:
+            sph_tab = jnp.asarray(_cull_tree_node_table(tree)[0])
+        else:
+            sph_tab = jnp.zeros((1, 8), jnp.float32)
     else:
         sph_tab = jnp.zeros((1, 8), jnp.float32)
     if _use_tri_bvh(fscene, cfg):
@@ -941,9 +1012,7 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref):
     consumed), used only for tile-level culling votes — per-lane results
     for masked-out lanes stay well-defined."""
     SPH, TRIS = fscene.spheres, fscene.triangles
-    use_clusters = (cfg.pallas_cluster_size > 0
-                    and len(SPH) > 4 * cfg.pallas_cluster_size
-                    and len(SPH) <= cfg.pallas_static_unroll)
+    use_clusters = _use_clusters(fscene, cfg)
     if _use_sph_bvh(fscene, cfg):
         from tpurt.kernels import bvh_pallas
         ALWAYS, TREE_SPH = bvh_pallas.split_huge_spheres(SPH)
@@ -968,7 +1037,12 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref):
                 leaf_size=cfg.pallas_bvh_leaf)
     elif use_clusters:
         CL = _sphere_cull_tree(SPH, cfg.pallas_cluster_size)
-        sph_hit = lambda o, d, m: _closest_sphere_clustered(CL, o, d, m)
+        if cfg.pallas_cluster_ordered and CL.root is not None:
+            LEAVES = _cull_tree_node_table(CL)[1]
+            sph_hit = lambda o, d, m: _closest_sphere_clustered_ordered(
+                CL, LEAVES, sph_ref, o, d, m)
+        else:
+            sph_hit = lambda o, d, m: _closest_sphere_clustered(CL, o, d, m)
         sph_shadow = lambda o, d, tm, lam_, m: _shadow_clustered(
             CL, o, d, tm, lam_, m)
     elif len(SPH) > cfg.pallas_static_unroll:
@@ -1290,7 +1364,8 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                     # tile-coherent emission cell per (sample, k)
                     uc, up1, ue1, ue2, uh1, uh2 = \
                         rngmod.apply_emission_strata(
-                            seed_ref[0, 0], k, cfg.photon_strata,
+                            seed_ref[0, 1], rngmod.strata_k(cfg, k),
+                            *rngmod.strata_counts(cfg),
                             uc, up1, ue1, ue2, uh1, uh2)
 
                 if lt.ltype == 0:
@@ -1377,6 +1452,12 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                     u2b, rng = rngmod.rand_1f(rng)
                     u_choice, rng = rngmod.rand_1f(rng)
                     u_rr, rng = rngmod.rand_1f(rng)
+                    if cfg.photon_strata and cfg.photon_strata_bounce:
+                        # tile-shared (sample, k, bounce) scatter cell
+                        u2a, u2b, u_choice = rngmod.apply_bounce_strata(
+                            seed_ref[0, 1], rngmod.strata_k(cfg, k),
+                            pst["b"], rngmod.strata_counts(cfg)[1],
+                            u2a, u2b, u_choice)
 
                     wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough,
                                                      u2a, u2b)
@@ -1439,12 +1520,14 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                    static_argnames=("fscene", "cfg", "depth", "interpret"))
 def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
                     seed, photon_radius, depth: int, interpret: bool = False,
-                    tile_base=0):
+                    tile_base=0, strata_seed=None):
     """Advance every pixel by one progressive sample via the Pallas kernel.
 
     planes: (16, TR, 128) f32 state (see N_CHANNELS layout); returns
     (new_planes, rays_per_tile (n_tiles,)). tile_base is the global tile
     offset of this planes shard (nonzero under shard_map pixel sharding).
+    strata_seed: the (possibly window-epoch) seed the emission stratum
+    hashes — defaults to `seed` (photon_strata_window == 1).
     """
     lanes = cfg.pallas_lanes
     assert lanes % 128 == 0, "pallas_lanes must be a multiple of 128"
@@ -1455,7 +1538,10 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
 
     cam = jnp.stack([camera.origin, camera.horizontal,
                      camera.vertical, camera.lower_left])
-    seed_arr = jnp.asarray(seed, jnp.uint32).reshape(1, 1)
+    if strata_seed is None:
+        strata_seed = seed
+    seed_arr = jnp.stack([jnp.asarray(seed, jnp.uint32),
+                          jnp.asarray(strata_seed, jnp.uint32)]).reshape(1, 2)
     rad_arr = jnp.asarray(photon_radius, jnp.float32).reshape(1, 1)
     base_arr = jnp.asarray(tile_base, jnp.int32).reshape(1, 1)
 
@@ -1565,9 +1651,13 @@ def _render_pallas_jit(fscene, cfg, camera, state, base_seed, spp, depth,
     def body(_, carry):
         planes, it, radius, rays = carry
         seed = _frame_seed(base_seed, it)
+        strata_seed = None
+        if cfg.photon_strata and cfg.photon_strata_window > 1:
+            from tpurt.ops.rng import strata_epoch
+            strata_seed = _frame_seed(base_seed, strata_epoch(cfg, it))
         new_planes, tile_rays = megakernel_step(
             fscene, cfg, camera, planes, seed, radius, depth,
-            interpret=interpret)
+            interpret=interpret, strata_seed=strata_seed)
         it_new = it + 1
         from tpurt.render import sppm_radius_step
         r_new = sppm_radius_step(cfg, it_new.astype(jnp.float32), radius)

@@ -190,6 +190,12 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             # global sample index = iteration at call start + local sample:
             # progressive continuation draws NEW samples, never repeats
             samp_seed = _frame_seed(base_seed, it0_i + sample)
+            # stratum seed: windowed global sample (photon_strata_window
+            # re-aligns desynchronized lanes onto one cell epoch)
+            strat_seed = samp_seed
+            if cfg.photon_strata and cfg.photon_strata_window > 1:
+                strat_seed = _frame_seed(
+                    base_seed, rngmod.strata_epoch(cfg, it0_i + sample))
 
             def _cam_spawn_vals(_):
                 rng_c = rngmod.seed_pixels(samp_seed, px, py)
@@ -276,7 +282,8 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                             # tile-coherent emission cell per (sample, k)
                             uc, up1, ue1, ue2, uh1, uh2 = \
                                 rngmod.apply_emission_strata(
-                                    samp_seed, kk, cfg.photon_strata,
+                                    strat_seed, rngmod.strata_k(cfg, kk),
+                                    *rngmod.strata_counts(cfg),
                                     uc, up1, ue1, ue2, uh1, uh2)
                         if lt.ltype == 0:
                             ct = 1.0 - uc * np.float32(1.0 - PHOTON_CONE_COS)
@@ -442,6 +449,15 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             u2b, rng = rngmod.rand_1f(rng)
             u_choice, rng = rngmod.rand_1f(rng)
             u_rr, rng = rngmod.rand_1f(rng)
+            if cfg.photon_strata and cfg.photon_strata_bounce:
+                # tile-shared (sample, k, bounce) scatter cell — PHOTON
+                # lanes only; k/bounce/strat_seed are per-lane planes here
+                sa, sb, sc = rngmod.apply_bounce_strata(
+                    strat_seed, rngmod.strata_k(cfg, k), bounce,
+                    rngmod.strata_counts(cfg)[1], u2a, u2b, u_choice)
+                u2a = jnp.where(is_ph, sa, u2a)
+                u2b = jnp.where(is_ph, sb, u2b)
+                u_choice = jnp.where(is_ph, sc, u_choice)
 
             wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough, u2a, u2b)
             wi, tpm = wi_d, tpm_d

@@ -128,9 +128,19 @@ _STRATA_OFFSET = 0xA511E9B3
 _STRATA_K_STEP = 0x632BE5AB
 
 
-def emission_strata(seed, k: int, n: int):
-    """Four stratum indices in [0, n) (n a power of two) as exact f32s:
-    (pos_u, pos_v, dir_a, dir_b) for photon emission stratification.
+def _check_strata(n: int, what: str):
+    # power-of-two: the bit-mask extraction below covers every stratum
+    # uniformly; other n silently NEVER sample some cells (biased image).
+    # <= 256: the four index fields live in disjoint 8-bit lanes of h.
+    if not (0 < n <= 256 and (n & (n - 1)) == 0):
+        raise ValueError(
+            f"{what} must be a power of two in [1, 256], got {n}")
+
+
+def emission_strata(seed, k: int, n_pos: int, n_dir: int):
+    """Four stratum indices as exact f32s: (pos_u, pos_v) in [0, n_pos)
+    and (dir_a, dir_b) in [0, n_dir) for photon emission stratification
+    (powers of two).
 
     A pure function of the FRAME seed and photon index k only — pixel-
     independent, so every lane of a tile (and every backend) emitting its
@@ -138,19 +148,19 @@ def emission_strata(seed, k: int, n: int):
     emitted photons stay exactly light-distributed across samples (the
     stratum is hash-uniform per sample); within a sample they are
     correlated, which is the point: coherent first photon segments that
-    the whole-tile culling votes can prune."""
-    # power-of-two: the bit-mask extraction below covers every stratum
-    # uniformly; other n silently NEVER sample some cells (biased image).
-    # <= 256: the four index fields live in disjoint 8-bit lanes of h.
-    if not (0 < n <= 256 and (n & (n - 1)) == 0):
-        raise ValueError(
-            f"photon_strata must be a power of two in [1, 256], got {n}")
+    the whole-tile culling votes can prune.  Direction cells are decoupled
+    from position cells because they dominate the beam footprint: a light
+    tens of units from the scene turns even a small angular cell into a
+    wide beam, so n_dir usually wants to be much finer than n_pos."""
+    _check_strata(n_pos, "photon_strata")
+    _check_strata(n_dir, "photon_strata_dir")
     s = jnp.asarray(seed, jnp.uint32) + np.uint32(
         (_STRATA_OFFSET + k * _STRATA_K_STEP) & 0xFFFFFFFF)
     h, _ = rand_u32(s)
-    mask = jnp.uint32(n - 1)
-    idx = (h & mask, (h >> jnp.uint32(8)) & mask,
-           (h >> jnp.uint32(16)) & mask, (h >> jnp.uint32(24)) & mask)
+    mp = jnp.uint32(n_pos - 1)
+    md = jnp.uint32(n_dir - 1)
+    idx = (h & mp, (h >> jnp.uint32(8)) & mp,
+           (h >> jnp.uint32(16)) & md, (h >> jnp.uint32(24)) & md)
     return tuple(_u32_to_f32(i) for i in idx)
 
 
@@ -159,17 +169,87 @@ def emission_strata(seed, k: int, n: int):
 _BELOW_ONE = np.float32(np.nextafter(np.float32(1.0), np.float32(0.0)))
 
 
-def apply_emission_strata(seed, k: int, n: int, uc, up1, ue1, ue2, uh1, uh2):
+def strata_counts(cfg) -> tuple[int, int]:
+    """(n_pos, n_dir) from a RenderConfig: photon_strata_dir == 0 means
+    'same as photon_strata' (the round-1 behavior)."""
+    n_pos = int(cfg.photon_strata)
+    n_dir = int(getattr(cfg, "photon_strata_dir", 0)) or n_pos
+    return n_pos, n_dir
+
+
+def strata_epoch(cfg, iteration):
+    """Windowed global sample index for the stratum seed: samples inside a
+    photon_strata_window-long run share one cell epoch.  `iteration` may be
+    a scalar or a per-lane plane (the regen kernel's local sample counter
+    plus its starting iteration)."""
+    w = max(1, int(getattr(cfg, "photon_strata_window", 1)))
+    if w == 1:
+        return iteration
+    return iteration & jnp.int32(~(w - 1))
+
+
+def strata_k(cfg, k: int) -> int:
+    """The photon index the stratum hash sees.  photon_strata_shared_k
+    folds all K photons of a sample into ONE emission cell — the whole
+    photon phase of a tile becomes a single beam, which matters for the
+    regenerative kernel where lanes interleave different k at any instant.
+    Unbiasedness is unchanged (the cell is still hash-uniform per sample);
+    a sample's photons become mutually correlated, raising per-sample
+    variance slightly."""
+    return 0 if getattr(cfg, "photon_strata_shared_k", False) else k
+
+
+def apply_emission_strata(seed, k: int, n_pos: int, n_dir: int,
+                          uc, up1, ue1, ue2, uh1, uh2):
     """Remap the six photon-emission uniforms into their (sample, k)
     stratum cell. THE cross-backend pairing contract — used verbatim by
     the XLA integrator and both megakernels: cone polar uc and hemisphere
     theta uh1 share da; cone azimuth up1 and hemisphere radius uh2 share
     db; quad position (ue1, ue2) gets (pu, pv). Results stay in [0, 1)."""
-    pu, pv, da, db = emission_strata(seed, k, n)
-    inv_s = np.float32(1.0 / n)
+    pu, pv, da, db = emission_strata(seed, k, n_pos, n_dir)
+    inv_p = np.float32(1.0 / n_pos)
+    inv_d = np.float32(1.0 / n_dir)
+
+    def r(u, s, inv):
+        return jnp.minimum((s + u) * inv, _BELOW_ONE)
+
+    return (r(uc, da, inv_d), r(up1, db, inv_d), r(ue1, pu, inv_p),
+            r(ue2, pv, inv_p), r(uh1, da, inv_d), r(uh2, db, inv_d))
+
+
+# bounce-level strata (cfg.photon_strata_bounce): a distinct hash domain
+# so bounce cells never correlate with emission cells
+_BOUNCE_OFFSET = 0x7F4A7C15
+_BOUNCE_STEP = 0x94D049BB
+
+
+def apply_bounce_strata(seed, k, bounce, n_dir: int, ua, ub, uch):
+    """Remap a photon BOUNCE's scatter uniforms (diffuse/GGX u2 pair +
+    the reflect/refract choice) into a tile-shared (sample, k, bounce)
+    cell — the depth extension of apply_emission_strata: an emission beam
+    that stays tight keeps similar hit normals, so sharing the scatter
+    cell keeps the SECOND and later photon segments tile-coherent too
+    (culling votes keep pruning where per-lane scatter would decohere).
+
+    Unbiased across samples by the emission-strata argument (the cell is
+    hash-uniform per sample and independent of every lane's own draws;
+    the remap is a measure-preserving bijection on [0,1)).  Within a
+    sample a photon's bounce chain is shared — variance shifts into
+    cross-sample noise.  The RR uniform is NOT remapped (termination
+    stays per-lane).  `k`/`bounce` may be Python ints or i32 planes (the
+    regenerative kernel interleaves both across lanes)."""
+    _check_strata(n_dir, "photon_strata bounce cells")
+    s0 = (jnp.asarray(seed, jnp.uint32) + np.uint32(_BOUNCE_OFFSET)
+          + jnp.asarray(k, jnp.uint32) * np.uint32(_STRATA_K_STEP)
+          + jnp.asarray(bounce, jnp.uint32) * np.uint32(_BOUNCE_STEP))
+    h, _ = rand_u32(s0)
+    md = jnp.uint32(n_dir - 1)
+    da = _u32_to_f32(h & md)
+    db = _u32_to_f32((h >> jnp.uint32(8)) & md)
+    dc = _u32_to_f32((h >> jnp.uint32(16)) & md)
+    inv = np.float32(1.0 / n_dir)
 
     def r(u, s):
-        return jnp.minimum((s + u) * inv_s, _BELOW_ONE)
+        return jnp.minimum((s + u) * inv, _BELOW_ONE)
 
-    return r(uc, da), r(up1, db), r(ue1, pu), r(ue2, pv), r(uh1, da), \
-        r(uh2, db)
+    return r(ua, da), r(ub, db), r(uch, dc)

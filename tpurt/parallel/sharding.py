@@ -185,9 +185,14 @@ def make_pallas_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
         def one(carry, _):
             planes, it, radius, rays_l = carry
             seed = _frame_seed(base_seed, it)
+            strata_seed = None
+            if cfg.photon_strata and cfg.photon_strata_window > 1:
+                from tpurt.ops.rng import strata_epoch
+                strata_seed = _frame_seed(base_seed, strata_epoch(cfg, it))
             new_planes, tile_rays = mp.megakernel_step(
                 fscene, cfg, camera, planes, seed, radius, d,
-                interpret=interpret, tile_base=tile_base)
+                interpret=interpret, tile_base=tile_base,
+                strata_seed=strata_seed)
             it1 = it + 1
             k = it1.astype(jnp.float32)
             r1 = sppm_radius_step(cfg, k, radius)

@@ -184,6 +184,11 @@ def _step_body(scene, cfg, camera, state, base_seed, depth: int,
     shard_map per-device slab (parallel.sharding._local_step supplies
     mesh-local coordinates and a psum ray reduction)."""
     seed = _frame_seed(base_seed, state.iteration)
+    strata_seed = None
+    if cfg.photon_strata and cfg.photon_strata_window > 1:
+        from tpurt.ops.rng import strata_epoch
+        strata_seed = _frame_seed(base_seed,
+                                  strata_epoch(cfg, state.iteration))
     P = state.rgb_sum.shape[0]
     n_tiles = P // T
 
@@ -191,7 +196,7 @@ def _step_body(scene, cfg, camera, state, base_seed, depth: int,
         tpx, tpy, tvalid, vis_prev = args
         color, vis, rays = render_tile(
             scene, cfg, camera, tpx, tpy, seed, state.photon_radius, depth,
-            vis_prev, valid=tvalid,
+            vis_prev, valid=tvalid, strata_seed=strata_seed,
         )
         return color, vis, rays
 
