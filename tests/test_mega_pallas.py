@@ -294,6 +294,56 @@ class TestClusteredSweep:
         assert sorted(id(sp) for sp in got) == \
             sorted(id(sp) for sp in fs.spheres)
 
+    def test_ordered_walk_bit_identical(self):
+        """pallas_cluster_ordered drives the SAME baked leaf sweeps from
+        the near-to-far stack walk — visit order changes, per-sphere math
+        and winner selection do not, so results stay bit-identical."""
+        from tpurt.scene import instanced_scene
+        scene = instanced_scene(72)
+        cam = make_camera((0, 10, -14), (0, 1, 8), vfov=55.0,
+                          aspect_ratio=2.0)
+        kw = dict(width=64, height=32, depth=3, backend="pallas",
+                  pallas_lanes=512, pallas_static_unroll=128,
+                  pallas_cluster_size=16, k_photons=1,
+                  max_photon_bounces=2)
+        cfg_o = RenderConfig(pallas_cluster_ordered=True, **kw)
+        cfg_d = RenderConfig(**kw)
+        st_o = render(scene, cfg_o, cam, init_state(cfg_o), 99, 2)
+        st_d = render(scene, cfg_d, cam, init_state(cfg_d), 99, 2)
+        assert float(st_o.rays) == float(st_d.rays) != 0.0
+        np.testing.assert_array_equal(np.asarray(st_o.rgb_sum),
+                                      np.asarray(st_d.rgb_sum))
+
+    def test_ordered_node_table_topology(self):
+        """The packed node table mirrors the cull tree: every leaf ordinal
+        appears once, boxes match, and inner links are in-range."""
+        from tpurt.kernels.mega_pallas import (_cull_tree_node_table,
+                                               _sphere_cull_tree,
+                                               freeze_scene)
+        from tpurt.scene import instanced_scene
+        fs = freeze_scene(instanced_scene(72))
+        tree = _sphere_cull_tree(fs.spheres, 16)
+        packed, leaves = _cull_tree_node_table(tree)
+        flat = packed.reshape(-1, 16)
+        n_leaves = 0
+        seen = set()
+        stack = [0]
+        while stack:
+            i = stack.pop()
+            assert i not in seen
+            seen.add(i)
+            rec = flat[i]
+            left, right, first, count = (int(rec[6]), int(rec[7]),
+                                         int(rec[8]), int(rec[9]))
+            if count > 0:
+                assert 0 <= first < len(leaves)
+                n_leaves += 1
+            else:
+                stack += [left, right]
+        assert n_leaves == len(leaves)
+        assert sum(len(p) for p in leaves) + len(tree.always) \
+            == len(fs.spheres)
+
 
 class TestClusteredTriangles:
     """Cull-tree triangle sweep must agree with the flat unroll (exact ray

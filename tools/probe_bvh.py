@@ -46,19 +46,32 @@ R = 8  # (R,128) = 1024-lane tiles
 LANES = R * 128
 N_TILES = 16
 
+LEAF_UNROLL = int(os.environ.get("PROBE_LEAF_UNROLL", "0"))
+
+
 def kernel(rays_ref, tab_ref, out_ref):
     o = (rays_ref[0], rays_ref[1], rays_ref[2])
     d = (rays_ref[3], rays_ref[4], rays_ref[5])
     mask = jnp.ones_like(o[0], bool)
     nodes, tri = packed_views(tab_ref, T)
-    t, nrm, mat = closest_tri_bvh(nodes, tri, o, d, mask)
-    occ = tri_shadow_bvh(nodes, tri, o, d, jnp.full_like(o[0], 4.0), mask)
+    t, nrm, mat, (nv, lv, pv) = closest_tri_bvh(
+        nodes, tri, o, d, mask, leaf_size=LEAF_UNROLL, stats=True)
+    occ = tri_shadow_bvh(nodes, tri, o, d, jnp.full_like(o[0], 4.0), mask,
+                         leaf_size=LEAF_UNROLL)
     out_ref[0] = t
     out_ref[1] = nrm[0]
     out_ref[2] = nrm[1]
     out_ref[3] = nrm[2]
     out_ref[4] = mat.astype(jnp.float32)
     out_ref[5] = jnp.where(occ, 1.0, 0.0)
+    # per-tile closest-walk visit counters in lanes 0..2 of row 0
+    row = jax.lax.broadcasted_iota(jnp.int32, o[0].shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, o[0].shape, 1)
+    vals = jnp.where(lane == 0, nv.astype(jnp.float32),
+                     jnp.where(lane == 1, lv.astype(jnp.float32),
+                               jnp.where(lane == 2, pv.astype(jnp.float32),
+                                         0.0)))
+    out_ref[6] = jnp.where(row == 0, vals, 0.0)
 
 @jax.jit
 def run(rays, packed):
@@ -68,9 +81,9 @@ def run(rays, packed):
         in_specs=[pl.BlockSpec((6, R, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec((6, R, 128), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((7, R, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N_TILES * 6, R, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N_TILES * 7, R, 128), jnp.float32),
         interpret=jax.default_backend() != "tpu",
     )(rays, packed)
 
@@ -96,10 +109,13 @@ for _ in range(REPS):
 jax.block_until_ready(out)
 dt = (time.perf_counter() - t0) / REPS
 
-out = np.asarray(out).reshape(N_TILES, 6, R, 128)
+out = np.asarray(out).reshape(N_TILES, 7, R, 128)
 t_k = out[:, 0].reshape(-1)
 mat_k = out[:, 4].reshape(-1)
 occ_k = out[:, 5].reshape(-1)
+nv = out[:, 6, 0, 0]     # per-tile closest-walk visit counters
+lv = out[:, 6, 0, 1]
+pv = out[:, 6, 0, 2]
 
 # brute force oracle
 oc = ro[:, None, :] - a[None, :, :]
@@ -126,4 +142,12 @@ print(json.dumps({
     "occ_agree": float(match_occ),
     "miss_agree": float(((t_k > 1e29) == ~hit).mean()),
     "mrays": round(rays_per_s / 1e6, 1),
-    "dt_ms": round(dt * 1e3, 3), "compile_s": round(compile_s, 1)}))
+    "dt_ms": round(dt * 1e3, 3), "compile_s": round(compile_s, 1),
+    # closest-walk visit counters (coherent tiles = first half)
+    "nodes_coh": round(float(nv[: N_TILES // 2].mean()), 1),
+    "nodes_inc": round(float(nv[N_TILES // 2:].mean()), 1),
+    "leaves_coh": round(float(lv[: N_TILES // 2].mean()), 1),
+    "leaves_inc": round(float(lv[N_TILES // 2:].mean()), 1),
+    "prims_coh": round(float(pv[: N_TILES // 2].mean()), 1),
+    "prims_inc": round(float(pv[N_TILES // 2:].mean()), 1),
+    "leaf_unroll": LEAF_UNROLL}))

@@ -272,7 +272,12 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True):
     is pushed last so it pops first — near-to-far descent tightens the
     per-lane t_cap early and the far subtree prunes away (the whole-tile
     analogue of ordered per-ray BVH traversal). Pushes are branch-free:
-    write the slot, then bump sp by the vote."""
+    write the slot, then bump sp by the vote.
+
+    Profiling: if `state` carries i32 scalar keys "_nodes"/"_leaves"/
+    "_prims", they accumulate inner-node visits, leaf visits, and leaf
+    primitive-sweep counts (the cost model's inputs; tools/probe_bvh.py).
+    The keys are checked statically — absent keys cost nothing."""
 
     def walk(stack_ref):
         stack_ref[0] = jnp.int32(0)  # root
@@ -291,10 +296,15 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True):
             def leaf_case(args):
                 sp, st = args
                 first = nodes.field(rc, 8).astype(jnp.int32)
+                if isinstance(st, dict) and "_leaves" in st:
+                    st = dict(st, _leaves=st["_leaves"] + 1,
+                              _prims=st["_prims"] + count)
                 return sp, leaf_fn(first, count, st)
 
             def inner_case(args):
                 sp, st = args
+                if isinstance(st, dict) and "_nodes" in st:
+                    st = dict(st, _nodes=st["_nodes"] + 1)
                 left = nodes.field(rc, 6).astype(jnp.int32)
                 right = nodes.field(rc, 7).astype(jnp.int32)
                 rel = vote(st)
@@ -339,11 +349,14 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True):
     return pl.run_scoped(walk, pltpu.SMEM((STACK_DEPTH,), jnp.int32))
 
 
-def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0):
+def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
+                    stats: bool = False):
     """Closest triangle hit via the whole-tile BVH walk.
     Returns (best_t, best_n (3-tuple), best_mat) planes — same contract as
     mega_pallas._closest_tri_clustered's sweep state finish. leaf_size > 0
-    unrolls the leaf sweep statically (masked by the runtime count)."""
+    unrolls the leaf sweep statically (masked by the runtime count).
+    stats=True appends a (nodes, leaves, prims) i32 scalar visit-count
+    tuple to the return (profiling only; tools/probe_bvh.py)."""
     inv = tuple(1.0 / d[c] for c in range(3))
     zero = jnp.zeros_like(o[0])
     state = {
@@ -351,6 +364,9 @@ def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0):
         "nx": zero, "ny": zero, "nz": zero,
         "mat": jnp.zeros_like(o[0], jnp.int32),
     }
+    if stats:
+        state.update(_nodes=jnp.int32(0), _leaves=jnp.int32(0),
+                     _prims=jnp.int32(0))
 
     def tri_body(first, count, i, st):
         av, e1, e2, n, mat = _tri_record(tris, first + i)
@@ -369,23 +385,31 @@ def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0):
     st = _bvh_walk(nodes, o, inv,
                    vote=lambda st: mask, t_cap=lambda st: st["t"],
                    leaf_fn=leaf_fn, state=state)
-    return st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
+    out = st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
+    if stats:
+        out = out + ((st["_nodes"], st["_leaves"], st["_prims"]),)
+    return out
 
 
 def _make_leaf_fn(tri_body, leaf_size: int):
     """leaf_size > 0: fully-unrolled masked sweep (median-split leaves are
     almost all full, and the unroll pipelines the scalar loads); 0: a
     dynamic-trip fori_loop."""
+    def body(first, count, i, st):
+        # merge so profiling counters (and any other carried keys) survive
+        # bodies that rebuild only their own fields
+        return {**st, **tri_body(first, count, i, st)}
+
     if leaf_size > 0:
         def leaf_fn(first, count, st):
             for i in range(leaf_size):
-                st = tri_body(first, count, jnp.int32(i), st)
+                st = body(first, count, jnp.int32(i), st)
             return st
     else:
         def leaf_fn(first, count, st):
             return jax.lax.fori_loop(
                 0, count,
-                lambda i, st: tri_body(first, count, i, st), st)
+                lambda i, st: body(first, count, i, st), st)
     return leaf_fn
 
 
