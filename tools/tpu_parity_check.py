@@ -59,6 +59,7 @@ def main():
     # at low spp. Contract: ray counts within 1e-5 relative (flips are
     # countable-rare), <5% of pixels with >1% relative radiance diff.
     ok = True
+    results = []
     for scene in ("cornell", "mesh"):
         img_t, rays_t = _render("tpu", scene)
         img_c, rays_c = _render("cpu", scene)
@@ -71,6 +72,16 @@ def main():
         print(f"{scene}: rays tpu={rays_t:.0f} cpu={rays_c:.0f} "
               f"(ok={rays_ok})  branch-flip pixels={frac:.4%}  "
               f"median abs diff={med:.2e}  {'PASS' if passed else 'FAIL'}")
+        results.append({"scene": scene, "rays_tpu": rays_t,
+                        "rays_cpu": rays_c, "branch_flip_frac": frac,
+                        "median_abs_diff": med, "pass": passed})
+    # driver-visible artifact (VERDICT r1 weak-item 8)
+    import json
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "TPU_PARITY.json")
+    with open(out, "w") as f:
+        json.dump({"pass": ok, "scenes": results}, f, indent=1)
+    print(f"wrote {out}")
     return 0 if ok else 1
 
 

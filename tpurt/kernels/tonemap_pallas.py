@@ -31,11 +31,15 @@ N_CHANNELS = 16
 def _kernel(key_sat_ref, planes_ref, ns_ref, out_ref):
     key = key_sat_ref[0, 0]
     sat = key_sat_ref[0, 1]
-    # per-pixel resolve: rgb / max(alpha, 1) (ref: blit.wgsl:38)
-    inv_n = 1.0 / jnp.maximum(ns_ref[...], 1.0)
+    # per-pixel resolve: rgb / max(alpha, 1) (ref: blit.wgsl:38).  True
+    # division + the same op order as tonemap.resolve/tonemap — a
+    # reciprocal-multiply here differs by an ulp, and v/(1+v) near v=-1
+    # (negative out-of-gamut spectral sums) amplifies that ulp past any
+    # sane tolerance; identical ops keep the kernel bit-exact vs jnp.
+    n = jnp.maximum(ns_ref[...], 1.0)
     c = []
     for ch in range(3):
-        v = planes_ref[ch] * inv_n * key
+        v = (planes_ref[ch] / n) * key
         v = v / (1.0 + v)
         c.append(v)
     lum = c[0] * jnp.float32(LUMA[0]) + c[1] * jnp.float32(LUMA[1]) \

@@ -164,29 +164,32 @@ def interactive(args):
 
     MOVE = {"w": "forward", "s": "backward", "a": "left", "d": "right",
             "e": "up", "c": "down"}
-    IMPULSE_US = 80_000.0  # one keypress = 80ms of reference fly time
+    # dt-scaled continuous movement (ref: lib.rs:78-84 measures frame time
+    # and feeds it to CameraController::update, camera.rs:186-215).  A
+    # terminal has no key-up events; holding a key produces auto-repeat
+    # presses, so a key counts as HELD until no repeat arrives for
+    # HOLD_TIMEOUT seconds — then movement integrates the real frame dt.
+    HOLD_TIMEOUT = 0.30
+    held: dict[str, float] = {}     # move name -> last press time
+    boost_until = 0.0
+
+    term_size = os.get_terminal_size()
 
     with _RawTerm() as term:
         while True:
             changed = False
+            now_keys = time.perf_counter()
             for k in term.keys():
                 if k == "q":
                     return
                 elif k in MOVE or (k.lower() in MOVE and k.isupper()):
-                    boost = k.isupper()
-                    name = MOVE[k.lower()]
-                    controller.set_key("boost", boost)
-                    controller.set_key(name, True)
-                    cam, ch = controller.update(cam, IMPULSE_US)
-                    controller.set_key(name, False)
-                    controller.set_key("boost", False)
-                    changed |= ch
+                    held[MOVE[k.lower()]] = now_keys
+                    if k.isupper():
+                        boost_until = now_keys + HOLD_TIMEOUT
                 elif k in ("left_arrow", "right_arrow", "up_arrow", "down_arrow"):
                     dx = {"left_arrow": -40.0, "right_arrow": 40.0}.get(k, 0.0)
                     dy = {"up_arrow": -40.0, "down_arrow": 40.0}.get(k, 0.0)
                     controller.mouse_move(dx, dy)
-                    cam, ch = controller.update(cam, IMPULSE_US)
-                    changed |= ch
                 elif k == "=":
                     key_tm += 0.1           # ref: lib.rs:604-613
                 elif k == "-":
@@ -210,6 +213,40 @@ def interactive(args):
                                                    saturation=sat))
                     write_png("viewer.png", img)
 
+            # held-key movement: one controller update per frame with the
+            # REAL frame duration, like the reference's event loop
+            # (ref: lib.rs:78-84 -> camera.rs:186-215)
+            now = time.perf_counter()
+            held = {n: t for n, t in held.items()
+                    if now - t < HOLD_TIMEOUT}
+            if held:
+                controller.set_key("boost", now < boost_until)
+                for name in held:
+                    controller.set_key(name, True)
+            dt_us = (now - t_last) * 1e6
+            cam, ch = controller.update(cam, dt_us)
+            changed |= ch
+            if held:
+                for name in held:
+                    controller.set_key(name, False)
+                controller.set_key("boost", False)
+
+            # terminal resize -> recreate the accumulation state at the new
+            # resolution + aspect, reset iteration/radius, preview frame
+            # (ref: lib.rs:545-576 resize, mega_kernel.rs:224-262)
+            size = os.get_terminal_size()
+            if size != term_size:
+                term_size = size
+                w = max(64, min(args.width, size.columns))
+                h = max(36, min(args.height, (size.lines - 2) * 2))
+                w -= w % 2
+                h -= h % 2
+                cfg = cfg.with_(width=w, height=h)
+                cam = set_vfov(cam, vfov, w / h)
+                state = init_state(cfg)
+                preview = True
+                changed = False          # state already fresh
+
             if changed:
                 # clear accumulation + 1-bounce preview next frame
                 # (ref: lib.rs:514-526, mega_kernel.rs:199-202)
@@ -222,7 +259,6 @@ def interactive(args):
             preview = False
             frame += 1
 
-            size = os.get_terminal_size()
             img = np.asarray(resolve_image(cfg, state, key=key_tm,
                                            saturation=sat))
             now = time.perf_counter()
@@ -254,7 +290,14 @@ def main():
     ap.add_argument("--dispersion", action="store_true",
                     help="Cauchy dispersion on the camera path too "
                          "(default off = the reference quirk, wgsl :915)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the site config pins "
+                         "jax_platforms, so the env var doesn't work)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     if args.headless or not sys.stdin.isatty():
         headless(args)
