@@ -187,6 +187,22 @@ class TestFusedKernelBVHMode:
         assert supports_scene(scene, cfg_p)
         assert scene.num_triangles <= MAX_BVH_TRIS
 
+    def test_cluster_rows_identical(self):
+        """pallas_bvh_rows predicates each leaf's vector sweep per
+        row-cluster of lanes; a skipped cluster is one no lane of which
+        could be improved by the leaf, so results are identical to the
+        whole-tile sweep."""
+        scene = torus_mesh_scene(8, 4)
+        cfg_w, _ = self._cfgs()
+        cfg_c = cfg_w.with_(pallas_bvh_rows=2)
+        cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
+                          aspect_ratio=2.0)
+        st_w = render(scene, cfg_w, cam, init_state(cfg_w), 77, 2)
+        st_c = render(scene, cfg_c, cam, init_state(cfg_c), 77, 2)
+        assert float(st_w.rays) == float(st_c.rays) != 0.0
+        np.testing.assert_array_equal(np.asarray(st_w.rgb_sum),
+                                      np.asarray(st_c.rgb_sum))
+
 
 class _FS:
     def __init__(self, c, r, mat, mtype=0, ior=1.0):

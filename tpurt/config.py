@@ -126,6 +126,13 @@ class RenderConfig:
     #   node/triangle tables + per-tile stack, kernels/bvh_pallas.py):
     #   compile time is O(1) in mesh size, budget MAX_BVH_TRIS. False
     #   restores the flat SMEM-table sweep (MAX_DYNAMIC_TRIS).
+    pallas_bvh_rows: int = 0           # predicated leaf sweeps in the
+    #   dynamic walk: >0 splits each leaf's VECTOR sweep into row-clusters
+    #   of this many (8-sublane x 128-lane) rows, each gated by a
+    #   lax.cond on that cluster's own leaf-box vote. The 16 scalar loads
+    #   per primitive stay shared tile-wide (hoisted before the cluster
+    #   loop); only the per-lane intersection math is skipped for
+    #   clusters that don't want the leaf. 0 = whole-tile sweep.
     pallas_bvh_leaf: int = 32          # primitives per BVH leaf in that walk
     #   (tile-level votes want coarser leaves than the XLA path's 2;
     #   measured on 1080p torus meshes: 16/32/64 -> 47/51/53 Mrays/s at 1k

@@ -262,7 +262,8 @@ def _tri_record(tris: _PackedTable, ti):
     return av, e1, e2, n, mat
 
 
-def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True):
+def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True,
+              leaf_want=False):
     """Shared whole-tile stack walk. vote(state) -> relevance mask plane;
     t_cap(state) -> per-lane useful-entry bound; leaf_fn(first, count,
     state) -> state. `state` is a dict of planes (+ i32 scalars).
@@ -299,6 +300,12 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True):
                 if isinstance(st, dict) and "_leaves" in st:
                     st = dict(st, _leaves=st["_leaves"] + 1,
                               _prims=st["_prims"] + count)
+                if leaf_want:
+                    # per-lane leaf-box vote for cluster-predicated sweeps
+                    tn, tf = _node_box_entry(nodes, node, o, inv)
+                    want = vote(st) & ~((tn > tf) | (tf <= 0.0)
+                                        | (tn >= t_cap(st)))
+                    return sp, leaf_fn(first, count, st, want)
                 return sp, leaf_fn(first, count, st)
 
             def inner_case(args):
@@ -349,14 +356,52 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True):
     return pl.run_scoped(walk, pltpu.SMEM((STACK_DEPTH,), jnp.int32))
 
 
+def _make_clustered_leaf_fn(o, d, record, body, leaf_size: int,
+                            cluster_rows: int):
+    """leaf_fn(first, count, st, want) that splits the VECTOR sweep into
+    row-clusters, each gated by a lax.cond on that cluster's own leaf-box
+    vote (`want`, computed by _bvh_walk's leaf_case). The leaf's scalar
+    record loads are hoisted ONCE tile-wide before the cluster loop — the
+    scalar-unit cost is unchanged; only per-lane intersection math is
+    skipped for clusters that don't want the leaf. Plane-valued state
+    entries are sliced/merged per cluster (disjoint rows, so cluster
+    order cannot matter); scalar entries pass through untouched."""
+    R = o[0].shape[0]
+
+    def leaf_fn(first, count, st, want):
+        recs = [record(first + jnp.int32(i)) for i in range(leaf_size)]
+        for r0 in range(0, R, cluster_rows):
+            rsl = slice(r0, min(r0 + cluster_rows, R))
+            o2 = tuple(x[rsl] for x in o)
+            d2 = tuple(x[rsl] for x in d)
+            planes = {k: v for k, v in st.items()
+                      if getattr(v, "ndim", 0) == 2}
+
+            def sweep(ch, o2=o2, d2=d2):
+                for i, rec in enumerate(recs):
+                    ch = body(o2, d2, rec, jnp.int32(i) < count, ch)
+                return ch
+
+            chunk = {k: v[rsl] for k, v in planes.items()}
+            new = jax.lax.cond(jnp.any(want[rsl]), sweep,
+                               lambda ch: ch, chunk)
+            st = {**st, **{k: jax.lax.dynamic_update_slice(
+                st[k], new[k], (r0, 0)) for k in new}}
+        return st
+
+    return leaf_fn
+
+
 def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
-                    stats: bool = False):
+                    stats: bool = False, cluster_rows: int = 0):
     """Closest triangle hit via the whole-tile BVH walk.
     Returns (best_t, best_n (3-tuple), best_mat) planes — same contract as
     mega_pallas._closest_tri_clustered's sweep state finish. leaf_size > 0
     unrolls the leaf sweep statically (masked by the runtime count).
     stats=True appends a (nodes, leaves, prims) i32 scalar visit-count
-    tuple to the return (profiling only; tools/probe_bvh.py)."""
+    tuple to the return (profiling only; tools/probe_bvh.py).
+    cluster_rows > 0 (cfg.pallas_bvh_rows; requires leaf_size > 0)
+    predicates each leaf's vector sweep per row-cluster."""
     inv = tuple(1.0 / d[c] for c in range(3))
     zero = jnp.zeros_like(o[0])
     state = {
@@ -368,10 +413,10 @@ def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
         state.update(_nodes=jnp.int32(0), _leaves=jnp.int32(0),
                      _prims=jnp.int32(0))
 
-    def tri_body(first, count, i, st):
-        av, e1, e2, n, mat = _tri_record(tris, first + i)
-        t, valid = s.triangle_hit_c(o, d, av, e1, e2)
-        t = jnp.where(valid & (i < count), t, MISS)
+    def tri_body(o2, d2, rec, count_ok, st):
+        av, e1, e2, n, mat = rec
+        t, valid = s.triangle_hit_c(o2, d2, av, e1, e2)
+        t = jnp.where(valid & count_ok, t, MISS)
         better = t < st["t"]
         return {
             "t": jnp.where(better, t, st["t"]),
@@ -381,10 +426,20 @@ def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
             "mat": jnp.where(better, mat, st["mat"]),
         }
 
-    leaf_fn = _make_leaf_fn(tri_body, leaf_size)
+    record = lambda ti: _tri_record(tris, ti)
+    if cluster_rows > 0:
+        assert leaf_size > 0, "pallas_bvh_rows requires an unrolled leaf"
+        leaf_fn = _make_clustered_leaf_fn(o, d, record, tri_body,
+                                          leaf_size, cluster_rows)
+    else:
+        leaf_fn = _make_leaf_fn(
+            lambda first, count, i, st:
+                tri_body(o, d, record(first + i), i < count, st),
+            leaf_size)
     st = _bvh_walk(nodes, o, inv,
                    vote=lambda st: mask, t_cap=lambda st: st["t"],
-                   leaf_fn=leaf_fn, state=state)
+                   leaf_fn=leaf_fn, state=state,
+                   leaf_want=cluster_rows > 0)
     out = st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
     if stats:
         out = out + ((st["_nodes"], st["_leaves"], st["_prims"]),)
@@ -413,26 +468,37 @@ def _make_leaf_fn(tri_body, leaf_size: int):
     return leaf_fn
 
 
-def tri_shadow_bvh(nodes, tris, o, d, t_max, mask, leaf_size: int = 0):
+def tri_shadow_bvh(nodes, tris, o, d, t_max, mask, leaf_size: int = 0,
+                   cluster_rows: int = 0):
     """Any-hit occlusion via the whole-tile BVH walk: triangles occlude
     fully (ref: mega_kernel.wgsl:540-562). Returns a bool plane."""
     inv = tuple(1.0 / d[c] for c in range(3))
-    state = {"occ": jnp.zeros_like(o[0], jnp.int32)}
+    state = {"occ": jnp.zeros_like(o[0], jnp.int32), "tm": t_max}
 
-    def tri_body(first, count, i, st):
-        av, e1, e2, _, _ = _tri_record(tris, first + i)
-        t, valid = s.triangle_hit_c(o, d, av, e1, e2)
-        hit = valid & (i < count) & (t < t_max)
-        return {"occ": jnp.maximum(st["occ"], jnp.where(hit, 1, 0))}
+    def tri_body(o2, d2, rec, count_ok, st):
+        av, e1, e2, _, _ = rec
+        t, valid = s.triangle_hit_c(o2, d2, av, e1, e2)
+        hit = valid & count_ok & (t < st["tm"])
+        return dict(st, occ=jnp.maximum(st["occ"], jnp.where(hit, 1, 0)))
 
-    leaf_fn = _make_leaf_fn(tri_body, leaf_size)
+    record = lambda ti: _tri_record(tris, ti)
+    if cluster_rows > 0:
+        assert leaf_size > 0, "pallas_bvh_rows requires an unrolled leaf"
+        leaf_fn = _make_clustered_leaf_fn(o, d, record, tri_body,
+                                          leaf_size, cluster_rows)
+    else:
+        leaf_fn = _make_leaf_fn(
+            lambda first, count, i, st:
+                tri_body(o, d, record(first + i), i < count, st),
+            leaf_size)
 
     # already-occluded lanes drop out of the vote; fully-dark tiles pop
     # the remaining stack at ~1 box test per node
     st = _bvh_walk(nodes, o, inv,
                    vote=lambda st: mask & ~(st["occ"] > 0),
-                   t_cap=lambda st: t_max,
-                   leaf_fn=leaf_fn, state=state)
+                   t_cap=lambda st: st["tm"],
+                   leaf_fn=leaf_fn, state=state,
+                   leaf_want=cluster_rows > 0)
     return st["occ"] > 0
 
 

@@ -1068,13 +1068,15 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref):
         def tri_hit(o, d, m):
             nodes, tris_v = bvh_pallas.packed_views(tri_ref, len(TRIS))
             best_t, best_n, best_mat = bvh_pallas.closest_tri_bvh(
-                nodes, tris_v, o, d, m, leaf_size=cfg.pallas_bvh_leaf)
+                nodes, tris_v, o, d, m, leaf_size=cfg.pallas_bvh_leaf,
+                cluster_rows=cfg.pallas_bvh_rows)
             return _tri_state_finish(o, d, (best_t, best_n, best_mat))
 
         def tri_occ(o, d, tm, m):
             nodes, tris_v = bvh_pallas.packed_views(tri_ref, len(TRIS))
             return bvh_pallas.tri_shadow_bvh(
-                nodes, tris_v, o, d, tm, m, leaf_size=cfg.pallas_bvh_leaf)
+                nodes, tris_v, o, d, tm, m, leaf_size=cfg.pallas_bvh_leaf,
+                cluster_rows=cfg.pallas_bvh_rows)
     elif len(TRIS) > cfg.pallas_static_unroll:
         tri_hit = lambda o, d, m: _closest_tri_dyn(tri_ref, len(TRIS), o, d)
         tri_occ = lambda o, d, tm, m: _tri_shadow_dyn(
