@@ -258,3 +258,43 @@ def test_bounce_strata_parity_and_unbiased():
     m_s = float(np.asarray(st_s.rgb_sum).mean())
     m_r = float(np.asarray(st_r.rgb_sum).mean())
     assert abs(m_s - m_r) < 2e-2 * max(m_r, 1e-6), (m_s, m_r)
+
+
+def test_camera_bounce_strata_parity_and_unbiased():
+    """camera_strata_bounce: tile-shared (sample, bounce) cells for the
+    CAMERA path's scatter uniforms (key disjoint from photon cells).
+    Same contracts: draw positions unchanged, cross-backend agreement,
+    sampler mean unchanged within MC noise."""
+    scene = cornell_spheres_scene()
+    kw = dict(width=64, height=32, depth=4, tile_size=2048,
+              pallas_lanes=512, k_photons=2, max_photon_bounces=2,
+              photon_strata=8, photon_strata_dir=64,
+              camera_strata_bounce=True)
+    cfg_x = RenderConfig(backend="xla", **kw)
+    cfg_p = RenderConfig(backend="pallas", **kw)
+    cfg_t = RenderConfig(backend="pallas", pallas_regen=False, **kw)
+    st_x = render(scene, cfg_x, _cam(), init_state(cfg_x), 5, 3)
+    st_p = render(scene, cfg_p, _cam(), init_state(cfg_p), 5, 3)
+    st_t = render(scene, cfg_t, _cam(), init_state(cfg_t), 5, 3)
+    rx = float(st_x.rays)
+    assert rx != 0.0
+    for other in (st_p, st_t):
+        assert abs(float(other.rays) - rx) <= max(1e-5 * rx, 2.0)
+    img_x = np.asarray(resolve_image(cfg_x, st_x))
+    img_p = np.asarray(resolve_image(cfg_p, st_p))
+    # 0.06: depth-4 camera paths accumulate more RR/branch flips per
+    # pixel than the depth-3 photon-strata tests (measured 3.8%)
+    assert ((np.abs(img_x - img_p) > 1e-4).any(axis=-1)).mean() < 0.06
+
+    kw2 = dict(width=48, height=24, depth=4, pallas_lanes=512,
+               k_photons=2, max_photon_bounces=3)
+    cfg_s = RenderConfig(backend="pallas", photon_strata=8,
+                         photon_strata_dir=64, camera_strata_bounce=True,
+                         photon_strata_bounce=True,
+                         photon_strata_shared_k=True, **kw2)
+    cfg_r = RenderConfig(backend="pallas", **kw2)
+    st_s = render(scene, cfg_s, _cam(), init_state(cfg_s), 1234, 64)
+    st_r = render(scene, cfg_r, _cam(), init_state(cfg_r), 1234, 64)
+    m_s = float(np.asarray(st_s.rgb_sum).mean())
+    m_r = float(np.asarray(st_r.rgb_sum).mean())
+    assert abs(m_s - m_r) < 2e-2 * max(m_r, 1e-6), (m_s, m_r)

@@ -47,6 +47,14 @@ class RenderConfig:
     #   cell (ops/rng.apply_bounce_strata). A tight emission beam hits
     #   similar normals, so shared scatter cells keep segments 2+ coherent
     #   for the culling votes; per-lane RR still terminates independently.
+    camera_strata_bounce: bool = False  # the camera-path analogue of
+    #   photon_strata_bounce: diffuse/GGX scatter uniforms of camera
+    #   bounce b remap into a tile-shared (sample, bounce) cell (key
+    #   _CAMERA_STRATA_K, disjoint from every photon cell). Deep camera
+    #   bounces — the residual incoherent tail once photon beams are
+    #   stratified — sweep like the coherent primary phase. Unbiased
+    #   across samples; within a sample the whole tile's bounce-b
+    #   directions correlate (structured noise that averages out).
     photon_strata_window: int = 1      # power-of-two run of CONSECUTIVE
     #   samples sharing one cell epoch (stratum seed hashes the windowed
     #   global sample index). The regenerative kernel's lanes drift a few

@@ -347,7 +347,7 @@ def evaluate_bsdf(wo, wi, n, color, rough, ior, mtype, lam):
 # ----- Camera path -----
 
 def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: int,
-                       vis_prev: dict, valid=None):
+                       vis_prev: dict, valid=None, strata_seed=None):
     """Trace one spectral sample per lane (ref: mega_kernel.wgsl:865-982).
 
     Returns (radiance (N,3), rng, vis (dict), ray_count (f32 scalar)).
@@ -449,9 +449,12 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
         else:
             st_rays = st["rays"]
 
+        bs = None
+        if cfg.photon_strata and cfg.camera_strata_bounce:
+            bs = (strata_seed, rngmod.CAMERA_STRATA_K, st["b"])
         wi, new_tp, new_o, scat_ok, rr_live, rng = scatter_and_rr(
             cfg, wo, n, loc, color, rough, ior, mtype, lam, tp, rng,
-            camera_path=True)
+            camera_path=True, bounce_strata=bs)
 
         cont = active & found & scat_ok & rr_live
         out = {
@@ -704,7 +707,8 @@ def render_tile(scene, cfg: RenderConfig, camera, px, py, seed, photon_radius,
     lam = sample_wavelength(u_lam)
 
     rad, rng, vis, rays = trace_camera_paths(
-        scene, cfg, ray_o, ray_d, lam, rng, depth, vis_prev, valid=valid
+        scene, cfg, ray_o, ray_d, lam, rng, depth, vis_prev, valid=valid,
+        strata_seed=seed if strata_seed is None else strata_seed,
     )
     # Independent per-photon streams (see rng.photon_stream): draw
     # positions depend only on (pixel, sample, k), never on tile geometry

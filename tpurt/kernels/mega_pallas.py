@@ -1283,6 +1283,11 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             u2b, rng = rngmod.rand_1f(rng)
             u_choice, rng = rngmod.rand_1f(rng)
             u_rr, rng = rngmod.rand_1f(rng)
+            if cfg.photon_strata and cfg.camera_strata_bounce:
+                # tile-shared (sample, bounce) camera scatter cell
+                u2a, u2b, u_choice = rngmod.apply_bounce_strata(
+                    seed_ref[0, 1], rngmod.CAMERA_STRATA_K, st["b"],
+                    rngmod.strata_counts(cfg)[1], u2a, u2b, u_choice)
 
             wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough, u2a, u2b)
             wi, tpm = wi_d, tpm_d

@@ -458,6 +458,14 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 u2a = jnp.where(is_ph, sa, u2a)
                 u2b = jnp.where(is_ph, sb, u2b)
                 u_choice = jnp.where(is_ph, sc, u_choice)
+            if cfg.photon_strata and cfg.camera_strata_bounce:
+                # camera analogue: (sample, bounce) cell, disjoint key
+                ca, cb, cc = rngmod.apply_bounce_strata(
+                    strat_seed, rngmod.CAMERA_STRATA_K, bounce,
+                    rngmod.strata_counts(cfg)[1], u2a, u2b, u_choice)
+                u2a = jnp.where(is_cam, ca, u2a)
+                u2b = jnp.where(is_cam, cb, u2b)
+                u_choice = jnp.where(is_cam, cc, u_choice)
 
             wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough, u2a, u2b)
             wi, tpm = wi_d, tpm_d

@@ -221,6 +221,10 @@ def apply_emission_strata(seed, k: int, n_pos: int, n_dir: int,
 # so bounce cells never correlate with emission cells
 _BOUNCE_OFFSET = 0x7F4A7C15
 _BOUNCE_STEP = 0x94D049BB
+# the camera path's bounce-cell key (cfg.camera_strata_bounce): photon
+# cells key on k in [0, K); this constant keeps camera cells disjoint
+CAMERA_STRATA_K = 0x5BD1
+
 
 
 def apply_bounce_strata(seed, k, bounce, n_dir: int, ua, ub, uch):
