@@ -47,6 +47,15 @@ class RenderConfig:
     #   cell (ops/rng.apply_bounce_strata). A tight emission beam hits
     #   similar normals, so shared scatter cells keep segments 2+ coherent
     #   for the culling votes; per-lane RR still terminates independently.
+    pallas_phase_split_votes: bool = False  # regen kernel: intersect with
+    #   TWO phase-split culling votes (camera lanes, photon lanes) instead
+    #   of one union vote. The regenerative kernel interleaves phases per
+    #   lane, so a perfectly coherent photon beam still dragged incoherent
+    #   camera lanes into every leaf vote (and vice versa); split votes
+    #   let each phase prune like a pure tile. Bit-identical results (a
+    #   leaf skipped for a phase is one no lane of that phase could be
+    #   improved by); costs a second tree walk, so it wins only when the
+    #   strata flags actually make each phase a beam.
     camera_strata_bounce: bool = False  # the camera-path analogue of
     #   photon_strata_bounce: diffuse/GGX scatter uniforms of camera
     #   bounce b remap into a tile-shared (sample, bounce) cell (key

@@ -352,7 +352,20 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             is_ph = phase == 1
 
             # ---- shared bounce: intersect + material
-            t, loc, n, mat = intersect(o, d, active)
+            if cfg.pallas_phase_split_votes and K > 0:
+                # two phase-split culling votes: each phase prunes like a
+                # pure tile instead of dragging the other phase's rays
+                # into every leaf vote. Bit-identical per-lane results (a
+                # leaf a phase's vote skips is one no lane of that phase
+                # could be improved by); see config.py.
+                t_c, loc_c, n_c, mat_c = intersect(o, d, active & is_cam)
+                t_p, loc_p, n_p, mat_p = intersect(o, d, active & is_ph)
+                t = jnp.where(is_cam, t_c, t_p)
+                loc = s.vwhere(is_cam, loc_c, loc_p)
+                n = s.vwhere(is_cam, n_c, n_p)
+                mat = jnp.where(is_cam, mat_c, mat_p)
+            else:
+                t, loc, n, mat = intersect(o, d, active)
             found = t < _HIT
             color, rough, ior, is_diffuse, is_metal = \
                 _material_lookup_static(MATS, mat)
