@@ -370,12 +370,16 @@ def _make_clustered_leaf_fn(o, d, record, body, leaf_size: int,
 
     def leaf_fn(first, count, st, want):
         recs = [record(first + jnp.int32(i)) for i in range(leaf_size)]
+        planes = {k: v for k, v in st.items()
+                  if getattr(v, "ndim", 0) == 2}
+        # rebuild each plane by concatenating per-cluster chunks —
+        # dynamic_update_slice has no Mosaic lowering inside the walk's
+        # cond/while nest, and the row splits are static anyway
+        chunks = []
         for r0 in range(0, R, cluster_rows):
             rsl = slice(r0, min(r0 + cluster_rows, R))
             o2 = tuple(x[rsl] for x in o)
             d2 = tuple(x[rsl] for x in d)
-            planes = {k: v for k, v in st.items()
-                      if getattr(v, "ndim", 0) == 2}
 
             def sweep(ch, o2=o2, d2=d2):
                 for i, rec in enumerate(recs):
@@ -383,11 +387,11 @@ def _make_clustered_leaf_fn(o, d, record, body, leaf_size: int,
                 return ch
 
             chunk = {k: v[rsl] for k, v in planes.items()}
-            new = jax.lax.cond(jnp.any(want[rsl]), sweep,
-                               lambda ch: ch, chunk)
-            st = {**st, **{k: jax.lax.dynamic_update_slice(
-                st[k], new[k], (r0, 0)) for k in new}}
-        return st
+            chunks.append(jax.lax.cond(jnp.any(want[rsl]), sweep,
+                                       lambda ch: ch, chunk))
+        merged = {k: jnp.concatenate([c[k] for c in chunks], axis=0)
+                  for k in planes} if len(chunks) > 1 else chunks[0]
+        return {**st, **merged}
 
     return leaf_fn
 
