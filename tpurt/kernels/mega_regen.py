@@ -265,26 +265,34 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 spawn_p = ~active & (phase == 1) & (k < K)
 
                 def _ph_spawn_vals(_):
+                    # ONE vectorized construction with the lane's own k as
+                    # an i32 plane (photon_stream/emission_strata take
+                    # dynamic k) instead of K unrolled constructions +
+                    # selects — bit-identical streams, ~1/K the spawn
+                    # cost, and this block runs nearly every iteration
+                    # once lanes desynchronize. Only the LIGHT choice
+                    # stays a (short, static) loop: k % L selects among L
+                    # lights, and light constants are baked per light.
+                    rkk = rngmod.photon_stream(samp_seed, px, py, k)
+                    uc, rkk = rngmod.rand_1f(rkk)
+                    up1, rkk = rngmod.rand_1f(rkk)
+                    _u, rkk = rngmod.rand_1f(rkk)  # parity: drawn, unused
+                    ue1, rkk = rngmod.rand_1f(rkk)
+                    ue2, rkk = rngmod.rand_1f(rkk)
+                    uh1, rkk = rngmod.rand_1f(rkk)
+                    uh2, rkk = rngmod.rand_1f(rkk)
+                    rng_pk = rkk
+                    if cfg.photon_strata:
+                        # tile-coherent emission cell per (sample, k)
+                        uc, up1, ue1, ue2, uh1, uh2 = \
+                            rngmod.apply_emission_strata(
+                                strat_seed, rngmod.strata_k(cfg, k),
+                                *rngmod.strata_counts(cfg),
+                                uc, up1, ue1, ue2, uh1, uh2)
                     ph_o, ph_d, ph_tp = z3, z3, z3
-                    rng_pk = izero.astype(jnp.uint32)
-                    for kk in range(K):
-                        sel = spawn_p & (k == kk)
-                        rkk = rngmod.photon_stream(samp_seed, px, py, kk)
-                        lt = LIGHTS[kk % L]
-                        uc, rkk = rngmod.rand_1f(rkk)
-                        up1, rkk = rngmod.rand_1f(rkk)
-                        _u, rkk = rngmod.rand_1f(rkk)  # parity: drawn, unused
-                        ue1, rkk = rngmod.rand_1f(rkk)
-                        ue2, rkk = rngmod.rand_1f(rkk)
-                        uh1, rkk = rngmod.rand_1f(rkk)
-                        uh2, rkk = rngmod.rand_1f(rkk)
-                        if cfg.photon_strata:
-                            # tile-coherent emission cell per (sample, k)
-                            uc, up1, ue1, ue2, uh1, uh2 = \
-                                rngmod.apply_emission_strata(
-                                    strat_seed, rngmod.strata_k(cfg, kk),
-                                    *rngmod.strata_counts(cfg),
-                                    uc, up1, ue1, ue2, uh1, uh2)
+                    for li in range(L):
+                        sel = (k % L == li) if L > 1 else spawn_p
+                        lt = LIGHTS[li]
                         if lt.ltype == 0:
                             ct = 1.0 - uc * np.float32(1.0 - PHOTON_CONE_COS)
                             stn = jnp.sqrt(jnp.maximum(0.0, 1.0 - ct * ct))
@@ -321,10 +329,12 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                             kt = s.vbroadcast(tuple(
                                 lt.color[c] * lt.intensity / cfg.k_photons
                                 for c in range(3)), uc)
-                        ph_o = s.vwhere(sel, ko, ph_o)
-                        ph_d = s.vwhere(sel, kd, ph_d)
-                        ph_tp = s.vwhere(sel, kt, ph_tp)
-                        rng_pk = jnp.where(sel, rkk, rng_pk)
+                        if L > 1:
+                            ph_o = s.vwhere(sel, ko, ph_o)
+                            ph_d = s.vwhere(sel, kd, ph_d)
+                            ph_tp = s.vwhere(sel, kt, ph_tp)
+                        else:
+                            ph_o, ph_d, ph_tp = ko, kd, kt
                     return (*ph_o, *ph_d, *ph_tp, rng_pk)
 
                 def _ph_spawn_skip(_):

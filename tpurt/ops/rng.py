@@ -71,9 +71,17 @@ def photon_stream(seed, x, y, k: int = 0):
     function of (pixel, sample, phase, k) — invariant to how many draws
     other lanes or phases consumed. That keeps the XLA integrator, the
     Pallas megakernel, and the regenerative kernels same-seed comparable
-    at ANY depth, tile size, or scheduling order."""
-    # modular uint32 arithmetic by design (python ints avoid numpy warnings)
-    off = np.uint32((0x9E3779B9 + k * 0x85EBCA6B) & 0xFFFFFFFF)
+    at ANY depth, tile size, or scheduling order.
+
+    `k` may be a Python int or an i32 plane (the regenerative kernel
+    spawns all pending photon indices in one vectorized pass); both forms
+    produce identical streams (same modular uint32 arithmetic)."""
+    if isinstance(k, (int, np.integer)):
+        # python ints avoid numpy overflow warnings
+        off = np.uint32((0x9E3779B9 + int(k) * 0x85EBCA6B) & 0xFFFFFFFF)
+    else:
+        off = (_PHOTON_OFFSET
+               + jnp.asarray(k, jnp.int32).astype(jnp.uint32) * _PHOTON_K_STEP)
     return seed_pixels(jnp.asarray(seed, jnp.uint32) + off, x, y)
 
 
@@ -154,8 +162,14 @@ def emission_strata(seed, k: int, n_pos: int, n_dir: int):
     wide beam, so n_dir usually wants to be much finer than n_pos."""
     _check_strata(n_pos, "photon_strata")
     _check_strata(n_dir, "photon_strata_dir")
-    s = jnp.asarray(seed, jnp.uint32) + np.uint32(
-        (_STRATA_OFFSET + k * _STRATA_K_STEP) & 0xFFFFFFFF)
+    if isinstance(k, (int, np.integer)):
+        off = np.uint32((_STRATA_OFFSET + int(k) * _STRATA_K_STEP)
+                        & 0xFFFFFFFF)
+    else:  # i32 plane (vectorized photon spawn) — same modular arithmetic
+        off = (np.uint32(_STRATA_OFFSET)
+               + jnp.asarray(k, jnp.int32).astype(jnp.uint32)
+               * np.uint32(_STRATA_K_STEP))
+    s = jnp.asarray(seed, jnp.uint32) + off
     h, _ = rand_u32(s)
     mp = jnp.uint32(n_pos - 1)
     md = jnp.uint32(n_dir - 1)
