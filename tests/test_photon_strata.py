@@ -298,3 +298,50 @@ def test_camera_bounce_strata_parity_and_unbiased():
     m_s = float(np.asarray(st_s.rgb_sum).mean())
     m_r = float(np.asarray(st_r.rgb_sum).mean())
     assert abs(m_s - m_r) < 2e-2 * max(m_r, 1e-6), (m_s, m_r)
+
+
+def test_wide_dir_strata():
+    """Direction cells past 256 (two 16-bit fields from a second PCG
+    word): the <=256 layout is pinned bit-identical (goldens), wide
+    fields are in range, remapped uniforms stay in [0, 1), and the
+    caps reject out-of-range counts."""
+    import jax.numpy as jnp
+    import pytest
+
+    s = jnp.uint32(12345)
+    # goldens pin the narrow layout (any drift breaks cross-round repro)
+    assert [float(x) for x in rngmod.emission_strata(s, 2, 8, 8)] \
+        == [7.0, 4.0, 0.0, 1.0]
+    assert [float(x) for x in rngmod.emission_strata(s, 2, 4, 256)] \
+        == [3.0, 0.0, 48.0, 201.0]
+    # wide path: position fields identical, dir fields from the 2nd word
+    pu, pv, da, db = rngmod.emission_strata(s, 2, 4, 1024)
+    assert (float(pu), float(pv)) == (3.0, 0.0)
+    assert 0.0 <= float(da) <= 1023.0 and 0.0 <= float(db) <= 1023.0
+    assert [float(da), float(db)] == [642.0, 978.0]  # golden
+    # purity + k-sensitivity hold in the wide regime too
+    again = rngmod.emission_strata(s, 2, 4, 1024)
+    assert [float(x) for x in again] == [3.0, 0.0, 642.0, 978.0]
+    other_k = rngmod.emission_strata(s, 3, 4, 1024)
+    assert any(float(x) != float(y) for x, y in zip(again, other_k))
+
+    # remapped uniforms stay inside [0, 1) at the finest count
+    us = tuple(jnp.float32(u) for u in
+               (0.999999, 0.5, 0.0, 0.25, 0.75, 0.125))
+    out = rngmod.apply_emission_strata(s, 2, 16, 4096, *us)
+    for u in out:
+        assert 0.0 <= float(u) < 1.0
+    ba, bb, bc = rngmod.apply_bounce_strata(
+        s, 1, 2, 1024, jnp.float32(0.5), jnp.float32(0.25),
+        jnp.float32(0.75))
+    for u in (ba, bb, bc):
+        assert 0.0 <= float(u) < 1.0
+    # narrow bounce layout pinned too
+    g = rngmod.apply_bounce_strata(s, 1, 2, 64, jnp.float32(0.5),
+                                   jnp.float32(0.25), jnp.float32(0.75))
+    assert [float(x) for x in g] == [0.3515625, 0.25390625, 0.02734375]
+
+    with pytest.raises(ValueError):
+        rngmod.emission_strata(s, 2, 8, 8192)   # dir cap
+    with pytest.raises(ValueError):
+        rngmod.emission_strata(s, 2, 512, 8)    # pos stays narrow

@@ -136,13 +136,18 @@ _STRATA_OFFSET = 0xA511E9B3
 _STRATA_K_STEP = 0x632BE5AB
 
 
-def _check_strata(n: int, what: str):
+def _check_strata(n: int, what: str, wide: bool = False):
     # power-of-two: the bit-mask extraction below covers every stratum
     # uniformly; other n silently NEVER sample some cells (biased image).
     # <= 256: the four index fields live in disjoint 8-bit lanes of h.
-    if not (0 < n <= 256 and (n & (n - 1)) == 0):
+    # Direction counts may go `wide` (a second hash word supplies two
+    # 16-bit fields), capped at 4096: the (s + u) * inv remap keeps only
+    # ~24 - log2(n) mantissa bits of u inside a cell, so finer n starts
+    # quantizing the within-cell uniform (a real f32 bias, not hygiene).
+    cap = 4096 if wide else 256
+    if not (0 < n <= cap and (n & (n - 1)) == 0):
         raise ValueError(
-            f"{what} must be a power of two in [1, 256], got {n}")
+            f"{what} must be a power of two in [1, {cap}], got {n}")
 
 
 def emission_strata(seed, k: int, n_pos: int, n_dir: int):
@@ -161,7 +166,7 @@ def emission_strata(seed, k: int, n_pos: int, n_dir: int):
     tens of units from the scene turns even a small angular cell into a
     wide beam, so n_dir usually wants to be much finer than n_pos."""
     _check_strata(n_pos, "photon_strata")
-    _check_strata(n_dir, "photon_strata_dir")
+    _check_strata(n_dir, "photon_strata_dir", wide=True)
     if isinstance(k, (int, np.integer)):
         off = np.uint32((_STRATA_OFFSET + int(k) * _STRATA_K_STEP)
                         & 0xFFFFFFFF)
@@ -170,11 +175,15 @@ def emission_strata(seed, k: int, n_pos: int, n_dir: int):
                + jnp.asarray(k, jnp.int32).astype(jnp.uint32)
                * np.uint32(_STRATA_K_STEP))
     s = jnp.asarray(seed, jnp.uint32) + off
-    h, _ = rand_u32(s)
+    h, s2 = rand_u32(s)
     mp = jnp.uint32(n_pos - 1)
     md = jnp.uint32(n_dir - 1)
-    idx = (h & mp, (h >> jnp.uint32(8)) & mp,
-           (h >> jnp.uint32(16)) & md, (h >> jnp.uint32(24)) & md)
+    if n_dir <= 256:
+        da, db = (h >> jnp.uint32(16)) & md, (h >> jnp.uint32(24)) & md
+    else:  # wide direction cells: two 16-bit fields from a second word
+        h2, _ = rand_u32(s2)
+        da, db = h2 & md, (h2 >> jnp.uint32(16)) & md
+    idx = (h & mp, (h >> jnp.uint32(8)) & mp, da, db)
     return tuple(_u32_to_f32(i) for i in idx)
 
 
@@ -256,15 +265,21 @@ def apply_bounce_strata(seed, k, bounce, n_dir: int, ua, ub, uch):
     cross-sample noise.  The RR uniform is NOT remapped (termination
     stays per-lane).  `k`/`bounce` may be Python ints or i32 planes (the
     regenerative kernel interleaves both across lanes)."""
-    _check_strata(n_dir, "photon_strata bounce cells")
+    _check_strata(n_dir, "photon_strata bounce cells", wide=True)
     s0 = (jnp.asarray(seed, jnp.uint32) + np.uint32(_BOUNCE_OFFSET)
           + jnp.asarray(k, jnp.uint32) * np.uint32(_STRATA_K_STEP)
           + jnp.asarray(bounce, jnp.uint32) * np.uint32(_BOUNCE_STEP))
-    h, _ = rand_u32(s0)
+    h, s1 = rand_u32(s0)
     md = jnp.uint32(n_dir - 1)
-    da = _u32_to_f32(h & md)
-    db = _u32_to_f32((h >> jnp.uint32(8)) & md)
-    dc = _u32_to_f32((h >> jnp.uint32(16)) & md)
+    if n_dir <= 256:
+        da_b, db_b, dc_b = h & md, (h >> jnp.uint32(8)) & md, \
+            (h >> jnp.uint32(16)) & md
+    else:  # wide cells: 16-bit fields, third from a second hash word
+        h2, _ = rand_u32(s1)
+        da_b, db_b, dc_b = h & md, (h >> jnp.uint32(16)) & md, h2 & md
+    da = _u32_to_f32(da_b)
+    db = _u32_to_f32(db_b)
+    dc = _u32_to_f32(dc_b)
     inv = np.float32(1.0 / n_dir)
 
     def r(u, s):
