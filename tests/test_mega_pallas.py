@@ -410,3 +410,30 @@ class TestClusteredTriangles:
         assert float(st_p.rays) == float(st_x.rays) != 0.0
         img = np.asarray(st_p.rgb_sum)[:48 * 24]
         assert np.isfinite(img).all() and img.sum() > 0
+
+
+class TestBoundedDrift:
+    def test_drift_bound_bit_identical(self):
+        """cfg.pallas_regen_drift is SCHEDULING only: bounding how far a
+        lane runs ahead of its tile's slowest lane must not change a
+        single bit of the accumulated state (same per-(pixel, sample)
+        streams, same per-lane add order) — at the tightest bound (1)
+        and a practical one (4), with the full strata stack live."""
+        from tpurt import dispersive_scene
+        scene = dispersive_scene()
+        cam = make_camera((0, 3, -4), (0, 1, 5), vfov=55.0,
+                          aspect_ratio=2.0)
+        kw = dict(width=64, height=32, depth=4, tile_size=2048,
+                  pallas_lanes=512, k_photons=2, max_photon_bounces=3,
+                  backend="pallas", photon_strata=8, photon_strata_dir=64,
+                  photon_strata_window=4, photon_strata_shared_k=True,
+                  photon_strata_bounce=True, camera_strata_bounce=True)
+        cfg0 = RenderConfig(**kw)
+        st0 = render(scene, cfg0, cam, init_state(cfg0), 7, 6)
+        assert float(st0.rays) != 0.0
+        for w in (1, 4):
+            cfgw = RenderConfig(pallas_regen_drift=w, **kw)
+            stw = render(scene, cfgw, cam, init_state(cfgw), 7, 6)
+            assert float(stw.rays) == float(st0.rays)
+            assert np.array_equal(np.asarray(stw.rgb_sum),
+                                  np.asarray(st0.rgb_sum)), w

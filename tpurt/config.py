@@ -109,6 +109,17 @@ class RenderConfig:
     pallas_regen: bool = True          # per-lane sample regeneration kernel
     #   (kernels/mega_regen.py): ~100% occupancy, 1.4x the tile-synchronized
     #   kernel, bit-comparable results. False = tile-sync kernel.
+    pallas_regen_drift: int = 0        # bound on how many samples a regen
+    #   lane may run AHEAD of its tile's slowest lane (0 = unbounded, the
+    #   round-1 behavior). Lanes drift apart within a render call (path
+    #   lengths vary), so by late samples a tile's live lanes span many
+    #   sample indices — many distinct photon-strata beams — and the
+    #   culling votes stop pruning (measured: config-3 spp 64 runs 7%
+    #   slower per segment than spp 32; mesh scenes 2x). A bound of W
+    #   caps the live-epoch spread at W (pair with photon_strata_window=W
+    #   to fold those into ~1-2 beams) at a small occupancy cost: a lane
+    #   at the bound idles until the tile minimum advances. SCHEDULING
+    #   only — the traced samples, streams, and sums are bit-identical.
     pallas_static_unroll: int = 32     # spheres baked into the instruction
     #   stream up to this count (fastest; compile grows with count — 257
     #   spheres ~6 min). Above it: SMEM-table fori sweep (fast compile,

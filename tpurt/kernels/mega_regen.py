@@ -187,6 +187,16 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             # ---- camera spawn (lax.cond: most iterations have no spawning
             # lane, skipping the ~650-op CIE select chain entirely)
             spawn_c = ~active & (phase == 0) & (sample < spp) & valid_px
+            if cfg.pallas_regen_drift > 0:
+                # bounded drift (cfg.pallas_regen_drift): hold a lane's
+                # next-sample spawn while it is >= W samples ahead of the
+                # tile's slowest unfinished lane. The min lane always
+                # passes (sample == min_s < min_s + W), so the tile can
+                # never deadlock; blocked lanes stay pending and re-test
+                # next trip.
+                live = (sample < spp) & valid_px
+                min_s = jnp.min(jnp.where(live, sample, spp))
+                spawn_c &= sample < min_s + np.int32(cfg.pallas_regen_drift)
             # global sample index = iteration at call start + local sample:
             # progressive continuation draws NEW samples, never repeats
             samp_seed = _frame_seed(base_seed, it0_i + sample)
