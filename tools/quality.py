@@ -1,0 +1,118 @@
+"""Estimator-quality probe: variance at equal spp for sampler flag stacks.
+
+The perf flags (photon_strata*, camera_strata_bounce, hero_wavelengths,
+pallas_regen_drift) must not silently trade image quality for Mrays/s.
+All are unbiased (strata remaps are measure-preserving per sample;
+drift is scheduling-only), so the honest cost metric is *variance at
+equal spp*: render R independent S-spp images per flag set (different
+seeds), average per-pixel sample variance of the resolved image, and
+report each stack's efficiency relative to the reference sampler
+(ratio > 1: fewer samples for equal noise; < 1: structured per-sample
+correlation costs variance that extra throughput must buy back).
+
+CPU/XLA-backend by design (estimator-level property, identical across
+backends — the cross-backend exactness tests pin that), so it can run
+concurrently with TPU perf probes.
+
+Usage: python tools/quality.py [--spp 16] [--reps 8] [--scene config3]
+Prints one JSON line per flag stack.
+"""
+import sys, os as _os
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import argparse
+import json
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+
+STACKS = {
+    "reference": {},
+    "strata16": dict(photon_strata=16),
+    "K2": dict(photon_strata=16, photon_strata_dir=256,
+               photon_strata_shared_k=True, photon_strata_bounce=True,
+               camera_strata_bounce=True),
+    "K2h": dict(photon_strata=16, photon_strata_dir=256,
+                photon_strata_shared_k=True, photon_strata_bounce=True,
+                camera_strata_bounce=True, hero_wavelengths=4),
+    "K2h_w8": dict(photon_strata=16, photon_strata_dir=256,
+                   photon_strata_shared_k=True, photon_strata_bounce=True,
+                   camera_strata_bounce=True, hero_wavelengths=4,
+                   photon_strata_window=8),
+    "mesh1024": dict(photon_strata=16, photon_strata_dir=1024,
+                     photon_strata_shared_k=True, photon_strata_bounce=True,
+                     camera_strata_bounce=True, photon_strata_window=8),
+}
+
+
+def build(scene_name):
+    from tpurt import (RenderConfig, instanced_scene, make_camera,
+                       torus_mesh_scene, cornell_spheres_scene)
+    if scene_name == "config3":
+        scene = instanced_scene(64)   # shrunk twin of the 257-instance bench
+        cam = make_camera((0, 10, -14), (0, 1, 8), vfov=55.0,
+                          aspect_ratio=2.0)
+        kw = dict(width=64, height=32, depth=16)
+    elif scene_name == "mesh":
+        scene = torus_mesh_scene(16, 8)
+        cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
+                          aspect_ratio=2.0)
+        kw = dict(width=64, height=32, depth=16)
+    else:
+        scene = cornell_spheres_scene()
+        cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0,
+                          aspect_ratio=2.0)
+        kw = dict(width=64, height=32, depth=8)
+    return scene, cam, kw
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--spp", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--scene", default="config3",
+                    choices=["config3", "mesh", "cornell"])
+    ap.add_argument("--stacks", nargs="*", default=list(STACKS))
+    args = ap.parse_args()
+
+    from tpurt import RenderConfig, init_state, render, resolve_image
+    scene, cam, kw = build(args.scene)
+
+    ref_var = None
+    for name in args.stacks:
+        flags = STACKS[name]
+        cfg = RenderConfig(backend="xla", **kw, **flags)
+        imgs = []
+        for rep in range(args.reps):
+            st = render(scene, cfg, cam, init_state(cfg),
+                        1000 + 7919 * rep, args.spp)
+            imgs.append(np.asarray(resolve_image(cfg, st), np.float64))
+        imgs = np.stack(imgs)                    # (reps, H, W, 3)
+        mean = imgs.mean(0)
+        # two variance views, both normalized by the scene's own scale:
+        # - rgb: total per-channel variance (dominated by single-lambda
+        #   CHROMA noise in spectral scenes — the component hero-
+        #   wavelength sampling collapses)
+        # - luma: Rec.709 luminance variance (the PATH/geometry noise
+        #   that strata correlation could inflate)
+        var = ((imgs - mean) ** 2).sum(0) / (len(imgs) - 1)
+        w709 = np.array([0.2126, 0.7152, 0.0722])
+        luma = imgs @ w709
+        lmean = luma.mean(0)
+        lvar = ((luma - lmean) ** 2).sum(0) / (len(imgs) - 1)
+        score = float(var.mean() / max(np.abs(mean).mean() ** 2, 1e-12))
+        lscore = float(lvar.mean() / max(np.abs(lmean).mean() ** 2, 1e-12))
+        if name == "reference":
+            ref_var = (score, lscore)
+        print(json.dumps({
+            "scene": args.scene, "spp": args.spp, "reps": args.reps,
+            "stack": name, "rel_var_rgb": round(score, 5),
+            "rel_var_luma": round(lscore, 5),
+            "eff_rgb": round(ref_var[0] / score, 3) if ref_var else None,
+            "eff_luma": round(ref_var[1] / lscore, 3) if ref_var else None,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
