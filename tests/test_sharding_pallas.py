@@ -64,14 +64,21 @@ def test_sharded_matches_single_device():
     assert np.isfinite(img).all()
 
 
-def test_sharded_regen_bit_identical():
+import pytest
+
+
+@pytest.mark.parametrize("drift", [0, 4])
+def test_sharded_regen_bit_identical(drift):
     """The sharded regenerative kernel equals single-chip bit-for-bit
     (tile_base keeps all streams global; per-lane schedules identical).
     Runs on the FULL 8-device mesh: 64x32 px at 256 lanes/tile = 16 tiles,
-    2 per device (VERDICT r1 weak-item 3)."""
+    2 per device (VERDICT r1 weak-item 3). drift=4 additionally pins that
+    the bounded-drift schedule (a tile-LOCAL min) changes nothing under
+    shard_map either."""
     from tpurt.render import init_state, render
     cfg = RenderConfig(width=64, height=32, depth=3, backend="pallas",
-                       pallas_lanes=256, k_photons=1, max_photon_bounces=2)
+                       pallas_lanes=256, k_photons=1, max_photon_bounces=2,
+                       pallas_regen_drift=drift)
     scene = cornell_spheres_scene()
     cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
                       aspect_ratio=2.0)
