@@ -52,13 +52,22 @@ def build_bench(config_id: int, small: bool):
         cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0, aspect_ratio=w / h)
     elif config_id == 3:  # >=256 instances 1080p (BASELINE config 3)
         # full static unroll: ~6 min one-off Mosaic compile (warmup, not
-        # timed) buys ~4x the steady-state throughput of the SMEM sweep;
-        # stratified photon emission (unbiased, docs/DESIGN.md) makes the
-        # photon phase vote-prunable (+5% measured)
+        # timed) buys ~4x the steady-state throughput of the SMEM sweep.
+        # Sampler stack (all unbiased, docs/DESIGN.md; estimator variance
+        # measured by tools/quality.py): tile-stratified photon emission
+        # with fine direction cells + shared-k + bounce strata makes the
+        # photon phase vote-prunable; a 16-sample window epoch keeps the
+        # regen kernel's drifted lanes inside one beam; hero-wavelength
+        # sampling collapses the single-lambda spectral variance.
         cfg = RenderConfig(width=w, height=h, depth=30,
                            pallas_static_unroll=512,
                            pallas_cluster_size=32,
-                           photon_strata=16, **kw)
+                           photon_strata=16, photon_strata_dir=256,
+                           photon_strata_shared_k=True,
+                           photon_strata_bounce=True,
+                           camera_strata_bounce=True,
+                           photon_strata_window=16,
+                           hero_wavelengths=8, **kw)
         scene = instanced_scene(256)
         cam = make_camera((0, 10, -14), (0, 1, 8), vfov=55.0, aspect_ratio=w / h)
     elif config_id == 4:  # dispersive spectral scene (BASELINE config 4:
@@ -123,8 +132,19 @@ def run_config(config_id: int, small: bool, spp: int, verbose: bool) -> dict:
         # run parameters (ADVICE r1): spp and sampler extensions change the
         # measurement, so record them to keep rounds comparable
         "spp": spp,
-        "photon_strata": cfg.photon_strata,
         "backend": cfg.backend,
+        # full sampler stack (ADVICE r1): every flag that changes the
+        # estimator is recorded so round-over-round numbers stay comparable
+        "sampler": {
+            "photon_strata": cfg.photon_strata,
+            "photon_strata_dir": cfg.photon_strata_dir,
+            "photon_strata_shared_k": cfg.photon_strata_shared_k,
+            "photon_strata_bounce": cfg.photon_strata_bounce,
+            "camera_strata_bounce": cfg.camera_strata_bounce,
+            "photon_strata_window": cfg.photon_strata_window,
+            "hero_wavelengths": cfg.hero_wavelengths,
+            "pallas_regen_drift": cfg.pallas_regen_drift,
+        },
     }
     if verbose:
         print(f"{spp} spp in {dt:.2f}s -> {mrays:.1f} Mrays/s, "

@@ -43,6 +43,21 @@ STACKS = {
     "mesh1024": dict(photon_strata=16, photon_strata_dir=1024,
                      photon_strata_shared_k=True, photon_strata_bounce=True,
                      camera_strata_bounce=True, photon_strata_window=8),
+    # the shipped bench config-3 stack (round 2): window16 + hero8
+    "K2h8_w16": dict(photon_strata=16, photon_strata_dir=256,
+                     photon_strata_shared_k=True, photon_strata_bounce=True,
+                     camera_strata_bounce=True, hero_wavelengths=8,
+                     photon_strata_window=16),
+    # the rejected wider-window candidate, kept for comparison
+    "K2h_w32": dict(photon_strata=16, photon_strata_dir=256,
+                    photon_strata_shared_k=True, photon_strata_bounce=True,
+                    camera_strata_bounce=True, hero_wavelengths=4,
+                    photon_strata_window=32),
+    # the shipped mesh stack: dir4096 + drift + window8 + hero4
+    "mesh_ship": dict(photon_strata=16, photon_strata_dir=4096,
+                      photon_strata_shared_k=True, photon_strata_bounce=True,
+                      camera_strata_bounce=True, hero_wavelengths=4,
+                      photon_strata_window=8, pallas_regen_drift=8),
 }
 
 
