@@ -160,13 +160,18 @@ def main():
     ap.add_argument("--config", type=int, default=1)
     ap.add_argument("--all", action="store_true",
                     help="run all 5 BASELINE configs, one JSON line each")
-    ap.add_argument("--spp", type=int, default=64, help="timed samples")
+    ap.add_argument("--spp", type=int, default=0,
+                    help="timed samples (0 = per-config default: 256 for the "
+                         "sub-second wavefront config 5, else 64)")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
     configs = [1, 2, 3, 4, 5] if args.all else [args.config]
     for cid in configs:
-        result = run_config(cid, args.small, args.spp, not args.json_only)
+        # config 5's frame is sub-second at 64 spp (launch-overhead-bound);
+        # time a 256-spp steady-state region there unless --spp overrides.
+        spp = args.spp or (256 if cid == 5 else 64)
+        result = run_config(cid, args.small, spp, not args.json_only)
         print(json.dumps(result), flush=True)
 
 
