@@ -263,10 +263,14 @@ def _tri_record(tris: _PackedTable, ti):
 
 
 def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True,
-              leaf_want=False):
+              leaf_want=False, leaf_node=False, stack_ref=None):
     """Shared whole-tile stack walk. vote(state) -> relevance mask plane;
     t_cap(state) -> per-lane useful-entry bound; leaf_fn(first, count,
     state) -> state. `state` is a dict of planes (+ i32 scalars).
+    leaf_node=True prepends the leaf's node index to leaf_fn's arguments
+    (the chunked walk's phase-1 worklist needs it); stack_ref lets a
+    caller supply an SMEM stack scoped around repeated walks (the chunked
+    phase-2 per-chunk walks) instead of scoping one per call.
 
     At each inner node BOTH children are slab-tested and voted; unvoted
     children are never pushed, and (ordered=True) the majority-nearer child
@@ -300,13 +304,14 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True,
                 if isinstance(st, dict) and "_leaves" in st:
                     st = dict(st, _leaves=st["_leaves"] + 1,
                               _prims=st["_prims"] + count)
+                pre = (node,) if leaf_node else ()
                 if leaf_want:
                     # per-lane leaf-box vote for cluster-predicated sweeps
                     tn, tf = _node_box_entry(nodes, node, o, inv)
                     want = vote(st) & ~((tn > tf) | (tf <= 0.0)
                                         | (tn >= t_cap(st)))
-                    return sp, leaf_fn(first, count, st, want)
-                return sp, leaf_fn(first, count, st)
+                    return sp, leaf_fn(*pre, first, count, st, want)
+                return sp, leaf_fn(*pre, first, count, st)
 
             def inner_case(args):
                 sp, st = args
@@ -353,6 +358,8 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True,
         _, st = jax.lax.while_loop(cond, body, (jnp.int32(1), state))
         return st
 
+    if stack_ref is not None:
+        return walk(stack_ref)
     return pl.run_scoped(walk, pltpu.SMEM((STACK_DEPTH,), jnp.int32))
 
 
@@ -430,16 +437,7 @@ def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
             "mat": jnp.where(better, mat, st["mat"]),
         }
 
-    record = lambda ti: _tri_record(tris, ti)
-    if cluster_rows > 0:
-        assert leaf_size > 0, "pallas_bvh_rows requires an unrolled leaf"
-        leaf_fn = _make_clustered_leaf_fn(o, d, record, tri_body,
-                                          leaf_size, cluster_rows)
-    else:
-        leaf_fn = _make_leaf_fn(
-            lambda first, count, i, st:
-                tri_body(o, d, record(first + i), i < count, st),
-            leaf_size)
+    leaf_fn = _sweep_leaf_fn(tris, o, d, tri_body, leaf_size, cluster_rows)
     st = _bvh_walk(nodes, o, inv,
                    vote=lambda st: mask, t_cap=lambda st: st["t"],
                    leaf_fn=leaf_fn, state=state,
@@ -448,6 +446,21 @@ def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
     if stats:
         out = out + ((st["_nodes"], st["_leaves"], st["_prims"]),)
     return out
+
+
+def _sweep_leaf_fn(tris, o, d, prim_body, leaf_size: int, cluster_rows: int):
+    """leaf_fn over a triangle-record view: cluster-predicated when
+    cluster_rows > 0, else the plain (unrolled / dynamic-trip) sweep.
+    Shared by the single-table and chunked walks."""
+    record = lambda ti: _tri_record(tris, ti)
+    if cluster_rows > 0:
+        assert leaf_size > 0, "pallas_bvh_rows requires an unrolled leaf"
+        return _make_clustered_leaf_fn(o, d, record, prim_body,
+                                       leaf_size, cluster_rows)
+    return _make_leaf_fn(
+        lambda first, count, i, st:
+            prim_body(o, d, record(first + i), i < count, st),
+        leaf_size)
 
 
 def _make_leaf_fn(tri_body, leaf_size: int):
@@ -485,16 +498,7 @@ def tri_shadow_bvh(nodes, tris, o, d, t_max, mask, leaf_size: int = 0,
         hit = valid & count_ok & (t < st["tm"])
         return dict(st, occ=jnp.maximum(st["occ"], jnp.where(hit, 1, 0)))
 
-    record = lambda ti: _tri_record(tris, ti)
-    if cluster_rows > 0:
-        assert leaf_size > 0, "pallas_bvh_rows requires an unrolled leaf"
-        leaf_fn = _make_clustered_leaf_fn(o, d, record, tri_body,
-                                          leaf_size, cluster_rows)
-    else:
-        leaf_fn = _make_leaf_fn(
-            lambda first, count, i, st:
-                tri_body(o, d, record(first + i), i < count, st),
-            leaf_size)
+    leaf_fn = _sweep_leaf_fn(tris, o, d, tri_body, leaf_size, cluster_rows)
 
     # already-occluded lanes drop out of the vote; fully-dark tiles pop
     # the remaining stack at ~1 box test per node
@@ -599,3 +603,214 @@ def sphere_shadow_bvh(nodes, sphs, o, d, t_max, lam, a, mask, atten,
                    t_cap=lambda st: t_max,
                    leaf_fn=leaf_fn, state=st)
     return st["atten"]
+
+
+# ----- chunked (any-size) triangle BVH: HBM slabs streamed per tile -----
+#
+# The single-table walk above is SMEM-resident, capping fused meshes at
+# MAX_BVH_TRIS. Chunked mode removes the cap with a two-level scheme that
+# maps the memory hierarchy the TPU way (software-managed tiers):
+#
+#   * host: a COARSE BVH (max_prims = chunk size) partitions the mesh into
+#     contiguous chunks; each chunk gets its own sub-BVH and is packed into
+#     a fixed-stride slab of the SAME record layout as pack_tables. All
+#     slabs live in ONE HBM tensor; only the tiny top tree (coarse nodes)
+#     is SMEM-resident.
+#   * device, phase 1: walk the top tree (ordered near-to-far), appending
+#     every voted chunk's top-leaf node index to an SMEM worklist — the
+#     list comes out roughly front-to-back.
+#   * device, phase 2: for each worklist entry, RE-vote the chunk's box
+#     against the CURRENT per-lane t caps (phase 1 could not tighten them;
+#     front-to-back order means earlier chunks' hits prune later chunks),
+#     then DMA its slab HBM->SMEM scratch and run the normal inner walk
+#     over the scratch views.
+#
+# Leaf sweeps dominate walk cost 14-34x over node tests (measured,
+# docs/DESIGN.md), so the top-walk + DMA overhead is noise; per-chunk
+# pruning quality is what matters, hence the re-vote.
+#
+# The reference keeps its whole mesh + BVH in GPU storage buffers and
+# walks per thread (ref: src/kernels/mega_kernel.wgsl:395-428,
+# src/instance.rs:175-310); this is the whole-tile, tiered-memory
+# equivalent with no mesh-size cap.
+
+
+def build_chunked_tri_tables(triangles, chunk_tris: int, leaf_size: int):
+    """Host: (top_tab, slabs, meta) for the chunked walk.
+
+    top_tab: packed SMEM table of the coarse tree's nodes; a leaf's
+    `first` field is rewritten to its CHUNK ORDINAL (slab index) and
+    `count` to the chunk's triangle count.
+    slabs: (n_chunks * rows_pc, 128) f32 — chunk c's slab is rows
+    [c*rows_pc, (c+1)*rows_pc): triangle records of the chunk in its
+    sub-BVH leaf order (padded to chunk_cap records), then the sub-BVH
+    node records (chunk-local indices, padded to max_nodes), then
+    leaf_size zero guard records (see pack_tables).
+    meta: dict(chunk_cap, rows_pc, n_chunks) — chunk_cap is the static
+    node-record base inside every slab.
+    """
+    from tpurt.accel import build_bvh
+
+    a = np.asarray([t.a for t in triangles], np.float32).reshape(-1, 3)
+    e1 = np.asarray([t.e1 for t in triangles], np.float32).reshape(-1, 3)
+    e2 = np.asarray([t.e2 for t in triangles], np.float32).reshape(-1, 3)
+    v1, v2 = a + e1, a + e2
+    tri_min = np.minimum(a, np.minimum(v1, v2))
+    tri_max = np.maximum(a, np.maximum(v1, v2))
+    coarse = build_bvh(tri_min, tri_max, max_prims=max(1, int(chunk_tris)))
+    _assert_stack_fits(coarse)
+
+    # chunks = coarse leaves, ordinal by ascending `first` (contiguous
+    # ranges of coarse.order)
+    leaf_nodes = np.flatnonzero(np.asarray(coarse.count) > 0)
+    leaf_nodes = leaf_nodes[np.argsort(np.asarray(coarse.first)[leaf_nodes],
+                                       kind="stable")]
+    n_chunks = len(leaf_nodes)
+    chunk_cap = int(max(1, chunk_tris))
+
+    # build every chunk's sub-BVH first to size the uniform slab stride
+    subs = []
+    max_nodes = 1
+    for node in leaf_nodes:
+        first = int(coarse.first[node])
+        cnt = int(coarse.count[node])
+        tidx = [int(coarse.order[i]) for i in range(first, first + cnt)]
+        sub_tab, sub_f, sub_i = build_tri_bvh_tables(
+            [triangles[i] for i in tidx], leaf_size)
+        subs.append((sub_tab, sub_f, sub_i))
+        max_nodes = max(max_nodes, sub_f.shape[0])
+
+    guard = max(16, int(leaf_size))
+    recs_per_slab = chunk_cap + max_nodes + guard
+    rows_pc = (recs_per_slab + 7) // 8
+    slabs = np.zeros((n_chunks * rows_pc * 8, 16), np.float32)
+    for c, (sub_tab, sub_f, sub_i) in enumerate(subs):
+        base = c * rows_pc * 8
+        slabs[base:base + sub_tab.shape[0]] = sub_tab
+        nrec = np.zeros((sub_f.shape[0], 16), np.float32)
+        nrec[:, 0:6] = sub_f[:, 0:6]
+        nrec[:, 6:10] = sub_i.astype(np.float32)
+        slabs[base + chunk_cap:base + chunk_cap + nrec.shape[0]] = nrec
+    slabs = slabs.reshape(n_chunks * rows_pc, 128)
+
+    # top table: coarse nodes with leaf first -> chunk ordinal
+    node_f, node_i = _pack_nodes(coarse)
+    ordinal = {int(n): c for c, n in enumerate(leaf_nodes)}
+    for n, c in ordinal.items():
+        node_i[n, 2] = c
+    top_tab = pack_tables(np.zeros((0, 16), np.float32), node_f, node_i)
+
+    meta = dict(chunk_cap=chunk_cap, rows_pc=int(rows_pc),
+                n_chunks=int(n_chunks))
+    return top_tab, slabs, meta
+
+
+def _chunked_walk(top_nodes, chunk_ref, scratch_ref, sem, o, d, vote, t_cap,
+                  leaf_fn_over, state, chunk_cap: int, rows_pc: int,
+                  n_chunks: int):
+    """Two-phase chunked walk (see module comment). leaf_fn_over(tris_view)
+    builds the inner leaf sweep over the scratch slab's triangle view.
+    Returns the final state."""
+    inv = tuple(1.0 / d[c] for c in range(3))
+    far = jnp.full_like(o[0], MISS)
+    nodes_v = _PackedTable(scratch_ref, base0=chunk_cap)
+    leaf_fn = leaf_fn_over(_PackedTable(scratch_ref, 0))
+
+    def run(wl_ref, stack_ref):
+        # phase 1: worklist of voted chunks, near-to-far. No t caps yet
+        # (phase 2 re-votes with live caps), so prune on boxes only.
+        def note(node, first, count, st):
+            wl_ref[st["_wl"]] = node
+            return dict(st, _wl=st["_wl"] + 1)
+
+        st1 = _bvh_walk(top_nodes, o, inv,
+                        vote=lambda st: vote(state),
+                        t_cap=lambda st: far,
+                        leaf_fn=note, state={"_wl": jnp.int32(0)},
+                        leaf_node=True, stack_ref=stack_ref)
+
+        # phase 2: re-vote each chunk against the LIVE caps, DMA, walk
+        def body(i, st):
+            nid = wl_ref[i]
+            rc = top_nodes.record(nid)
+            cid = top_nodes.field(rc, 8).astype(jnp.int32)
+            tn, tf = _node_box_entry(top_nodes, nid, o, inv)
+            want = vote(st) & ~((tn > tf) | (tf <= 0.0) | (tn >= t_cap(st)))
+            # the DMA itself is unconditional: a slab copy is ~100 ns of
+            # HBM time vs multi-us leaf sweeps, and a conditional DMA
+            # faults Mosaic (measured); only the walk is vote-gated
+            dma = pltpu.make_async_copy(
+                chunk_ref.at[pl.ds(cid * rows_pc, rows_pc)],
+                scratch_ref, sem)
+            dma.start()
+            dma.wait()
+
+            def sweep(st):
+                return _bvh_walk(nodes_v, o, inv, vote, t_cap, leaf_fn, st,
+                                 stack_ref=stack_ref)
+
+            return jax.lax.cond(jnp.any(want), sweep, lambda s_: s_, st)
+
+        return jax.lax.fori_loop(0, st1["_wl"], body, state)
+
+    return pl.run_scoped(run, pltpu.SMEM((max(n_chunks, 1),), jnp.int32),
+                         pltpu.SMEM((STACK_DEPTH,), jnp.int32))
+
+
+def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch_ref, sem, o, d,
+                            mask, chunk_cap: int, rows_pc: int,
+                            n_chunks: int, leaf_size: int = 0,
+                            cluster_rows: int = 0):
+    """Chunked closest triangle hit — same contract as closest_tri_bvh."""
+    zero = jnp.zeros_like(o[0])
+    state = {
+        "t": jnp.full_like(o[0], MISS),
+        "nx": zero, "ny": zero, "nz": zero,
+        "mat": jnp.zeros_like(o[0], jnp.int32),
+    }
+
+    def tri_body(o2, d2, rec, count_ok, st):
+        av, e1, e2, n, mat = rec
+        t, valid = s.triangle_hit_c(o2, d2, av, e1, e2)
+        t = jnp.where(valid & count_ok, t, MISS)
+        better = t < st["t"]
+        return {
+            "t": jnp.where(better, t, st["t"]),
+            "nx": jnp.where(better, n[0], st["nx"]),
+            "ny": jnp.where(better, n[1], st["ny"]),
+            "nz": jnp.where(better, n[2], st["nz"]),
+            "mat": jnp.where(better, mat, st["mat"]),
+        }
+
+    st = _chunked_walk(
+        top_nodes, chunk_ref, scratch_ref, sem, o, d,
+        vote=lambda st: mask, t_cap=lambda st: st["t"],
+        leaf_fn_over=lambda tris: _sweep_leaf_fn(tris, o, d, tri_body,
+                                                 leaf_size, cluster_rows),
+        state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
+        n_chunks=n_chunks)
+    return st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
+
+
+def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch_ref, sem, o, d,
+                           t_max, mask, chunk_cap: int, rows_pc: int,
+                           n_chunks: int, leaf_size: int = 0,
+                           cluster_rows: int = 0):
+    """Chunked any-hit occlusion — same contract as tri_shadow_bvh."""
+    state = {"occ": jnp.zeros_like(o[0], jnp.int32), "tm": t_max}
+
+    def tri_body(o2, d2, rec, count_ok, st):
+        av, e1, e2, _, _ = rec
+        t, valid = s.triangle_hit_c(o2, d2, av, e1, e2)
+        hit = valid & count_ok & (t < st["tm"])
+        return dict(st, occ=jnp.maximum(st["occ"], jnp.where(hit, 1, 0)))
+
+    st = _chunked_walk(
+        top_nodes, chunk_ref, scratch_ref, sem, o, d,
+        vote=lambda st: mask & ~(st["occ"] > 0),
+        t_cap=lambda st: st["tm"],
+        leaf_fn_over=lambda tris: _sweep_leaf_fn(tris, o, d, tri_body,
+                                                 leaf_size, cluster_rows),
+        state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
+        n_chunks=n_chunks)
+    return st["occ"] > 0

@@ -228,6 +228,8 @@ def supports_scene(scene, cfg=None) -> bool:
         if cfg.pallas_bvh:
             from tpurt.kernels.bvh_pallas import MAX_BVH_TRIS
             tri_dyn = MAX_BVH_TRIS
+            if cfg.pallas_bvh_chunk > 0:
+                tri_dyn = 1 << 24  # chunked mode streams slabs from HBM
         if cfg.pallas_sphere_bvh:
             from tpurt.kernels.bvh_pallas import MAX_BVH_SPHERES
             sph_dyn = max(sph_dyn, MAX_BVH_SPHERES)
@@ -942,7 +944,46 @@ def _use_tri_bvh(fscene: FrozenScene, cfg: RenderConfig) -> bool:
     from tpurt.kernels.bvh_pallas import MAX_BVH_TRIS
     return (cfg.pallas_bvh
             and cfg.pallas_static_unroll
-            < len(fscene.triangles) <= MAX_BVH_TRIS)
+            < len(fscene.triangles) <= MAX_BVH_TRIS
+            and not _use_tri_chunked(fscene, cfg))
+
+
+def _use_tri_chunked(fscene: FrozenScene, cfg: RenderConfig) -> bool:
+    """Chunked (any-size) mesh mode: beyond the single-SMEM-table budget
+    (or a test-lowered threshold), triangles stream HBM slab -> SMEM
+    scratch per voted chunk (bvh_pallas.build_chunked_tri_tables)."""
+    from tpurt.kernels.bvh_pallas import MAX_BVH_TRIS
+    thresh = cfg.pallas_bvh_chunk_threshold or MAX_BVH_TRIS
+    return (cfg.pallas_bvh and cfg.pallas_bvh_chunk > 0
+            and len(fscene.triangles) > max(thresh,
+                                            cfg.pallas_static_unroll))
+
+
+@functools.lru_cache(maxsize=4)
+def _chunk_build_cached(triangles, chunk: int, leaf: int):
+    from tpurt.kernels import bvh_pallas
+    return bvh_pallas.build_chunked_tri_tables(triangles, chunk, leaf)
+
+
+def _chunk_tables(fscene: FrozenScene, cfg: RenderConfig):
+    """(slabs, meta) for chunked mesh mode — the HBM slab tensor the
+    kernel wrappers pass when _use_tri_chunked ((None, None) otherwise;
+    ordinary scenes keep their exact pre-chunking signatures). The packed
+    TOP table rides the ordinary tri_tab SMEM slot (see _prim_tables)."""
+    if _use_tri_chunked(fscene, cfg):
+        _, slabs, meta = _chunk_build_cached(
+            fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf)
+        return jnp.asarray(slabs), meta
+    return None, None
+
+
+def chunk_scratch_shapes(meta):
+    """scratch_shapes entries for the chunk DMA ([] when chunking off —
+    ordinary scenes compile with untouched signatures)."""
+    if not meta:
+        return []
+    return [pltpu.SMEM((meta["rows_pc"], 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(())]
 
 
 def _use_sph_bvh(fscene: FrozenScene, cfg: RenderConfig) -> bool:
@@ -989,7 +1030,11 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
             sph_tab = jnp.zeros((1, 8), jnp.float32)
     else:
         sph_tab = jnp.zeros((1, 8), jnp.float32)
-    if _use_tri_bvh(fscene, cfg):
+    if _use_tri_chunked(fscene, cfg):
+        top_tab, _, _ = _chunk_build_cached(
+            fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf)
+        tri_tab = jnp.asarray(top_tab)  # coarse tree rides the tri slot
+    elif _use_tri_bvh(fscene, cfg):
         from tpurt.kernels import bvh_pallas
         tri_tab = jnp.asarray(bvh_pallas.pack_tables(
             *bvh_pallas.build_tri_bvh_tables(fscene.triangles,
@@ -1005,12 +1050,15 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
     return sph_tab, tri_tab
 
 
-def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref):
+def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
+                    chunk=None):
     """(intersect, shadow) closures over the frozen scene + SMEM tables,
     picking clustered / static-unroll / dynamic-sweep mode per primitive
     kind. Both take a lanes-relevance mask (the lanes whose result is
     consumed), used only for tile-level culling votes — per-lane results
-    for masked-out lanes stay well-defined."""
+    for masked-out lanes stay well-defined. `chunk` = (chunk_ref,
+    scratch_ref, sem) refs for chunked mesh mode (every kernel wrapper
+    passes them; only _use_tri_chunked scenes consume them)."""
     SPH, TRIS = fscene.spheres, fscene.triangles
     use_clusters = _use_clusters(fscene, cfg)
     if _use_sph_bvh(fscene, cfg):
@@ -1058,7 +1106,30 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref):
     tri_clusters = (cfg.pallas_cluster_size > 0
                     and len(TRIS) > 4 * cfg.pallas_cluster_size
                     and len(TRIS) <= cfg.pallas_static_unroll)
-    if tri_clusters:
+    if _use_tri_chunked(fscene, cfg):
+        from tpurt.kernels import bvh_pallas
+        assert chunk is not None, "chunked mesh mode needs chunk refs"
+        chunk_ref, chunk_scratch, chunk_sem = chunk
+        _, _, meta = _chunk_build_cached(
+            fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf)
+        CC, RPC, NCH = (meta["chunk_cap"], meta["rows_pc"],
+                        meta["n_chunks"])
+
+        def tri_hit(o, d, m):
+            top_nodes = bvh_pallas._PackedTable(tri_ref, 0)
+            res = bvh_pallas.closest_tri_bvh_chunked(
+                top_nodes, chunk_ref, chunk_scratch, chunk_sem, o, d, m,
+                CC, RPC, NCH, leaf_size=cfg.pallas_bvh_leaf,
+                cluster_rows=cfg.pallas_bvh_rows)
+            return _tri_state_finish(o, d, res)
+
+        def tri_occ(o, d, tm, m):
+            top_nodes = bvh_pallas._PackedTable(tri_ref, 0)
+            return bvh_pallas.tri_shadow_bvh_chunked(
+                top_nodes, chunk_ref, chunk_scratch, chunk_sem, o, d, tm,
+                m, CC, RPC, NCH, leaf_size=cfg.pallas_bvh_leaf,
+                cluster_rows=cfg.pallas_bvh_rows)
+    elif tri_clusters:
         TCL = _tri_cull_tree(TRIS, cfg.pallas_cluster_size)
         tri_hit = lambda o, d, m: _closest_tri_clustered(TCL, o, d, m)
         tri_occ = lambda o, d, tm, m: _tri_shadow_clustered(TCL, o, d, tm, m)
@@ -1109,9 +1180,19 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
     any_dielectric = any(m.mtype == 1 for m in MATS)
     any_metal = any(m.mtype == 2 for m in MATS)
 
+    chunked = _use_tri_chunked(fscene, cfg)
+
     def kernel(planes_ref, cam_ref, seed_ref, rad_ref, base_ref, sph_ref,
-               tri_ref, out_ref, rays_ref):
-        intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref)
+               tri_ref, *rest):
+        # chunked mesh mode adds (chunk_ref input, 2 scratch refs); the
+        # signature is conditional so ordinary scenes compile unchanged
+        if chunked:
+            chunk_ref, out_ref, rays_ref, chunk_scratch, chunk_sem = rest
+            chunk = (chunk_ref, chunk_scratch, chunk_sem)
+        else:
+            (out_ref, rays_ref), chunk = rest, None
+        intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref,
+                                            chunk=chunk)
         # base_ref: global tile offset of this shard (0 single-chip; device
         # slab start under shard_map) — keeps pixel ids / RNG streams global.
         tile = pl.program_id(0)
@@ -1553,6 +1634,7 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
     base_arr = jnp.asarray(tile_base, jnp.int32).reshape(1, 1)
 
     sph_tab, tri_tab = _prim_tables(fscene, cfg)
+    chunk_tab, chunk_meta = _chunk_tables(fscene, cfg)
 
     kernel = _make_kernel(fscene, cfg, depth, lanes)
 
@@ -1568,7 +1650,7 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        ] + ([pl.BlockSpec(memory_space=pl.ANY)] if chunk_meta else []),
         out_specs=[
             pl.BlockSpec((N_CHANNELS, R, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -1578,9 +1660,11 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
             jax.ShapeDtypeStruct(planes.shape, jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
         ],
+        scratch_shapes=chunk_scratch_shapes(chunk_meta),
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(planes, cam, seed_arr, rad_arr, base_arr, sph_tab, tri_tab)
+    )(planes, cam, seed_arr, rad_arr, base_arr, sph_tab, tri_tab,
+      *([chunk_tab] if chunk_meta else []))
     return new_planes, rays[:, 0]
 
 

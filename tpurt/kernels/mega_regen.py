@@ -53,9 +53,11 @@ from tpurt.kernels.mega_pallas import (
     _mask_f32,
     _mask_i32,
     _material_lookup_static,
+    _chunk_tables,
     _make_scene_fns,
     _single_lambda_em_c,
     _prim_tables,
+    chunk_scratch_shapes,
     _scatter_dielectric_c,
     _scatter_metal_c,
     freeze_scene,
@@ -93,8 +95,16 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                                          C_HERO) for lt in LIGHTS]
         HERO_DELTA = VISIBLE_RANGE / C_HERO
 
+    from tpurt.kernels.mega_pallas import _use_tri_chunked
+    chunked = _use_tri_chunked(fscene, cfg)
+
     def kernel(planes_ref, z_ref, cam_ref, seed_ref, spp_ref, rad_ref,
-               base_ref, sph_ref, tri_ref, out_ref, rays_ref):
+               base_ref, sph_ref, tri_ref, *rest):
+        if chunked:
+            chunk_ref, out_ref, rays_ref, chunk_scratch, chunk_sem = rest
+            chunk = (chunk_ref, chunk_scratch, chunk_sem)
+        else:
+            (out_ref, rays_ref), chunk = rest, None
         tile = pl.program_id(0)
         gtile = base_ref[0, 0] + tile
         row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
@@ -121,7 +131,8 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
         cam_v = (cam_ref[2, 0], cam_ref[2, 1], cam_ref[2, 2])
         cam_ll = (cam_ref[3, 0], cam_ref[3, 1], cam_ref[3, 2])
 
-        intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref)
+        intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref,
+                                            chunk=chunk)
 
         # persistent planes: accumulation + vispoints live in out_ref
         for ch in range(N_CHANNELS):
@@ -618,6 +629,7 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
     base_arr = jnp.asarray(tile_base, jnp.int32).reshape(1, 1)
 
     sph_tab, tri_tab = _prim_tables(fscene, cfg)
+    chunk_tab, chunk_meta = _chunk_tables(fscene, cfg)
 
     kernel = _make_regen_kernel(fscene, cfg, lanes,
                                 cfg.depth if depth is None else depth)
@@ -629,16 +641,18 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
     new_planes, rays = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[vb, vz, sm, sm, sm, sm, sm, sm, sm],
+        in_specs=[vb, vz, sm, sm, sm, sm, sm, sm, sm]
+        + ([pl.BlockSpec(memory_space=pl.ANY)] if chunk_meta else []),
         out_specs=[vb, sm],
         out_shape=[
             jax.ShapeDtypeStruct(planes.shape, jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
         ],
+        scratch_shapes=chunk_scratch_shapes(chunk_meta),
         input_output_aliases={0: 0},
         interpret=interpret,
     )(planes, zeros_in, cam, seed_arr, spp_arr, rad_arr, base_arr,
-      sph_tab, tri_tab)
+      sph_tab, tri_tab, *([chunk_tab] if chunk_meta else []))
     return new_planes, rays[:, 0]
 
 

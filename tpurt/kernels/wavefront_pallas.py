@@ -45,7 +45,9 @@ from tpurt.kernels.mega_pallas import (
     _diffuse_scatter_c,
     _mask_f32,
     _mask_i32,
+    _chunk_tables,
     _make_scene_fns,
+    chunk_scratch_shapes,
     _material_lookup_static,
     _prim_tables,
     _scatter_dielectric_c,
@@ -86,11 +88,21 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
     track_collapse = (C_HERO > 1 and cfg.dispersion_in_camera_path
                       and any_dielectric)
 
-    def kernel(pf_ref, pi_ref, rng_ref, sph_ref, tri_ref,
-               pf_out, pi_out, rng_out, term_ref, rays_ref):
+    from tpurt.kernels.mega_pallas import _use_tri_chunked
+    chunked = _use_tri_chunked(fscene, cfg)
+
+    def kernel(pf_ref, pi_ref, rng_ref, sph_ref, tri_ref, *rest):
+        if chunked:
+            (chunk_ref, pf_out, pi_out, rng_out, term_ref, rays_ref,
+             chunk_scratch, chunk_sem) = rest
+            chunk = (chunk_ref, chunk_scratch, chunk_sem)
+        else:
+            (pf_out, pi_out, rng_out, term_ref, rays_ref), chunk = \
+                rest, None
         tile = pl.program_id(0)
 
-        intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref)
+        intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref,
+                                            chunk=chunk)
 
         o = (pf_ref[_O], pf_ref[_O + 1], pf_ref[_O + 2])
         d = (pf_ref[_D], pf_ref[_D + 1], pf_ref[_D + 2])
@@ -252,6 +264,7 @@ def sweep_pallas(fscene, cfg: RenderConfig, pf, pi, rng, interpret=False):
     C = _n_fchannels(L)
 
     sph_tab, tri_tab = _prim_tables(fscene, cfg)
+    chunk_tab, chunk_meta = _chunk_tables(fscene, cfg)
 
     kernel = _make_sweep_kernel(fscene, cfg, lanes)
     vb = lambda c: pl.BlockSpec((c, R, 128), lambda i: (0, i, 0),
@@ -261,7 +274,8 @@ def sweep_pallas(fscene, cfg: RenderConfig, pf, pi, rng, interpret=False):
     pf2, pi2, rng2, term, rays = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[vb(C), vb(3), v1, sm, sm],
+        in_specs=[vb(C), vb(3), v1, sm, sm]
+        + ([pl.BlockSpec(memory_space=pl.ANY)] if chunk_meta else []),
         out_specs=[vb(C), vb(3), v1, v1, sm],
         out_shape=[
             jax.ShapeDtypeStruct(pf.shape, jnp.float32),
@@ -270,9 +284,11 @@ def sweep_pallas(fscene, cfg: RenderConfig, pf, pi, rng, interpret=False):
             jax.ShapeDtypeStruct(rng.shape, jnp.int32),
             jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
         ],
+        scratch_shapes=chunk_scratch_shapes(chunk_meta),
         input_output_aliases={0: 0, 1: 1, 2: 2},
         interpret=interpret,
-    )(pf, pi, rng, sph_tab, tri_tab)
+    )(pf, pi, rng, sph_tab, tri_tab,
+      *([chunk_tab] if chunk_meta else []))
     return pf2, pi2, rng2, term, rays[:, 0]
 
 
@@ -454,8 +470,16 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                                          C_HERO) for lt in LIGHTS]
         HERO_DELTA = VISIBLE_RANGE / C_HERO
 
+    from tpurt.kernels.mega_pallas import _use_tri_chunked
+    chunked = _use_tri_chunked(fscene, cfg)
+
     def kernel(acc_ref, cam_ref, seed_ref, spp_ref, base_ref, sph_ref,
-               tri_ref, out_ref, rays_ref):
+               tri_ref, *rest):
+        if chunked:
+            chunk_ref, out_ref, rays_ref, chunk_scratch, chunk_sem = rest
+            chunk = (chunk_ref, chunk_scratch, chunk_sem)
+        else:
+            (out_ref, rays_ref), chunk = rest, None
         tile = pl.program_id(0)
         gtile = base_ref[0, 0] + tile
         cam_o = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
@@ -472,7 +496,8 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
         spp = spp_ref[0, 0]
         it0_i = spp_ref[0, 1]   # starting iteration (continuation)
 
-        intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref)
+        intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref,
+                                            chunk=chunk)
 
         # accumulation lives in the output block (masked adds in-loop)
         for c in range(3):
@@ -709,6 +734,7 @@ def _fused_wavefront_jit(fscene, cfg, camera, state, base_seed, spp,
                          state.iteration.astype(jnp.int32)]).reshape(1, 2)
     base_arr = jnp.zeros((1, 1), jnp.int32)
     sph_tab, tri_tab = _prim_tables(fscene, cfg)
+    chunk_tab, chunk_meta = _chunk_tables(fscene, cfg)
 
     kernel = _make_fused_kernel(fscene, cfg, lanes)
     vb3 = pl.BlockSpec((3, R, 128), lambda i: (0, i, 0),
@@ -717,15 +743,18 @@ def _fused_wavefront_jit(fscene, cfg, camera, state, base_seed, spp,
     new_acc, rays = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[vb3, sm, sm, sm, sm, sm, sm],
+        in_specs=[vb3, sm, sm, sm, sm, sm, sm]
+        + ([pl.BlockSpec(memory_space=pl.ANY)] if chunk_meta else []),
         out_specs=[vb3, sm],
         out_shape=[
             jax.ShapeDtypeStruct(acc.shape, jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
         ],
+        scratch_shapes=chunk_scratch_shapes(chunk_meta),
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(acc, cam, seed_arr, spp_arr, base_arr, sph_tab, tri_tab)
+    )(acc, cam, seed_arr, spp_arr, base_arr, sph_tab, tri_tab,
+      *([chunk_tab] if chunk_meta else []))
 
     flat = new_acc.reshape(3, P)
     rgb = jnp.stack([flat[0], flat[1], flat[2]], axis=-1)
