@@ -84,10 +84,13 @@ class TestWavefrontBackendDispatch:
     public render() entry point (VERDICT r1: config 5 needed a lambda)."""
 
     def test_backend_wavefront_bit_identical(self):
+        # both paths use the SAME cfg: the dispatch pads the state to the
+        # pool-lane multiple (render.padded_pixels), so a direct call with
+        # an xla-backend cfg would differ in state SHAPE (not values)
         cfg, scene, cam = _setup(wf_pool=2048)
         wcfg = cfg.with_(backend="wavefront")
         st_d = render(scene, wcfg, cam, init_state(wcfg), 42, 2)
-        st_w = wavefront_render(scene, cfg, cam, init_state(cfg), 42, 2)
+        st_w = wavefront_render(scene, wcfg, cam, init_state(wcfg), 42, 2)
         np.testing.assert_array_equal(np.asarray(st_d.rgb_sum),
                                       np.asarray(st_w.rgb_sum))
         assert float(st_d.rays) == float(st_w.rays) != 0.0
