@@ -324,7 +324,8 @@ def test_chunked_walk_matches_single_table():
     """The two-phase chunked walk (top-tree worklist + per-chunk HBM->SMEM
     DMA, bvh_pallas.closest_tri_bvh_chunked) returns bit-identical planes
     to the single-SMEM-table walk, and both match the brute-force oracle."""
-    from tpurt.kernels.bvh_pallas import (_PackedTable,
+    from tpurt.kernels.bvh_pallas import (CHUNK_DMA_VIA_VMEM,
+                                          _PackedTable,
                                           build_chunked_tri_tables,
                                           closest_tri_bvh_chunked,
                                           tri_shadow_bvh_chunked)
@@ -358,17 +359,17 @@ def test_chunked_walk_matches_single_table():
         out_ref[2] = jnp.where(occ, 1.0, 0.0)
         out_ref[3] = nrm[0]
 
-    def kern2(o_ref, d_ref, top_ref, hbm_ref, out_ref, scratch_ref, sem):
+    def kern2(o_ref, d_ref, top_ref, hbm_ref, out_ref, *scratch):
         o = (o_ref[0], o_ref[1], o_ref[2])
         d = (d_ref[0], d_ref[1], d_ref[2])
         mask = jnp.ones_like(o[0], bool)
         top_nodes = _PackedTable(top_ref, 0)
         t, nrm, mat = closest_tri_bvh_chunked(
-            top_nodes, hbm_ref, scratch_ref, sem, o, d, mask,
+            top_nodes, hbm_ref, scratch, o, d, mask,
             meta["chunk_cap"], meta["rows_pc"], meta["n_chunks"],
             leaf_size=LEAF)
         occ = tri_shadow_bvh_chunked(
-            top_nodes, hbm_ref, scratch_ref, sem, o, d,
+            top_nodes, hbm_ref, scratch, o, d,
             jnp.full_like(o[0], 5.0), mask,
             meta["chunk_cap"], meta["rows_pc"], meta["n_chunks"],
             leaf_size=LEAF)
@@ -393,8 +394,12 @@ def test_chunked_walk_matches_single_table():
            pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, R, 128), jnp.float32),
-        scratch_shapes=[pltpu.SMEM((meta["rows_pc"], 128), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=(
+            [pltpu.SMEM((meta["rows_pc"], 128), jnp.float32)]
+            + ([pltpu.VMEM((meta["rows_pc"], 128), jnp.float32)]
+               if CHUNK_DMA_VIA_VMEM else [])
+            + [pltpu.SemaphoreType.DMA(())] * (2 if CHUNK_DMA_VIA_VMEM
+                                               else 1)),
         interpret=interp,
     )(o_j, d_j, top_tab, slabs)
     out1, out2 = np.asarray(out1), np.asarray(out2)
@@ -457,3 +462,103 @@ class TestFusedKernelChunkedMode:
         # chunked off -> the same threshold would reject a huge mesh only
         # beyond MAX_BVH_TRIS (unchanged single-table contract)
         assert supports_scene(scene, cfg.with_(pallas_bvh_chunk=0))
+
+
+class TestFusedKernelChunkedSpheres:
+    """Instanced sphere scene forced through CHUNKED sphere mode
+    (threshold lowered) vs the XLA integrator and vs the single-table
+    sphere walk — same contract as TestFusedKernelSphereBVH. NOTE: the
+    comparison scene/camera must be tie-free (symmetric sphere grids can
+    produce exact-equal closest-hit t for mirrored spheres, where sweep
+    ORDER picks the winner — a pre-existing reorder sensitivity shared
+    by the non-chunked walk, not a chunking defect)."""
+
+    def test_exact_ray_counts_and_image(self):
+        from tpurt.kernels.mega_pallas import (_use_sph_bvh,
+                                               _use_sph_chunked,
+                                               freeze_scene)
+        scene = instanced_scene(48)
+        kw = dict(width=128, height=64, depth=5, pallas_lanes=1024,
+                  pallas_sphere_bvh=True, pallas_bvh_leaf=8)
+        cfg_c = RenderConfig(backend="pallas", pallas_bvh_chunk=16,
+                             pallas_bvh_chunk_threshold=20, **kw)
+        cfg_s = RenderConfig(backend="pallas", **kw)
+        cfg_x = RenderConfig(width=128, height=64, depth=5, backend="xla")
+        fs = freeze_scene(scene)
+        assert _use_sph_chunked(fs, cfg_c) and not _use_sph_bvh(fs, cfg_c)
+        assert _use_sph_bvh(fs, cfg_s)
+        cam = make_camera((0, 10, -14), (0, 1, 8), vfov=55.0,
+                          aspect_ratio=2.0)
+        st_c = render(scene, cfg_c, cam, init_state(cfg_c), 77, 2)
+        st_s = render(scene, cfg_s, cam, init_state(cfg_s), 77, 2)
+        st_x = render(scene, cfg_x, cam, init_state(cfg_x), 77, 2)
+        assert float(st_c.rays) == float(st_s.rays) == float(st_x.rays) \
+            != 0.0
+        img_c = np.asarray(resolve_image(cfg_c, st_c))
+        img_x = np.asarray(resolve_image(cfg_x, st_x))
+        diff = (np.abs(img_c - img_x) > 1e-4).any(axis=-1)
+        assert diff.mean() < 0.02, f"{diff.mean():.4f} of pixels diverge"
+
+
+def test_dual_chunked_tri_and_spheres():
+    """A scene where BOTH primitive kinds exceed their (test-lowered)
+    chunk thresholds: two HBM slab inputs share one SMEM scratch (the
+    walks never overlap in time). Ray counts must still be exact vs the
+    XLA integrator."""
+    import math as _math
+    from tpurt.kernels.mega_pallas import (_use_sph_chunked,
+                                           _use_tri_chunked, freeze_scene)
+    from tpurt.scene import (Light, Material, MeshData, Sphere,
+                             build_scene, torus_mesh_scene)
+    base = torus_mesh_scene(16, 8)  # ~256 triangles
+    # rebuild with a grid of extra spheres so the sphere side chunks too
+    rng = np.random.default_rng(5)
+    materials = [Material.diffuse((0.75, 0.75, 0.75)),
+                 Material.dielectric(1.5, 0.0),
+                 Material.diffuse((0.85, 0.25, 0.2))]
+    spheres = [Sphere(0, 1000.0, (0.0, -1000.0, 0.0))]
+    for i in range(40):
+        x = (i % 8 - 4) * 1.7 + float(rng.uniform(-0.3, 0.3))
+        z = (i // 8 - 2) * 1.7 + 4.0 + float(rng.uniform(-0.3, 0.3))
+        r = float(rng.uniform(0.25, 0.5))
+        spheres.append(Sphere(int(rng.integers(0, 3)), r, (x, r, z)))
+    verts = np.empty((16 * 8, 3), np.float32)
+    for i in range(16):
+        for j in range(8):
+            u = 2.0 * _math.pi * i / 16
+            v = 2.0 * _math.pi * j / 8
+            verts[i * 8 + j] = ((1.6 + 0.55 * _math.cos(v)) * _math.cos(u),
+                                0.55 * _math.sin(v) + 1.55,
+                                (1.6 + 0.55 * _math.cos(v)) * _math.sin(u))
+    faces = []
+    for i in range(16):
+        for j in range(8):
+            a0 = i * 8 + j
+            b0 = ((i + 1) % 16) * 8 + j
+            c0 = ((i + 1) % 16) * 8 + (j + 1) % 8
+            d0 = i * 8 + (j + 1) % 8
+            faces.append((a0, c0, b0))
+            faces.append((a0, d0, c0))
+    mesh = MeshData(material_id=2, translation=(0.0, 0.0, 6.0))
+    mesh.add_triangles(verts, np.asarray(faces, np.int32))
+    lights = [Light.square_area([3, 8, 2], [-0.4, -1.0, 0.3], 2.5,
+                                [1.0, 1.0, 1.0], 6.0, 5000.0)]
+    scene = build_scene(materials, spheres, [mesh], lights)
+
+    kw = dict(width=64, height=32, depth=4, pallas_static_unroll=8,
+              pallas_bvh=True, pallas_sphere_bvh=True, pallas_bvh_leaf=16,
+              pallas_bvh_chunk=32, pallas_bvh_chunk_threshold=20,
+              pallas_lanes=256, pallas_cluster_size=0)
+    cfg_c = RenderConfig(backend="pallas", **kw)
+    cfg_x = RenderConfig(backend="xla", **kw)
+    fs = freeze_scene(scene)
+    assert _use_tri_chunked(fs, cfg_c) and _use_sph_chunked(fs, cfg_c)
+    cam = make_camera((0, 4, -7), (0, 1.2, 2), vfov=55.0,
+                      aspect_ratio=2.0)
+    st_c = render(scene, cfg_c, cam, init_state(cfg_c), 31, 2)
+    st_x = render(scene, cfg_x, cam, init_state(cfg_x), 31, 2)
+    assert float(st_c.rays) == float(st_x.rays) != 0.0
+    img_c = np.asarray(resolve_image(cfg_c, st_c))
+    img_x = np.asarray(resolve_image(cfg_x, st_x))
+    diff = (np.abs(img_c - img_x) > 1e-4).any(axis=-1)
+    assert diff.mean() < 0.02, f"{diff.mean():.4f} of pixels diverge"

@@ -166,17 +166,18 @@ class RenderConfig:
     #   measured on 1080p torus meshes: 16/32/64 -> 47/51/53 Mrays/s at 1k
     #   tris, 15.1/15.3/15.7 at 4k — prefer 64 for big meshes, 16 for the
     #   sphere walk; cf. docs/DESIGN.md)
-    pallas_bvh_chunk: int = 2048       # chunked (any-size) mesh mode:
-    #   meshes beyond MAX_BVH_TRIS split into chunks of this many
-    #   triangles, each packed (with its own sub-BVH) into a fixed-stride
+    pallas_bvh_chunk: int = 2048       # chunked (any-size) scene mode:
+    #   meshes beyond MAX_BVH_TRIS (and, with pallas_sphere_bvh, sphere
+    #   sets beyond MAX_BVH_SPHERES) split into chunks of this many
+    #   primitives, each packed (with its own sub-BVH) into a fixed-stride
     #   HBM slab; only the tiny coarse tree stays SMEM-resident, and the
     #   walk DMAs a chunk's slab into SMEM scratch when the tile's rays
     #   vote for its box (near-to-far worklist + live-t re-vote,
-    #   kernels/bvh_pallas.build_chunked_tri_tables). Removes the fused
-    #   path's mesh-size cap. 0 disables (big meshes fall back to XLA).
-    pallas_bvh_chunk_threshold: int = 0  # triangle count above which
-    #   chunked mode engages; 0 = MAX_BVH_TRIS (tests lower it to force
-    #   chunking on small meshes)
+    #   kernels/bvh_pallas.build_chunked_*_tables). Removes the fused
+    #   path's scene-size caps. 0 disables (big scenes fall back to XLA).
+    pallas_bvh_chunk_threshold: int = 0  # primitive count above which
+    #   chunked mode engages; 0 = MAX_BVH_TRIS / MAX_BVH_SPHERES (tests
+    #   lower it to force chunking on small scenes)
     pallas_sphere_bvh: bool = False    # many-sphere scenes (config 3) run
     #   the same dynamic whole-tile walk instead of the static cull tree:
     #   ordered near-to-far descent + per-lane t caps, O(1) compile time.

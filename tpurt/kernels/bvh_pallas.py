@@ -47,6 +47,12 @@ MISS = np.float32(1e30)
 MAX_BVH_TRIS = 8192
 MAX_BVH_SPHERES = 4096
 STACK_DEPTH = 64  # ref: mega_kernel.wgsl:402 (fixed 64-deep stack)
+# Chunked-mode DMA route: True stages each slab HBM -> VMEM -> SMEM (two
+# local copies) instead of one direct HBM -> SMEM copy. The direct route
+# faults the TPU worker when the slab tensor is actually HBM-resident
+# (small ANY-space inputs get VMEM-placed and mask the fault); the staged
+# route is the guide's supported pattern. Interpret mode accepts both.
+CHUNK_DMA_VIA_VMEM = True
 
 
 def build_tri_bvh_tables(triangles, leaf_size: int):
@@ -636,7 +642,7 @@ def sphere_shadow_bvh(nodes, sphs, o, d, t_max, lam, a, mask, atten,
 
 
 def build_chunked_tri_tables(triangles, chunk_tris: int, leaf_size: int):
-    """Host: (top_tab, slabs, meta) for the chunked walk.
+    """Host: (top_tab, slabs, meta) for the chunked triangle walk.
 
     top_tab: packed SMEM table of the coarse tree's nodes; a leaf's
     `first` field is rewritten to its CHUNK ORDINAL (slab index) and
@@ -649,15 +655,34 @@ def build_chunked_tri_tables(triangles, chunk_tris: int, leaf_size: int):
     meta: dict(chunk_cap, rows_pc, n_chunks) — chunk_cap is the static
     node-record base inside every slab.
     """
-    from tpurt.accel import build_bvh
-
     a = np.asarray([t.a for t in triangles], np.float32).reshape(-1, 3)
     e1 = np.asarray([t.e1 for t in triangles], np.float32).reshape(-1, 3)
     e2 = np.asarray([t.e2 for t in triangles], np.float32).reshape(-1, 3)
     v1, v2 = a + e1, a + e2
     tri_min = np.minimum(a, np.minimum(v1, v2))
     tri_max = np.maximum(a, np.maximum(v1, v2))
-    coarse = build_bvh(tri_min, tri_max, max_prims=max(1, int(chunk_tris)))
+    return _build_chunked(triangles, tri_min, tri_max, build_tri_bvh_tables,
+                          chunk_tris, leaf_size)
+
+
+def build_chunked_sphere_tables(spheres, chunk_sph: int, leaf_size: int):
+    """Host: (top_tab, slabs, meta) for the chunked SPHERE walk — same
+    scheme as the triangle builder over the (non-huge) sphere records of
+    build_sphere_bvh_tables (guard rows have r == 0, so over-read sweeps
+    never hit)."""
+    c = np.asarray([sp.c for sp in spheres], np.float32).reshape(-1, 3)
+    r = np.asarray([sp.r for sp in spheres], np.float32).reshape(-1, 1)
+    return _build_chunked(spheres, c - r, c + r, build_sphere_bvh_tables,
+                          chunk_sph, leaf_size)
+
+
+def _build_chunked(prims, pmin, pmax, sub_builder, chunk_prims: int,
+                   leaf_size: int):
+    """Shared chunked-table builder: coarse tree over (pmin, pmax),
+    per-chunk sub tables via sub_builder(prims_subset, leaf_size)."""
+    from tpurt.accel import build_bvh
+
+    coarse = build_bvh(pmin, pmax, max_prims=max(1, int(chunk_prims)))
     _assert_stack_fits(coarse)
 
     # chunks = coarse leaves, ordinal by ascending `first` (contiguous
@@ -666,7 +691,7 @@ def build_chunked_tri_tables(triangles, chunk_tris: int, leaf_size: int):
     leaf_nodes = leaf_nodes[np.argsort(np.asarray(coarse.first)[leaf_nodes],
                                        kind="stable")]
     n_chunks = len(leaf_nodes)
-    chunk_cap = int(max(1, chunk_tris))
+    chunk_cap = int(max(1, chunk_prims))
 
     # build every chunk's sub-BVH first to size the uniform slab stride
     subs = []
@@ -675,8 +700,8 @@ def build_chunked_tri_tables(triangles, chunk_tris: int, leaf_size: int):
         first = int(coarse.first[node])
         cnt = int(coarse.count[node])
         tidx = [int(coarse.order[i]) for i in range(first, first + cnt)]
-        sub_tab, sub_f, sub_i = build_tri_bvh_tables(
-            [triangles[i] for i in tidx], leaf_size)
+        sub_tab, sub_f, sub_i = sub_builder(
+            [prims[i] for i in tidx], leaf_size)
         subs.append((sub_tab, sub_f, sub_i))
         max_nodes = max(max_nodes, sub_f.shape[0])
 
@@ -705,12 +730,17 @@ def build_chunked_tri_tables(triangles, chunk_tris: int, leaf_size: int):
     return top_tab, slabs, meta
 
 
-def _chunked_walk(top_nodes, chunk_ref, scratch_ref, sem, o, d, vote, t_cap,
+def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
                   leaf_fn_over, state, chunk_cap: int, rows_pc: int,
                   n_chunks: int):
     """Two-phase chunked walk (see module comment). leaf_fn_over(tris_view)
     builds the inner leaf sweep over the scratch slab's triangle view.
-    Returns the final state."""
+    `scratch` = (smem_ref, sem) direct route or (smem_ref, vmem_ref, sem,
+    sem2) staged route (CHUNK_DMA_VIA_VMEM). Returns the final state."""
+    if CHUNK_DMA_VIA_VMEM:
+        scratch_ref, vmem_ref, sem, sem2 = scratch
+    else:
+        (scratch_ref, sem), vmem_ref, sem2 = scratch, None, None
     inv = tuple(1.0 / d[c] for c in range(3))
     far = jnp.full_like(o[0], MISS)
     nodes_v = _PackedTable(scratch_ref, base0=chunk_cap)
@@ -739,11 +769,18 @@ def _chunked_walk(top_nodes, chunk_ref, scratch_ref, sem, o, d, vote, t_cap,
             # the DMA itself is unconditional: a slab copy is ~100 ns of
             # HBM time vs multi-us leaf sweeps, and a conditional DMA
             # faults Mosaic (measured); only the walk is vote-gated
-            dma = pltpu.make_async_copy(
-                chunk_ref.at[pl.ds(cid * rows_pc, rows_pc)],
-                scratch_ref, sem)
-            dma.start()
-            dma.wait()
+            src = chunk_ref.at[pl.ds(cid * rows_pc, rows_pc)]
+            if CHUNK_DMA_VIA_VMEM:
+                dma = pltpu.make_async_copy(src, vmem_ref, sem)
+                dma.start()
+                dma.wait()
+                dma2 = pltpu.make_async_copy(vmem_ref, scratch_ref, sem2)
+                dma2.start()
+                dma2.wait()
+            else:
+                dma = pltpu.make_async_copy(src, scratch_ref, sem)
+                dma.start()
+                dma.wait()
 
             def sweep(st):
                 return _bvh_walk(nodes_v, o, inv, vote, t_cap, leaf_fn, st,
@@ -757,11 +794,12 @@ def _chunked_walk(top_nodes, chunk_ref, scratch_ref, sem, o, d, vote, t_cap,
                          pltpu.SMEM((STACK_DEPTH,), jnp.int32))
 
 
-def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch_ref, sem, o, d,
+def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                             mask, chunk_cap: int, rows_pc: int,
                             n_chunks: int, leaf_size: int = 0,
                             cluster_rows: int = 0):
-    """Chunked closest triangle hit — same contract as closest_tri_bvh."""
+    """Chunked closest triangle hit — same contract as closest_tri_bvh.
+    `scratch` = the chunk-DMA scratch refs (see _chunked_walk)."""
     zero = jnp.zeros_like(o[0])
     state = {
         "t": jnp.full_like(o[0], MISS),
@@ -783,7 +821,7 @@ def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch_ref, sem, o, d,
         }
 
     st = _chunked_walk(
-        top_nodes, chunk_ref, scratch_ref, sem, o, d,
+        top_nodes, chunk_ref, scratch, o, d,
         vote=lambda st: mask, t_cap=lambda st: st["t"],
         leaf_fn_over=lambda tris: _sweep_leaf_fn(tris, o, d, tri_body,
                                                  leaf_size, cluster_rows),
@@ -792,7 +830,7 @@ def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch_ref, sem, o, d,
     return st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
 
 
-def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch_ref, sem, o, d,
+def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                            t_max, mask, chunk_cap: int, rows_pc: int,
                            n_chunks: int, leaf_size: int = 0,
                            cluster_rows: int = 0):
@@ -806,7 +844,7 @@ def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch_ref, sem, o, d,
         return dict(st, occ=jnp.maximum(st["occ"], jnp.where(hit, 1, 0)))
 
     st = _chunked_walk(
-        top_nodes, chunk_ref, scratch_ref, sem, o, d,
+        top_nodes, chunk_ref, scratch, o, d,
         vote=lambda st: mask & ~(st["occ"] > 0),
         t_cap=lambda st: st["tm"],
         leaf_fn_over=lambda tris: _sweep_leaf_fn(tris, o, d, tri_body,
@@ -814,3 +852,89 @@ def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch_ref, sem, o, d,
         state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
         n_chunks=n_chunks)
     return st["occ"] > 0
+
+
+def closest_sphere_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, a,
+                               mask, state, chunk_cap: int, rows_pc: int,
+                               n_chunks: int, leaf_size: int = 0):
+    """Chunked closest sphere hit — same contract as closest_sphere_bvh
+    (continues from the static 'always' sweep's state)."""
+    inv_a = 1.0 / a
+    best_t, best_c, best_mat = state
+    st = {"t": best_t, "cx": best_c[0], "cy": best_c[1], "cz": best_c[2],
+          "mat": best_mat}
+
+    def leaf_fn_over(sphs):
+        def sph_body(first, count, i, st):
+            c, r, mat, _, _ = _sphere_record(sphs, first + i)
+            oc = (o[0] - c[0], o[1] - c[1], o[2] - c[2])
+            half_b = s.vdot(oc, d)
+            cc = s.vdot(oc, oc) - r * r
+            disc = half_b * half_b - a * cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t = (-half_b - sq) * inv_a
+            t = jnp.where((disc > 0.0) & (t > 0.0) & (r > 0.0)
+                          & (i < count), t, MISS)
+            better = t < st["t"]
+            return {
+                "t": jnp.where(better, t, st["t"]),
+                "cx": jnp.where(better, c[0], st["cx"]),
+                "cy": jnp.where(better, c[1], st["cy"]),
+                "cz": jnp.where(better, c[2], st["cz"]),
+                "mat": jnp.where(better, mat, st["mat"]),
+            }
+        return _make_leaf_fn(sph_body, leaf_size)
+
+    st = _chunked_walk(
+        top_nodes, chunk_ref, scratch, o, d,
+        vote=lambda st: mask, t_cap=lambda st: st["t"],
+        leaf_fn_over=leaf_fn_over, state=st, chunk_cap=chunk_cap,
+        rows_pc=rows_pc, n_chunks=n_chunks)
+    return st["t"], (st["cx"], st["cy"], st["cz"]), st["mat"]
+
+
+def sphere_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, t_max,
+                              lam, a, mask, atten, chunk_cap: int,
+                              rows_pc: int, n_chunks: int,
+                              leaf_size: int = 0):
+    """Chunked shadow-factor walk — same contract as sphere_shadow_bvh
+    (continues from `atten`; ref: mega_kernel.wgsl:511-538)."""
+    inv_a = 1.0 / a
+    cauchy = jnp.float32(DISPERSION_B) / ((lam * 1e-3) * (lam * 1e-3))
+    st = {"atten": atten}
+
+    def leaf_fn_over(sphs):
+        def sph_body(first, count, i, st):
+            c, r, _, mtype, ior = _sphere_record(sphs, first + i)
+            cb = s.vbroadcast(c, o[0])
+            oc = s.vsub(o, cb)
+            half_b = s.vdot(oc, d)
+            cc = s.vdot(oc, oc) - r * r
+            disc = half_b * half_b - a * cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            t0 = (-half_b - sq) * inv_a
+            t1 = (-half_b + sq) * inv_a
+            overlap = ((disc > 0.0) & (t1 > 0.0) & (t0 < t_max)
+                       & (r > 0.0) & (i < count))
+            t_entry = jnp.maximum(t0, 0.0)
+            t_exit = jnp.minimum(t1, t_max)
+            segment = t_entry < t_exit
+            eta = ior + cauchy
+            p1 = s.vadd(o, s.vscale(d, t_entry))
+            n1 = s.vnormalize(s.vsub(p1, cb), eps=1e-30)
+            R1 = fr_dielectric(-s.vdot(n1, d), eta)
+            p2 = s.vadd(o, s.vscale(d, t_exit))
+            n2 = s.vnormalize(s.vsub(p2, cb), eps=1e-30)
+            R2 = fr_dielectric(-s.vdot(n2, d), eta)
+            diel = jnp.where(segment, (1.0 - R1) * (1.0 - R2), 1.0)
+            f = jnp.where(mtype == 1.0, diel, jnp.zeros_like(diel))
+            return {"atten": st["atten"] * jnp.where(overlap, f, 1.0)}
+        return _make_leaf_fn(sph_body, leaf_size)
+
+    st = _chunked_walk(
+        top_nodes, chunk_ref, scratch, o, d,
+        vote=lambda st: mask & (st["atten"] > 0.0),
+        t_cap=lambda st: t_max,
+        leaf_fn_over=leaf_fn_over, state=st, chunk_cap=chunk_cap,
+        rows_pc=rows_pc, n_chunks=n_chunks)
+    return st["atten"]

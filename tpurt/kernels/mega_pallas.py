@@ -233,6 +233,8 @@ def supports_scene(scene, cfg=None) -> bool:
         if cfg.pallas_sphere_bvh:
             from tpurt.kernels.bvh_pallas import MAX_BVH_SPHERES
             sph_dyn = max(sph_dyn, MAX_BVH_SPHERES)
+            if cfg.pallas_bvh_chunk > 0:
+                sph_dyn = 1 << 24  # chunked sphere slabs stream from HBM
     return (scene.num_triangles <= max(tri_dyn, tri_cap)
             and scene.num_spheres <= max(sph_dyn, sph_cap))
 
@@ -965,35 +967,76 @@ def _chunk_build_cached(triangles, chunk: int, leaf: int):
     return bvh_pallas.build_chunked_tri_tables(triangles, chunk, leaf)
 
 
+@functools.lru_cache(maxsize=4)
+def _chunk_build_sph_cached(tree_sph, chunk: int, leaf: int):
+    from tpurt.kernels import bvh_pallas
+    return bvh_pallas.build_chunked_sphere_tables(tree_sph, chunk, leaf)
+
+
 def _chunk_tables(fscene: FrozenScene, cfg: RenderConfig):
-    """(slabs, meta) for chunked mesh mode — the HBM slab tensor the
-    kernel wrappers pass when _use_tri_chunked ((None, None) otherwise;
-    ordinary scenes keep their exact pre-chunking signatures). The packed
-    TOP table rides the ordinary tri_tab SMEM slot (see _prim_tables)."""
+    """(slab_tensors, meta) for chunked modes — the HBM slab tensors the
+    kernel wrappers pass (([], None) when no chunking; ordinary scenes
+    keep their exact pre-chunking signatures). Order: triangle slab
+    first (if tri-chunked), then sphere slab (if sphere-chunked). The
+    packed TOP tables ride the ordinary tri_tab/sph_tab SMEM slots
+    (see _prim_tables). meta = {"tri": ..., "sph": ..., "rows": max
+    slab stride} — "rows" sizes the shared SMEM/VMEM scratch (the two
+    walks never overlap in time, so one scratch serves both kinds)."""
+    tabs, mt, ms = [], None, None
     if _use_tri_chunked(fscene, cfg):
-        _, slabs, meta = _chunk_build_cached(
+        _, slabs, mt = _chunk_build_cached(
             fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf)
-        return jnp.asarray(slabs), meta
-    return None, None
+        tabs.append(jnp.asarray(slabs))
+    if _use_sph_chunked(fscene, cfg):
+        from tpurt.kernels.bvh_pallas import split_huge_spheres
+        _, tree_sph = split_huge_spheres(fscene.spheres)
+        _, slabs, ms = _chunk_build_sph_cached(
+            tree_sph, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf)
+        tabs.append(jnp.asarray(slabs))
+    if not tabs:
+        return [], None
+    rows = max(m["rows_pc"] for m in (mt, ms) if m)
+    return tabs, {"tri": mt, "sph": ms, "rows": rows}
 
 
 def chunk_scratch_shapes(meta):
     """scratch_shapes entries for the chunk DMA ([] when chunking off —
-    ordinary scenes compile with untouched signatures)."""
+    ordinary scenes compile with untouched signatures). The staged route
+    (bvh_pallas.CHUNK_DMA_VIA_VMEM) adds a VMEM bounce buffer + 2nd sem."""
     if not meta:
         return []
-    return [pltpu.SMEM((meta["rows_pc"], 128), jnp.float32),
-            pltpu.SemaphoreType.DMA(())]
+    from tpurt.kernels.bvh_pallas import CHUNK_DMA_VIA_VMEM
+    rows = meta["rows"]
+    shapes = [pltpu.SMEM((rows, 128), jnp.float32)]
+    if CHUNK_DMA_VIA_VMEM:
+        shapes.append(pltpu.VMEM((rows, 128), jnp.float32))
+    shapes.append(pltpu.SemaphoreType.DMA(()))
+    if CHUNK_DMA_VIA_VMEM:
+        shapes.append(pltpu.SemaphoreType.DMA(()))
+    return shapes
 
 
 def _use_sph_bvh(fscene: FrozenScene, cfg: RenderConfig) -> bool:
     """Sphere dynamic-BVH mode: enough non-huge spheres that ordered
     near-to-far descent has a tree to prune, within the SMEM table
-    budget (beyond it, dispatch falls to the other modes / XLA)."""
+    budget (beyond it, chunked mode or XLA)."""
     if not cfg.pallas_sphere_bvh:
         return False
     from tpurt.kernels.bvh_pallas import MAX_BVH_SPHERES, split_huge_spheres
-    return 16 < len(split_huge_spheres(fscene.spheres)[1]) <= MAX_BVH_SPHERES
+    return (16 < len(split_huge_spheres(fscene.spheres)[1])
+            <= MAX_BVH_SPHERES
+            and not _use_sph_chunked(fscene, cfg))
+
+
+def _use_sph_chunked(fscene: FrozenScene, cfg: RenderConfig) -> bool:
+    """Chunked sphere mode: sphere counts beyond the single-SMEM-table
+    budget stream HBM slabs like chunked meshes (same threshold
+    override for tests)."""
+    if not (cfg.pallas_sphere_bvh and cfg.pallas_bvh_chunk > 0):
+        return False
+    from tpurt.kernels.bvh_pallas import MAX_BVH_SPHERES, split_huge_spheres
+    thresh = cfg.pallas_bvh_chunk_threshold or MAX_BVH_SPHERES
+    return len(split_huge_spheres(fscene.spheres)[1]) > max(thresh, 16)
 
 
 def _use_clusters(fscene: FrozenScene, cfg: RenderConfig) -> bool:
@@ -1010,7 +1053,13 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
     kernels/bvh_pallas.py. In ORDERED cluster mode the sphere slot carries
     the cull tree's tiny node table instead (sphere data stays baked).
     Shared by every Pallas kernel wrapper."""
-    if _use_sph_bvh(fscene, cfg):
+    if _use_sph_chunked(fscene, cfg):
+        from tpurt.kernels import bvh_pallas
+        _, tree_sph = bvh_pallas.split_huge_spheres(fscene.spheres)
+        top_tab, _, _ = _chunk_build_sph_cached(
+            tree_sph, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf)
+        sph_tab = jnp.asarray(top_tab)  # coarse tree rides the sph slot
+    elif _use_sph_bvh(fscene, cfg):
         from tpurt.kernels import bvh_pallas
         _, tree_sph = bvh_pallas.split_huge_spheres(fscene.spheres)
         sph_tab = jnp.asarray(bvh_pallas.pack_tables(
@@ -1057,11 +1106,42 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
     kind. Both take a lanes-relevance mask (the lanes whose result is
     consumed), used only for tile-level culling votes — per-lane results
     for masked-out lanes stay well-defined. `chunk` = (chunk_ref,
-    scratch_ref, sem) refs for chunked mesh mode (every kernel wrapper
-    passes them; only _use_tri_chunked scenes consume them)."""
+    scratch_refs_tuple) for chunked mesh mode (chunk_scratch_shapes
+    order); only _use_tri_chunked scenes consume it."""
     SPH, TRIS = fscene.spheres, fscene.triangles
     use_clusters = _use_clusters(fscene, cfg)
-    if _use_sph_bvh(fscene, cfg):
+    tri_chunked = _use_tri_chunked(fscene, cfg)
+    if _use_sph_chunked(fscene, cfg):
+        from tpurt.kernels import bvh_pallas
+        assert chunk is not None, "chunked sphere mode needs chunk refs"
+        chunk_refs, chunk_scratch = chunk
+        sph_slab = chunk_refs[1] if tri_chunked else chunk_refs[0]
+        ALWAYS, TREE_SPH = bvh_pallas.split_huge_spheres(SPH)
+        _, _, smeta = _chunk_build_sph_cached(
+            TREE_SPH, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf)
+        SCC, SRPC, SNCH = (smeta["chunk_cap"], smeta["rows_pc"],
+                           smeta["n_chunks"])
+
+        def sph_hit(o, d, m):
+            a = s.vdot(d, d)
+            st = _sweep_spheres_static(ALWAYS, o, d, a,
+                                       _sphere_state_init(o))
+            top_nodes = bvh_pallas._PackedTable(sph_ref, 0)
+            st = bvh_pallas.closest_sphere_bvh_chunked(
+                top_nodes, sph_slab, chunk_scratch, o, d, a, m, st,
+                SCC, SRPC, SNCH, leaf_size=cfg.pallas_bvh_leaf)
+            return _sphere_state_finish(o, d, st)
+
+        def sph_shadow(o, d, tm, lam_, m):
+            a = s.vdot(d, d)
+            atten = _shadow_sweep_static(ALWAYS, o, d, tm, lam_, a,
+                                         jnp.ones_like(o[0]))
+            top_nodes = bvh_pallas._PackedTable(sph_ref, 0)
+            return bvh_pallas.sphere_shadow_bvh_chunked(
+                top_nodes, sph_slab, chunk_scratch, o, d, tm, lam_, a,
+                m & (atten > 0.0), atten, SCC, SRPC, SNCH,
+                leaf_size=cfg.pallas_bvh_leaf)
+    elif _use_sph_bvh(fscene, cfg):
         from tpurt.kernels import bvh_pallas
         ALWAYS, TREE_SPH = bvh_pallas.split_huge_spheres(SPH)
 
@@ -1106,10 +1186,11 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
     tri_clusters = (cfg.pallas_cluster_size > 0
                     and len(TRIS) > 4 * cfg.pallas_cluster_size
                     and len(TRIS) <= cfg.pallas_static_unroll)
-    if _use_tri_chunked(fscene, cfg):
+    if tri_chunked:
         from tpurt.kernels import bvh_pallas
         assert chunk is not None, "chunked mesh mode needs chunk refs"
-        chunk_ref, chunk_scratch, chunk_sem = chunk
+        chunk_refs, chunk_scratch = chunk
+        chunk_ref = chunk_refs[0]
         _, _, meta = _chunk_build_cached(
             fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf)
         CC, RPC, NCH = (meta["chunk_cap"], meta["rows_pc"],
@@ -1118,7 +1199,7 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
         def tri_hit(o, d, m):
             top_nodes = bvh_pallas._PackedTable(tri_ref, 0)
             res = bvh_pallas.closest_tri_bvh_chunked(
-                top_nodes, chunk_ref, chunk_scratch, chunk_sem, o, d, m,
+                top_nodes, chunk_ref, chunk_scratch, o, d, m,
                 CC, RPC, NCH, leaf_size=cfg.pallas_bvh_leaf,
                 cluster_rows=cfg.pallas_bvh_rows)
             return _tri_state_finish(o, d, res)
@@ -1126,7 +1207,7 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
         def tri_occ(o, d, tm, m):
             top_nodes = bvh_pallas._PackedTable(tri_ref, 0)
             return bvh_pallas.tri_shadow_bvh_chunked(
-                top_nodes, chunk_ref, chunk_scratch, chunk_sem, o, d, tm,
+                top_nodes, chunk_ref, chunk_scratch, o, d, tm,
                 m, CC, RPC, NCH, leaf_size=cfg.pallas_bvh_leaf,
                 cluster_rows=cfg.pallas_bvh_rows)
     elif tri_clusters:
@@ -1180,15 +1261,16 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
     any_dielectric = any(m.mtype == 1 for m in MATS)
     any_metal = any(m.mtype == 2 for m in MATS)
 
-    chunked = _use_tri_chunked(fscene, cfg)
+    n_slabs = (int(_use_tri_chunked(fscene, cfg))
+               + int(_use_sph_chunked(fscene, cfg)))
 
     def kernel(planes_ref, cam_ref, seed_ref, rad_ref, base_ref, sph_ref,
                tri_ref, *rest):
-        # chunked mesh mode adds (chunk_ref input, 2 scratch refs); the
-        # signature is conditional so ordinary scenes compile unchanged
-        if chunked:
-            chunk_ref, out_ref, rays_ref, chunk_scratch, chunk_sem = rest
-            chunk = (chunk_ref, chunk_scratch, chunk_sem)
+        # chunked modes add (slab inputs, scratch refs); the signature is
+        # conditional so ordinary scenes compile unchanged
+        if n_slabs:
+            out_ref, rays_ref = rest[n_slabs:n_slabs + 2]
+            chunk = (list(rest[:n_slabs]), tuple(rest[n_slabs + 2:]))
         else:
             (out_ref, rays_ref), chunk = rest, None
         intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref,
@@ -1650,7 +1732,7 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ] + ([pl.BlockSpec(memory_space=pl.ANY)] if chunk_meta else []),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * len(chunk_tab),
         out_specs=[
             pl.BlockSpec((N_CHANNELS, R, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -1664,7 +1746,7 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
         input_output_aliases={0: 0},
         interpret=interpret,
     )(planes, cam, seed_arr, rad_arr, base_arr, sph_tab, tri_tab,
-      *([chunk_tab] if chunk_meta else []))
+      *chunk_tab)
     return new_planes, rays[:, 0]
 
 

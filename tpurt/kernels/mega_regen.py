@@ -95,14 +95,16 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                                          C_HERO) for lt in LIGHTS]
         HERO_DELTA = VISIBLE_RANGE / C_HERO
 
-    from tpurt.kernels.mega_pallas import _use_tri_chunked
-    chunked = _use_tri_chunked(fscene, cfg)
+    from tpurt.kernels.mega_pallas import (_use_sph_chunked,
+                                           _use_tri_chunked)
+    n_slabs = (int(_use_tri_chunked(fscene, cfg))
+               + int(_use_sph_chunked(fscene, cfg)))
 
     def kernel(planes_ref, z_ref, cam_ref, seed_ref, spp_ref, rad_ref,
                base_ref, sph_ref, tri_ref, *rest):
-        if chunked:
-            chunk_ref, out_ref, rays_ref, chunk_scratch, chunk_sem = rest
-            chunk = (chunk_ref, chunk_scratch, chunk_sem)
+        if n_slabs:
+            out_ref, rays_ref = rest[n_slabs:n_slabs + 2]
+            chunk = (list(rest[:n_slabs]), tuple(rest[n_slabs + 2:]))
         else:
             (out_ref, rays_ref), chunk = rest, None
         tile = pl.program_id(0)
@@ -642,7 +644,7 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
         kernel,
         grid=(n_tiles,),
         in_specs=[vb, vz, sm, sm, sm, sm, sm, sm, sm]
-        + ([pl.BlockSpec(memory_space=pl.ANY)] if chunk_meta else []),
+        + [pl.BlockSpec(memory_space=pl.ANY)] * len(chunk_tab),
         out_specs=[vb, sm],
         out_shape=[
             jax.ShapeDtypeStruct(planes.shape, jnp.float32),
@@ -652,7 +654,7 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
         input_output_aliases={0: 0},
         interpret=interpret,
     )(planes, zeros_in, cam, seed_arr, spp_arr, rad_arr, base_arr,
-      sph_tab, tri_tab, *([chunk_tab] if chunk_meta else []))
+      sph_tab, tri_tab, *chunk_tab)
     return new_planes, rays[:, 0]
 
 

@@ -88,14 +88,16 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
     track_collapse = (C_HERO > 1 and cfg.dispersion_in_camera_path
                       and any_dielectric)
 
-    from tpurt.kernels.mega_pallas import _use_tri_chunked
-    chunked = _use_tri_chunked(fscene, cfg)
+    from tpurt.kernels.mega_pallas import (_use_sph_chunked,
+                                           _use_tri_chunked)
+    n_slabs = (int(_use_tri_chunked(fscene, cfg))
+               + int(_use_sph_chunked(fscene, cfg)))
 
     def kernel(pf_ref, pi_ref, rng_ref, sph_ref, tri_ref, *rest):
-        if chunked:
-            (chunk_ref, pf_out, pi_out, rng_out, term_ref, rays_ref,
-             chunk_scratch, chunk_sem) = rest
-            chunk = (chunk_ref, chunk_scratch, chunk_sem)
+        if n_slabs:
+            pf_out, pi_out, rng_out, term_ref, rays_ref = \
+                rest[n_slabs:n_slabs + 5]
+            chunk = (list(rest[:n_slabs]), tuple(rest[n_slabs + 5:]))
         else:
             (pf_out, pi_out, rng_out, term_ref, rays_ref), chunk = \
                 rest, None
@@ -275,7 +277,7 @@ def sweep_pallas(fscene, cfg: RenderConfig, pf, pi, rng, interpret=False):
         kernel,
         grid=(n_tiles,),
         in_specs=[vb(C), vb(3), v1, sm, sm]
-        + ([pl.BlockSpec(memory_space=pl.ANY)] if chunk_meta else []),
+        + [pl.BlockSpec(memory_space=pl.ANY)] * len(chunk_tab),
         out_specs=[vb(C), vb(3), v1, v1, sm],
         out_shape=[
             jax.ShapeDtypeStruct(pf.shape, jnp.float32),
@@ -287,8 +289,7 @@ def sweep_pallas(fscene, cfg: RenderConfig, pf, pi, rng, interpret=False):
         scratch_shapes=chunk_scratch_shapes(chunk_meta),
         input_output_aliases={0: 0, 1: 1, 2: 2},
         interpret=interpret,
-    )(pf, pi, rng, sph_tab, tri_tab,
-      *([chunk_tab] if chunk_meta else []))
+    )(pf, pi, rng, sph_tab, tri_tab, *chunk_tab)
     return pf2, pi2, rng2, term, rays[:, 0]
 
 
@@ -470,14 +471,16 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                                          C_HERO) for lt in LIGHTS]
         HERO_DELTA = VISIBLE_RANGE / C_HERO
 
-    from tpurt.kernels.mega_pallas import _use_tri_chunked
-    chunked = _use_tri_chunked(fscene, cfg)
+    from tpurt.kernels.mega_pallas import (_use_sph_chunked,
+                                           _use_tri_chunked)
+    n_slabs = (int(_use_tri_chunked(fscene, cfg))
+               + int(_use_sph_chunked(fscene, cfg)))
 
     def kernel(acc_ref, cam_ref, seed_ref, spp_ref, base_ref, sph_ref,
                tri_ref, *rest):
-        if chunked:
-            chunk_ref, out_ref, rays_ref, chunk_scratch, chunk_sem = rest
-            chunk = (chunk_ref, chunk_scratch, chunk_sem)
+        if n_slabs:
+            out_ref, rays_ref = rest[n_slabs:n_slabs + 2]
+            chunk = (list(rest[:n_slabs]), tuple(rest[n_slabs + 2:]))
         else:
             (out_ref, rays_ref), chunk = rest, None
         tile = pl.program_id(0)
@@ -744,7 +747,7 @@ def _fused_wavefront_jit(fscene, cfg, camera, state, base_seed, spp,
         kernel,
         grid=(n_tiles,),
         in_specs=[vb3, sm, sm, sm, sm, sm, sm]
-        + ([pl.BlockSpec(memory_space=pl.ANY)] if chunk_meta else []),
+        + [pl.BlockSpec(memory_space=pl.ANY)] * len(chunk_tab),
         out_specs=[vb3, sm],
         out_shape=[
             jax.ShapeDtypeStruct(acc.shape, jnp.float32),
@@ -754,7 +757,7 @@ def _fused_wavefront_jit(fscene, cfg, camera, state, base_seed, spp,
         input_output_aliases={0: 0},
         interpret=interpret,
     )(acc, cam, seed_arr, spp_arr, base_arr, sph_tab, tri_tab,
-      *([chunk_tab] if chunk_meta else []))
+      *chunk_tab)
 
     flat = new_acc.reshape(3, P)
     rgb = jnp.stack([flat[0], flat[1], flat[2]], axis=-1)
