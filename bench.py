@@ -83,6 +83,22 @@ def build_bench(config_id: int, small: bool):
                            enable_photons=False, wf_pool=262144)
         scene = dispersive_scene()  # diffuse + dielectric + metal materials
         cam = make_camera((0, 3, -4), (0, 1, 5), vfov=55.0, aspect_ratio=w / h)
+    elif config_id == 6:  # EXTRA (not in BASELINE): 4k-tri mesh through the
+        # dynamic whole-tile BVH walk, with the measured-best mesh sampler
+        # stack (docs/DESIGN.md) — makes mesh throughput a driver-visible
+        # artifact instead of a README claim.
+        from tpurt import torus_mesh_scene
+        cfg = RenderConfig(width=w, height=h, depth=30,
+                           pallas_bvh=True, pallas_bvh_leaf=64,
+                           photon_strata=16, photon_strata_dir=4096,
+                           photon_strata_shared_k=True,
+                           photon_strata_bounce=True,
+                           camera_strata_bounce=True,
+                           photon_strata_window=8,
+                           hero_wavelengths=4, **kw)
+        scene = torus_mesh_scene(45, 45)  # 4050 triangles
+        cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
+                          aspect_ratio=w / h)
     else:  # headline: Cornell sphere scene @1080p, reference defaults
         cfg = RenderConfig(width=w, height=h, depth=30, **kw)
         scene = cornell_spheres_scene()
@@ -159,14 +175,15 @@ def main():
     ap.add_argument("--small", action="store_true", help="640x360 quick mode")
     ap.add_argument("--config", type=int, default=1)
     ap.add_argument("--all", action="store_true",
-                    help="run all 5 BASELINE configs, one JSON line each")
+                    help="run all 5 BASELINE configs + the extra mesh "
+                         "config 6, one JSON line each")
     ap.add_argument("--spp", type=int, default=0,
                     help="timed samples (0 = per-config default: 256 for the "
                          "sub-second wavefront config 5, else 64)")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
-    configs = [1, 2, 3, 4, 5] if args.all else [args.config]
+    configs = [1, 2, 3, 4, 5, 6] if args.all else [args.config]
     for cid in configs:
         # config 5's frame is sub-second at 64 spp (launch-overhead-bound);
         # time a 256-spp steady-state region there unless --spp overrides.

@@ -394,9 +394,12 @@ def test_chunked_walk_matches_single_table():
            pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((4, R, 128), jnp.float32),
+        # scratch OVERSIZED by 3 rows: pins that the DMA slices its
+        # destination to the slab stride (the scratch is shared across
+        # chunked primitive kinds and sized to the largest stride)
         scratch_shapes=(
-            [pltpu.SMEM((meta["rows_pc"], 128), jnp.float32)]
-            + ([pltpu.VMEM((meta["rows_pc"], 128), jnp.float32)]
+            [pltpu.SMEM((meta["rows_pc"] + 3, 128), jnp.float32)]
+            + ([pltpu.VMEM((meta["rows_pc"] + 3, 128), jnp.float32)]
                if CHUNK_DMA_VIA_VMEM else [])
             + [pltpu.SemaphoreType.DMA(())] * (2 if CHUNK_DMA_VIA_VMEM
                                                else 1)),

@@ -768,17 +768,22 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
             want = vote(st) & ~((tn > tf) | (tf <= 0.0) | (tn >= t_cap(st)))
             # the DMA itself is unconditional: a slab copy is ~100 ns of
             # HBM time vs multi-us leaf sweeps, and a conditional DMA
-            # faults Mosaic (measured); only the walk is vote-gated
+            # faults Mosaic (measured); only the walk is vote-gated.
+            # Destinations are sliced to THIS kind's stride — the scratch
+            # is shared across chunked primitive kinds and sized to the
+            # largest stride (mega_pallas.chunk_scratch_shapes)
             src = chunk_ref.at[pl.ds(cid * rows_pc, rows_pc)]
+            dst = scratch_ref.at[pl.ds(0, rows_pc)]
             if CHUNK_DMA_VIA_VMEM:
-                dma = pltpu.make_async_copy(src, vmem_ref, sem)
+                bounce = vmem_ref.at[pl.ds(0, rows_pc)]
+                dma = pltpu.make_async_copy(src, bounce, sem)
                 dma.start()
                 dma.wait()
-                dma2 = pltpu.make_async_copy(vmem_ref, scratch_ref, sem2)
+                dma2 = pltpu.make_async_copy(bounce, dst, sem2)
                 dma2.start()
                 dma2.wait()
             else:
-                dma = pltpu.make_async_copy(src, scratch_ref, sem)
+                dma = pltpu.make_async_copy(src, dst, sem)
                 dma.start()
                 dma.wait()
 
