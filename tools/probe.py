@@ -72,8 +72,12 @@ def build(args):
         scene = torus_mesh_scene(nu, nv)
         cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
                           aspect_ratio=16 / 9)
-        from tpurt.kernels.mega_pallas import _use_tri_bvh, freeze_scene
-        assert _use_tri_bvh(freeze_scene(scene), cfg), "tri-BVH not engaged"
+        from tpurt.kernels.mega_pallas import (_use_tri_bvh,
+                                               _use_tri_chunked,
+                                               freeze_scene)
+        fs = freeze_scene(scene)
+        assert _use_tri_bvh(fs, cfg) or _use_tri_chunked(fs, cfg), \
+            "tri-BVH/chunked not engaged"
     else:  # cornell
         kw.update(parse_sets(args.set))
         cfg = RenderConfig(**kw)
