@@ -53,6 +53,11 @@ STACK_DEPTH = 64  # ref: mega_kernel.wgsl:402 (fixed 64-deep stack)
 # (small ANY-space inputs get VMEM-placed and mask the fault); the staged
 # route is the guide's supported pattern. Interpret mode accepts both.
 CHUNK_DMA_VIA_VMEM = True
+# Prefetch the NEXT worklist entry's slab HBM -> VMEM while the current
+# chunk sweeps from SMEM (staged route only). Start/wait counts balance
+# even for an empty worklist: 1 warmup start + n in-loop starts vs n
+# in-loop waits + 1 drain wait. Off until measured on hardware.
+CHUNK_PREFETCH = False
 
 
 def build_tri_bvh_tables(triangles, leaf_size: int):
@@ -759,33 +764,61 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
                         leaf_fn=note, state={"_wl": jnp.int32(0)},
                         leaf_node=True, stack_ref=stack_ref)
 
-        # phase 2: re-vote each chunk against the LIVE caps, DMA, walk
+        # phase 2: re-vote each chunk against the LIVE caps, DMA, walk.
+        # All DMAs are unconditional: slab copies are ~100 ns of HBM time
+        # vs multi-us leaf sweeps, and a conditional DMA faults Mosaic
+        # (measured); only the walk is vote-gated. Destinations are
+        # sliced to THIS kind's stride — the scratch is shared across
+        # chunked primitive kinds and sized to the largest stride
+        # (mega_pallas.chunk_scratch_shapes).
+        n_found = st1["_wl"]
+        dst = scratch_ref.at[pl.ds(0, rows_pc)]
+
+        def entry_cid(i):
+            # clip: reads past the worklist (prefetch lookahead, empty
+            # list) stay in [0, n_chunks) so every DMA is in-bounds
+            nid = wl_ref[jnp.minimum(i, jnp.maximum(n_found - 1, 0))]
+            rc = top_nodes.record(nid)
+            cid = top_nodes.field(rc, 8).astype(jnp.int32)
+            return jnp.clip(cid, 0, n_chunks - 1)
+
+        def hbm_to_vmem(i):
+            src = chunk_ref.at[pl.ds(entry_cid(i) * rows_pc, rows_pc)]
+            bounce = vmem_ref.at[pl.ds(0, rows_pc)]
+            return pltpu.make_async_copy(src, bounce, sem)
+
+        prefetch = CHUNK_DMA_VIA_VMEM and CHUNK_PREFETCH
+        if prefetch:
+            hbm_to_vmem(jnp.int32(0)).start()
+
         def body(i, st):
             nid = wl_ref[i]
             rc = top_nodes.record(nid)
-            cid = top_nodes.field(rc, 8).astype(jnp.int32)
             tn, tf = _node_box_entry(top_nodes, nid, o, inv)
             want = vote(st) & ~((tn > tf) | (tf <= 0.0) | (tn >= t_cap(st)))
-            # the DMA itself is unconditional: a slab copy is ~100 ns of
-            # HBM time vs multi-us leaf sweeps, and a conditional DMA
-            # faults Mosaic (measured); only the walk is vote-gated.
-            # Destinations are sliced to THIS kind's stride — the scratch
-            # is shared across chunked primitive kinds and sized to the
-            # largest stride (mega_pallas.chunk_scratch_shapes)
-            src = chunk_ref.at[pl.ds(cid * rows_pc, rows_pc)]
-            dst = scratch_ref.at[pl.ds(0, rows_pc)]
-            if CHUNK_DMA_VIA_VMEM:
+            if prefetch:
+                hbm_to_vmem(i).wait()
                 bounce = vmem_ref.at[pl.ds(0, rows_pc)]
-                dma = pltpu.make_async_copy(src, bounce, sem)
-                dma.start()
-                dma.wait()
                 dma2 = pltpu.make_async_copy(bounce, dst, sem2)
                 dma2.start()
                 dma2.wait()
+                # bounce is free again — overlap the next slab's HBM read
+                # with this chunk's sweep
+                hbm_to_vmem(i + 1).start()
             else:
-                dma = pltpu.make_async_copy(src, dst, sem)
-                dma.start()
-                dma.wait()
+                src = chunk_ref.at[pl.ds(entry_cid(i) * rows_pc, rows_pc)]
+                if CHUNK_DMA_VIA_VMEM:
+                    bounce = vmem_ref.at[pl.ds(0, rows_pc)]
+                    dma = pltpu.make_async_copy(src, bounce, sem)
+                    dma.start()
+                    dma.wait()
+                    dma2 = pltpu.make_async_copy(bounce, dst, sem2)
+                    dma2.start()
+                    dma2.wait()
+                else:
+                    dma = pltpu.make_async_copy(src, dst, sem)
+                    dma.start()
+                    dma.wait()
 
             def sweep(st):
                 return _bvh_walk(nodes_v, o, inv, vote, t_cap, leaf_fn, st,
@@ -793,7 +826,10 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
 
             return jax.lax.cond(jnp.any(want), sweep, lambda s_: s_, st)
 
-        return jax.lax.fori_loop(0, st1["_wl"], body, state)
+        out = jax.lax.fori_loop(0, n_found, body, state)
+        if prefetch:
+            hbm_to_vmem(n_found).wait()  # drain the outstanding lookahead
+        return out
 
     return pl.run_scoped(run, pltpu.SMEM((max(n_chunks, 1),), jnp.int32),
                          pltpu.SMEM((STACK_DEPTH,), jnp.int32))
