@@ -175,6 +175,9 @@ class RenderConfig:
     #   vote for its box (near-to-far worklist + live-t re-vote,
     #   kernels/bvh_pallas.build_chunked_*_tables). Removes the fused
     #   path's scene-size caps. 0 disables (big scenes fall back to XLA).
+    pallas_chunk_prefetch: bool = False  # overlap the next chunk slab's
+    #   HBM->VMEM read with the current chunk's SMEM sweep (chunked modes
+    #   only; bit-identical results either way)
     pallas_bvh_chunk_threshold: int = 0  # primitive count above which
     #   chunked mode engages; 0 = MAX_BVH_TRIS / MAX_BVH_SPHERES (tests
     #   lower it to force chunking on small scenes)

@@ -53,11 +53,6 @@ STACK_DEPTH = 64  # ref: mega_kernel.wgsl:402 (fixed 64-deep stack)
 # (small ANY-space inputs get VMEM-placed and mask the fault); the staged
 # route is the guide's supported pattern. Interpret mode accepts both.
 CHUNK_DMA_VIA_VMEM = True
-# Prefetch the NEXT worklist entry's slab HBM -> VMEM while the current
-# chunk sweeps from SMEM (staged route only). Start/wait counts balance
-# even for an empty worklist: 1 warmup start + n in-loop starts vs n
-# in-loop waits + 1 drain wait. Off until measured on hardware.
-CHUNK_PREFETCH = False
 
 
 def build_tri_bvh_tables(triangles, leaf_size: int):
@@ -737,7 +732,7 @@ def _build_chunked(prims, pmin, pmax, sub_builder, chunk_prims: int,
 
 def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
                   leaf_fn_over, state, chunk_cap: int, rows_pc: int,
-                  n_chunks: int):
+                  n_chunks: int, prefetch: bool = False):
     """Two-phase chunked walk (see module comment). leaf_fn_over(tris_view)
     builds the inner leaf sweep over the scratch slab's triangle view.
     `scratch` = (smem_ref, sem) direct route or (smem_ref, vmem_ref, sem,
@@ -787,8 +782,12 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
             bounce = vmem_ref.at[pl.ds(0, rows_pc)]
             return pltpu.make_async_copy(src, bounce, sem)
 
-        prefetch = CHUNK_DMA_VIA_VMEM and CHUNK_PREFETCH
-        if prefetch:
+        # prefetch (cfg.pallas_chunk_prefetch): overlap the NEXT
+        # worklist entry's HBM -> VMEM read with the current chunk's SMEM
+        # sweep. Start/wait counts balance even for an empty worklist:
+        # 1 warmup start + n in-loop starts vs n in-loop waits + 1 drain.
+        pf = CHUNK_DMA_VIA_VMEM and prefetch
+        if pf:
             hbm_to_vmem(jnp.int32(0)).start()
 
         def body(i, st):
@@ -796,7 +795,7 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
             rc = top_nodes.record(nid)
             tn, tf = _node_box_entry(top_nodes, nid, o, inv)
             want = vote(st) & ~((tn > tf) | (tf <= 0.0) | (tn >= t_cap(st)))
-            if prefetch:
+            if pf:
                 hbm_to_vmem(i).wait()
                 bounce = vmem_ref.at[pl.ds(0, rows_pc)]
                 dma2 = pltpu.make_async_copy(bounce, dst, sem2)
@@ -827,7 +826,7 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
             return jax.lax.cond(jnp.any(want), sweep, lambda s_: s_, st)
 
         out = jax.lax.fori_loop(0, n_found, body, state)
-        if prefetch:
+        if pf:
             hbm_to_vmem(n_found).wait()  # drain the outstanding lookahead
         return out
 
@@ -838,7 +837,7 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
 def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                             mask, chunk_cap: int, rows_pc: int,
                             n_chunks: int, leaf_size: int = 0,
-                            cluster_rows: int = 0):
+                            cluster_rows: int = 0, prefetch: bool = False):
     """Chunked closest triangle hit — same contract as closest_tri_bvh.
     `scratch` = the chunk-DMA scratch refs (see _chunked_walk)."""
     zero = jnp.zeros_like(o[0])
@@ -867,14 +866,14 @@ def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
         leaf_fn_over=lambda tris: _sweep_leaf_fn(tris, o, d, tri_body,
                                                  leaf_size, cluster_rows),
         state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
-        n_chunks=n_chunks)
+        n_chunks=n_chunks, prefetch=prefetch)
     return st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
 
 
 def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                            t_max, mask, chunk_cap: int, rows_pc: int,
                            n_chunks: int, leaf_size: int = 0,
-                           cluster_rows: int = 0):
+                           cluster_rows: int = 0, prefetch: bool = False):
     """Chunked any-hit occlusion — same contract as tri_shadow_bvh."""
     state = {"occ": jnp.zeros_like(o[0], jnp.int32), "tm": t_max}
 
@@ -891,13 +890,14 @@ def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
         leaf_fn_over=lambda tris: _sweep_leaf_fn(tris, o, d, tri_body,
                                                  leaf_size, cluster_rows),
         state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
-        n_chunks=n_chunks)
+        n_chunks=n_chunks, prefetch=prefetch)
     return st["occ"] > 0
 
 
 def closest_sphere_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, a,
                                mask, state, chunk_cap: int, rows_pc: int,
-                               n_chunks: int, leaf_size: int = 0):
+                               n_chunks: int, leaf_size: int = 0,
+                               prefetch: bool = False):
     """Chunked closest sphere hit — same contract as closest_sphere_bvh
     (continues from the static 'always' sweep's state)."""
     inv_a = 1.0 / a
@@ -930,14 +930,14 @@ def closest_sphere_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, a,
         top_nodes, chunk_ref, scratch, o, d,
         vote=lambda st: mask, t_cap=lambda st: st["t"],
         leaf_fn_over=leaf_fn_over, state=st, chunk_cap=chunk_cap,
-        rows_pc=rows_pc, n_chunks=n_chunks)
+        rows_pc=rows_pc, n_chunks=n_chunks, prefetch=prefetch)
     return st["t"], (st["cx"], st["cy"], st["cz"]), st["mat"]
 
 
 def sphere_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, t_max,
                               lam, a, mask, atten, chunk_cap: int,
                               rows_pc: int, n_chunks: int,
-                              leaf_size: int = 0):
+                              leaf_size: int = 0, prefetch: bool = False):
     """Chunked shadow-factor walk — same contract as sphere_shadow_bvh
     (continues from `atten`; ref: mega_kernel.wgsl:511-538)."""
     inv_a = 1.0 / a
@@ -977,5 +977,5 @@ def sphere_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, t_max,
         vote=lambda st: mask & (st["atten"] > 0.0),
         t_cap=lambda st: t_max,
         leaf_fn_over=leaf_fn_over, state=st, chunk_cap=chunk_cap,
-        rows_pc=rows_pc, n_chunks=n_chunks)
+        rows_pc=rows_pc, n_chunks=n_chunks, prefetch=prefetch)
     return st["atten"]

@@ -1129,7 +1129,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
             top_nodes = bvh_pallas._PackedTable(sph_ref, 0)
             st = bvh_pallas.closest_sphere_bvh_chunked(
                 top_nodes, sph_slab, chunk_scratch, o, d, a, m, st,
-                SCC, SRPC, SNCH, leaf_size=cfg.pallas_bvh_leaf)
+                SCC, SRPC, SNCH, leaf_size=cfg.pallas_bvh_leaf,
+                prefetch=cfg.pallas_chunk_prefetch)
             return _sphere_state_finish(o, d, st)
 
         def sph_shadow(o, d, tm, lam_, m):
@@ -1140,7 +1141,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
             return bvh_pallas.sphere_shadow_bvh_chunked(
                 top_nodes, sph_slab, chunk_scratch, o, d, tm, lam_, a,
                 m & (atten > 0.0), atten, SCC, SRPC, SNCH,
-                leaf_size=cfg.pallas_bvh_leaf)
+                leaf_size=cfg.pallas_bvh_leaf,
+                prefetch=cfg.pallas_chunk_prefetch)
     elif _use_sph_bvh(fscene, cfg):
         from tpurt.kernels import bvh_pallas
         ALWAYS, TREE_SPH = bvh_pallas.split_huge_spheres(SPH)
@@ -1201,7 +1203,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
             res = bvh_pallas.closest_tri_bvh_chunked(
                 top_nodes, chunk_ref, chunk_scratch, o, d, m,
                 CC, RPC, NCH, leaf_size=cfg.pallas_bvh_leaf,
-                cluster_rows=cfg.pallas_bvh_rows)
+                cluster_rows=cfg.pallas_bvh_rows,
+                prefetch=cfg.pallas_chunk_prefetch)
             return _tri_state_finish(o, d, res)
 
         def tri_occ(o, d, tm, m):
@@ -1209,7 +1212,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
             return bvh_pallas.tri_shadow_bvh_chunked(
                 top_nodes, chunk_ref, chunk_scratch, o, d, tm,
                 m, CC, RPC, NCH, leaf_size=cfg.pallas_bvh_leaf,
-                cluster_rows=cfg.pallas_bvh_rows)
+                cluster_rows=cfg.pallas_bvh_rows,
+                prefetch=cfg.pallas_chunk_prefetch)
     elif tri_clusters:
         TCL = _tri_cull_tree(TRIS, cfg.pallas_cluster_size)
         tri_hit = lambda o, d, m: _closest_tri_clustered(TCL, o, d, m)
