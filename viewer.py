@@ -43,18 +43,28 @@ def _build(args):
         dispersive_scene,
         instanced_scene,
         make_camera,
+        torus_mesh_scene,
     )
     scenes = {
         "cornell": (cornell_spheres_scene, ((0, 5, -12), (0, 5, 0), 60.0)),
         "default": (default_scene, ((0, 0, -0.01), (0, 0, 1), 75.0)),
         "dispersive": (dispersive_scene, ((0, 3, -4), (0, 1, 5), 55.0)),
         "instanced": (lambda: instanced_scene(256), ((0, 10, -14), (0, 1, 8), 55.0)),
+        "mesh": (lambda: torus_mesh_scene(45, 45), ((0, 3, -6), (0, 1.5, 0), 55.0)),
     }
     build, (eye, at, vfov) = scenes[args.scene]
     scene = build()
+    extra = {}
+    if args.scene == "mesh":
+        # 4k triangles: the dynamic whole-tile BVH walk (chunked past
+        # 8192) with the measured-best mesh sampler stack (docs/DESIGN.md)
+        extra = dict(pallas_bvh=True, pallas_bvh_leaf=64,
+                     photon_strata=16, photon_strata_dir=4096,
+                     photon_strata_shared_k=True, photon_strata_bounce=True,
+                     camera_strata_bounce=True, photon_strata_window=8)
     cfg = RenderConfig(width=args.width, height=args.height, depth=args.depth,
                        backend=args.backend, hero_wavelengths=args.hero,
-                       dispersion_in_camera_path=args.dispersion)
+                       dispersion_in_camera_path=args.dispersion, **extra)
     cam = make_camera(eye, at, vfov=vfov, aspect_ratio=args.width / args.height)
     return cfg, scene, cam, vfov
 
@@ -275,7 +285,8 @@ def interactive(args):
 def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--scene", default="cornell",
-                    choices=["cornell", "default", "dispersive", "instanced"])
+                    choices=["cornell", "default", "dispersive", "instanced",
+                             "mesh"])
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--depth", type=int, default=30)
