@@ -409,6 +409,39 @@ def _make_clustered_leaf_fn(o, d, record, body, leaf_size: int,
     return leaf_fn
 
 
+def _tri_closest_body(o2, d2, rec, count_ok, st):
+    """Closest-hit triangle update — ONE definition shared by the
+    single-table and chunked walks (divergence would break their pinned
+    bit-exactness)."""
+    av, e1, e2, n, mat = rec
+    t, valid = s.triangle_hit_c(o2, d2, av, e1, e2)
+    t = jnp.where(valid & count_ok, t, MISS)
+    better = t < st["t"]
+    return {
+        "t": jnp.where(better, t, st["t"]),
+        "nx": jnp.where(better, n[0], st["nx"]),
+        "ny": jnp.where(better, n[1], st["ny"]),
+        "nz": jnp.where(better, n[2], st["nz"]),
+        "mat": jnp.where(better, mat, st["mat"]),
+    }
+
+
+def _tri_shadow_body(o2, d2, rec, count_ok, st):
+    """Any-hit triangle occlusion update (shared, see _tri_closest_body;
+    ref: mega_kernel.wgsl:540-562 — triangles occlude fully)."""
+    av, e1, e2, _, _ = rec
+    t, valid = s.triangle_hit_c(o2, d2, av, e1, e2)
+    hit = valid & count_ok & (t < st["tm"])
+    return dict(st, occ=jnp.maximum(st["occ"], jnp.where(hit, 1, 0)))
+
+
+def _tri_closest_state(o):
+    zero = jnp.zeros_like(o[0])
+    return {"t": jnp.full_like(o[0], MISS),
+            "nx": zero, "ny": zero, "nz": zero,
+            "mat": jnp.zeros_like(o[0], jnp.int32)}
+
+
 def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
                     stats: bool = False, cluster_rows: int = 0):
     """Closest triangle hit via the whole-tile BVH walk.
@@ -420,30 +453,13 @@ def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
     cluster_rows > 0 (cfg.pallas_bvh_rows; requires leaf_size > 0)
     predicates each leaf's vector sweep per row-cluster."""
     inv = tuple(1.0 / d[c] for c in range(3))
-    zero = jnp.zeros_like(o[0])
-    state = {
-        "t": jnp.full_like(o[0], MISS),
-        "nx": zero, "ny": zero, "nz": zero,
-        "mat": jnp.zeros_like(o[0], jnp.int32),
-    }
+    state = _tri_closest_state(o)
     if stats:
         state.update(_nodes=jnp.int32(0), _leaves=jnp.int32(0),
                      _prims=jnp.int32(0))
 
-    def tri_body(o2, d2, rec, count_ok, st):
-        av, e1, e2, n, mat = rec
-        t, valid = s.triangle_hit_c(o2, d2, av, e1, e2)
-        t = jnp.where(valid & count_ok, t, MISS)
-        better = t < st["t"]
-        return {
-            "t": jnp.where(better, t, st["t"]),
-            "nx": jnp.where(better, n[0], st["nx"]),
-            "ny": jnp.where(better, n[1], st["ny"]),
-            "nz": jnp.where(better, n[2], st["nz"]),
-            "mat": jnp.where(better, mat, st["mat"]),
-        }
-
-    leaf_fn = _sweep_leaf_fn(tris, o, d, tri_body, leaf_size, cluster_rows)
+    leaf_fn = _sweep_leaf_fn(tris, o, d, _tri_closest_body, leaf_size,
+                             cluster_rows)
     st = _bvh_walk(nodes, o, inv,
                    vote=lambda st: mask, t_cap=lambda st: st["t"],
                    leaf_fn=leaf_fn, state=state,
@@ -498,13 +514,8 @@ def tri_shadow_bvh(nodes, tris, o, d, t_max, mask, leaf_size: int = 0,
     inv = tuple(1.0 / d[c] for c in range(3))
     state = {"occ": jnp.zeros_like(o[0], jnp.int32), "tm": t_max}
 
-    def tri_body(o2, d2, rec, count_ok, st):
-        av, e1, e2, _, _ = rec
-        t, valid = s.triangle_hit_c(o2, d2, av, e1, e2)
-        hit = valid & count_ok & (t < st["tm"])
-        return dict(st, occ=jnp.maximum(st["occ"], jnp.where(hit, 1, 0)))
-
-    leaf_fn = _sweep_leaf_fn(tris, o, d, tri_body, leaf_size, cluster_rows)
+    leaf_fn = _sweep_leaf_fn(tris, o, d, _tri_shadow_body, leaf_size,
+                             cluster_rows)
 
     # already-occluded lanes drop out of the vote; fully-dark tiles pop
     # the remaining stack at ~1 box test per node
@@ -527,17 +538,10 @@ def _sphere_record(sphs: _PackedTable, si):
     return c, r, mat, mtype, ior
 
 
-def closest_sphere_bvh(nodes, sphs, o, d, a, mask, state,
-                       leaf_size: int = 0):
-    """Closest sphere hit via the whole-tile BVH walk, continuing from
-    `state` = (best_t, best_c 3-tuple, best_mat) — the static 'always'
-    sweep's result (same contract as mega_pallas._sweep_spheres_static).
-    Guard records (r == 0) never pass the valid test."""
-    inv = tuple(1.0 / d[c] for c in range(3))
+def _make_sphere_closest_body(sphs, o, d, a):
+    """(first, count, i, st) closest-hit sphere update over a record view
+    — ONE definition shared by the single-table and chunked walks."""
     inv_a = 1.0 / a
-    best_t, best_c, best_mat = state
-    st = {"t": best_t, "cx": best_c[0], "cy": best_c[1], "cz": best_c[2],
-          "mat": best_mat}
 
     def sph_body(first, count, i, st):
         c, r, mat, _, _ = _sphere_record(sphs, first + i)
@@ -558,24 +562,14 @@ def closest_sphere_bvh(nodes, sphs, o, d, a, mask, state,
             "mat": jnp.where(better, mat, st["mat"]),
         }
 
-    leaf_fn = _make_leaf_fn(sph_body, leaf_size)
-    st = _bvh_walk(nodes, o, inv,
-                   vote=lambda st: mask, t_cap=lambda st: st["t"],
-                   leaf_fn=leaf_fn, state=st)
-    return st["t"], (st["cx"], st["cy"], st["cz"]), st["mat"]
+    return sph_body
 
 
-def sphere_shadow_bvh(nodes, sphs, o, d, t_max, lam, a, mask, atten,
-                      leaf_size: int = 0):
-    """Shadow-factor walk (ref: mega_kernel.wgsl:511-538): dielectric
-    spheres transmit (1-R1)(1-R2) Fresnel, everything else occludes fully.
-    Continues from `atten` (the static 'always' sweep); material types are
-    runtime scalars, so both factors are computed and selected (cf.
-    mega_pallas._shadow_dyn)."""
-    inv = tuple(1.0 / d[c] for c in range(3))
+def _make_sphere_shadow_body(sphs, o, d, t_max, lam, a):
+    """(first, count, i, st) Fresnel shadow-factor update (shared; ref:
+    mega_kernel.wgsl:511-538 — dielectrics transmit (1-R1)(1-R2))."""
     inv_a = 1.0 / a
     cauchy = jnp.float32(DISPERSION_B) / ((lam * 1e-3) * (lam * 1e-3))
-    st = {"atten": atten}
 
     def sph_body(first, count, i, st):
         c, r, _, mtype, ior = _sphere_record(sphs, first + i)
@@ -603,7 +597,40 @@ def sphere_shadow_bvh(nodes, sphs, o, d, t_max, lam, a, mask, atten,
         f = jnp.where(mtype == 1.0, diel, jnp.zeros_like(diel))
         return {"atten": st["atten"] * jnp.where(overlap, f, 1.0)}
 
-    leaf_fn = _make_leaf_fn(sph_body, leaf_size)
+    return sph_body
+
+
+def closest_sphere_bvh(nodes, sphs, o, d, a, mask, state,
+                       leaf_size: int = 0):
+    """Closest sphere hit via the whole-tile BVH walk, continuing from
+    `state` = (best_t, best_c 3-tuple, best_mat) — the static 'always'
+    sweep's result (same contract as mega_pallas._sweep_spheres_static).
+    Guard records (r == 0) never pass the valid test."""
+    inv = tuple(1.0 / d[c] for c in range(3))
+    best_t, best_c, best_mat = state
+    st = {"t": best_t, "cx": best_c[0], "cy": best_c[1], "cz": best_c[2],
+          "mat": best_mat}
+
+    leaf_fn = _make_leaf_fn(_make_sphere_closest_body(sphs, o, d, a),
+                            leaf_size)
+    st = _bvh_walk(nodes, o, inv,
+                   vote=lambda st: mask, t_cap=lambda st: st["t"],
+                   leaf_fn=leaf_fn, state=st)
+    return st["t"], (st["cx"], st["cy"], st["cz"]), st["mat"]
+
+
+def sphere_shadow_bvh(nodes, sphs, o, d, t_max, lam, a, mask, atten,
+                      leaf_size: int = 0):
+    """Shadow-factor walk (ref: mega_kernel.wgsl:511-538): dielectric
+    spheres transmit (1-R1)(1-R2) Fresnel, everything else occludes fully.
+    Continues from `atten` (the static 'always' sweep); material types are
+    runtime scalars, so both factors are computed and selected (cf.
+    mega_pallas._shadow_dyn)."""
+    inv = tuple(1.0 / d[c] for c in range(3))
+    st = {"atten": atten}
+
+    leaf_fn = _make_leaf_fn(
+        _make_sphere_shadow_body(sphs, o, d, t_max, lam, a), leaf_size)
     st = _bvh_walk(nodes, o, inv,
                    vote=lambda st: mask & (st["atten"] > 0.0),
                    t_cap=lambda st: t_max,
@@ -732,7 +759,8 @@ def _build_chunked(prims, pmin, pmax, sub_builder, chunk_prims: int,
 
 def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
                   leaf_fn_over, state, chunk_cap: int, rows_pc: int,
-                  n_chunks: int, prefetch: bool = False):
+                  n_chunks: int, prefetch: bool = False,
+                  leaf_want: bool = False):
     """Two-phase chunked walk (see module comment). leaf_fn_over(tris_view)
     builds the inner leaf sweep over the scratch slab's triangle view.
     `scratch` = (smem_ref, sem) direct route or (smem_ref, vmem_ref, sem,
@@ -747,6 +775,11 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
     leaf_fn = leaf_fn_over(_PackedTable(scratch_ref, 0))
 
     def run(wl_ref, stack_ref):
+        # slot 0 pre-seeded with the top ROOT id: an empty worklist's
+        # clamped prefetch lookahead then reads a valid record instead of
+        # uninitialized SMEM (the chunk-id clip already bounds the DMA)
+        wl_ref[0] = jnp.int32(0)
+
         # phase 1: worklist of voted chunks, near-to-far. No t caps yet
         # (phase 2 re-votes with live caps), so prune on boxes only.
         def note(node, first, count, st):
@@ -821,7 +854,7 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
 
             def sweep(st):
                 return _bvh_walk(nodes_v, o, inv, vote, t_cap, leaf_fn, st,
-                                 stack_ref=stack_ref)
+                                 leaf_want=leaf_want, stack_ref=stack_ref)
 
             return jax.lax.cond(jnp.any(want), sweep, lambda s_: s_, st)
 
@@ -840,33 +873,17 @@ def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                             cluster_rows: int = 0, prefetch: bool = False):
     """Chunked closest triangle hit — same contract as closest_tri_bvh.
     `scratch` = the chunk-DMA scratch refs (see _chunked_walk)."""
-    zero = jnp.zeros_like(o[0])
-    state = {
-        "t": jnp.full_like(o[0], MISS),
-        "nx": zero, "ny": zero, "nz": zero,
-        "mat": jnp.zeros_like(o[0], jnp.int32),
-    }
-
-    def tri_body(o2, d2, rec, count_ok, st):
-        av, e1, e2, n, mat = rec
-        t, valid = s.triangle_hit_c(o2, d2, av, e1, e2)
-        t = jnp.where(valid & count_ok, t, MISS)
-        better = t < st["t"]
-        return {
-            "t": jnp.where(better, t, st["t"]),
-            "nx": jnp.where(better, n[0], st["nx"]),
-            "ny": jnp.where(better, n[1], st["ny"]),
-            "nz": jnp.where(better, n[2], st["nz"]),
-            "mat": jnp.where(better, mat, st["mat"]),
-        }
+    state = _tri_closest_state(o)
 
     st = _chunked_walk(
         top_nodes, chunk_ref, scratch, o, d,
         vote=lambda st: mask, t_cap=lambda st: st["t"],
-        leaf_fn_over=lambda tris: _sweep_leaf_fn(tris, o, d, tri_body,
+        leaf_fn_over=lambda tris: _sweep_leaf_fn(tris, o, d,
+                                                 _tri_closest_body,
                                                  leaf_size, cluster_rows),
         state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
-        n_chunks=n_chunks, prefetch=prefetch)
+        n_chunks=n_chunks, prefetch=prefetch,
+        leaf_want=cluster_rows > 0)
     return st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
 
 
@@ -877,20 +894,16 @@ def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
     """Chunked any-hit occlusion — same contract as tri_shadow_bvh."""
     state = {"occ": jnp.zeros_like(o[0], jnp.int32), "tm": t_max}
 
-    def tri_body(o2, d2, rec, count_ok, st):
-        av, e1, e2, _, _ = rec
-        t, valid = s.triangle_hit_c(o2, d2, av, e1, e2)
-        hit = valid & count_ok & (t < st["tm"])
-        return dict(st, occ=jnp.maximum(st["occ"], jnp.where(hit, 1, 0)))
-
     st = _chunked_walk(
         top_nodes, chunk_ref, scratch, o, d,
         vote=lambda st: mask & ~(st["occ"] > 0),
         t_cap=lambda st: st["tm"],
-        leaf_fn_over=lambda tris: _sweep_leaf_fn(tris, o, d, tri_body,
+        leaf_fn_over=lambda tris: _sweep_leaf_fn(tris, o, d,
+                                                 _tri_shadow_body,
                                                  leaf_size, cluster_rows),
         state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
-        n_chunks=n_chunks, prefetch=prefetch)
+        n_chunks=n_chunks, prefetch=prefetch,
+        leaf_want=cluster_rows > 0)
     return st["occ"] > 0
 
 
@@ -900,31 +913,13 @@ def closest_sphere_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, a,
                                prefetch: bool = False):
     """Chunked closest sphere hit — same contract as closest_sphere_bvh
     (continues from the static 'always' sweep's state)."""
-    inv_a = 1.0 / a
     best_t, best_c, best_mat = state
     st = {"t": best_t, "cx": best_c[0], "cy": best_c[1], "cz": best_c[2],
           "mat": best_mat}
 
     def leaf_fn_over(sphs):
-        def sph_body(first, count, i, st):
-            c, r, mat, _, _ = _sphere_record(sphs, first + i)
-            oc = (o[0] - c[0], o[1] - c[1], o[2] - c[2])
-            half_b = s.vdot(oc, d)
-            cc = s.vdot(oc, oc) - r * r
-            disc = half_b * half_b - a * cc
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t = (-half_b - sq) * inv_a
-            t = jnp.where((disc > 0.0) & (t > 0.0) & (r > 0.0)
-                          & (i < count), t, MISS)
-            better = t < st["t"]
-            return {
-                "t": jnp.where(better, t, st["t"]),
-                "cx": jnp.where(better, c[0], st["cx"]),
-                "cy": jnp.where(better, c[1], st["cy"]),
-                "cz": jnp.where(better, c[2], st["cz"]),
-                "mat": jnp.where(better, mat, st["mat"]),
-            }
-        return _make_leaf_fn(sph_body, leaf_size)
+        return _make_leaf_fn(_make_sphere_closest_body(sphs, o, d, a),
+                             leaf_size)
 
     st = _chunked_walk(
         top_nodes, chunk_ref, scratch, o, d,
@@ -940,37 +935,11 @@ def sphere_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, t_max,
                               leaf_size: int = 0, prefetch: bool = False):
     """Chunked shadow-factor walk — same contract as sphere_shadow_bvh
     (continues from `atten`; ref: mega_kernel.wgsl:511-538)."""
-    inv_a = 1.0 / a
-    cauchy = jnp.float32(DISPERSION_B) / ((lam * 1e-3) * (lam * 1e-3))
     st = {"atten": atten}
 
     def leaf_fn_over(sphs):
-        def sph_body(first, count, i, st):
-            c, r, _, mtype, ior = _sphere_record(sphs, first + i)
-            cb = s.vbroadcast(c, o[0])
-            oc = s.vsub(o, cb)
-            half_b = s.vdot(oc, d)
-            cc = s.vdot(oc, oc) - r * r
-            disc = half_b * half_b - a * cc
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            t0 = (-half_b - sq) * inv_a
-            t1 = (-half_b + sq) * inv_a
-            overlap = ((disc > 0.0) & (t1 > 0.0) & (t0 < t_max)
-                       & (r > 0.0) & (i < count))
-            t_entry = jnp.maximum(t0, 0.0)
-            t_exit = jnp.minimum(t1, t_max)
-            segment = t_entry < t_exit
-            eta = ior + cauchy
-            p1 = s.vadd(o, s.vscale(d, t_entry))
-            n1 = s.vnormalize(s.vsub(p1, cb), eps=1e-30)
-            R1 = fr_dielectric(-s.vdot(n1, d), eta)
-            p2 = s.vadd(o, s.vscale(d, t_exit))
-            n2 = s.vnormalize(s.vsub(p2, cb), eps=1e-30)
-            R2 = fr_dielectric(-s.vdot(n2, d), eta)
-            diel = jnp.where(segment, (1.0 - R1) * (1.0 - R2), 1.0)
-            f = jnp.where(mtype == 1.0, diel, jnp.zeros_like(diel))
-            return {"atten": st["atten"] * jnp.where(overlap, f, 1.0)}
-        return _make_leaf_fn(sph_body, leaf_size)
+        return _make_leaf_fn(
+            _make_sphere_shadow_body(sphs, o, d, t_max, lam, a), leaf_size)
 
     st = _chunked_walk(
         top_nodes, chunk_ref, scratch, o, d,

@@ -228,15 +228,36 @@ def supports_scene(scene, cfg=None) -> bool:
         if cfg.pallas_bvh:
             from tpurt.kernels.bvh_pallas import MAX_BVH_TRIS
             tri_dyn = MAX_BVH_TRIS
-            if cfg.pallas_bvh_chunk > 0:
-                tri_dyn = 1 << 24  # chunked mode streams slabs from HBM
+            # chunked mode lifts the cap ONLY where it actually engages
+            # (mirror _use_tri_chunked): a raised threshold leaves a gap
+            # band that must still fall back to XLA, not the flat sweep
+            thresh = cfg.pallas_bvh_chunk_threshold or MAX_BVH_TRIS
+            if (cfg.pallas_bvh_chunk > 0
+                    and scene.num_triangles > max(thresh, tri_cap)):
+                tri_dyn = scene.num_triangles
         if cfg.pallas_sphere_bvh:
             from tpurt.kernels.bvh_pallas import MAX_BVH_SPHERES
             sph_dyn = max(sph_dyn, MAX_BVH_SPHERES)
-            if cfg.pallas_bvh_chunk > 0:
-                sph_dyn = 1 << 24  # chunked sphere slabs stream from HBM
+            thresh = cfg.pallas_bvh_chunk_threshold or MAX_BVH_SPHERES
+            if (cfg.pallas_bvh_chunk > 0
+                    and _n_tree_spheres(scene) > max(thresh, 16)):
+                sph_dyn = scene.num_spheres
     return (scene.num_triangles <= max(tri_dyn, tri_cap)
             and scene.num_spheres <= max(sph_dyn, sph_cap))
+
+
+def _n_tree_spheres(scene) -> int:
+    """How many spheres land in the BVH/chunk TREE side of
+    bvh_pallas.split_huge_spheres, computed from the Scene SoA radii
+    (supports_scene runs pre-freeze)."""
+    from tpurt.kernels.bvh_pallas import MAX_ALWAYS_SPHERES
+    r = np.asarray(scene.sph_radius, np.float32)
+    r = r[r > 0.0]
+    if r.size == 0:
+        return 0
+    med = float(np.median(r))
+    n_huge = int((r > max(10.0 * med, 1e-3)).sum())
+    return int(r.size - min(n_huge, MAX_ALWAYS_SPHERES))
 
 
 # ----- component-form integrator pieces (mirror tpurt.integrate) -----
