@@ -28,6 +28,10 @@ jax.config.update("jax_enable_x64", False)
 #   python -m pytest tests/ -m "not slow" -q     (fast set, < 5 min)
 #   python -m pytest tests/ -m slow -q           (interpreter-heavy parity)
 # Modules listed here are marked slow wholesale; everything else is fast.
+# Prefer running the slow set ONE MODULE PER PROCESS (for m in ...; do
+# pytest tests/$m.py; done): hour-long single-process runs have hit a
+# flaky XLA:CPU compiler segfault that a fresh process avoids, and
+# per-module runs isolate any such crash to one module's report.
 
 import pytest  # noqa: E402
 
