@@ -97,3 +97,27 @@ def test_oracle_rng_bit_exact_vs_tpurt():
             got = r.rand()
             assert int(want) == got, f"seed {seed}: {int(want)} != {got}"
             assert int(state) == r.state
+
+
+def test_mesh_scene_matches_reference():
+    """Triangle coverage of the fidelity contract: Moller-Trumbore
+    closest hit (ref :303-338), sphere/mesh winner merge (:874-878,
+    photon :768-770), and FULL triangle shadow occlusion (:540-562) —
+    a lit quad over the ground sphere, where the quad both receives NEE
+    and shadows the ground behind it."""
+    from tpurt.scene import MeshData
+    materials = [
+        Material.diffuse((0.8, 0.8, 0.8)),
+        Material.diffuse((0.85, 0.2, 0.2)),
+    ]
+    mesh = MeshData(material_id=1)
+    quad_pos = np.array([[-1.5, 0.0, 2.0], [1.5, 0.0, 2.0],
+                         [1.5, 2.5, 2.0], [-1.5, 2.5, 2.0]], np.float32)
+    mesh.add_triangles(quad_pos, np.array([[0, 1, 2], [0, 2, 3]], np.int32))
+    spheres = [Sphere(0, 1000.0, (0.0, -1000.0, 0.0))]
+    lights = [Light.point((0.0, 4.0, -3.0), (1.0, 1.0, 0.9), 30.0, 5500.0)]
+    scene = build_scene(materials, spheres, [mesh], lights)
+    cam = make_camera((0.0, 1.5, -5.0), (0.0, 1.0, 0.0), vfov=70.0,
+                      aspect_ratio=16 / 9)
+    omean, timg = _compare(scene, cam, 16, 9, 6, 250, base_seed=555)
+    assert omean.mean() > 0.03

@@ -323,10 +323,19 @@ class OLight:
 
 
 @dataclasses.dataclass
+class OTriangle:
+    a: tuple              # vertex A
+    e1: tuple             # edge B-A
+    e2: tuple             # edge C-A
+    mat: int              # mesh_indices[..].w (ref instance.rs:88-92)
+
+
+@dataclasses.dataclass
 class OScene:
     materials: list
     spheres: list
     lights: list
+    triangles: list = dataclasses.field(default_factory=list)
 
 
 def scene_from_tpurt(scene) -> OScene:
@@ -346,8 +355,12 @@ def scene_from_tpurt(scene) -> OScene:
                   float(scene.light_normal[i][0]),
                   float(scene.light_normal[i][2]))
            for i in range(scene.num_lights)]
-    assert scene.num_triangles == 0, "oracle covers sphere scenes"
-    return OScene(mats, sphs, lts)
+    tris = [OTriangle(tuple(np.asarray(scene.tri_a[i], np.float64)),
+                      tuple(np.asarray(scene.tri_e1[i], np.float64)),
+                      tuple(np.asarray(scene.tri_e2[i], np.float64)),
+                      int(scene.tri_mat[i]))
+            for i in range(scene.num_triangles)]
+    return OScene(mats, sphs, lts, tris)
 
 
 # ----- intersection (ref :279-299, :342-354, :462-473, :500-563) -----
@@ -378,8 +391,88 @@ def closest_sphere_hit(sc: OScene, o, d):
     return best
 
 
+FLT_EPS32 = 1.1754943508222875e-38    # bitcast<f32>(0x1p-126f) (ref :309)
+
+
+def triangle_hit(o, d, tri: OTriangle):
+    """Moller-Trumbore exactly as the reference (ref :303-338): subnormal
+    epsilon det test, t > eps, hit point offset 1e-5 along the geometric
+    normal, normal NOT flipped toward the ray (single-sided shading)."""
+    e1 = np.asarray(tri.e1)
+    e2 = np.asarray(tri.e2)
+    rce2 = np.cross(d, e2)
+    det = np.dot(e1, rce2)
+    if -FLT_EPS32 < det < FLT_EPS32:
+        return None
+    inv_det = 1.0 / det
+    sv = o - np.asarray(tri.a)
+    u = inv_det * np.dot(sv, rce2)
+    if u < 0.0 or u > 1.0:
+        return None
+    sce1 = np.cross(sv, e1)
+    v = inv_det * np.dot(d, sce1)
+    if v < 0.0 or u + v > 1.0:
+        return None
+    t = inv_det * np.dot(e2, sce1)
+    if t > FLT_EPS32:
+        n = normalize(np.cross(e1, e2))
+        loc = o + n * 1e-5 + d * t           # ref :332
+        return (t, loc, n, tri.mat)
+    return None
+
+
+def closest_triangle_hit(sc: OScene, o, d):
+    """Linear sweep with the BVH walk's winner rule (ref :395-428:
+    t > 0 and |t| < |best|, best init -1e7 — the tree visits a superset
+    in a different order; nearest-positive winner is identical)."""
+    best_t = _BIG
+    best = None
+    for tri in sc.triangles:
+        h = triangle_hit(o, d, tri)
+        if h is not None and h[0] > 0.0 and abs(h[0]) < abs(best_t):
+            best_t = h[0]
+            best = h
+    if best is None:
+        return (_BIG, None, None, 0)
+    return best
+
+
+def closest_hit(sc: OScene, o, d):
+    """Sphere + mesh merge exactly as both reference paths do it
+    (camera :874-878, photon :768-770): the triangle hit wins iff
+    t > 0 and |t| < |sphere t|."""
+    hit = closest_sphere_hit(sc, o, d)
+    if sc.triangles:
+        th = closest_triangle_hit(sc, o, d)
+        if th[0] > 0.0 and abs(th[0]) < abs(hit[0]):
+            hit = th
+    return hit
+
+
+def hit_triangle_shadow(o, d, tri: OTriangle, t_max):
+    """ref :475-498: same Moller-Trumbore, t in (flt_eps, t_max)."""
+    e1 = np.asarray(tri.e1)
+    e2 = np.asarray(tri.e2)
+    rce2 = np.cross(d, e2)
+    det = np.dot(e1, rce2)
+    if abs(det) < FLT_EPS32:
+        return False
+    inv_det = 1.0 / det
+    sv = o - np.asarray(tri.a)
+    u = inv_det * np.dot(sv, rce2)
+    if u < 0.0 or u > 1.0:
+        return False
+    sce1 = np.cross(sv, e1)
+    v = inv_det * np.dot(d, sce1)
+    if v < 0.0 or u + v > 1.0:
+        return False
+    t = inv_det * np.dot(e2, sce1)
+    return t > FLT_EPS32 and t < t_max
+
+
 def shadow_attenuation(sc: OScene, o, d, t_max, lam):
-    """ref :511-563 (sphere part; no mesh in oracle scenes)."""
+    """ref :511-563: Fresnel-transmitting spheres, then triangles occlude
+    FULLY (:540-562 returns 0 on any hit within range)."""
     atten = 1.0
     for sp in sc.spheres:
         center = np.asarray(sp.center)
@@ -411,6 +504,9 @@ def shadow_attenuation(sc: OScene, o, d, t_max, lam):
         n2 = normalize(p2 - center)
         R2 = fr_dielectric(-np.dot(n2, d), eta)
         atten *= (1.0 - R1) * (1.0 - R2)
+    for tri in sc.triangles:
+        if hit_triangle_shadow(o, d, tri, t_max):
+            return 0.0
     return atten
 
 
@@ -502,7 +598,7 @@ def trace_photon(sc: OScene, rng: Rng, vis_pos, vis_norm, vis_wo,
         o = lp + lnorm * EPS
 
     for _bounce in range(MAX_PHOTON_BOUNCES):
-        t, loc, normal, mat_id = closest_sphere_hit(sc, o, d)
+        t, loc, normal, mat_id = closest_hit(sc, o, d)   # ref :768-770
         if t < 0.0:
             break
         dist = np.linalg.norm(loc - vis_pos)
@@ -598,7 +694,7 @@ def recursive_trace(sc: OScene, o, d, rng: Rng, lam, depth, vis):
     rad = np.zeros(3)
     vp_stored = False
     for _bounce in range(depth):
-        t, loc, normal, mat_id = closest_sphere_hit(sc, o, d)
+        t, loc, normal, mat_id = closest_hit(sc, o, d)
         if t < 0.0:
             # sky is black (ref :617-620) — contributes nothing
             break
