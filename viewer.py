@@ -52,8 +52,16 @@ def _build(args):
         "instanced": (lambda: instanced_scene(256), ((0, 10, -14), (0, 1, 8), 55.0)),
         "mesh": (lambda: torus_mesh_scene(45, 45), ((0, 3, -6), (0, 1.5, 0), 55.0)),
     }
-    build, (eye, at, vfov) = scenes[args.scene]
-    scene = build()
+    if args.scene_file:
+        from tpurt.utils.scene_io import load_scene_json
+        scene, cam_meta = load_scene_json(args.scene_file)
+        cam_meta = cam_meta or {}
+        eye = tuple(cam_meta.get("eye", (0, 3, -8)))
+        at = tuple(cam_meta.get("look_at", (0, 1, 0)))
+        vfov = float(cam_meta.get("vfov", 60.0))
+    else:
+        build, (eye, at, vfov) = scenes[args.scene]
+        scene = build()
     extra = {}
     if args.scene == "mesh":
         # 4k triangles: the dynamic whole-tile BVH walk (chunked past
@@ -287,6 +295,9 @@ def main():
     ap.add_argument("--scene", default="cornell",
                     choices=["cornell", "default", "dispersive", "instanced",
                              "mesh"])
+    ap.add_argument("--scene-file", default=None, metavar="JSON",
+                    help="load a JSON scene (tpurt/utils/scene_io.py "
+                         "schema; overrides --scene)")
     ap.add_argument("--width", type=int, default=640)
     ap.add_argument("--height", type=int, default=360)
     ap.add_argument("--depth", type=int, default=30)
