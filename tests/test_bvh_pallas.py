@@ -619,3 +619,30 @@ def test_supports_scene_chunk_gap_band():
     assert not supports_scene(big, RenderConfig(
         pallas_bvh_chunk=2048, pallas_bvh_chunk_threshold=30000, **kw))
     assert supports_scene(big, RenderConfig(pallas_bvh_chunk=2048, **kw))
+
+
+def test_supports_scene_huge_spheres_over_total_budget():
+    """The sphere BVH/chunk budgets bound the TREE side of the
+    huge-sphere split: a scene whose tree side fits MAX_BVH_SPHERES must
+    stay supported even when huge always-swept spheres push the TOTAL
+    past it."""
+    from tpurt.kernels.bvh_pallas import (MAX_BVH_SPHERES,
+                                          n_tree_spheres)
+    from tpurt.kernels.mega_pallas import supports_scene
+    from tpurt.scene import Light, Material, Sphere, build_scene
+    rng = np.random.default_rng(2)
+    mats = [Material.diffuse((0.7, 0.7, 0.7))]
+    spheres = [Sphere(0, 1000.0, (0.0, -1000.0, 0.0)),
+               Sphere(0, 900.0, (0.0, 0.0, 3000.0))]
+    n_small = MAX_BVH_SPHERES - 1
+    for i in range(n_small):
+        spheres.append(Sphere(0, 0.5,
+                              (float(rng.uniform(-99, 99)), 0.5,
+                               float(rng.uniform(-99, 99)))))
+    lights = [Light.point((0, 50, 0), (1, 1, 1), 10.0, 5500.0)]
+    scene = build_scene(mats, spheres, [], lights)
+    assert scene.num_spheres == n_small + 2 > MAX_BVH_SPHERES
+    assert n_tree_spheres(scene.sph_radius) == n_small <= MAX_BVH_SPHERES
+    cfg = RenderConfig(backend="pallas", pallas_sphere_bvh=True)
+    assert supports_scene(scene, cfg)
+    assert supports_scene(scene, cfg.with_(pallas_bvh_chunk=0))

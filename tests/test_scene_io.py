@@ -72,3 +72,15 @@ def test_schema_fields(tmp_path):
     assert scene.num_triangles == 1
     assert scene.num_lights == 2
     assert int(scene.mat_type[2]) == 2
+
+
+def test_bad_material_index_rejected(tmp_path):
+    doc = {"materials": [{"type": "diffuse", "color": [1, 1, 1]}],
+           "meshes": [{"material": 7,
+                       "positions": [[0, 0, 0], [1, 0, 0], [0, 1, 0]],
+                       "indices": [[0, 1, 2]]}]}
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps(doc))
+    import pytest
+    with pytest.raises(ValueError, match="material 7 out of range"):
+        load_scene_json(str(p))

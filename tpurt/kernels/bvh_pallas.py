@@ -137,6 +137,25 @@ def _assert_stack_fits(bvh) -> None:
 MAX_ALWAYS_SPHERES = 8
 
 
+def huge_sphere_mask(r: np.ndarray) -> np.ndarray:
+    """Which radii count as scene-spanning (split_huge_spheres' rule) —
+    ONE definition shared with count-level predicates (supports_scene)."""
+    med = float(np.median(r))
+    return r > max(10.0 * med, 1e-3)
+
+
+def n_tree_spheres(r: np.ndarray) -> int:
+    """How many spheres land on the TREE side of split_huge_spheres for
+    the given radius array (r > 0 entries only; the always side caps at
+    MAX_ALWAYS_SPHERES and overflow spills into the tree)."""
+    r = np.asarray(r, np.float32)
+    r = r[r > 0.0]
+    if r.size == 0:
+        return 0
+    n_huge = int(huge_sphere_mask(r).sum())
+    return int(r.size - min(n_huge, MAX_ALWAYS_SPHERES))
+
+
 def split_huge_spheres(spheres):
     """(always, tree) partition: scene-spanning spheres (e.g. the r=1000
     ground, lib.rs:233) would bloat every node box and defeat near-to-far
@@ -148,8 +167,7 @@ def split_huge_spheres(spheres):
     if not spheres:
         return (), ()
     r = np.asarray([sp.r for sp in spheres], np.float32)
-    med = float(np.median(r))
-    huge = r > max(10.0 * med, 1e-3)
+    huge = huge_sphere_mask(r)
     if int(huge.sum()) > MAX_ALWAYS_SPHERES:
         import warnings
         warnings.warn(

@@ -229,35 +229,22 @@ def supports_scene(scene, cfg=None) -> bool:
             from tpurt.kernels.bvh_pallas import MAX_BVH_TRIS
             tri_dyn = MAX_BVH_TRIS
             # chunked mode lifts the cap ONLY where it actually engages
-            # (mirror _use_tri_chunked): a raised threshold leaves a gap
-            # band that must still fall back to XLA, not the flat sweep
-            thresh = cfg.pallas_bvh_chunk_threshold or MAX_BVH_TRIS
-            if (cfg.pallas_bvh_chunk > 0
-                    and scene.num_triangles > max(thresh, tri_cap)):
+            # (the SAME predicate the dispatch uses): a raised threshold
+            # leaves a gap band that must fall back to XLA, not the flat
+            # sweep
+            if _tri_chunk_engages(scene.num_triangles, cfg):
                 tri_dyn = scene.num_triangles
         if cfg.pallas_sphere_bvh:
-            from tpurt.kernels.bvh_pallas import MAX_BVH_SPHERES
-            sph_dyn = max(sph_dyn, MAX_BVH_SPHERES)
-            thresh = cfg.pallas_bvh_chunk_threshold or MAX_BVH_SPHERES
-            if (cfg.pallas_bvh_chunk > 0
-                    and _n_tree_spheres(scene) > max(thresh, 16)):
-                sph_dyn = scene.num_spheres
+            from tpurt.kernels.bvh_pallas import (MAX_BVH_SPHERES,
+                                                  n_tree_spheres)
+            # the BVH/chunk budgets bound the TREE side of the huge-sphere
+            # split, not the total (up to MAX_ALWAYS_SPHERES huge spheres
+            # sweep flat regardless of count)
+            tree = n_tree_spheres(scene.sph_radius)
+            if tree <= MAX_BVH_SPHERES or _sph_chunk_engages(tree, cfg):
+                sph_dyn = max(sph_dyn, scene.num_spheres)
     return (scene.num_triangles <= max(tri_dyn, tri_cap)
             and scene.num_spheres <= max(sph_dyn, sph_cap))
-
-
-def _n_tree_spheres(scene) -> int:
-    """How many spheres land in the BVH/chunk TREE side of
-    bvh_pallas.split_huge_spheres, computed from the Scene SoA radii
-    (supports_scene runs pre-freeze)."""
-    from tpurt.kernels.bvh_pallas import MAX_ALWAYS_SPHERES
-    r = np.asarray(scene.sph_radius, np.float32)
-    r = r[r > 0.0]
-    if r.size == 0:
-        return 0
-    med = float(np.median(r))
-    n_huge = int((r > max(10.0 * med, 1e-3)).sum())
-    return int(r.size - min(n_huge, MAX_ALWAYS_SPHERES))
 
 
 # ----- component-form integrator pieces (mirror tpurt.integrate) -----
@@ -971,15 +958,30 @@ def _use_tri_bvh(fscene: FrozenScene, cfg: RenderConfig) -> bool:
             and not _use_tri_chunked(fscene, cfg))
 
 
+def _tri_chunk_engages(n_tris: int, cfg: RenderConfig) -> bool:
+    """Count-level chunk-engagement predicate — ONE definition shared by
+    the dispatch (_use_tri_chunked) and supports_scene, so the two can
+    never drift apart (the gap-band class of bug)."""
+    from tpurt.kernels.bvh_pallas import MAX_BVH_TRIS
+    thresh = cfg.pallas_bvh_chunk_threshold or MAX_BVH_TRIS
+    return (cfg.pallas_bvh and cfg.pallas_bvh_chunk > 0
+            and n_tris > max(thresh, cfg.pallas_static_unroll))
+
+
+def _sph_chunk_engages(n_tree: int, cfg: RenderConfig) -> bool:
+    """Count-level sphere chunk predicate (n_tree = TREE side of
+    split_huge_spheres); see _tri_chunk_engages."""
+    from tpurt.kernels.bvh_pallas import MAX_BVH_SPHERES
+    thresh = cfg.pallas_bvh_chunk_threshold or MAX_BVH_SPHERES
+    return (cfg.pallas_sphere_bvh and cfg.pallas_bvh_chunk > 0
+            and n_tree > max(thresh, 16))
+
+
 def _use_tri_chunked(fscene: FrozenScene, cfg: RenderConfig) -> bool:
     """Chunked (any-size) mesh mode: beyond the single-SMEM-table budget
     (or a test-lowered threshold), triangles stream HBM slab -> SMEM
     scratch per voted chunk (bvh_pallas.build_chunked_tri_tables)."""
-    from tpurt.kernels.bvh_pallas import MAX_BVH_TRIS
-    thresh = cfg.pallas_bvh_chunk_threshold or MAX_BVH_TRIS
-    return (cfg.pallas_bvh and cfg.pallas_bvh_chunk > 0
-            and len(fscene.triangles) > max(thresh,
-                                            cfg.pallas_static_unroll))
+    return _tri_chunk_engages(len(fscene.triangles), cfg)
 
 
 @functools.lru_cache(maxsize=4)
@@ -1053,11 +1055,9 @@ def _use_sph_chunked(fscene: FrozenScene, cfg: RenderConfig) -> bool:
     """Chunked sphere mode: sphere counts beyond the single-SMEM-table
     budget stream HBM slabs like chunked meshes (same threshold
     override for tests)."""
-    if not (cfg.pallas_sphere_bvh and cfg.pallas_bvh_chunk > 0):
-        return False
-    from tpurt.kernels.bvh_pallas import MAX_BVH_SPHERES, split_huge_spheres
-    thresh = cfg.pallas_bvh_chunk_threshold or MAX_BVH_SPHERES
-    return len(split_huge_spheres(fscene.spheres)[1]) > max(thresh, 16)
+    from tpurt.kernels.bvh_pallas import split_huge_spheres
+    return _sph_chunk_engages(len(split_huge_spheres(fscene.spheres)[1]),
+                              cfg)
 
 
 def _use_clusters(fscene: FrozenScene, cfg: RenderConfig) -> bool:

@@ -106,6 +106,18 @@ def load_scene_json(path: str):
         else:
             raise ValueError(f"unknown light type {kind!r}")
 
+    n_mats = len(materials) or 1
+    for sp in spheres:
+        if not 0 <= sp.material_id < n_mats:
+            raise ValueError(
+                f"sphere material {sp.material_id} out of range "
+                f"(have {n_mats} materials)")
+    for me in meshes:
+        if not 0 <= me.material_id < n_mats:
+            raise ValueError(
+                f"mesh material {me.material_id} out of range "
+                f"(have {n_mats} materials)")
+
     return build_scene(materials, spheres, meshes, lights), doc.get("camera")
 
 
@@ -114,7 +126,10 @@ def save_scene_json(path: str, scene: Scene, camera: dict | None = None
     """Serialize a built Scene's SoA back to the JSON schema. Meshes are
     written as inline positions/indices — the SoA stores baked (a, e1, e2)
     edges, so vertices are reconstructed per triangle (shared vertices are
-    NOT re-deduplicated; geometry is identical)."""
+    NOT re-deduplicated, and the reload re-derives edges from the
+    f32-rounded reconstructed vertices, so geometry matches up to ~1 ulp
+    of the vertex magnitude — exact for unit-scale scenes, approximate
+    for millimeter detail placed thousands of units from the origin)."""
     mats = []
     for i in range(int(np.asarray(scene.mat_color).shape[0])):
         kind = _MTYPES[int(scene.mat_type[i])]

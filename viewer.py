@@ -63,7 +63,7 @@ def _build(args):
         build, (eye, at, vfov) = scenes[args.scene]
         scene = build()
     extra = {}
-    if args.scene == "mesh":
+    if args.scene == "mesh" and not args.scene_file:
         # 4k triangles: the dynamic whole-tile BVH walk (chunked past
         # 8192) with the measured-best mesh sampler stack (docs/DESIGN.md)
         extra = dict(pallas_bvh=True, pallas_bvh_leaf=64,
