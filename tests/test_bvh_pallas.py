@@ -94,10 +94,38 @@ def test_guard_rows_cover_unrolled_leaf(S, leaf):
     assert worst <= n_recs, (worst, n_recs)
 
 
-@pytest.mark.parametrize("T", [40, 300])
-def test_walk_matches_brute_force(T):
+def test_sah_build_invariants():
+    """SAH trees (cfg.pallas_bvh_sah) keep every structural contract of the
+    median build: permutation leaf order, containment, leaf occupancy
+    <= max_prims, stack-depth budget — including on degenerate input where
+    every centroid coincides (falls back to median splits)."""
+    from tpurt import accel
+    from tpurt.kernels.bvh_pallas import _assert_stack_fits
+
+    rng = np.random.default_rng(5)
+    # mixed-density soup: clusters + sparse spread + oversized boxes
+    lo = np.concatenate([
+        rng.normal((0, 0, 0), 0.7, (500, 3)),
+        rng.normal((6, 1, 2), 0.4, (300, 3)),
+        rng.uniform(-12, 12, (60, 3))]).astype(np.float32)
+    ext = np.concatenate([
+        rng.uniform(0.01, 0.05, (800, 3)),
+        rng.uniform(1.0, 4.0, (60, 3))]).astype(np.float32)
+    hi = lo + ext
+    for K in (4, 32):
+        b = accel.build_bvh(lo, hi, max_prims=K, sah=True)
+        accel.validate_bvh(b, lo, hi)
+        assert int(b.count.max()) <= K
+        _assert_stack_fits(b)
+    z = np.zeros((64, 3), np.float32)
+    b = accel.build_bvh(z, z + 0.5, max_prims=4, sah=True)
+    accel.validate_bvh(b, z, z + 0.5)
+
+
+@pytest.mark.parametrize("T,sah", [(40, False), (300, False), (300, True)])
+def test_walk_matches_brute_force(T, sah):
     tris, a, e1, e2 = _soup(T)
-    tri_tab, node_f, node_i = build_tri_bvh_tables(tris, leaf_size=8)
+    tri_tab, node_f, node_i = build_tri_bvh_tables(tris, leaf_size=8, sah=sah)
     packed = jnp.asarray(pack_tables(tri_tab, node_f, node_i))
 
     R, NT = 2, 2
@@ -177,6 +205,24 @@ class TestFusedKernelBVHMode:
         # through the glass spheres blow up on rare caustic fireflies, so
         # (like the fused-wavefront suite) bound the divergent-pixel
         # fraction instead of demanding allclose everywhere
+        diff = (np.abs(img_p - img_x) > 1e-4).any(axis=-1)
+        assert diff.mean() < 0.02, f"{diff.mean():.4f} of pixels diverge"
+
+    def test_sah_tree_same_estimator(self):
+        """cfg.pallas_bvh_sah only re-shapes the tree: ray counts stay
+        EXACTLY equal to the XLA backend (which never sees a tree) and the
+        image agrees within the same reassociation bound as the median
+        tree — the estimator is tree-independent."""
+        scene = torus_mesh_scene(8, 4)
+        cfg_p, cfg_x = self._cfgs()
+        cfg_p = cfg_p.with_(pallas_bvh_sah=True)
+        cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
+                          aspect_ratio=2.0)
+        st_p = render(scene, cfg_p, cam, init_state(cfg_p), 77, 2)
+        st_x = render(scene, cfg_x, cam, init_state(cfg_x), 77, 2)
+        assert float(st_p.rays) == float(st_x.rays) != 0.0
+        img_p = np.asarray(resolve_image(cfg_p, st_p))
+        img_x = np.asarray(resolve_image(cfg_x, st_x))
         diff = (np.abs(img_p - img_x) > 1e-4).any(axis=-1)
         assert diff.mean() < 0.02, f"{diff.mean():.4f} of pixels diverge"
 

@@ -36,21 +36,129 @@ class BVH:
     order: np.ndarray     # (T,) i32 — triangle permutation into leaf order
 
 
-def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, max_prims: int = 2) -> BVH:
-    """Build the median-split BVH from per-triangle AABBs.
+def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, max_prims: int = 2,
+              sah: bool = False) -> BVH:
+    """Build a BVH from per-triangle AABBs.
 
     tri_min/tri_max: (T, 3) float arrays. max_prims >= 1 triangles per leaf.
+
+    sah=False (default): the reference's median split (instance.rs:160-310).
     Uses the native C++ builder when native/libtpurt_native.so is present
     (identical output — see tests/test_native.py); NumPy otherwise.
+
+    sah=True: binned surface-area-heuristic splits (NumPy only). Same node
+    layout and leaf-order contract; only the split positions differ, so the
+    tree is a drop-in for every traversal. The cost model matches the Pallas
+    walk, where a leaf visit sweeps exactly `leaf_size` records regardless
+    of occupancy: leaf cost is ceil(n / max_prims) sweep units weighted by
+    box surface area, so the heuristic packs leaves full AND cuts overlap.
     """
     max_prims = max(int(max_prims), 1)
     T = int(tri_min.shape[0])
+    if sah and T > 0:
+        bvh = _build_bvh_py(np.asarray(tri_min, np.float32),
+                            np.asarray(tri_max, np.float32), max_prims,
+                            sah=True)
+        # Lopsided SAH splits can mint many under-full leaves; the packed
+        # SMEM tables were budgeted around the median build's <= 2*ceil(T/K)
+        # nodes. Past 2x that, take the guaranteed-balanced tree instead.
+        if bvh.bbox_min.shape[0] <= 4 * max(1, -(-T // max_prims)):
+            return bvh
+        sah = False
     if T > 0:
         from tpurt.utils.native import build_bvh_native
         nat = build_bvh_native(np.asarray(tri_min, np.float32),
                                np.asarray(tri_max, np.float32), max_prims)
         if nat is not None:
             return BVH(*nat)
+    return _build_bvh_py(tri_min, tri_max, max_prims, sah=False)
+
+
+_SAH_BINS = 16
+# Past this depth an SAH subtree switches to median splits: median halving
+# bounds the remaining depth by log2(n), keeping the deepest possible tree
+# well inside the kernels' 64-deep traversal stack (bvh_pallas.STACK_DEPTH).
+_SAH_DEPTH_CAP = 40
+
+
+# The "always visited" floor in the split cost, as a fraction of the ROOT
+# box area: the whole-tile Pallas walk visits a node when ANY of the tile's
+# 4096 rays votes for it, so for incoherent tiles a leaf costs one full
+# sweep almost regardless of its box area. The floor steers the heuristic
+# toward FEWER (fuller) leaves when area differences are small, matching
+# the tile-union behavior; pure per-ray SAH is the alpha -> 0 limit.
+_SAH_FLOOR = 0.25
+
+
+def _leaf_area_cost(lo, hi, n, max_prims, floor):
+    d = np.maximum(hi - lo, 0.0)
+    area = d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]
+    return (area + floor) * -(-n // max_prims)
+
+
+def _sah_split(tri_min, tri_max, centroid, idx, max_prims, floor):
+    """Best binned-SAH split of `idx`: returns (left_idx, right_idx) or
+    None when the median split scores at least as well under the same cost
+    model (or every candidate is degenerate), in which case the caller
+    median-splits — SAH is never worse than median under the model."""
+    c = centroid[idx]
+    cmin, cmax = c.min(axis=0), c.max(axis=0)
+    ext = cmax - cmin
+    best_cost, best = np.inf, None
+    for dim in range(3):
+        if ext[dim] <= 0.0:
+            continue
+        b = np.minimum((_SAH_BINS * (c[:, dim] - cmin[dim]) / ext[dim])
+                       .astype(np.int64), _SAH_BINS - 1)
+        counts = np.bincount(b, minlength=_SAH_BINS)
+        bmin = np.full((_SAH_BINS, 3), np.inf, np.float64)
+        bmax = np.full((_SAH_BINS, 3), -np.inf, np.float64)
+        np.minimum.at(bmin, b, tri_min[idx])
+        np.maximum.at(bmax, b, tri_max[idx])
+        # prefix/suffix boxes give every plane's child areas in one sweep
+        lmin, lmax = np.minimum.accumulate(bmin), np.maximum.accumulate(bmax)
+        rmin = np.minimum.accumulate(bmin[::-1])[::-1]
+        rmax = np.maximum.accumulate(bmax[::-1])[::-1]
+        nl = np.cumsum(counts)[:-1]
+        nr = len(idx) - nl
+        valid = (nl > 0) & (nr > 0)
+        if not valid.any():
+            continue
+        cost = np.where(
+            valid,
+            _leaf_area_cost(lmin[:-1], lmax[:-1], nl, max_prims, floor)
+            + _leaf_area_cost(rmin[1:], rmax[1:], nr, max_prims, floor),
+            np.inf)
+        k = int(np.argmin(cost))
+        if cost[k] < best_cost:
+            best_cost, best = float(cost[k]), (dim, k)
+    if best is None:
+        return None
+
+    # Median candidate under the SAME cost model: take SAH only if it wins.
+    dmed = 0 if (ext[0] >= ext[1] and ext[0] >= ext[2]) else (
+        1 if ext[1] >= ext[2] else 2)
+    srt = np.argsort(c[:, dmed], kind="stable")
+    mid = len(idx) // 2
+    lo, hi = srt[:mid], srt[mid:]
+    med_cost = float(
+        _leaf_area_cost(tri_min[idx[lo]].min(0), tri_max[idx[lo]].max(0),
+                        mid, max_prims, floor)
+        + _leaf_area_cost(tri_min[idx[hi]].min(0), tri_max[idx[hi]].max(0),
+                          len(idx) - mid, max_prims, floor))
+    if med_cost <= best_cost:
+        return None
+
+    dim, k = best
+    b = np.minimum((_SAH_BINS * (c[:, dim] - cmin[dim]) / ext[dim])
+                   .astype(np.int64), _SAH_BINS - 1)
+    go_left = b <= k
+    return idx[go_left], idx[~go_left]
+
+
+def _build_bvh_py(tri_min: np.ndarray, tri_max: np.ndarray, max_prims: int,
+                  sah: bool) -> BVH:
+    T = int(tri_min.shape[0])
     if T == 0:
         z3 = np.zeros((1, 3), np.float32)
         zi = np.zeros((1,), np.int32)
@@ -78,12 +186,16 @@ def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, max_prims: int = 2) -> B
         nodes_count.append(0)
         return len(nodes_min) - 1
 
+    if sah:
+        d = np.maximum(tri_max.max(axis=0).astype(np.float64)
+                       - tri_min.min(axis=0), 0.0)
+        floor = _SAH_FLOOR * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
     root = alloc()
-    stack = [(root, np.arange(T, dtype=np.int64))]
+    stack = [(root, np.arange(T, dtype=np.int64), 0)]
     # Pushing right-then-left pops the left subtree first, so leaf triangles
     # land in `order` in the reference's depth-first left-to-right sequence.
     while stack:
-        node, idx = stack.pop()
+        node, idx, depth = stack.pop()
         bmin = tri_min[idx].min(axis=0)
         bmax = tri_max[idx].max(axis=0)
         nodes_min[node] = bmin
@@ -95,27 +207,33 @@ def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, max_prims: int = 2) -> B
             order.extend(idx.tolist())
             continue
 
-        c = centroid[idx]
-        cmin, cmax = c.min(axis=0), c.max(axis=0)
-        d = cmax - cmin
-        # Longest-axis rule with the reference's >= tie-breaking
-        # (x wins ties with y and z; y wins ties with z). instance.rs:167-172.
-        if d[0] >= d[1] and d[0] >= d[2]:
-            dim = 0
-        elif d[1] >= d[2]:
-            dim = 1
-        else:
-            dim = 2
+        split = None
+        if sah and depth < _SAH_DEPTH_CAP:
+            split = _sah_split(tri_min, tri_max, centroid, idx, max_prims,
+                               floor)
+        if split is None:
+            c = centroid[idx]
+            cmin, cmax = c.min(axis=0), c.max(axis=0)
+            d = cmax - cmin
+            # Longest-axis rule with the reference's >= tie-breaking
+            # (x wins ties with y and z; y wins ties with z).
+            # instance.rs:167-172.
+            if d[0] >= d[1] and d[0] >= d[2]:
+                dim = 0
+            elif d[1] >= d[2]:
+                dim = 1
+            else:
+                dim = 2
+            srt = idx[np.argsort(c[:, dim], kind="stable")]
+            split = (srt[:n // 2], srt[n // 2:])
 
-        srt = idx[np.argsort(c[:, dim], kind="stable")]
-        mid = n // 2
         lchild = alloc()
         rchild = alloc()
         nodes_left[node] = lchild
         nodes_right[node] = rchild
         # Push right first so left is processed (and numbered) first.
-        stack.append((rchild, srt[mid:]))
-        stack.append((lchild, srt[:mid]))
+        stack.append((rchild, split[1], depth + 1))
+        stack.append((lchild, split[0], depth + 1))
 
     return BVH(
         bbox_min=np.stack(nodes_min).astype(np.float32),

@@ -166,6 +166,12 @@ class RenderConfig:
     #   measured on 1080p torus meshes: 16/32/64 -> 47/51/53 Mrays/s at 1k
     #   tris, 15.1/15.3/15.7 at 4k — prefer 64 for big meshes, 16 for the
     #   sphere walk; cf. docs/DESIGN.md)
+    pallas_bvh_sah: bool = False       # build the walk's trees with binned
+    #   surface-area-heuristic splits (accel.build_bvh sah=True) instead of
+    #   the reference's median split (instance.rs:160-173): same node
+    #   layout/traversal, fewer leaf visits per ray on irregular meshes.
+    #   Host build only — image differs from the median tree solely through
+    #   triangle visit ORDER (bit-equal hits; see tests/test_bvh_pallas.py).
     pallas_bvh_chunk: int = 2048       # chunked (any-size) scene mode:
     #   meshes beyond MAX_BVH_TRIS (and, with pallas_sphere_bvh, sphere
     #   sets beyond MAX_BVH_SPHERES) split into chunks of this many

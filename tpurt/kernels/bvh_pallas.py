@@ -55,7 +55,7 @@ STACK_DEPTH = 64  # ref: mega_kernel.wgsl:402 (fixed 64-deep stack)
 CHUNK_DMA_VIA_VMEM = True
 
 
-def build_tri_bvh_tables(triangles, leaf_size: int):
+def build_tri_bvh_tables(triangles, leaf_size: int, sah: bool = False):
     """Host: coarse BVH over the frozen triangle tuple.
 
     Returns (tri_tab (T,16) f32, node_f (B,8) f32, node_i (B,4) i32) as
@@ -63,7 +63,8 @@ def build_tri_bvh_tables(triangles, leaf_size: int):
     so every leaf is a contiguous [first, first+count) row range.
     node_f: bmin xyz, bmax xyz, 0, 0. node_i: left, right, first, count
     (leaf iff count > 0), the reference's flat node layout
-    (ref: src/instance.rs:175-184).
+    (ref: src/instance.rs:175-184). sah: cfg.pallas_bvh_sah split rule
+    (accel.build_bvh) — same layout, fewer leaf visits per walk.
     """
     from tpurt.accel import build_bvh
 
@@ -74,7 +75,8 @@ def build_tri_bvh_tables(triangles, leaf_size: int):
     v2 = a + e2
     tri_min = np.minimum(a, np.minimum(v1, v2))
     tri_max = np.maximum(a, np.maximum(v1, v2))
-    bvh = build_bvh(tri_min, tri_max, max_prims=max(1, int(leaf_size)))
+    bvh = build_bvh(tri_min, tri_max, max_prims=max(1, int(leaf_size)),
+                    sah=sah)
 
     T = len(triangles)
     tri_tab = np.zeros((max(T, 1), 16), np.float32)
@@ -183,7 +185,7 @@ def split_huge_spheres(spheres):
             tuple(sp for sp, h in zip(spheres, huge) if not h))
 
 
-def build_sphere_bvh_tables(spheres, leaf_size: int):
+def build_sphere_bvh_tables(spheres, leaf_size: int, sah: bool = False):
     """Host: coarse BVH over a (non-huge) frozen sphere tuple. Same packed
     layout as the triangle tables; sphere record = [cx cy cz r | mat mtype
     ior | pad] (the dynamic-sweep fields, cf. mega_pallas._prim_tables).
@@ -192,7 +194,7 @@ def build_sphere_bvh_tables(spheres, leaf_size: int):
 
     c = np.asarray([sp.c for sp in spheres], np.float32).reshape(-1, 3)
     r = np.asarray([sp.r for sp in spheres], np.float32).reshape(-1, 1)
-    bvh = build_bvh(c - r, c + r, max_prims=max(1, int(leaf_size)))
+    bvh = build_bvh(c - r, c + r, max_prims=max(1, int(leaf_size)), sah=sah)
 
     S = len(spheres)
     sph_tab = np.zeros((max(S, 1), 16), np.float32)
@@ -686,7 +688,8 @@ def sphere_shadow_bvh(nodes, sphs, o, d, t_max, lam, a, mask, atten,
 # equivalent with no mesh-size cap.
 
 
-def build_chunked_tri_tables(triangles, chunk_tris: int, leaf_size: int):
+def build_chunked_tri_tables(triangles, chunk_tris: int, leaf_size: int,
+                             sah: bool = False):
     """Host: (top_tab, slabs, meta) for the chunked triangle walk.
 
     top_tab: packed SMEM table of the coarse tree's nodes; a leaf's
@@ -707,10 +710,11 @@ def build_chunked_tri_tables(triangles, chunk_tris: int, leaf_size: int):
     tri_min = np.minimum(a, np.minimum(v1, v2))
     tri_max = np.maximum(a, np.maximum(v1, v2))
     return _build_chunked(triangles, tri_min, tri_max, build_tri_bvh_tables,
-                          chunk_tris, leaf_size)
+                          chunk_tris, leaf_size, sah)
 
 
-def build_chunked_sphere_tables(spheres, chunk_sph: int, leaf_size: int):
+def build_chunked_sphere_tables(spheres, chunk_sph: int, leaf_size: int,
+                                sah: bool = False):
     """Host: (top_tab, slabs, meta) for the chunked SPHERE walk — same
     scheme as the triangle builder over the (non-huge) sphere records of
     build_sphere_bvh_tables (guard rows have r == 0, so over-read sweeps
@@ -718,13 +722,16 @@ def build_chunked_sphere_tables(spheres, chunk_sph: int, leaf_size: int):
     c = np.asarray([sp.c for sp in spheres], np.float32).reshape(-1, 3)
     r = np.asarray([sp.r for sp in spheres], np.float32).reshape(-1, 1)
     return _build_chunked(spheres, c - r, c + r, build_sphere_bvh_tables,
-                          chunk_sph, leaf_size)
+                          chunk_sph, leaf_size, sah)
 
 
 def _build_chunked(prims, pmin, pmax, sub_builder, chunk_prims: int,
-                   leaf_size: int):
+                   leaf_size: int, sah: bool = False):
     """Shared chunked-table builder: coarse tree over (pmin, pmax),
-    per-chunk sub tables via sub_builder(prims_subset, leaf_size)."""
+    per-chunk sub tables via sub_builder(prims_subset, leaf_size).
+    The COARSE tree stays median-split even under sah: its leaves are the
+    chunks, and median halving keeps every chunk near chunk_prims full so
+    the uniform slab stride (and each DMA) isn't sized by one outlier."""
     from tpurt.accel import build_bvh
 
     coarse = build_bvh(pmin, pmax, max_prims=max(1, int(chunk_prims)))
@@ -746,7 +753,7 @@ def _build_chunked(prims, pmin, pmax, sub_builder, chunk_prims: int,
         cnt = int(coarse.count[node])
         tidx = [int(coarse.order[i]) for i in range(first, first + cnt)]
         sub_tab, sub_f, sub_i = sub_builder(
-            [prims[i] for i in tidx], leaf_size)
+            [prims[i] for i in tidx], leaf_size, sah)
         subs.append((sub_tab, sub_f, sub_i))
         max_nodes = max(max_nodes, sub_f.shape[0])
 

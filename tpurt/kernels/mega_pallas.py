@@ -985,15 +985,15 @@ def _use_tri_chunked(fscene: FrozenScene, cfg: RenderConfig) -> bool:
 
 
 @functools.lru_cache(maxsize=4)
-def _chunk_build_cached(triangles, chunk: int, leaf: int):
+def _chunk_build_cached(triangles, chunk: int, leaf: int, sah: bool):
     from tpurt.kernels import bvh_pallas
-    return bvh_pallas.build_chunked_tri_tables(triangles, chunk, leaf)
+    return bvh_pallas.build_chunked_tri_tables(triangles, chunk, leaf, sah)
 
 
 @functools.lru_cache(maxsize=4)
-def _chunk_build_sph_cached(tree_sph, chunk: int, leaf: int):
+def _chunk_build_sph_cached(tree_sph, chunk: int, leaf: int, sah: bool):
     from tpurt.kernels import bvh_pallas
-    return bvh_pallas.build_chunked_sphere_tables(tree_sph, chunk, leaf)
+    return bvh_pallas.build_chunked_sphere_tables(tree_sph, chunk, leaf, sah)
 
 
 def _chunk_tables(fscene: FrozenScene, cfg: RenderConfig):
@@ -1008,13 +1008,15 @@ def _chunk_tables(fscene: FrozenScene, cfg: RenderConfig):
     tabs, mt, ms = [], None, None
     if _use_tri_chunked(fscene, cfg):
         _, slabs, mt = _chunk_build_cached(
-            fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf)
+            fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf,
+            cfg.pallas_bvh_sah)
         tabs.append(jnp.asarray(slabs))
     if _use_sph_chunked(fscene, cfg):
         from tpurt.kernels.bvh_pallas import split_huge_spheres
         _, tree_sph = split_huge_spheres(fscene.spheres)
         _, slabs, ms = _chunk_build_sph_cached(
-            tree_sph, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf)
+            tree_sph, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf,
+            cfg.pallas_bvh_sah)
         tabs.append(jnp.asarray(slabs))
     if not tabs:
         return [], None
@@ -1078,14 +1080,16 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
         from tpurt.kernels import bvh_pallas
         _, tree_sph = bvh_pallas.split_huge_spheres(fscene.spheres)
         top_tab, _, _ = _chunk_build_sph_cached(
-            tree_sph, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf)
+            tree_sph, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf,
+            cfg.pallas_bvh_sah)
         sph_tab = jnp.asarray(top_tab)  # coarse tree rides the sph slot
     elif _use_sph_bvh(fscene, cfg):
         from tpurt.kernels import bvh_pallas
         _, tree_sph = bvh_pallas.split_huge_spheres(fscene.spheres)
         sph_tab = jnp.asarray(bvh_pallas.pack_tables(
             *bvh_pallas.build_sphere_bvh_tables(tree_sph,
-                                                cfg.pallas_bvh_leaf),
+                                                cfg.pallas_bvh_leaf,
+                                                cfg.pallas_bvh_sah),
             leaf_size=cfg.pallas_bvh_leaf))
     elif len(fscene.spheres) > cfg.pallas_static_unroll:
         sph_tab = jnp.asarray(
@@ -1102,13 +1106,15 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
         sph_tab = jnp.zeros((1, 8), jnp.float32)
     if _use_tri_chunked(fscene, cfg):
         top_tab, _, _ = _chunk_build_cached(
-            fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf)
+            fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf,
+            cfg.pallas_bvh_sah)
         tri_tab = jnp.asarray(top_tab)  # coarse tree rides the tri slot
     elif _use_tri_bvh(fscene, cfg):
         from tpurt.kernels import bvh_pallas
         tri_tab = jnp.asarray(bvh_pallas.pack_tables(
             *bvh_pallas.build_tri_bvh_tables(fscene.triangles,
-                                             cfg.pallas_bvh_leaf),
+                                             cfg.pallas_bvh_leaf,
+                                             cfg.pallas_bvh_sah),
             leaf_size=cfg.pallas_bvh_leaf))
     elif len(fscene.triangles) > cfg.pallas_static_unroll:
         tri_tab = jnp.asarray(
@@ -1139,7 +1145,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
         sph_slab = chunk_refs[1] if tri_chunked else chunk_refs[0]
         ALWAYS, TREE_SPH = bvh_pallas.split_huge_spheres(SPH)
         _, _, smeta = _chunk_build_sph_cached(
-            TREE_SPH, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf)
+            TREE_SPH, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf,
+            cfg.pallas_bvh_sah)
         SCC, SRPC, SNCH = (smeta["chunk_cap"], smeta["rows_pc"],
                            smeta["n_chunks"])
 
@@ -1215,7 +1222,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
         chunk_refs, chunk_scratch = chunk
         chunk_ref = chunk_refs[0]
         _, _, meta = _chunk_build_cached(
-            fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf)
+            fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf,
+            cfg.pallas_bvh_sah)
         CC, RPC, NCH = (meta["chunk_cap"], meta["rows_pc"],
                         meta["n_chunks"])
 
