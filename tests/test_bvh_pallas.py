@@ -366,10 +366,13 @@ class TestFusedKernelSphereBVH:
 
 # ---- chunked (any-size) mesh mode --------------------------------------
 
-def test_chunked_walk_matches_single_table():
+@pytest.mark.parametrize("sah", [False, True])
+def test_chunked_walk_matches_single_table(sah):
     """The two-phase chunked walk (top-tree worklist + per-chunk HBM->SMEM
     DMA, bvh_pallas.closest_tri_bvh_chunked) returns bit-identical planes
-    to the single-SMEM-table walk, and both match the brute-force oracle."""
+    to the single-SMEM-table walk, and both match the brute-force oracle —
+    including with SAH sub-trees (different trees, same hits: per-triangle
+    intersection math is tree-independent)."""
     from tpurt.kernels.bvh_pallas import (CHUNK_DMA_VIA_VMEM,
                                           _PackedTable,
                                           build_chunked_tri_tables,
@@ -377,9 +380,10 @@ def test_chunked_walk_matches_single_table():
                                           tri_shadow_bvh_chunked)
     T, LEAF, CHUNK, R = 460, 8, 64, 2
     tris, a, e1, e2 = _soup(T, seed=9)
-    tab1 = jnp.asarray(pack_tables(*build_tri_bvh_tables(tris, LEAF),
+    tab1 = jnp.asarray(pack_tables(*build_tri_bvh_tables(tris, LEAF,
+                                                         sah=sah),
                                    leaf_size=LEAF))
-    top_tab, slabs, meta = build_chunked_tri_tables(tris, CHUNK, LEAF)
+    top_tab, slabs, meta = build_chunked_tri_tables(tris, CHUNK, LEAF, sah)
     top_tab, slabs = jnp.asarray(top_tab), jnp.asarray(slabs)
     assert meta["n_chunks"] > 4  # actually exercises multiple chunks
 
