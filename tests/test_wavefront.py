@@ -147,3 +147,84 @@ class TestWavefrontPallas:
         # dispersive branch flips diverge whole pixels — 2% like above
         assert (np.abs(a - b).max(axis=-1) > 1e-2).mean() < 0.02
         assert abs(a.mean() - b.mean()) < 5e-3 * max(abs(a.mean()), 1e-3)
+
+
+class TestWavefrontSharded:
+    def test_sharded_bit_exact_vs_slab_sequential(self):
+        """8-device sharded wavefront == the same slabs drained one at a
+        time on one device (same code path -> bit-exact), and == the
+        whole-image single pool up to float splat order. The slab split
+        (48x22 px, tile 64) covers full, partial, and all-padding slabs."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from tpurt.parallel import sharding as sh
+        from tpurt.render import RenderState
+        from tpurt.wavefront import wavefront_render_slab
+
+        assert len(jax.devices()) >= 8
+        cfg = RenderConfig(width=48, height=22, depth=4, tile_size=64,
+                           enable_photons=False, backend="wavefront",
+                           wf_pool=256)
+        scene = cornell_spheres_scene()
+        cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                          aspect_ratio=48 / 22)
+
+        mesh = sh.make_mesh(8)
+        state = sh.init_state_sharded(cfg, mesh)
+        Pn = state.rgb_sum.shape[0]
+        Pl = Pn // 8
+        # the split this test is designed around: 5 full slabs, 1 partial,
+        # 2 all-padding
+        assert Pl * 5 < cfg.n_pixels < Pl * 6
+        step = sh.make_wavefront_sharded_step(mesh, cfg, spp=3)
+        st = step(scene, cam, state, jnp.uint32(42))
+
+        assert int(st.iteration) == 3
+        ns = np.asarray(st.n_samples)
+        assert (ns[:cfg.n_pixels] == 3.0).all()
+        assert (ns[cfg.n_pixels:] == 0.0).all()
+
+        # sequential per-slab comparator: the identical per-device body
+        slab_fn = jax.jit(wavefront_render_slab, static_argnames=("cfg",))
+        rgb_parts, rays_total = [], 0.0
+        for d in range(8):
+            z3 = jnp.zeros((Pl, 3), jnp.float32)
+            loc = RenderState(
+                rgb_sum=z3, n_samples=jnp.zeros((Pl,), jnp.float32),
+                vis_pos=z3, vis_norm=z3, vis_wo=z3, vis_tp=z3,
+                vis_mat=jnp.zeros((Pl,), jnp.int32),
+                iteration=jnp.zeros((), jnp.int32),
+                photon_radius=jnp.asarray(cfg.photon_radius_init,
+                                          jnp.float32),
+                rays=jnp.zeros((), jnp.float32))
+            off = d * Pl
+            nv = max(0, min(cfg.n_pixels - off, Pl))
+            out = slab_fn(scene, cfg, cam, loc, jnp.uint32(42),
+                          jnp.int32(3), jnp.int32(off), jnp.int32(nv))
+            rgb_parts.append(np.asarray(out.rgb_sum))
+            rays_total += float(out.rays)
+        np.testing.assert_array_equal(np.asarray(st.rgb_sum),
+                                      np.concatenate(rgb_parts))
+        assert float(st.rays) == rays_total != 0.0
+
+        # whole-image single pool: identical (pixel, sample) paths, so the
+        # segment count matches EXACTLY; radiance only up to splat order
+        wcfg = dataclasses.replace(cfg, wf_pool=2048)
+        st1 = wavefront_render(scene, wcfg, cam, init_state(wcfg),
+                               jnp.uint32(42), 3)
+        assert float(st1.rays) == float(st.rays)
+        n = cfg.n_pixels
+        np.testing.assert_allclose(np.asarray(st.rgb_sum)[:n],
+                                   np.asarray(st1.rgb_sum)[:n],
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_requires_wavefront_backend(self):
+        import pytest
+
+        from tpurt.parallel import sharding as sh
+        cfg = RenderConfig(width=8, height=8, backend="pallas")
+        with pytest.raises(ValueError, match="wavefront"):
+            sh.make_wavefront_sharded_step(sh.make_mesh(2), cfg)

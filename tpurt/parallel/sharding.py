@@ -127,6 +127,56 @@ def make_sharded_step(mesh: Mesh, cfg: RenderConfig, depth: int | None = None,
     return jax.jit(sharded)
 
 
+def make_wavefront_sharded_step(mesh: Mesh, cfg: RenderConfig, spp: int = 1):
+    """Multi-chip WAVEFRONT step: each device drains an independent
+    persistent ray pool (cfg.wf_pool slots per device) over its pixel slab.
+
+    Pool occupancy is per-device, so path-length divergence never crosses
+    ICI; the only collective per call is the scalar ray-count psum. Pixel
+    ids inside each slab stay global for RNG/camera purposes
+    (wavefront.wavefront_render_slab), so every (pixel, sample) path is the
+    exact single-chip path — the image differs from the whole-image pool
+    only by float splat order. Use with init_state_sharded; resolve with
+    resolve_image_sharded. cfg.backend must be "wavefront" (the XLA pool
+    form; the fused Pallas wavefront keeps its own plane layout — shard
+    that via make_regen_sharded_step instead).
+
+    Returns f(scene, camera, state, base_seed) -> state.
+    """
+    if cfg.backend != "wavefront":
+        raise ValueError(
+            f"make_wavefront_sharded_step shards the XLA pool tracer "
+            f"(cfg.backend='wavefront'), got backend={cfg.backend!r}")
+    from tpurt.wavefront import wavefront_render_slab
+
+    state_specs = RenderState(
+        rgb_sum=P(AXIS, None), n_samples=P(AXIS),
+        vis_pos=P(AXIS, None), vis_norm=P(AXIS, None),
+        vis_wo=P(AXIS, None), vis_tp=P(AXIS, None), vis_mat=P(AXIS),
+        iteration=P(), photon_radius=P(), rays=P(),
+    )
+
+    def body(scene, camera, state, base_seed):
+        me = jax.lax.axis_index(AXIS)
+        Pl = state.rgb_sum.shape[0]  # local slab rows
+        offset = me * Pl
+        n_valid = jnp.clip(jnp.int32(cfg.n_pixels) - offset, 0, Pl)
+        rays0 = state.rays
+        st = wavefront_render_slab(scene, cfg, camera, state, base_seed,
+                                   jnp.int32(spp), offset, n_valid)
+        import dataclasses as _dc
+        return _dc.replace(st, rays=rays0 + jax.lax.psum(st.rays - rays0,
+                                                         AXIS))
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), state_specs, P()),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 # ----- Pallas megakernel over the mesh (the production multi-chip path) -----
 
 def padded_pixels_pallas(cfg: RenderConfig, n_dev: int) -> int:

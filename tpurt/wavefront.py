@@ -80,23 +80,30 @@ class WavefrontPool:
 
 
 def _regen(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
-           next_sample, next_pix, spp, base_seed, it0):
+           next_sample, next_pix, spp, base_seed, it0, pix_offset, n_valid):
     """Refill dead slots with the next pending (pixel, sample) work items.
 
     The work queue is enumerated pixel-major as a (sample, pixel) pair of
     counters rather than one flat index — sample*n_pixels+pixel overflows
     int32 past ~1k spp at 1080p. Returns (pool, next_sample, next_pix).
+
+    Pixel ids are local to the slab [pix_offset, pix_offset + n_valid)
+    (pool.pix indexes the caller's state arrays); RNG streams and camera
+    rays use the GLOBAL pixel coordinate, so a sharded slab draws exactly
+    the single-chip samples. The whole-image case is pix_offset=0,
+    n_valid=cfg.n_pixels.
     """
-    n_pix = cfg.n_pixels
+    n_pix = jnp.maximum(n_valid, 1)  # guard all-padding slabs (n_valid == 0)
     dead = ~pool.active
     # rank of each dead slot among dead slots -> its claimed work item
     rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
     p = next_pix + rank           # < n_pix + Q: no overflow
     sample = next_sample + p // n_pix
     pix = (p % n_pix).astype(jnp.int32)
-    have_work = dead & (sample < spp)
-    px = pix % cfg.width
-    py = pix // cfg.width
+    have_work = dead & (sample < spp) & (n_valid > 0)
+    gpix = pix_offset + pix       # global pixel id (< cfg.n_pixels)
+    px = gpix % cfg.width
+    py = gpix // cfg.width
 
     # per-(pixel, sample) stream: identical construction to the progressive
     # renderer (render.py), offset by the carried iteration so progressive
@@ -221,6 +228,17 @@ def wavefront_render(scene, cfg: RenderConfig, camera: Camera,
     into the same RenderState as the progressive renderer (resolve_image /
     checkpointing work unchanged); vispoints/photon state are untouched.
     """
+    return wavefront_render_slab(scene, cfg, camera, state, base_seed, spp,
+                                 jnp.int32(0), jnp.int32(cfg.n_pixels))
+
+
+def wavefront_render_slab(scene, cfg: RenderConfig, camera: Camera,
+                          state: RenderState, base_seed, spp,
+                          pix_offset, n_valid) -> RenderState:
+    """wavefront_render over one pixel slab: `state` holds the slab's rows,
+    pixel ids are slab-local, RNG/camera coordinates are global (see _regen).
+    This is the per-device body of parallel.sharding.make_wavefront_sharded
+    _step; the public wavefront_render is the pix_offset=0 whole image."""
     Q = cfg.wf_pool
     spp = jnp.asarray(spp, jnp.int32)
     C = max(1, int(cfg.hero_wavelengths))
@@ -244,14 +262,14 @@ def wavefront_render(scene, cfg: RenderConfig, camera: Camera,
 
     def cond(carry):
         pool, next_sample, next_pix, rgb, ns, rays, sweeps = carry
-        more_work = next_sample < spp
+        more_work = (next_sample < spp) & (n_valid > 0)
         return (more_work | jnp.any(pool.active)) & (sweeps < cfg.wf_max_sweeps)
 
     def body(carry):
         pool, next_sample, next_pix, rgb, ns, rays, sweeps = carry
         pool, next_sample, next_pix = _regen(
             cfg, camera, pool, next_sample, next_pix, spp, base_seed,
-            state.iteration)
+            state.iteration, pix_offset, n_valid)
         pool, terminated, nrays = _sweep(scene, cfg, pool, hero_tabs)
         # splat: drain finished paths into the accumulation image
         t3 = terminated[:, None]
