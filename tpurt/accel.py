@@ -60,9 +60,11 @@ def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, max_prims: int = 2,
                             np.asarray(tri_max, np.float32), max_prims,
                             sah=True)
         # Lopsided SAH splits can mint many under-full leaves; the packed
-        # SMEM tables were budgeted around the median build's <= 2*ceil(T/K)
-        # nodes. Past 2x that, take the guaranteed-balanced tree instead.
-        if bvh.bbox_min.shape[0] <= 4 * max(1, -(-T // max_prims)):
+        # SMEM tables (bvh_pallas.MAX_BVH_*) are calibrated for the median
+        # build's < 2*ceil(T/K) nodes. Hold SAH trees to that SAME envelope
+        # so a near-cap scene cannot compile-fail only on real TPU; past it,
+        # take the guaranteed-balanced median tree instead.
+        if bvh.bbox_min.shape[0] <= 2 * max(1, -(-T // max_prims)):
             return bvh
         sah = False
     if T > 0:
@@ -104,7 +106,7 @@ def _sah_split(tri_min, tri_max, centroid, idx, max_prims, floor):
     c = centroid[idx]
     cmin, cmax = c.min(axis=0), c.max(axis=0)
     ext = cmax - cmin
-    best_cost, best = np.inf, None
+    best_cost, best, best_b = np.inf, None, None
     for dim in range(3):
         if ext[dim] <= 0.0:
             continue
@@ -131,7 +133,7 @@ def _sah_split(tri_min, tri_max, centroid, idx, max_prims, floor):
             np.inf)
         k = int(np.argmin(cost))
         if cost[k] < best_cost:
-            best_cost, best = float(cost[k]), (dim, k)
+            best_cost, best, best_b = float(cost[k]), (dim, k), b
     if best is None:
         return None
 
@@ -149,10 +151,8 @@ def _sah_split(tri_min, tri_max, centroid, idx, max_prims, floor):
     if med_cost <= best_cost:
         return None
 
-    dim, k = best
-    b = np.minimum((_SAH_BINS * (c[:, dim] - cmin[dim]) / ext[dim])
-                   .astype(np.int64), _SAH_BINS - 1)
-    go_left = b <= k
+    _, k = best
+    go_left = best_b <= k
     return idx[go_left], idx[~go_left]
 
 
