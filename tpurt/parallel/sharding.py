@@ -9,9 +9,9 @@ TPU rebuild scales two embarrassingly-parallel axes instead, per SURVEY.md
     slice of the accumulation / vispoint state; a frame needs zero
     communication (the scene is replicated), and only the final
     resolve/gather rides ICI.
-  (A sample-sharding mode — full image per chip, psum-reduced
-  accumulators, for images too small to keep many chips busy — would slot
-  into the same shard_map structure but is NOT implemented here.)
+  * sample sharding — full image per chip, each chip advancing its own
+    block of progressive samples, psum-reduced accumulators — for images
+    too small to keep many chips busy (make_sample_sharded_step).
 
 Pixel sharding is expressed with shard_map over a 1-D mesh; XLA inserts the
 (trivial) collectives.  Works identically on real TPU slices and on the 8-device
@@ -62,6 +62,24 @@ def init_state_sharded(cfg: RenderConfig, mesh: Mesh) -> RenderState:
     )
 
 
+# Partition specs for RenderState under pixel-slab sharding: per-pixel
+# arrays split on the mesh axis, scalar counters replicated. ONE definition
+# shared by every sharded step builder so layouts cannot drift.
+_STATE_SPECS = RenderState(
+    rgb_sum=P(AXIS, None), n_samples=P(AXIS),
+    vis_pos=P(AXIS, None), vis_norm=P(AXIS, None),
+    vis_wo=P(AXIS, None), vis_tp=P(AXIS, None), vis_mat=P(AXIS),
+    iteration=P(), photon_radius=P(), rays=P(),
+)
+
+
+def _psum_rays(st: RenderState, rays0) -> RenderState:
+    """Replace the per-device ray count accumulated since rays0 with its
+    mesh-wide psum — the one collective in a sharded step."""
+    import dataclasses as _dc
+    return _dc.replace(st, rays=rays0 + jax.lax.psum(st.rays - rays0, AXIS))
+
+
 def _local_step(scene, cfg, camera, state: RenderState, base_seed, depth,
                 reduce_rays: bool = True):
     """Per-device body: render this device's pixel slab.
@@ -99,13 +117,6 @@ def make_sharded_step(mesh: Mesh, cfg: RenderConfig, depth: int | None = None,
     n_dev = mesh.devices.size
     d = cfg.depth if depth is None else depth
 
-    state_specs = RenderState(
-        rgb_sum=P(AXIS, None), n_samples=P(AXIS),
-        vis_pos=P(AXIS, None), vis_norm=P(AXIS, None),
-        vis_wo=P(AXIS, None), vis_tp=P(AXIS, None), vis_mat=P(AXIS),
-        iteration=P(), photon_radius=P(), rays=P(),
-    )
-
     def body(scene, camera, state, base_seed):
         rays0 = state.rays
 
@@ -114,14 +125,97 @@ def make_sharded_step(mesh: Mesh, cfg: RenderConfig, depth: int | None = None,
                                reduce_rays=False), None
         st, _ = jax.lax.scan(one, state, None, length=spp)
         # one scalar psum per call: the scan accumulated local counts
-        import dataclasses as _dc
-        return _dc.replace(st, rays=rays0 + jax.lax.psum(st.rays - rays0,
-                                                         AXIS))
+        return _psum_rays(st, rays0)
 
     sharded = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), state_specs, P()),
-        out_specs=state_specs,
+        in_specs=(P(), P(), _STATE_SPECS, P()),
+        out_specs=_STATE_SPECS,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_sample_sharded_step(mesh: Mesh, cfg: RenderConfig, spp: int,
+                             depth: int | None = None):
+    """SAMPLE sharding (the data-parallel axis): every device renders the
+    FULL image, device d advancing its own block of progressive samples
+    [it0 + d*m, it0 + (d+1)*m) with m = spp/n_dev, then the accumulated
+    radiance / sample-count / ray deltas are psum-reduced. For images too
+    small to keep the mesh busy under pixel slabs (module header).
+
+    Per-(pixel, sample) RNG streams are seeded by the GLOBAL iteration, so
+    every camera path is the single-chip path; the SPPM radius schedule is
+    advanced per device with radius_after (the same float sequence). One
+    semantic caveat, documented rather than hidden: vispoint persistence
+    (a camera path that stores no new vispoint keeps the previous
+    sample's, ref mega_kernel.wgsl:897 / integrate.py trace_camera_paths)
+    is blockwise — each device starts from the call's INPUT vispoints, not
+    its predecessor device's finals. With photons enabled that means a
+    block's early samples can deposit onto different (older) vispoints for
+    pixels whose paths rarely hit diffuse surfaces, and since a photon
+    lane is live only while its pixel HAS a vispoint (integrate.py vp_ok),
+    photon segment counts differ slightly at block starts (~1% measured) —
+    the same warmup the reference pays on its first frames. With
+    cfg.enable_photons=False samples are fully independent: EXACT ray
+    parity, image equal to single-chip up to float summation order. XLA
+    integrator path (cfg.backend="xla").
+
+    `state` must be the replicated full-image render.init_state(cfg).
+    spp must be a multiple of the mesh size. Returns
+    f(scene, camera, state, base_seed) -> state.
+    """
+    import dataclasses as _dc
+
+    from tpurt.kernels.mega_regen import radius_after
+    from tpurt.render import _render_step_impl
+
+    n_dev = mesh.devices.size
+    if spp % n_dev:
+        raise ValueError(f"spp={spp} must be a multiple of the mesh size "
+                         f"({n_dev}) for sample sharding")
+    m = spp // n_dev
+    d = cfg.depth if depth is None else depth
+    rep_specs = RenderState(**{
+        f.name: P() for f in _dc.fields(RenderState)})
+
+    def body(scene, camera, state, base_seed):
+        me = jax.lax.axis_index(AXIS)
+        it0 = state.iteration
+        st = _dc.replace(
+            state,
+            iteration=it0 + me * m,
+            photon_radius=radius_after(cfg, it0, state.photon_radius,
+                                       me * m))
+
+        def one(s, _):
+            return _render_step_impl(scene, cfg, camera, s, base_seed, d), None
+        st, _ = jax.lax.scan(one, st, None, length=m)
+
+        last = me == n_dev - 1
+
+        def dsum(new, old):  # sum of per-device deltas on top of the input
+            return old + jax.lax.psum(new - old, AXIS)
+
+        def pick_last(x):  # the final device's value (zeros elsewhere)
+            return jax.lax.psum(jnp.where(last, x, jnp.zeros_like(x)), AXIS)
+
+        return RenderState(
+            rgb_sum=dsum(st.rgb_sum, state.rgb_sum),
+            n_samples=dsum(st.n_samples, state.n_samples),
+            vis_pos=pick_last(st.vis_pos), vis_norm=pick_last(st.vis_norm),
+            vis_wo=pick_last(st.vis_wo), vis_tp=pick_last(st.vis_tp),
+            vis_mat=pick_last(st.vis_mat),
+            iteration=it0 + spp,
+            # the last device's final radius IS the full-schedule value
+            photon_radius=pick_last(st.photon_radius),
+            rays=dsum(st.rays, state.rays),
+        )
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), rep_specs, P()),
+        out_specs=rep_specs,
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -149,13 +243,6 @@ def make_wavefront_sharded_step(mesh: Mesh, cfg: RenderConfig, spp: int = 1):
             f"(cfg.backend='wavefront'), got backend={cfg.backend!r}")
     from tpurt.wavefront import wavefront_render_slab
 
-    state_specs = RenderState(
-        rgb_sum=P(AXIS, None), n_samples=P(AXIS),
-        vis_pos=P(AXIS, None), vis_norm=P(AXIS, None),
-        vis_wo=P(AXIS, None), vis_tp=P(AXIS, None), vis_mat=P(AXIS),
-        iteration=P(), photon_radius=P(), rays=P(),
-    )
-
     def body(scene, camera, state, base_seed):
         me = jax.lax.axis_index(AXIS)
         Pl = state.rgb_sum.shape[0]  # local slab rows
@@ -164,14 +251,12 @@ def make_wavefront_sharded_step(mesh: Mesh, cfg: RenderConfig, spp: int = 1):
         rays0 = state.rays
         st = wavefront_render_slab(scene, cfg, camera, state, base_seed,
                                    jnp.int32(spp), offset, n_valid)
-        import dataclasses as _dc
-        return _dc.replace(st, rays=rays0 + jax.lax.psum(st.rays - rays0,
-                                                         AXIS))
+        return _psum_rays(st, rays0)
 
     sharded = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), state_specs, P()),
-        out_specs=state_specs,
+        in_specs=(P(), P(), _STATE_SPECS, P()),
+        out_specs=_STATE_SPECS,
         check_vma=False,
     )
     return jax.jit(sharded)
