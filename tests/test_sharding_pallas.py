@@ -126,3 +126,51 @@ def test_sharded_chunked_mesh_bit_identical():
     flat = np.asarray(mp.planes_pixel_order(cfg, jnp.asarray(flat)))
     a = np.stack([flat[0], flat[1], flat[2]], -1)
     np.testing.assert_array_equal(a, np.asarray(st.rgb_sum))
+
+
+def test_regen_sample_sharded_matches_sequential_blocks():
+    """SAMPLE sharding on the regenerative kernel: 8 devices each advancing
+    one sample of the global sequence == the same per-block regen_call runs
+    combined by hand (delta-sum radiance channels, last block's vispoints).
+    Schedule (radius_after) is the exact sequential float sequence."""
+    from tpurt.kernels import mega_regen as mr
+    from tpurt.render import padded_pixels
+
+    cfg = RenderConfig(width=64, height=32, depth=3, backend="pallas",
+                       pallas_lanes=256, k_photons=1, max_photon_bounces=2)
+    scene = cornell_spheres_scene()
+    cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                      aspect_ratio=2.0)
+    TR = padded_pixels(cfg) // 128
+    planes0 = jnp.zeros((mp.N_CHANNELS, TR, 128), jnp.float32)
+    r0 = jnp.float32(cfg.photon_radius_init)
+
+    mesh = sh.make_mesh(8)
+    step = sh.make_regen_sample_sharded_step(mesh, cfg, scene, spp=8,
+                                             interpret=True)
+    planes, it, radius, rays = step(cam, planes0, jnp.int32(0), r0,
+                                    jnp.float32(0.0), jnp.uint32(11))
+    assert int(it) == 8
+
+    fscene = mr.freeze_scene(scene)
+    deltas, vis_last, rays_sum = [], None, 0.0
+    for d in range(8):
+        r_d = mr.radius_after(cfg, jnp.int32(0), r0, jnp.int32(d))
+        npl, tr = mr.regen_call(fscene, cfg, cam, planes0, jnp.uint32(11),
+                                jnp.int32(1), jnp.int32(d), r_d,
+                                jnp.int32(0), True)
+        deltas.append(np.asarray(npl[:3]) - np.asarray(planes0[:3]))
+        vis_last = np.asarray(npl[3:])
+        rays_sum += float(jnp.sum(tr))
+
+    rgb_ref = np.asarray(planes0[:3]) + np.sum(deltas, axis=0)
+    np.testing.assert_allclose(np.asarray(planes[:3]), rgb_ref,
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(planes[3:]), vis_last)
+    np.testing.assert_allclose(float(rays), rays_sum, rtol=1e-6)
+    assert rays_sum > 0
+    r_ref = mr.radius_after(cfg, jnp.int32(0), r0, jnp.int32(8))
+    assert float(radius) == float(r_ref)
+
+    img = sh.resolve_planes(cfg, planes, int(it))
+    assert img.shape == (32, 64, 3) and np.isfinite(img).all()

@@ -385,6 +385,65 @@ def make_regen_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
     return jax.jit(sharded)
 
 
+def make_regen_sample_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
+                                   spp: int, interpret: bool | None = None):
+    """SAMPLE sharding for the regenerative megakernel: the full plane
+    state lives on every chip and device d advances its own block of
+    progressive samples [it0 + d*m, it0 + (d+1)*m), m = spp/n_dev — the
+    data-parallel axis of make_sample_sharded_step, on the fastest
+    single-chip path. Radiance channels (0-2, see mega_pallas.N_CHANNELS)
+    psum their deltas; vispoint channels (3-15) take the final device's,
+    with the same blockwise-persistence warmup caveat documented in
+    make_sample_sharded_step (photon lanes need a vispoint to be live).
+
+    Returns f(camera, planes, iteration, photon_radius, rays, base_seed) ->
+    (planes, iteration, photon_radius, rays). planes is the REPLICATED
+    full-image state from kernels.mega_pallas init layout (zeros of
+    (N_CHANNELS, P/128, 128)); resolve with resolve_planes as usual.
+    """
+    from tpurt.kernels import mega_regen as mr
+
+    if not mr.supports_scene(scene, cfg):
+        raise ValueError(
+            "scene exceeds the fused-kernel budgets "
+            "(mega_pallas.supports_scene) — use make_sample_sharded_step "
+            f"(XLA) for {scene.num_spheres} spheres / "
+            f"{scene.num_triangles} tris")
+    n_dev = mesh.devices.size
+    if spp % n_dev:
+        raise ValueError(f"spp={spp} must be a multiple of the mesh size "
+                         f"({n_dev}) for sample sharding")
+    m = spp // n_dev
+    fscene = mr.freeze_scene(scene)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def body(camera, planes, it, radius, rays, base_seed):
+        me = jax.lax.axis_index(AXIS)
+        it_d = it + me * m
+        r_d = mr.radius_after(cfg, it, radius, me * m)
+        new_planes, tile_rays = mr.regen_call(
+            fscene, cfg, camera, planes, base_seed, jnp.int32(m), it_d,
+            r_d, jnp.int32(0), interpret)
+        last = (me == n_dev - 1)
+        rgb = planes[:3] + jax.lax.psum(new_planes[:3] - planes[:3], AXIS)
+        vis = jax.lax.psum(
+            jnp.where(last, new_planes[3:], jnp.zeros_like(new_planes[3:])),
+            AXIS)
+        out = jnp.concatenate([rgb, vis], axis=0)
+        r_new = mr.radius_after(cfg, it, radius, jnp.int32(spp))
+        return (out, it + spp, r_new,
+                rays + jax.lax.psum(jnp.sum(tile_rays), AXIS))
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def resolve_planes(cfg: RenderConfig, planes, iteration):
     """Resolve sharded plane state to an (H, W, 3) image — fully on-device
     (the Pallas blit kernel + the XLA pixel-order permutation; XLA inserts
