@@ -174,3 +174,47 @@ def test_regen_sample_sharded_matches_sequential_blocks():
 
     img = sh.resolve_planes(cfg, planes, int(it))
     assert img.shape == (32, 64, 3) and np.isfinite(img).all()
+
+
+def test_render_image_sharded_front_door():
+    """The one-call multi-chip facade dispatches every axis/kernel pair and
+    returns a finite image of the right shape."""
+    import pytest
+
+    cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                      aspect_ratio=2.0)
+    scene = cornell_spheres_scene()
+    mesh = sh.make_mesh(8)
+
+    # XLA, pixel axis (explicit)
+    cfg = RenderConfig(width=64, height=32, depth=2, backend="xla",
+                       tile_size=256)
+    img, info = sh.render_image_sharded(scene, cfg, cam, spp=2, mesh=mesh,
+                                        axis="pixel")
+    assert img.shape == (32, 64, 3) and np.isfinite(img).all()
+    assert info["kernel"] == "xla/pixel" and info["rays"] > 0
+
+    # XLA, auto -> sample axis on a tiny image (2048 px / 8 dev < 4096)
+    img2, info2 = sh.render_image_sharded(scene, cfg, cam, spp=8, mesh=mesh)
+    assert info2["axis"] == "sample" and info2["kernel"] == "xla/sample"
+    assert img2.shape == (32, 64, 3) and np.isfinite(img2).all()
+
+    # regenerative megakernel, pixel axis
+    pcfg = RenderConfig(width=64, height=32, depth=2, backend="pallas",
+                        pallas_lanes=256, k_photons=1, max_photon_bounces=2)
+    img3, info3 = sh.render_image_sharded(scene, pcfg, cam, spp=1, mesh=mesh,
+                                          axis="pixel", interpret=True)
+    assert info3["kernel"] == "regen/pixel" and info3["rays"] > 0
+    assert img3.shape == (32, 64, 3) and np.isfinite(img3).all()
+
+    # wavefront pool, one per device
+    wcfg = RenderConfig(width=64, height=32, depth=2, backend="wavefront",
+                        wf_pool=256, enable_photons=False, tile_size=256)
+    img4, info4 = sh.render_image_sharded(scene, wcfg, cam, spp=2, mesh=mesh)
+    assert info4["kernel"] == "wavefront" and info4["rays"] > 0
+    assert img4.shape == (32, 64, 3) and np.isfinite(img4).all()
+
+    # fused wavefront variants have no sharded form — loud error
+    fcfg = RenderConfig(width=64, height=32, backend="wavefront_fused")
+    with pytest.raises(ValueError, match="no sharded form"):
+        sh.render_image_sharded(scene, fcfg, cam, spp=2, mesh=mesh)

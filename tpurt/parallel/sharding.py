@@ -444,6 +444,104 @@ def make_regen_sample_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
     return jax.jit(sharded)
 
 
+def render_image_sharded(scene, cfg: RenderConfig, camera, spp: int,
+                         base_seed: int = 1234, mesh: Mesh | None = None,
+                         axis: str = "auto", interpret: bool | None = None):
+    """One-call multi-chip render: pick the sharding axis and kernel the
+    way render() picks backends, run `spp` samples from a fresh state, and
+    resolve to a host (H, W, 3) image.
+
+    axis: "pixel" (each chip owns a slab of pixels), "sample" (full image
+    per chip, per-device sample blocks), or "auto" — pixel slabs unless
+    the image is too small to give every device one kernel tile of work
+    (< pallas_lanes pixels per device on the Pallas backend, < 4096 on
+    XLA) and spp divides evenly over the mesh.
+
+    Dispatch mirrors render(): cfg.backend "pallas" runs the fused
+    megakernels when the scene fits their budgets (regenerative by
+    default) and falls back to the XLA integrator otherwise; "wavefront"
+    runs one persistent pool per device (pixel axis only); "xla" the
+    reference integrator. Returns (image, info) where info carries
+    {"axis", "kernel", "rays", "iteration"}.
+    """
+    mesh = make_mesh() if mesh is None else mesh
+    n_dev = mesh.devices.size
+    seed = jnp.uint32(base_seed)
+
+    from tpurt.render import WAVEFRONT_BACKENDS
+    if cfg.backend in WAVEFRONT_BACKENDS and cfg.backend != "wavefront":
+        raise ValueError(
+            f"backend {cfg.backend!r} has no sharded form — use "
+            "backend='wavefront' (the XLA pool) for multi-chip wavefront")
+
+    use_pallas = False
+    if cfg.backend == "pallas":
+        from tpurt.kernels import mega_pallas as mp
+        use_pallas = mp.supports_scene(scene, cfg)
+
+    if axis == "auto":
+        per_dev = cfg.n_pixels // n_dev
+        small = per_dev < (cfg.pallas_lanes if use_pallas else 4096)
+        axis = "sample" if (small and spp % n_dev == 0
+                            and cfg.backend != "wavefront") else "pixel"
+    if axis not in ("pixel", "sample"):
+        raise ValueError(f"axis must be pixel|sample|auto, got {axis!r}")
+
+    if cfg.backend == "wavefront":
+        if axis != "pixel":
+            raise ValueError("the wavefront pool shards over pixels only")
+        state = init_state_sharded(cfg, mesh)
+        step = make_wavefront_sharded_step(mesh, cfg, spp=spp)
+        state = step(scene, camera, state, seed)
+        return resolve_image_sharded(cfg, state), {
+            "axis": axis, "kernel": "wavefront", "rays": float(state.rays),
+            "iteration": int(state.iteration)}
+
+    if use_pallas:
+        it0 = jnp.int32(0)
+        r0 = jnp.float32(cfg.photon_radius_init)
+        z = jnp.float32(0.0)
+        if axis == "sample":
+            from tpurt.kernels.mega_pallas import N_CHANNELS
+            from tpurt.render import padded_pixels
+            planes = jnp.zeros((N_CHANNELS, padded_pixels(cfg) // 128, 128),
+                               jnp.float32)
+            step = make_regen_sample_sharded_step(mesh, cfg, scene, spp=spp,
+                                                  interpret=interpret)
+            kernel = "regen/sample"
+        else:
+            planes = init_planes_sharded(cfg, mesh)
+            if cfg.pallas_regen:
+                step = make_regen_sharded_step(mesh, cfg, scene, spp=spp,
+                                               interpret=interpret)
+                kernel = "regen/pixel"
+            else:
+                step = make_pallas_sharded_step(mesh, cfg, scene, spp=spp,
+                                                interpret=interpret)
+                kernel = "megakernel/pixel"
+        planes, it, radius, rays = step(camera, planes, it0, r0, z, seed)
+        return resolve_planes(cfg, planes, int(it)), {
+            "axis": axis, "kernel": kernel, "rays": float(rays),
+            "iteration": int(it)}
+
+    # XLA integrator (any scene size)
+    from tpurt.render import init_state
+    if axis == "sample":
+        step = make_sample_sharded_step(mesh, cfg, spp=spp)
+        state = step(scene, camera, init_state(cfg), seed)
+        from tpurt.render import resolve_image
+        img = np.asarray(resolve_image(cfg, state))
+        kernel = "xla/sample"
+    else:
+        state = init_state_sharded(cfg, mesh)
+        step = make_sharded_step(mesh, cfg, spp=spp)
+        state = step(scene, camera, state, seed)
+        img = resolve_image_sharded(cfg, state)
+        kernel = "xla/pixel"
+    return img, {"axis": axis, "kernel": kernel, "rays": float(state.rays),
+                 "iteration": int(state.iteration)}
+
+
 def resolve_planes(cfg: RenderConfig, planes, iteration):
     """Resolve sharded plane state to an (H, W, 3) image — fully on-device
     (the Pallas blit kernel + the XLA pixel-order permutation; XLA inserts
