@@ -696,3 +696,61 @@ def test_supports_scene_huge_spheres_over_total_budget():
     cfg = RenderConfig(backend="pallas", pallas_sphere_bvh=True)
     assert supports_scene(scene, cfg)
     assert supports_scene(scene, cfg.with_(pallas_bvh_chunk=0))
+
+
+def test_split_huge_keeps_largest_radii_over_cap():
+    """When more than MAX_ALWAYS_SPHERES spheres are scene-spanning, the
+    always set must keep the N LARGEST radii — in particular the strictly
+    largest sphere must never be demoted into the tree by index order."""
+    import warnings
+
+    from tpurt.kernels.bvh_pallas import MAX_ALWAYS_SPHERES
+    from tpurt.kernels.mega_pallas import _FSphere
+
+    def fs(r, i):
+        return _FSphere(c=(float(i), 0.0, 0.0), r=float(r), mat=0,
+                        mtype=0, ior=1.0)
+
+    # 8 equal huge spheres first, the strictly-largest LAST, plus a
+    # population of small ones so the median keeps them all "huge"
+    spheres = tuple(fs(100.0, i) for i in range(MAX_ALWAYS_SPHERES)) \
+        + (fs(1000.0, 99),) + tuple(fs(1.0, 200 + i) for i in range(24))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        always, tree = split_huge_spheres(spheres)
+    assert len(always) == MAX_ALWAYS_SPHERES
+    assert max(sp.r for sp in always) == 1000.0, \
+        "largest sphere must be on the always side"
+    assert sum(1 for sp in tree if sp.r == 100.0) == 1  # one tie demoted
+    assert len(always) + len(tree) == len(spheres)
+
+
+def test_fused_entry_points_fall_back_to_xla_beyond_budget():
+    """Direct render_regen/render_pallas calls on a scene beyond the fused
+    budgets (chunked mode disabled) must run the XLA integrator — never
+    build the oversized SMEM tables (VERDICT-r2 review finding)."""
+    from tpurt import (RenderConfig, init_state, make_camera,
+                       torus_mesh_scene)
+    from tpurt.kernels import mega_pallas as mp
+    from tpurt.kernels import mega_regen as mr
+    from tpurt.render import _render_xla
+
+    scene = torus_mesh_scene(72, 60)  # 8640 tris > MAX_BVH_TRIS
+    cfg = RenderConfig(width=32, height=16, depth=2, backend="pallas",
+                       pallas_lanes=256, pallas_bvh_chunk=0,
+                       k_photons=1, max_photon_bounces=1)
+    assert not mp.supports_scene(scene, cfg)
+    cam = make_camera((0.0, 3.0, -6.0), (0.0, 1.5, 0.0), vfov=55.0,
+                      aspect_ratio=2.0)
+    ref = _render_xla(scene, cfg, cam, init_state(cfg), 7, 1)
+
+    st_r = mr.render_regen(scene, cfg, cam, init_state(cfg), 7, 1)
+    st_p = mp.render_pallas(scene, cfg, cam, init_state(cfg), 7, 1)
+    for st in (st_r, st_p):
+        assert float(st.rays) == float(ref.rays) != 0.0
+        np.testing.assert_array_equal(np.asarray(st.rgb_sum),
+                                      np.asarray(ref.rgb_sum))
+
+    # preview depth override goes through the same fallback
+    st_d = mr.render_regen(scene, cfg, cam, init_state(cfg), 7, 1, depth=1)
+    assert 0.0 < float(st_d.rays) < float(ref.rays)

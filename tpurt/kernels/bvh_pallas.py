@@ -178,9 +178,15 @@ def split_huge_spheres(spheres):
             "goes into the BVH where each one bloats every ancestor box "
             "and defeats near-to-far pruning (correct output, large perf "
             "cliff on bimodal-radius scenes)", stacklevel=2)
-        cut = np.sort(r[huge])[-MAX_ALWAYS_SPHERES]
-        huge &= r >= cut
-        huge &= np.cumsum(huge) <= MAX_ALWAYS_SPHERES  # ties: keep first N
+        # keep the N LARGEST radii (stable sort: ties break toward lower
+        # index, deterministically) — selecting by index order instead
+        # could demote the strictly-largest sphere into the tree, the
+        # exact scene-spanning case this split exists to avoid
+        huge_idx = np.flatnonzero(huge)
+        keep = huge_idx[np.argsort(-r[huge_idx],
+                                   kind="stable")[:MAX_ALWAYS_SPHERES]]
+        huge = np.zeros_like(huge)
+        huge[keep] = True
     return (tuple(sp for sp, h in zip(spheres, huge) if h),
             tuple(sp for sp, h in zip(spheres, huge) if not h))
 

@@ -429,10 +429,13 @@ def _tree_sweep(node, o, inv, state, vote, t_cap, leaf_fn):
 
 
 def _sphere_cull_tree(spheres, leaf_size: int) -> _CullTree:
+    from tpurt.kernels.bvh_pallas import huge_sphere_mask
     c = np.asarray([sp.c for sp in spheres], np.float32).reshape(-1, 3)
     r = np.asarray([sp.r for sp in spheres], np.float32).reshape(-1, 1)
-    med = float(np.median(r)) if len(spheres) else 0.0
-    huge = (r[:, 0] > max(10.0 * med, 1e-3))  # e.g. the ground sphere
+    # THE shared scene-spanning predicate (bvh_pallas.huge_sphere_mask) —
+    # an inline copy here would let the static cull tree and the BVH walk
+    # drift on which spheres count as "always" for the same scene
+    huge = huge_sphere_mask(r[:, 0]) if len(spheres) else np.zeros(0, bool)
     return _build_cull_tree(tuple(spheres), c - r, c + r, leaf_size, huge)
 
 
@@ -1886,6 +1889,20 @@ def _render_pallas_jit(fscene, cfg, camera, state, base_seed, spp, depth,
     )
 
 
+def xla_fallback(scene, cfg: RenderConfig, camera, state, base_seed,
+                 spp, depth: int | None = None):
+    """Out-of-budget fallback shared by the fused-kernel entry points:
+    the same progressive algorithm through the XLA integrator (any scene
+    size), honoring a preview depth override."""
+    from tpurt.render import _render_step_xla, _render_xla
+    if depth is None or depth == cfg.depth:
+        return _render_xla(scene, cfg, camera, state, base_seed, int(spp))
+    st = state
+    for _ in range(int(spp)):
+        st = _render_step_xla(scene, cfg, camera, st, base_seed, int(depth))
+    return st
+
+
 def render_pallas(scene, cfg: RenderConfig, camera, state, base_seed,
                   spp: int, depth: int | None = None,
                   interpret: bool | None = None):
@@ -1895,7 +1912,14 @@ def render_pallas(scene, cfg: RenderConfig, camera, state, base_seed,
     constants. The (P, 3) <-> planes layout conversion is paid ONCE per
     call — on TPU the narrow (P, 3) arrays live in a padded tiled layout, so
     per-step transposes would cost ~100x the kernel itself (measured).
+
+    Scenes beyond the fused-kernel budgets run the SAME algorithm through
+    the XLA integrator instead (render()'s dispatch checks supports_scene
+    before coming here; direct callers get the identical fallback rather
+    than an SMEM-table blowup).
     """
+    if not supports_scene(scene, cfg):
+        return xla_fallback(scene, cfg, camera, state, base_seed, spp, depth)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     fscene = freeze_scene(scene)

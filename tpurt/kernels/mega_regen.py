@@ -696,12 +696,14 @@ def _render_regen_jit(fscene, cfg, camera, state, base_seed, spp, interpret,
 def render_regen(scene, cfg: RenderConfig, camera, state, base_seed, spp,
                  interpret: bool | None = None, depth: int | None = None):
     """Progressive render via the regenerative megakernel (full SPPM).
-    Scene must be concrete; falls back to render_pallas for scenes beyond
-    the kernel budget. `depth` overrides cfg.depth (preview frames)."""
+    Scene must be concrete; scenes beyond the kernel budget fall back to
+    the XLA integrator (mega_pallas.xla_fallback — NOT to the tile-sync
+    Pallas kernel, which shares the same SMEM budgets). `depth` overrides
+    cfg.depth (preview frames)."""
     if not supports_scene(scene, cfg):
-        from tpurt.kernels.mega_pallas import render_pallas
-        return render_pallas(scene, cfg, camera, state, base_seed, spp,
-                             depth=depth)
+        from tpurt.kernels.mega_pallas import xla_fallback
+        return xla_fallback(scene, cfg, camera, state, base_seed, spp,
+                            depth=depth)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     fscene = freeze_scene(scene)
