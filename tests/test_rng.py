@@ -71,3 +71,20 @@ def test_unit_vec_distribution():
     assert np.allclose(n, 1.0, atol=1e-5)
     # Mean should vanish for a uniform sphere distribution.
     assert np.abs(v.mean(axis=0)).max() < 0.02
+
+
+def test_strata_window_must_be_power_of_two():
+    """Non-power-of-two windows would REPEAT cell epochs (biased photon
+    estimate) under the bitmask windowing — loud error instead."""
+    import pytest
+
+    from tpurt import RenderConfig
+    from tpurt.ops.rng import strata_epoch
+
+    cfg = RenderConfig(width=8, height=8, photon_strata=16,
+                       photon_strata_window=12)
+    with pytest.raises(ValueError, match="power of two"):
+        strata_epoch(cfg, 5)
+    ok = RenderConfig(width=8, height=8, photon_strata=16,
+                      photon_strata_window=8)
+    assert int(strata_epoch(ok, 13)) == 8

@@ -301,3 +301,33 @@ class TestSampleSharded:
         cfg = RenderConfig(width=8, height=8, backend="xla")
         with pytest.raises(ValueError, match="multiple"):
             sh.make_sample_sharded_step(sh.make_mesh(8), cfg, spp=12)
+
+
+class TestWavefrontDispatchContracts:
+    def test_render_step_depth_override_honored(self):
+        """render_step(depth=1) on a wavefront backend must trace the
+        depth-1 preview (it used to silently run cfg.depth bounces)."""
+        from tpurt.render import render_step
+        cfg, scene, cam = _setup(wf_pool=2048, backend="wavefront")
+        st_prev = render_step(scene, cfg, cam, init_state(cfg), 42, depth=1)
+        st_full = render_step(scene, cfg, cam, init_state(cfg), 42)
+        assert 0.0 < float(st_prev.rays) < float(st_full.rays)
+        # the override is exactly the depth-1 config's render
+        cfg1 = cfg.with_(depth=1)
+        st_ref = wavefront_render(scene, cfg1, cam, init_state(cfg1), 42, 1)
+        assert float(st_prev.rays) == float(st_ref.rays)
+        np.testing.assert_array_equal(np.asarray(st_prev.rgb_sum),
+                                      np.asarray(st_ref.rgb_sum))
+
+    def test_camera_strata_bounce_rejected(self):
+        """The wavefront tracers draw the unstratified camera sequence —
+        accepting camera_strata_bounce would silently break same-seed
+        parity with the other backends, so it must raise."""
+        import pytest
+
+        from tpurt.render import render
+        cfg, scene, cam = _setup(wf_pool=512, backend="wavefront",
+                                 photon_strata=16,
+                                 camera_strata_bounce=True)
+        with pytest.raises(ValueError, match="camera_strata_bounce"):
+            render(scene, cfg, cam, init_state(cfg), 42, 1)

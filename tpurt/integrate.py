@@ -136,15 +136,15 @@ def light_emission_rgb(scene, lam):
 def sample_direct_lighting(scene, cfg, pos, norm, lam, rng, light_rgbs=None):
     """Next-event estimation over all lights (ref: mega_kernel.wgsl:568-615).
 
-    Returns (rgb (N,3), rng, shadow_ray_count). The loop over lights is a
-    static Python loop (L is a compile-time constant); every lane draws the
-    area-light 2f sample regardless of light type to stay branch-free.
-    light_rgbs: precomputed light_emission_rgb(scene, lam) (computed here
-    when None).
+    Returns (rgb (N,3), rng). The loop over lights is a static Python loop
+    (L is a compile-time constant); every lane draws the area-light 2f
+    sample regardless of light type to stay branch-free. Callers count
+    shadow segments themselves (active-diffuse lanes x num_lights — this
+    function cannot see the caller's liveness mask). light_rgbs:
+    precomputed light_emission_rgb(scene, lam) (computed here when None).
     """
     N = pos.shape[0]
     result = jnp.zeros((N, 3))
-    shadow_rays = jnp.zeros((), jnp.float32)
     if light_rgbs is None:
         light_rgbs = light_emission_rgb(scene, lam)
 
@@ -174,14 +174,12 @@ def sample_direct_lighting(scene, cfg, pos, norm, lam, rng, light_rgbs=None):
 
         so = pos + norm * EPS
         atten = _shadow(scene, cfg, so, ldir, dist - EPS, lam)
-        if cfg.count_rays:
-            shadow_rays = shadow_rays + jnp.sum(live.astype(jnp.float32))
 
         inv_pdf = jnp.where(is_area, jnp.maximum(4.0 * lhw * lhw, 1e-10), 1.0)
         contrib = light_rgb * (ndotl * cos_light_or_one(is_area, cos_light)
                                * atten * inv_pdf / (dist * dist))[:, None]
         result = result + jnp.where(live[:, None], contrib, 0.0)
-    return result, rng, shadow_rays
+    return result, rng
 
 
 def cos_light_or_one(is_area, cos_light):
@@ -438,8 +436,8 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
                     for li in range(scene.num_lights)]
         else:
             rgbs = light_rgbs
-        direct, rng, _ = sample_direct_lighting(scene, cfg, loc, n, lam, rng,
-                                                light_rgbs=rgbs)
+        direct, rng = sample_direct_lighting(scene, cfg, loc, n, lam, rng,
+                                             light_rgbs=rgbs)
         nee = tp * color * direct
         lane_d = active & found & is_diffuse
         rad = rad + jnp.where(lane_d[:, None], nee, 0.0)

@@ -206,6 +206,12 @@ def strata_epoch(cfg, iteration):
     a scalar or a per-lane plane (the regen kernel's local sample counter
     plus its starting iteration)."""
     w = max(1, int(getattr(cfg, "photon_strata_window", 1)))
+    if w & (w - 1):
+        # the bitmask below only windows correctly for powers of two; e.g.
+        # w=12 would REPEAT epochs (0,0,0,0,4,4,4,4,0,...) so early samples'
+        # hash-chosen cells get re-drawn — systematic bias, not noise
+        raise ValueError(
+            f"photon_strata_window must be a power of two, got {w}")
     if w == 1:
         return iteration
     return iteration & jnp.int32(~(w - 1))

@@ -78,6 +78,15 @@ def _wavefront_dispatch(cfg: RenderConfig):
       "wavefront_fused"  fully-fused per-lane-regeneration kernel (fastest)
     (ref: src/wavefront.rs / wavefront.wgsl — the reference's disabled
     component, finished; BASELINE config 5)."""
+    if cfg.camera_strata_bounce:
+        # the wavefront tracers draw the UNSTRATIFIED camera scatter
+        # sequence; silently accepting the flag would break same-seed
+        # parity with the other backends (and it buys nothing here — the
+        # strata exist for the megakernels' whole-tile culling votes)
+        raise ValueError(
+            "camera_strata_bounce is not implemented by the wavefront "
+            "tracers — disable it for wavefront backends (photon strata "
+            "flags are inert here: no photon pass)")
     if cfg.backend == "wavefront":
         from tpurt.wavefront import wavefront_render
         return wavefront_render
@@ -145,6 +154,11 @@ def render_step(scene: Scene, cfg: RenderConfig, camera: Camera,
     OUTSIDE any enclosing jit when using the pallas backend.
     """
     if cfg.backend in WAVEFRONT_BACKENDS:
+        # depth is a static kernel constant for the pool tracers: a preview
+        # override re-jits a depth-limited form (same as the XLA/pallas
+        # static-depth behavior, just spelled through cfg)
+        if depth is not None and depth != cfg.depth:
+            cfg = cfg.with_(depth=depth)
         return _wavefront_dispatch(cfg)(scene, cfg, camera, state,
                                         base_seed, 1)
     if _use_pallas(scene, cfg):

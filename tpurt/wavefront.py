@@ -186,8 +186,8 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool,
                     for li in range(scene.num_lights)]
     else:
         rgbs = None
-    direct, rng, _ = sample_direct_lighting(scene, cfg, loc, n, pool.lam,
-                                            rng, light_rgbs=rgbs)
+    direct, rng = sample_direct_lighting(scene, cfg, loc, n, pool.lam,
+                                         rng, light_rgbs=rgbs)
     lane_d = active & found & is_diffuse
     rad = rad + jnp.where(lane_d[:, None], pool.tp * color * direct, 0.0)
     if cfg.count_rays:
