@@ -183,6 +183,9 @@ def main():
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
+    if not args.all and args.config not in (1, 2, 3, 4, 5, 6):
+        ap.error(f"--config must be 1-6, got {args.config} (a typo here "
+                 "used to silently benchmark the config-1 scene)")
     configs = [1, 2, 3, 4, 5, 6] if args.all else [args.config]
     for cid in configs:
         # config 5's frame is sub-second at 64 spp (launch-overhead-bound);

@@ -159,39 +159,76 @@ struct ObjData {
     std::vector<int32_t> indices;   // 3 per triangle
 };
 
+// Returns NULL on any input the Python parser would reject (bad float on a
+// >=3-coordinate vertex line, non-numeric face index on a >=3-vertex face,
+// or a line longer than the read buffer — Python has no line cap): the
+// caller then falls back to tpurt/utils/obj.py, which raises the same
+// error either way, keeping the "identical output" contract instead of
+// silently mis-indexing (strtol would return 0 for garbage tokens).
 void* tpurt_obj_open(const char* path) {
     FILE* f = std::fopen(path, "rb");
     if (!f) return nullptr;
     auto* d = new ObjData();
     std::vector<int64_t> face;
     char line[8192];
-    while (std::fgets(line, sizeof line, f)) {
+    bool ok = true;
+    while (ok && std::fgets(line, sizeof line, f)) {
+        if (!std::strchr(line, '\n') && !std::feof(f)) {
+            ok = false;  // truncated long line: defer to the Python parser
+            break;
+        }
         char* p = line;
         while (*p == ' ' || *p == '\t') ++p;
         if (p[0] == 'v' && (p[1] == ' ' || p[1] == '\t')) {
-            float x, y, z;
-            if (std::sscanf(p + 1, "%f %f %f", &x, &y, &z) == 3) {
-                d->positions.push_back(x);
-                d->positions.push_back(y);
-                d->positions.push_back(z);
+            // Python parses only when >= 3 coordinate tokens are present,
+            // and then a malformed float is an error (float(tok) raises)
+            float xyz[3];
+            int ntok = 0;
+            bool bad = false;
+            char* tok = std::strtok(p + 1, " \t\r\n");
+            while (tok) {
+                if (ntok < 3) {
+                    char* end = nullptr;
+                    float v = std::strtof(tok, &end);
+                    if (end == tok || *end != '\0') bad = true;
+                    else xyz[ntok] = v;
+                }
+                ++ntok;
+                tok = std::strtok(nullptr, " \t\r\n");
+            }
+            if (ntok >= 3) {
+                if (bad) { ok = false; break; }
+                d->positions.push_back(xyz[0]);
+                d->positions.push_back(xyz[1]);
+                d->positions.push_back(xyz[2]);
             }
         } else if (p[0] == 'f' && (p[1] == ' ' || p[1] == '\t')) {
             face.clear();
+            bool bad = false;
             char* tok = std::strtok(p + 1, " \t\r\n");
             while (tok) {
-                long i = std::strtol(tok, nullptr, 10);  // stops at '/'
+                char* end = nullptr;
+                long i = std::strtol(tok, &end, 10);
+                // int(tok.split('/')[0]) semantics: the first slash
+                // segment must be fully numeric
+                if (end == tok || (*end != '\0' && *end != '/')) bad = true;
                 int64_t nverts = static_cast<int64_t>(d->positions.size()) / 3;
                 face.push_back(i > 0 ? i - 1 : nverts + i);
                 tok = std::strtok(nullptr, " \t\r\n");
             }
-            for (size_t k = 1; k + 1 < face.size(); ++k) {  // fan
-                d->indices.push_back(static_cast<int32_t>(face[0]));
-                d->indices.push_back(static_cast<int32_t>(face[k]));
-                d->indices.push_back(static_cast<int32_t>(face[k + 1]));
+            // Python attempts the parse only for faces with >= 3 vertices
+            if (face.size() >= 3 && bad) { ok = false; break; }
+            if (!bad) {
+                for (size_t k = 1; k + 1 < face.size(); ++k) {  // fan
+                    d->indices.push_back(static_cast<int32_t>(face[0]));
+                    d->indices.push_back(static_cast<int32_t>(face[k]));
+                    d->indices.push_back(static_cast<int32_t>(face[k + 1]));
+                }
             }
         }
     }
     std::fclose(f);
+    if (!ok) { delete d; return nullptr; }
     return d;
 }
 

@@ -104,3 +104,64 @@ class TestNativeObj:
         np.testing.assert_array_equal(nat_pos, ref_pos)
         np.testing.assert_array_equal(nat_idx, ref_idx)
         assert nat_idx.shape == (2 + 1 + 1, 3)  # quad fan + tri + tri
+
+
+def test_obj_malformed_inputs_match_python(tmp_path):
+    """The C++ parser must never silently mis-index where the Python parser
+    raises: on any token Python rejects, the native open fails and the
+    fallback raises the identical error (review finding: strtol returned 0
+    for garbage tokens -> index one past the last vertex)."""
+    import numpy as np
+    import pytest
+
+    from tpurt.utils.native import parse_obj_native
+    from tpurt.utils.obj import parse_obj
+
+    # well-formed edge cases stay native-parsed and identical
+    good = tmp_path / "good.obj"
+    good.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+                    "# comment\n"
+                    "f 1/2/3 2//1 3/4\n"      # slash forms
+                    "f -1 -2 -3\n"            # negative indices
+                    "f 1 2\n")                # degenerate: skipped, no tris
+    nat = parse_obj_native(str(good))
+    assert nat is not None
+    pos, idx = parse_obj(str(good))
+    np.testing.assert_array_equal(pos, nat[0])
+    np.testing.assert_array_equal(idx, nat[1])
+    assert idx.shape == (2, 3)
+
+    # malformed face index: Python raises ValueError; native must defer
+    # (return None) so parse_obj raises the same way, not mis-index
+    bad_face = tmp_path / "bad_face.obj"
+    bad_face.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf a b c\n")
+    assert parse_obj_native(str(bad_face)) is None
+    with pytest.raises(ValueError):
+        parse_obj(str(bad_face))
+
+    # malformed vertex float on a full 3-coordinate line: same contract
+    bad_vert = tmp_path / "bad_vert.obj"
+    bad_vert.write_text("v 0 zero 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    assert parse_obj_native(str(bad_vert)) is None
+    with pytest.raises(ValueError):
+        parse_obj(str(bad_vert))
+
+    # a face line Python SKIPS (< 3 vertex tokens) must not fail natively,
+    # even with a garbage token
+    skip = tmp_path / "skip.obj"
+    skip.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 a\nf 1 2 3\n")
+    nat = parse_obj_native(str(skip))
+    assert nat is not None
+    pos, idx = parse_obj(str(skip))
+    np.testing.assert_array_equal(idx, nat[1])
+    assert idx.shape == (1, 3)
+
+    # >8191-char polygon line: native defers to Python (no line cap there)
+    long_line = tmp_path / "long.obj"
+    nv = 2400
+    verts = "".join(f"v {i} 0 0\n" for i in range(1, nv + 1))
+    long_line.write_text(verts + "f " + " ".join(
+        str(i) for i in range(1, nv + 1)) + "\n")
+    assert parse_obj_native(str(long_line)) is None
+    pos, idx = parse_obj(str(long_line))
+    assert idx.shape == (nv - 2, 3)

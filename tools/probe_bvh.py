@@ -134,8 +134,7 @@ occ_ref = (tt < 4.0).any(axis=1)
 
 hit = t_ref < 1e29
 match_t = np.allclose(t_k[hit], t_ref[hit], rtol=1e-5, atol=1e-5)
-match_occ = (occ_k > 0.5).astype(bool).tolist() == occ_ref.tolist() if False else \
-    ((occ_k > 0.5) == occ_ref).mean()
+match_occ = ((occ_k > 0.5) == occ_ref).mean()
 rays_per_s = 2 * NR / dt  # closest + shadow walks per ray
 print(json.dumps({
     "T": T, "nodes": B, "match_t": bool(match_t),

@@ -53,11 +53,14 @@ STACKS = {
                     photon_strata_shared_k=True, photon_strata_bounce=True,
                     camera_strata_bounce=True, hero_wavelengths=4,
                     photon_strata_window=32),
-    # the shipped mesh stack: dir4096 + drift + window8 + hero4
+    # the shipped mesh stack (bench.py config 6 / viewer.py mesh scene).
+    # pallas_regen_drift is deliberately NOT set: it is pure SCHEDULING in
+    # the regen kernel (bit-identical samples) and inert on this probe's
+    # XLA backend — listing it here would only fake coverage.
     "mesh_ship": dict(photon_strata=16, photon_strata_dir=4096,
                       photon_strata_shared_k=True, photon_strata_bounce=True,
                       camera_strata_bounce=True, hero_wavelengths=4,
-                      photon_strata_window=8, pallas_regen_drift=8),
+                      photon_strata_window=8),
 }
 
 
@@ -86,10 +89,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=16)
     ap.add_argument("--reps", type=int, default=8)
+
     ap.add_argument("--scene", default="config3",
                     choices=["config3", "mesh", "cornell"])
     ap.add_argument("--stacks", nargs="*", default=list(STACKS))
     args = ap.parse_args()
+    if args.reps < 2:
+        ap.error("--reps must be >= 2 (sample variance divides by reps-1)")
 
     from tpurt import RenderConfig, init_state, render, resolve_image
     scene, cam, kw = build(args.scene)

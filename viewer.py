@@ -32,6 +32,11 @@ import termios
 import time
 import tty
 
+# persistent kernel cache like every other entry point (bench.py, tools/*):
+# a cold Mosaic compile freezes the UI for minutes on first launch/resize
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_compilation"))
+
 import numpy as np
 
 
@@ -65,7 +70,9 @@ def _build(args):
     extra = {}
     if args.scene == "mesh" and not args.scene_file:
         # 4k triangles: the dynamic whole-tile BVH walk (chunked past
-        # 8192) with the measured-best mesh sampler stack (docs/DESIGN.md)
+        # 8192) with the measured-best mesh sampler stack (docs/DESIGN.md).
+        # bench.py config 6 additionally runs hero_wavelengths=4 — pass
+        # --hero 4 to match its full stack (hero stays a CLI choice here)
         extra = dict(pallas_bvh=True, pallas_bvh_leaf=64,
                      photon_strata=16, photon_strata_dir=4096,
                      photon_strata_shared_k=True, photon_strata_bounce=True,
@@ -122,11 +129,16 @@ def headless(args):
 def _ansi_blit(img, max_cols, max_rows):
     """Present an (H, W, 3) [0,1] image as ANSI half-blocks (2 px/cell)."""
     h, w, _ = img.shape
-    cols = min(max_cols, w)
-    rows2 = min(max_rows * 2, h)
+    # degenerate terminals (0-row ptys, tiny panes) still get one cell row
+    cols = max(1, min(max_cols, w))
+    rows2 = max(2, min(max_rows * 2, h))
     ys = np.linspace(0, h - 1, rows2).astype(int)
     xs = np.linspace(0, w - 1, cols).astype(int)
-    small = np.clip(img[ys][:, xs] * 255.0, 0, 255).astype(np.uint8)
+    # sRGB-encode like the reference's swapchain format (lib.rs:166-171) —
+    # raw linear*255 would present visibly darker than the saved PNGs,
+    # which go through the same to_srgb8
+    from tpurt.utils.image import to_srgb8
+    small = to_srgb8(img[ys][:, xs])
     out = []
     for r in range(0, rows2 - 1, 2):
         top, bot = small[r], small[r + 1]
@@ -196,6 +208,7 @@ def interactive(args):
     with _RawTerm() as term:
         while True:
             changed = False
+            look_dx = look_dy = 0.0
             now_keys = time.perf_counter()
             for k in term.keys():
                 if k == "q":
@@ -205,9 +218,12 @@ def interactive(args):
                     if k.isupper():
                         boost_until = now_keys + HOLD_TIMEOUT
                 elif k in ("left_arrow", "right_arrow", "up_arrow", "down_arrow"):
-                    dx = {"left_arrow": -40.0, "right_arrow": 40.0}.get(k, 0.0)
-                    dy = {"up_arrow": -40.0, "down_arrow": 40.0}.get(k, 0.0)
-                    controller.mouse_move(dx, dy)
+                    # accumulate over the whole drain: mouse_move OVERWRITES
+                    # its delta (camera.py documents the 1:1 pairing with
+                    # update), so per-event calls would drop all but the
+                    # last auto-repeat of a slow frame
+                    look_dx += {"left_arrow": -40.0, "right_arrow": 40.0}.get(k, 0.0)
+                    look_dy += {"up_arrow": -40.0, "down_arrow": 40.0}.get(k, 0.0)
                 elif k == "=":
                     key_tm += 0.1           # ref: lib.rs:604-613
                 elif k == "-":
@@ -233,7 +249,13 @@ def interactive(args):
 
             # held-key movement: one controller update per frame with the
             # REAL frame duration, like the reference's event loop
-            # (ref: lib.rs:78-84 -> camera.rs:186-215)
+            # (ref: lib.rs:78-84 -> camera.rs:186-215). t_last advances
+            # HERE, at the same point every iteration, so dt spans the
+            # whole previous frame including the render — resetting it
+            # after the blit instead would feed update() only the
+            # key-drain microseconds and movement would crawl.
+            if look_dx or look_dy:
+                controller.mouse_move(look_dx, look_dy)
             now = time.perf_counter()
             held = {n: t for n, t in held.items()
                     if now - t < HOLD_TIMEOUT}
@@ -242,6 +264,7 @@ def interactive(args):
                 for name in held:
                     controller.set_key(name, True)
             dt_us = (now - t_last) * 1e6
+            t_last = now
             cam, ch = controller.update(cam, dt_us)
             changed |= ch
             if held:
@@ -271,7 +294,12 @@ def interactive(args):
                 state = init_state(cfg)
                 preview = True
 
+            # the depth-1 preview accumulates as sample 1 of the fresh
+            # state, exactly like the reference's preview_next_frame (the
+            # wgsl always adds to the cleared texture, mega_kernel.rs:
+            # 199-201 + mega_kernel.wgsl:1016-1021) — deliberate parity
             depth = 1 if preview else None
+            t_frame = time.perf_counter()
             state = render_step(scene, cfg, cam, state, args.seed, depth=depth)
             jax.block_until_ready(state)
             preview = False
@@ -279,15 +307,14 @@ def interactive(args):
 
             img = np.asarray(resolve_image(cfg, state, key=key_tm,
                                            saturation=sat))
-            now = time.perf_counter()
+            dt_frame = time.perf_counter() - t_frame
             sys.stdout.write("\x1b[H")
             sys.stdout.write(_ansi_blit(img, size.columns, size.lines - 2))
             sys.stdout.write(
-                f"\n\x1b[0m{_stats_line(frame, state, now - t_last, cfg)}  "
+                f"\n\x1b[0m{_stats_line(frame, state, dt_frame, cfg)}  "
                 f"key {key_tm:.1f} sat {sat:.1f} | wasd/ec move, arrows look, "
                 f"z/x zoom, =/-/[/] tonemap, p png, q quit\x1b[K")
             sys.stdout.flush()
-            t_last = now
 
 
 def main():
