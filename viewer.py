@@ -81,7 +81,7 @@ def _build(args):
                        backend=args.backend, hero_wavelengths=args.hero,
                        dispersion_in_camera_path=args.dispersion, **extra)
     cam = make_camera(eye, at, vfov=vfov, aspect_ratio=args.width / args.height)
-    return cfg, scene, cam, vfov
+    return cfg, scene, cam, vfov, eye, at
 
 
 def _stats_line(frame, state, dt, cfg):
@@ -97,7 +97,7 @@ def headless(args):
     from tpurt.render import init_state, render_step, resolve_image
     from tpurt.utils.image import write_png
 
-    cfg, scene, cam, _ = _build(args)
+    cfg, scene, cam, _, _, _ = _build(args)
     state = init_state(cfg)
     csv = open(args.csv, "w") if args.csv else None
     if csv:
@@ -184,7 +184,7 @@ def interactive(args):
     from tpurt.render import init_state, render_step, resolve_image
     from tpurt.utils.image import write_png
 
-    cfg, scene, cam, vfov = _build(args)
+    cfg, scene, cam, vfov, _, _ = _build(args)
     controller = CameraController()
     state = init_state(cfg)
     key_tm, sat = cfg.tonemap_key, cfg.tonemap_saturation
