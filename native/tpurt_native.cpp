@@ -190,7 +190,10 @@ void* tpurt_obj_open(const char* path) {
                 if (ntok < 3) {
                     char* end = nullptr;
                     float v = std::strtof(tok, &end);
-                    if (end == tok || *end != '\0') bad = true;
+                    // strtof accepts hex floats ("0x1p3"); Python float()
+                    // does not — defer those to the Python parser too
+                    if (end == tok || *end != '\0' ||
+                        std::strpbrk(tok, "xX")) bad = true;
                     else xyz[ntok] = v;
                 }
                 ++ntok;

@@ -13,6 +13,8 @@ Camera paths:
   --path FILE      keyframe JSON: [{"frame": 0, "eye": [x,y,z],
                    "look_at": [x,y,z], "vfov": 60.0}, ...] — linear
                    interpolation between bracketing keyframes (vfov too)
+  (neither)        fixed camera: frames differ only by seed (noise
+                   realizations of one view)
 
 Resume: existing frame files are skipped, so an interrupted render
 continues where it stopped (the per-frame state is rebuilt from scratch —
@@ -87,7 +89,7 @@ def main():
                              "mesh"])
     ap.add_argument("--scene-file", default=None, metavar="JSON")
     ap.add_argument("--path", default=None, metavar="JSON",
-                    help="keyframe path file; default --orbit")
+                    help="keyframe path file (overrides --orbit)")
     ap.add_argument("--orbit", action="store_true")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--spp", type=int, default=64)
@@ -133,11 +135,11 @@ def main():
             continue
         if keys is not None:
             cam = path_camera(frame, keys, aspect)
-        elif look_at is not None:
+        elif args.orbit:
             cam = orbit_camera(frame, args.frames, eye0, look_at, vfov,
                                aspect)
         else:
-            cam = cam0
+            cam = cam0  # fixed camera: frames differ only by seed
         t0 = time.perf_counter()
         st = render(scene, cfg, cam, init_state(cfg), args.seed + frame,
                     args.spp)

@@ -241,7 +241,8 @@ def make_wavefront_sharded_step(mesh: Mesh, cfg: RenderConfig, spp: int = 1):
         raise ValueError(
             f"make_wavefront_sharded_step shards the XLA pool tracer "
             f"(cfg.backend='wavefront'), got backend={cfg.backend!r}")
-    from tpurt.wavefront import wavefront_render_slab
+    from tpurt.wavefront import reject_camera_strata, wavefront_render_slab
+    reject_camera_strata(cfg)  # loud at build time, not first trace
 
     def body(scene, camera, state, base_seed):
         me = jax.lax.axis_index(AXIS)
@@ -482,10 +483,18 @@ def render_image_sharded(scene, cfg: RenderConfig, camera, spp: int,
     if axis == "auto":
         per_dev = cfg.n_pixels // n_dev
         small = per_dev < (cfg.pallas_lanes if use_pallas else 4096)
+        # the tile-sync kernel (pallas_regen=False) has no sample-sharded
+        # form — auto never substitutes the regen kernel for it
         axis = "sample" if (small and spp % n_dev == 0
-                            and cfg.backend != "wavefront") else "pixel"
+                            and cfg.backend != "wavefront"
+                            and (cfg.pallas_regen or not use_pallas)) \
+            else "pixel"
     if axis not in ("pixel", "sample"):
         raise ValueError(f"axis must be pixel|sample|auto, got {axis!r}")
+    if axis == "sample" and use_pallas and not cfg.pallas_regen:
+        raise ValueError(
+            "no sample-sharded form of the tile-sync megakernel — use "
+            "pallas_regen=True (the default) or axis='pixel'")
 
     if cfg.backend == "wavefront":
         if axis != "pixel":

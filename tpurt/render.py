@@ -78,15 +78,8 @@ def _wavefront_dispatch(cfg: RenderConfig):
       "wavefront_fused"  fully-fused per-lane-regeneration kernel (fastest)
     (ref: src/wavefront.rs / wavefront.wgsl — the reference's disabled
     component, finished; BASELINE config 5)."""
-    if cfg.camera_strata_bounce:
-        # the wavefront tracers draw the UNSTRATIFIED camera scatter
-        # sequence; silently accepting the flag would break same-seed
-        # parity with the other backends (and it buys nothing here — the
-        # strata exist for the megakernels' whole-tile culling votes)
-        raise ValueError(
-            "camera_strata_bounce is not implemented by the wavefront "
-            "tracers — disable it for wavefront backends (photon strata "
-            "flags are inert here: no photon pass)")
+    from tpurt.wavefront import reject_camera_strata
+    reject_camera_strata(cfg)
     if cfg.backend == "wavefront":
         from tpurt.wavefront import wavefront_render
         return wavefront_render

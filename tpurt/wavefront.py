@@ -232,6 +232,18 @@ def wavefront_render(scene, cfg: RenderConfig, camera: Camera,
                                  jnp.int32(0), jnp.int32(cfg.n_pixels))
 
 
+def reject_camera_strata(cfg: RenderConfig) -> None:
+    """The wavefront tracers draw the UNSTRATIFIED camera scatter sequence;
+    silently accepting camera_strata_bounce would break same-seed parity
+    with the other backends (render._wavefront_dispatch and the sharded
+    builders all route through this check)."""
+    if cfg.camera_strata_bounce:
+        raise ValueError(
+            "camera_strata_bounce is not implemented by the wavefront "
+            "tracers — disable it for wavefront backends (photon strata "
+            "flags are inert here: no photon pass)")
+
+
 def wavefront_render_slab(scene, cfg: RenderConfig, camera: Camera,
                           state: RenderState, base_seed, spp,
                           pix_offset, n_valid) -> RenderState:
@@ -239,6 +251,7 @@ def wavefront_render_slab(scene, cfg: RenderConfig, camera: Camera,
     pixel ids are slab-local, RNG/camera coordinates are global (see _regen).
     This is the per-device body of parallel.sharding.make_wavefront_sharded
     _step; the public wavefront_render is the pix_offset=0 whole image."""
+    reject_camera_strata(cfg)
     Q = cfg.wf_pool
     spp = jnp.asarray(spp, jnp.int32)
     C = max(1, int(cfg.hero_wavelengths))

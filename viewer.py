@@ -77,6 +77,11 @@ def _build(args):
                      photon_strata=16, photon_strata_dir=4096,
                      photon_strata_shared_k=True, photon_strata_bounce=True,
                      camera_strata_bounce=True, photon_strata_window=8)
+        if args.backend.startswith("wavefront"):
+            # the wavefront tracers reject camera_strata_bounce (they draw
+            # the unstratified sequence; photon flags are inert — no
+            # photon pass) — keep the mesh scene launchable on them
+            extra.pop("camera_strata_bounce")
     cfg = RenderConfig(width=args.width, height=args.height, depth=args.depth,
                        backend=args.backend, hero_wavelengths=args.hero,
                        dispersion_in_camera_path=args.dispersion, **extra)
