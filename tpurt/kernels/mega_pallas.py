@@ -951,6 +951,116 @@ def _diffuse_scatter_c(wo, n, color, rough, u2a, u2b):
     return wi_d, tpm_d
 
 
+def nee_direct_c(LIGHTS, loc, n, lam, rng, shadow, shadow_mask_fn, emv_fn,
+                 z3):
+    """THE NEE light loop (wgsl :568-615) shared by every fused kernel body
+    (tile-sync camera, regen interleaved, wavefront sweep, wavefront fused
+    — the photon walk has no NEE). The bodies differ only in the shadow
+    liveness mask and the emission source, injected as closures so each
+    caller's ops are emitted exactly where its old inline copy emitted
+    them (byte-identical jaxprs were asserted when this was extracted):
+
+      shadow_mask_fn() -> mask plane, re-evaluated per light like the old
+        inline `active & found & is_diffuse` chains;
+      emv_fn(li) -> (r, g, b) emission for light li, called after that
+        light's weight is ready (closures may load refs / select on
+        collapse state in place).
+
+    Returns (direct, rng): 2 rng draws consumed per light.
+    """
+    direct = z3
+    for li, lt in enumerate(LIGHTS):
+        u1, rng = rngmod.rand_1f(rng)
+        u2, rng = rngmod.rand_1f(rng)
+        if lt.ltype == 1:
+            su = (u1 - 0.5) * np.float32(2.0 * lt.hw)
+            sv = (u2 - 0.5) * np.float32(2.0 * lt.hw)
+            lp = tuple(
+                np.float32(lt.pos[c]) + su * np.float32(lt.tangent[c])
+                + sv * np.float32(lt.bitangent[c]) for c in range(3))
+        else:
+            lp = s.vbroadcast(lt.pos, u1)
+        to_light = s.vsub(lp, loc)
+        dist = jnp.sqrt(jnp.maximum(s.vdot(to_light, to_light), 1e-30))
+        ldir = s.vscale(to_light, 1.0 / dist)
+        ndotl = s.vdot(n, ldir)
+        live = (dist >= EPS) & (ndotl > 0.0)
+        if lt.ltype == 1:
+            cos_light = jnp.maximum(
+                0.0, -(lt.normal[0] * ldir[0] + lt.normal[1] * ldir[1]
+                       + lt.normal[2] * ldir[2]))
+            live = live & (cos_light > 0.0) & (lt.hw > 0.0)
+            geom = ndotl * cos_light * np.float32(
+                max(4.0 * lt.hw * lt.hw, 1e-10))
+        else:
+            geom = ndotl
+        so = s.vadd(loc, s.vscale(n, EPS))
+        atten = shadow(so, ldir, dist - EPS, lam, shadow_mask_fn() & live)
+        w = jnp.where(live, geom * atten / (dist * dist), 0.0)
+        direct = s.vadd(direct, s.vscale(emv_fn(li), w))
+    return direct, rng
+
+
+def scatter_rr_c(cfg, wo, n, loc, color, rough, is_diffuse, is_metal, tp,
+                 rng, *, any_dielectric, any_metal, eta_fn, camera_pdf,
+                 rr_thresh_fn, strata_fn=None, post_dielectric=None):
+    """THE scatter-select + Russian-roulette block (wgsl :906-979 camera,
+    :782-853 photon) shared by all five fused kernel bodies. Per-site
+    variation is injected, each closure emitting its ops exactly where
+    the old inline copy emitted them (byte-identical jaxprs were asserted
+    when this was extracted):
+
+      eta_fn() -> dielectric eta plane (dispersion rule differs per phase;
+        the wavefront kernels compute cauchy here from lam);
+      camera_pdf: bool or per-lane plane (regen mixes phases per lane);
+      rr_thresh_fn() -> RR threshold (scalar const, or the regen kernel's
+        per-lane camera/photon select);
+      strata_fn(u2a, u2b, u_choice) -> remapped triple (bounce strata);
+      post_dielectric(is_diel) -> arbitrary extra (hero-collapse updates),
+        returned as `extra`.
+
+    Consumes exactly 4 rng draws. Returns
+    (wi, new_tp, new_o, scat_ok, rr_live, rng, extra).
+    """
+    u2a, rng = rngmod.rand_1f(rng)
+    u2b, rng = rngmod.rand_1f(rng)
+    u_choice, rng = rngmod.rand_1f(rng)
+    u_rr, rng = rngmod.rand_1f(rng)
+    if strata_fn is not None:
+        u2a, u2b, u_choice = strata_fn(u2a, u2b, u_choice)
+
+    wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough, u2a, u2b)
+    wi, tpm = wi_d, tpm_d
+    off = jnp.full_like(u2a, EPS)
+    scat_ok = jnp.ones_like(u2a, bool)
+    alpha = jnp.sqrt(rough)
+    extra = None
+    if any_dielectric:
+        wi_s, tpm_s, off_s, valid_s = _scatter_dielectric_c(
+            wo, n, eta_fn(), alpha, u2a, u2b, u_choice,
+            camera_pdf=camera_pdf)
+        is_diel = ~(is_diffuse | is_metal)
+        wi = s.vwhere(is_diel, wi_s, wi)
+        tpm = s.vwhere(is_diel, (tpm_s, tpm_s, tpm_s), tpm)
+        off = jnp.where(is_diel, off_s, off)
+        scat_ok = (is_diel & valid_s) | (~is_diel & scat_ok)
+        if post_dielectric is not None:
+            extra = post_dielectric(is_diel)
+    if any_metal:
+        wi_m, tpm_m, valid_m = _scatter_metal_c(wo, n, color, alpha,
+                                                u2a, u2b)
+        wi = s.vwhere(is_metal, wi_m, wi)
+        tpm = s.vwhere(is_metal, tpm_m, tpm)
+        scat_ok = (is_metal & valid_m) | (~is_metal & scat_ok)
+
+    new_tp = s.vmul(tp, tpm)
+    new_o = s.vadd(loc, s.vscale(n, off))
+    prob = s.vmax_comp(new_tp)
+    rr_live = (prob >= rr_thresh_fn()) & (u_rr <= prob)
+    new_tp = s.vscale(new_tp, 1.0 / jnp.maximum(prob, 1e-30))
+    return wi, new_tp, new_o, scat_ok, rr_live, rng, extra
+
+
 
 
 def _use_tri_bvh(fscene: FrozenScene, cfg: RenderConfig) -> bool:
@@ -1430,46 +1540,16 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             vp_stored = jnp.maximum(st["vp_stored"], _mask_i32(store))
 
             # NEE over all lights (wgsl :568-615); light type is static.
-            direct = z3
-            for li, lt in enumerate(LIGHTS):
-                u1, rng = rngmod.rand_1f(rng)
-                u2, rng = rngmod.rand_1f(rng)
-                if lt.ltype == 1:
-                    su = (u1 - 0.5) * np.float32(2.0 * lt.hw)
-                    sv = (u2 - 0.5) * np.float32(2.0 * lt.hw)
-                    lp = tuple(
-                        np.float32(lt.pos[c]) + su * np.float32(lt.tangent[c])
-                        + sv * np.float32(lt.bitangent[c]) for c in range(3))
-                else:
-                    lp = s.vbroadcast(lt.pos, u1)
-
-                to_light = s.vsub(lp, loc)
-                dist = jnp.sqrt(jnp.maximum(s.vdot(to_light, to_light), 1e-30))
-                ldir = s.vscale(to_light, 1.0 / dist)
-                ndotl = s.vdot(n, ldir)
-                live = (dist >= EPS) & (ndotl > 0.0)
-                if lt.ltype == 1:
-                    cos_light = jnp.maximum(
-                        0.0, -(lt.normal[0] * ldir[0] + lt.normal[1] * ldir[1]
-                               + lt.normal[2] * ldir[2]))
-                    live = live & (cos_light > 0.0) & (lt.hw > 0.0)
-                    geom = ndotl * cos_light * np.float32(
-                        max(4.0 * lt.hw * lt.hw, 1e-10))
-                else:
-                    geom = ndotl
-
-                so = s.vadd(loc, s.vscale(n, EPS))
-                atten = shadow(so, ldir, dist - EPS, lam,
-                               active & found & is_diffuse & live)
-
-                w = geom * atten / (dist * dist)
-                w = jnp.where(live, w, 0.0)
-                if track_collapse:
-                    emv = s.vwhere(st["coll"] > 0, hero_rgb[li],
-                                   light_rgb[li])
-                else:
-                    emv = light_rgb[li]
-                direct = s.vadd(direct, s.vscale(emv, w))
+            if track_collapse:
+                def emv_fn(li):
+                    return s.vwhere(st["coll"] > 0, hero_rgb[li],
+                                    light_rgb[li])
+            else:
+                def emv_fn(li):
+                    return light_rgb[li]
+            direct, rng = nee_direct_c(
+                LIGHTS, loc, n, lam, rng, shadow,
+                lambda: active & found & is_diffuse, emv_fn, z3)
 
             lane_d = active & found & is_diffuse
             nee = s.vmul(s.vmul(tp, color), direct)
@@ -1477,49 +1557,26 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             if cfg.count_rays:
                 rays = rays + jnp.sum(_mask_f32(lane_d)) * L
 
-            # shared scatter draws (order = integrate.py)
-            u2a, rng = rngmod.rand_1f(rng)
-            u2b, rng = rngmod.rand_1f(rng)
-            u_choice, rng = rngmod.rand_1f(rng)
-            u_rr, rng = rngmod.rand_1f(rng)
+            # shared scatter draws (order = integrate.py); camera scatter
+            # cells are tile-shared per (sample, bounce) when strata are on
             if cfg.photon_strata and cfg.camera_strata_bounce:
-                # tile-shared (sample, bounce) camera scatter cell
-                u2a, u2b, u_choice = rngmod.apply_bounce_strata(
-                    seed_ref[0, 1], rngmod.CAMERA_STRATA_K, st["b"],
-                    rngmod.strata_counts(cfg)[1], u2a, u2b, u_choice)
-
-            wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough, u2a, u2b)
-            wi, tpm = wi_d, tpm_d
-            off = jnp.full_like(u, EPS)
-            scat_ok = jnp.ones_like(u, bool)
-            alpha = jnp.sqrt(rough)
-            if any_dielectric:
-                # dielectric scatter (wgsl :914-973)
-                if cfg.dispersion_in_camera_path:
-                    eta = ior + cauchy_add
-                else:
-                    eta = ior  # reference quirk (wgsl :915)
-                wi_s, tpm_s, off_s, valid_s = _scatter_dielectric_c(
-                    wo, n, eta, alpha, u2a, u2b, u_choice, camera_pdf=True)
-                is_diel = ~(is_diffuse | is_metal)
-                wi = s.vwhere(is_diel, wi_s, wi)
-                tpm = s.vwhere(is_diel, (tpm_s, tpm_s, tpm_s), tpm)
-                off = jnp.where(is_diel, off_s, off)
-                scat_ok = (is_diel & valid_s) | (~is_diel & scat_ok)
-            if any_metal:
-                wi_m, tpm_m, valid_m = _scatter_metal_c(
-                    wo, n, color, alpha, u2a, u2b)
-                wi = s.vwhere(is_metal, wi_m, wi)
-                tpm = s.vwhere(is_metal, tpm_m, tpm)
-                scat_ok = (is_metal & valid_m) | (~is_metal & scat_ok)
-
-            new_tp = s.vmul(tp, tpm)
-            new_o = s.vadd(loc, s.vscale(n, off))
-
-            # Russian roulette (wgsl :976-979)
-            prob = s.vmax_comp(new_tp)
-            rr_live = (prob >= cfg.rr_threshold) & (u_rr <= prob)
-            new_tp = s.vscale(new_tp, 1.0 / jnp.maximum(prob, 1e-30))
+                def strata_fn(a, b, c):
+                    return rngmod.apply_bounce_strata(
+                        seed_ref[0, 1], rngmod.CAMERA_STRATA_K, st["b"],
+                        rngmod.strata_counts(cfg)[1], a, b, c)
+            else:
+                strata_fn = None
+            if cfg.dispersion_in_camera_path:
+                def eta_fn():
+                    return ior + cauchy_add
+            else:
+                def eta_fn():
+                    return ior  # reference quirk (wgsl :915)
+            wi, new_tp, new_o, scat_ok, rr_live, rng, _ = scatter_rr_c(
+                cfg, wo, n, loc, color, rough, is_diffuse, is_metal, tp,
+                rng, any_dielectric=any_dielectric, any_metal=any_metal,
+                eta_fn=eta_fn, camera_pdf=True,
+                rr_thresh_fn=lambda: cfg.rr_threshold, strata_fn=strata_fn)
 
             cont = active & found & scat_ok & rr_live
             cont_i = _mask_i32(cont)
@@ -1654,46 +1711,26 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                         _material_lookup_static(MATS, mat)
                     wo = s.vneg(d)
 
-                    u2a, rng = rngmod.rand_1f(rng)
-                    u2b, rng = rngmod.rand_1f(rng)
-                    u_choice, rng = rngmod.rand_1f(rng)
-                    u_rr, rng = rngmod.rand_1f(rng)
                     if cfg.photon_strata and cfg.photon_strata_bounce:
                         # tile-shared (sample, k, bounce) scatter cell
-                        u2a, u2b, u_choice = rngmod.apply_bounce_strata(
-                            seed_ref[0, 1], rngmod.strata_k(cfg, k),
-                            pst["b"], rngmod.strata_counts(cfg)[1],
-                            u2a, u2b, u_choice)
-
-                    wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough,
-                                                     u2a, u2b)
-                    wi, tpm = wi_d, tpm_d
-                    off = jnp.full_like(uc, EPS)
-                    scat_ok = jnp.ones_like(uc, bool)
-                    alpha = jnp.sqrt(rough)
-                    if any_dielectric:
-                        eta = ior + cauchy_add  # photons disperse (wgsl :797)
-                        wi_s, tpm_s, off_s, valid_s = _scatter_dielectric_c(
-                            wo, n, eta, alpha, u2a, u2b, u_choice,
-                            camera_pdf=False)
-                        is_diel = ~(is_diffuse | is_metal)
-                        wi = s.vwhere(is_diel, wi_s, wi)
-                        tpm = s.vwhere(is_diel, (tpm_s, tpm_s, tpm_s), tpm)
-                        off = jnp.where(is_diel, off_s, off)
-                        scat_ok = (is_diel & valid_s) | (~is_diel & scat_ok)
-                    if any_metal:
-                        wi_m, tpm_m, valid_m = _scatter_metal_c(
-                            wo, n, color, alpha, u2a, u2b)
-                        wi = s.vwhere(is_metal, wi_m, wi)
-                        tpm = s.vwhere(is_metal, tpm_m, tpm)
-                        scat_ok = (is_metal & valid_m) | (~is_metal & scat_ok)
-
-                    new_tp = s.vmul(tp, tpm)
-                    new_o = s.vadd(loc, s.vscale(n, off))
-
-                    prob = s.vmax_comp(new_tp)
-                    rr_live = (prob >= cfg.photon_rr_threshold) & (u_rr <= prob)
-                    new_tp = s.vscale(new_tp, 1.0 / jnp.maximum(prob, 1e-30))
+                        def strata_fn(a, b, c):
+                            return rngmod.apply_bounce_strata(
+                                seed_ref[0, 1], rngmod.strata_k(cfg, k),
+                                pst["b"], rngmod.strata_counts(cfg)[1],
+                                a, b, c)
+                    else:
+                        strata_fn = None
+                    wi, new_tp, new_o, scat_ok, rr_live, rng, _ = \
+                        scatter_rr_c(
+                            cfg, wo, n, loc, color, rough, is_diffuse,
+                            is_metal, tp, rng,
+                            any_dielectric=any_dielectric,
+                            any_metal=any_metal,
+                            # photons disperse (wgsl :797)
+                            eta_fn=lambda: ior + cauchy_add,
+                            camera_pdf=False,
+                            rr_thresh_fn=lambda: cfg.photon_rr_threshold,
+                            strata_fn=strata_fn)
 
                     cont = live & scat_ok & rr_live
                     cont_i = _mask_i32(cont)

@@ -61,6 +61,8 @@ from tpurt.kernels.mega_pallas import (
     _scatter_dielectric_c,
     _scatter_metal_c,
     freeze_scene,
+    nee_direct_c,
+    scatter_rr_c,
     planes_pixel_order,
     state_to_planes,
     supports_scene,
@@ -420,43 +422,17 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             # walk draws exactly 4 per bounce in the reference/megakernel);
             # photon lanes get their rng restored after this block.
             rng_pre_nee = rng
-            direct = z3
-            for li, lt in enumerate(LIGHTS):
-                u1, rng = rngmod.rand_1f(rng)
-                u2, rng = rngmod.rand_1f(rng)
-                if lt.ltype == 1:
-                    su = (u1 - 0.5) * np.float32(2.0 * lt.hw)
-                    sv = (u2 - 0.5) * np.float32(2.0 * lt.hw)
-                    lp = tuple(
-                        np.float32(lt.pos[c]) + su * np.float32(lt.tangent[c])
-                        + sv * np.float32(lt.bitangent[c]) for c in range(3))
-                else:
-                    lp = s.vbroadcast(lt.pos, u1)
-                to_light = s.vsub(lp, loc)
-                dist = jnp.sqrt(jnp.maximum(s.vdot(to_light, to_light), 1e-30))
-                ldir = s.vscale(to_light, 1.0 / dist)
-                ndotl = s.vdot(n, ldir)
-                live = (dist >= EPS) & (ndotl > 0.0)
-                if lt.ltype == 1:
-                    cos_light = jnp.maximum(
-                        0.0, -(lt.normal[0] * ldir[0] + lt.normal[1] * ldir[1]
-                               + lt.normal[2] * ldir[2]))
-                    live = live & (cos_light > 0.0) & (lt.hw > 0.0)
-                    geom = ndotl * cos_light * np.float32(
-                        max(4.0 * lt.hw * lt.hw, 1e-10))
-                else:
-                    geom = ndotl
-                so = s.vadd(loc, s.vscale(n, EPS))
-                atten = shadow(so, ldir, dist - EPS, lam,
-                               active & is_cam & found & is_diffuse & live)
-                w = jnp.where(live, geom * atten / (dist * dist), 0.0)
-                if track_collapse:
+            if track_collapse:
+                def emv_fn(li):
                     # post-collapse lanes transport only the hero's share
-                    emv = tuple(jnp.where(coll > 0, emh[3 * li + c],
-                                          em[3 * li + c]) for c in range(3))
-                else:
-                    emv = (em[3 * li], em[3 * li + 1], em[3 * li + 2])
-                direct = s.vadd(direct, s.vscale(emv, w))
+                    return tuple(jnp.where(coll > 0, emh[3 * li + c],
+                                           em[3 * li + c]) for c in range(3))
+            else:
+                def emv_fn(li):
+                    return (em[3 * li], em[3 * li + 1], em[3 * li + 2])
+            direct, rng = nee_direct_c(
+                LIGHTS, loc, n, lam, rng, shadow,
+                lambda: active & is_cam & found & is_diffuse, emv_fn, z3)
 
             rng = jnp.where(is_cam, rng, rng_pre_nee)
 
@@ -490,71 +466,64 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 rad = tuple(jnp.where(hit_ph, rad[c] + dens[c], rad[c])
                             for c in range(3))
 
-            # ---- shared scatter (pdf mode + dispersion + RR per phase)
-            u2a, rng = rngmod.rand_1f(rng)
-            u2b, rng = rngmod.rand_1f(rng)
-            u_choice, rng = rngmod.rand_1f(rng)
-            u_rr, rng = rngmod.rand_1f(rng)
-            if cfg.photon_strata and cfg.photon_strata_bounce:
-                # tile-shared (sample, k, bounce) scatter cell — PHOTON
-                # lanes only; k/bounce/strat_seed are per-lane planes here
-                sa, sb, sc = rngmod.apply_bounce_strata(
-                    strat_seed, rngmod.strata_k(cfg, k), bounce,
-                    rngmod.strata_counts(cfg)[1], u2a, u2b, u_choice)
-                u2a = jnp.where(is_ph, sa, u2a)
-                u2b = jnp.where(is_ph, sb, u2b)
-                u_choice = jnp.where(is_ph, sc, u_choice)
-            if cfg.photon_strata and cfg.camera_strata_bounce:
-                # camera analogue: (sample, bounce) cell, disjoint key
-                ca, cb, cc = rngmod.apply_bounce_strata(
-                    strat_seed, rngmod.CAMERA_STRATA_K, bounce,
-                    rngmod.strata_counts(cfg)[1], u2a, u2b, u_choice)
-                u2a = jnp.where(is_cam, ca, u2a)
-                u2b = jnp.where(is_cam, cb, u2b)
-                u_choice = jnp.where(is_cam, cc, u_choice)
+            # ---- shared scatter (pdf mode + dispersion + RR per phase):
+            # the regen kernel interleaves camera and photon lanes, so the
+            # per-site knobs of scatter_rr_c are per-lane PLANES here
+            if cfg.photon_strata and (cfg.photon_strata_bounce
+                                      or cfg.camera_strata_bounce):
+                def strata_fn(u2a, u2b, u_choice):
+                    if cfg.photon_strata_bounce:
+                        # tile-shared (sample, k, bounce) cell — PHOTON
+                        # lanes only; k/bounce/strat_seed are planes here
+                        sa, sb, sc = rngmod.apply_bounce_strata(
+                            strat_seed, rngmod.strata_k(cfg, k), bounce,
+                            rngmod.strata_counts(cfg)[1], u2a, u2b, u_choice)
+                        u2a = jnp.where(is_ph, sa, u2a)
+                        u2b = jnp.where(is_ph, sb, u2b)
+                        u_choice = jnp.where(is_ph, sc, u_choice)
+                    if cfg.camera_strata_bounce:
+                        # camera analogue: (sample, bounce), disjoint key
+                        ca, cb, cc = rngmod.apply_bounce_strata(
+                            strat_seed, rngmod.CAMERA_STRATA_K, bounce,
+                            rngmod.strata_counts(cfg)[1], u2a, u2b, u_choice)
+                        u2a = jnp.where(is_cam, ca, u2a)
+                        u2b = jnp.where(is_cam, cb, u2b)
+                        u_choice = jnp.where(is_cam, cc, u_choice)
+                    return u2a, u2b, u_choice
+            else:
+                strata_fn = None
 
-            wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough, u2a, u2b)
-            wi, tpm = wi_d, tpm_d
-            off = jnp.full_like(lam, EPS)
-            scat_ok = jnp.ones_like(lam, bool)
-            alpha = jnp.sqrt(rough)
-            if any_dielectric:
+            def eta_fn():
                 if cfg.dispersion_in_camera_path:
                     eta_cam = ior + cauchy_add
                 else:
                     eta_cam = ior  # reference quirk (wgsl :915)
-                eta = jnp.where(is_cam, eta_cam, ior + cauchy_add)
-                # per-lane pdf mode: camera lanes use the VNDF pdf, photon
-                # lanes the Lambda+1 approximation — ONE shared scatter pass
-                wi_s, tpm_s, off_s, valid_s = _scatter_dielectric_c(
-                    wo, n, eta, alpha, u2a, u2b, u_choice, camera_pdf=is_cam)
-                is_diel = ~(is_diffuse | is_metal)
-                wi = s.vwhere(is_diel, wi_s, wi)
-                tpm = s.vwhere(is_diel, (tpm_s, tpm_s, tpm_s), tpm)
-                # photons offset +/-EPS like the camera for smooth, but the
-                # reference photon path uses +EPS for diffuse only; both
-                # kernels share the camera offset convention (mega_pallas)
-                off = jnp.where(is_diel, off_s, off)
-                scat_ok = (is_diel & valid_s) | (~is_diel & scat_ok)
-                if track_collapse:
-                    # eta(lambda) steered this lane: only the hero transports
-                    # onward (the NEE above used the pre-collapse selection)
-                    coll = jnp.maximum(coll, _mask_i32(
-                        active & is_cam & found & is_diel))
-            if any_metal:
-                wi_m, tpm_m, valid_m = _scatter_metal_c(wo, n, color, alpha,
-                                                        u2a, u2b)
-                wi = s.vwhere(is_metal, wi_m, wi)
-                tpm = s.vwhere(is_metal, tpm_m, tpm)
-                scat_ok = (is_metal & valid_m) | (~is_metal & scat_ok)
+                return jnp.where(is_cam, eta_cam, ior + cauchy_add)
 
-            new_tp = s.vmul(tp, tpm)
-            new_o = s.vadd(loc, s.vscale(n, off))
-            prob = s.vmax_comp(new_tp)
-            rr_thresh = jnp.where(is_cam, np.float32(cfg.rr_threshold),
-                                  np.float32(cfg.photon_rr_threshold))
-            rr_live = (prob >= rr_thresh) & (u_rr <= prob)
-            new_tp = s.vscale(new_tp, 1.0 / jnp.maximum(prob, 1e-30))
+            if track_collapse:
+                def post_diel(is_diel):
+                    # eta(lambda) steered this lane: only the hero
+                    # transports onward (the NEE above used the
+                    # pre-collapse selection)
+                    return jnp.maximum(coll, _mask_i32(
+                        active & is_cam & found & is_diel))
+            else:
+                post_diel = None
+
+            wi, new_tp, new_o, scat_ok, rr_live, rng, coll_new = \
+                scatter_rr_c(
+                    cfg, wo, n, loc, color, rough, is_diffuse, is_metal,
+                    tp, rng, any_dielectric=any_dielectric,
+                    any_metal=any_metal, eta_fn=eta_fn,
+                    # camera lanes use the VNDF pdf, photon lanes the
+                    # Lambda+1 approximation — ONE shared scatter pass
+                    camera_pdf=is_cam,
+                    rr_thresh_fn=lambda: jnp.where(
+                        is_cam, np.float32(cfg.rr_threshold),
+                        np.float32(cfg.photon_rr_threshold)),
+                    strata_fn=strata_fn, post_dielectric=post_diel)
+            if track_collapse and any_dielectric:
+                coll = coll_new
 
             max_b = jnp.where(is_cam, depth_i, np.int32(cfg.max_photon_bounces))
             depth_ok = (bounce + 1) < max_b

@@ -43,6 +43,8 @@ from tpurt.kernels.mega_pallas import (
     _HIT,
     FrozenScene,
     _diffuse_scatter_c,
+    nee_direct_c,
+    scatter_rr_c,
     _mask_f32,
     _mask_i32,
     _chunk_tables,
@@ -136,41 +138,11 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                         for c in range(3))
 
         # NEE over all lights; emission factors precomputed at regen
-        direct = z3
-        for li, lt in enumerate(LIGHTS):
-            u1, rng = rngmod.rand_1f(rng)
-            u2, rng = rngmod.rand_1f(rng)
-            if lt.ltype == 1:
-                su = (u1 - 0.5) * np.float32(2.0 * lt.hw)
-                sv = (u2 - 0.5) * np.float32(2.0 * lt.hw)
-                lp = tuple(
-                    np.float32(lt.pos[c]) + su * np.float32(lt.tangent[c])
-                    + sv * np.float32(lt.bitangent[c]) for c in range(3))
-            else:
-                lp = s.vbroadcast(lt.pos, u1)
-
-            to_light = s.vsub(lp, loc)
-            dist = jnp.sqrt(jnp.maximum(s.vdot(to_light, to_light), 1e-30))
-            ldir = s.vscale(to_light, 1.0 / dist)
-            ndotl = s.vdot(n, ldir)
-            live = (dist >= EPS) & (ndotl > 0.0)
-            if lt.ltype == 1:
-                cos_light = jnp.maximum(
-                    0.0, -(lt.normal[0] * ldir[0] + lt.normal[1] * ldir[1]
-                           + lt.normal[2] * ldir[2]))
-                live = live & (cos_light > 0.0) & (lt.hw > 0.0)
-                geom = ndotl * cos_light * np.float32(
-                    max(4.0 * lt.hw * lt.hw, 1e-10))
-            else:
-                geom = ndotl
-
-            so = s.vadd(loc, s.vscale(n, EPS))
-            atten = shadow(so, ldir, dist - EPS, lam,
-                           active & found & is_diffuse & live)
-            w = jnp.where(live, geom * atten / (dist * dist), 0.0)
-            em = (pf_ref[_EM + 3 * li], pf_ref[_EM + 3 * li + 1],
-                  pf_ref[_EM + 3 * li + 2])
-            direct = s.vadd(direct, s.vscale(em, w))
+        direct, rng = nee_direct_c(
+            LIGHTS, loc, n, lam, rng, shadow,
+            lambda: active & found & is_diffuse,
+            lambda li: (pf_ref[_EM + 3 * li], pf_ref[_EM + 3 * li + 1],
+                        pf_ref[_EM + 3 * li + 2]), z3)
 
         lane_d = active & found & is_diffuse
         nee = s.vmul(s.vmul(tp, color), direct)
@@ -180,43 +152,15 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
             rays = rays + jnp.sum(_mask_f32(lane_d)) * L
 
         # scatter draws (order = tpurt.wavefront._sweep)
-        u2a, rng = rngmod.rand_1f(rng)
-        u2b, rng = rngmod.rand_1f(rng)
-        u_choice, rng = rngmod.rand_1f(rng)
-        u_rr, rng = rngmod.rand_1f(rng)
-
-        wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough, u2a, u2b)
-        wi, tpm = wi_d, tpm_d
-        off = jnp.full_like(lam, EPS)
-        scat_ok = jnp.ones_like(lam, bool)
-        alpha = jnp.sqrt(rough)
-        lam_um = lam * jnp.float32(1e-3)
-        cauchy_add = jnp.float32(DISPERSION_B) / (lam_um * lam_um)
-        if any_dielectric:
-            if cfg.dispersion_in_camera_path:
-                eta = ior + cauchy_add
-            else:
-                eta = ior
-            wi_s, tpm_s, off_s, valid_s = _scatter_dielectric_c(
-                wo, n, eta, alpha, u2a, u2b, u_choice, camera_pdf=True)
-            is_diel = ~(is_diffuse | is_metal)
-            wi = s.vwhere(is_diel, wi_s, wi)
-            tpm = s.vwhere(is_diel, (tpm_s, tpm_s, tpm_s), tpm)
-            off = jnp.where(is_diel, off_s, off)
-            scat_ok = (is_diel & valid_s) | (~is_diel & scat_ok)
-        if any_metal:
-            wi_m, tpm_m, valid_m = _scatter_metal_c(wo, n, color, alpha,
-                                                    u2a, u2b)
-            wi = s.vwhere(is_metal, wi_m, wi)
-            tpm = s.vwhere(is_metal, tpm_m, tpm)
-            scat_ok = (is_metal & valid_m) | (~is_metal & scat_ok)
-
-        new_tp = s.vmul(tp, tpm)
-        new_o = s.vadd(loc, s.vscale(n, off))
-
-        prob = s.vmax_comp(new_tp)
-        rr_live = (prob >= cfg.rr_threshold) & (u_rr <= prob)
-        new_tp = s.vscale(new_tp, 1.0 / jnp.maximum(prob, 1e-30))
+        def eta_fn():
+            lam_um = lam * jnp.float32(1e-3)
+            cauchy_add = jnp.float32(DISPERSION_B) / (lam_um * lam_um)
+            return ior + cauchy_add if cfg.dispersion_in_camera_path else ior
+        wi, new_tp, new_o, scat_ok, rr_live, rng, _ = scatter_rr_c(
+            cfg, wo, n, loc, color, rough, is_diffuse, is_metal, tp, rng,
+            any_dielectric=any_dielectric, any_metal=any_metal,
+            eta_fn=eta_fn, camera_pdf=True,
+            rr_thresh_fn=lambda: cfg.rr_threshold)
 
         depth_ok = (bounce + 1) < cfg.depth
         cont = active & found & scat_ok & rr_live & depth_ok
@@ -601,38 +545,10 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                 rad = tuple(jnp.where(miss, rad[c] + tp[c] * sky[c], rad[c])
                             for c in range(3))
 
-            direct = z3
-            for li, lt in enumerate(LIGHTS):
-                u1, rng = rngmod.rand_1f(rng)
-                u2, rng = rngmod.rand_1f(rng)
-                if lt.ltype == 1:
-                    su = (u1 - 0.5) * np.float32(2.0 * lt.hw)
-                    sv = (u2 - 0.5) * np.float32(2.0 * lt.hw)
-                    lp = tuple(
-                        np.float32(lt.pos[c]) + su * np.float32(lt.tangent[c])
-                        + sv * np.float32(lt.bitangent[c]) for c in range(3))
-                else:
-                    lp = s.vbroadcast(lt.pos, u1)
-                to_light = s.vsub(lp, loc)
-                dist = jnp.sqrt(jnp.maximum(s.vdot(to_light, to_light), 1e-30))
-                ldir = s.vscale(to_light, 1.0 / dist)
-                ndotl = s.vdot(n, ldir)
-                live = (dist >= EPS) & (ndotl > 0.0)
-                if lt.ltype == 1:
-                    cos_light = jnp.maximum(
-                        0.0, -(lt.normal[0] * ldir[0] + lt.normal[1] * ldir[1]
-                               + lt.normal[2] * ldir[2]))
-                    live = live & (cos_light > 0.0) & (lt.hw > 0.0)
-                    geom = ndotl * cos_light * np.float32(
-                        max(4.0 * lt.hw * lt.hw, 1e-10))
-                else:
-                    geom = ndotl
-                so = s.vadd(loc, s.vscale(n, EPS))
-                atten = shadow(so, ldir, dist - EPS, lam,
-                               active & found & is_diffuse & live)
-                w = jnp.where(live, geom * atten / (dist * dist), 0.0)
-                emv = (em[3 * li], em[3 * li + 1], em[3 * li + 2])
-                direct = s.vadd(direct, s.vscale(emv, w))
+            direct, rng = nee_direct_c(
+                LIGHTS, loc, n, lam, rng, shadow,
+                lambda: active & found & is_diffuse,
+                lambda li: (em[3 * li], em[3 * li + 1], em[3 * li + 2]), z3)
 
             lane_d = active & found & is_diffuse
             nee = s.vmul(s.vmul(tp, color), direct)
@@ -641,28 +557,14 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
             if cfg.count_rays:
                 rays = rays + jnp.sum(_mask_f32(lane_d)) * L
 
-            u2a, rng = rngmod.rand_1f(rng)
-            u2b, rng = rngmod.rand_1f(rng)
-            u_choice, rng = rngmod.rand_1f(rng)
-            u_rr, rng = rngmod.rand_1f(rng)
+            def eta_fn():
+                lam_um = lam * jnp.float32(1e-3)
+                cauchy_add = jnp.float32(DISPERSION_B) / (lam_um * lam_um)
+                return (ior + cauchy_add if cfg.dispersion_in_camera_path
+                        else ior)
 
-            wi_d, tpm_d = _diffuse_scatter_c(wo, n, color, rough, u2a, u2b)
-            wi, tpm = wi_d, tpm_d
-            off = jnp.full_like(lam, EPS)
-            scat_ok = jnp.ones_like(lam, bool)
-            alpha = jnp.sqrt(rough)
-            lam_um = lam * jnp.float32(1e-3)
-            cauchy_add = jnp.float32(DISPERSION_B) / (lam_um * lam_um)
-            if any_dielectric:
-                eta = ior + cauchy_add if cfg.dispersion_in_camera_path else ior
-                wi_s, tpm_s, off_s, valid_s = _scatter_dielectric_c(
-                    wo, n, eta, alpha, u2a, u2b, u_choice, camera_pdf=True)
-                is_diel = ~(is_diffuse | is_metal)
-                wi = s.vwhere(is_diel, wi_s, wi)
-                tpm = s.vwhere(is_diel, (tpm_s, tpm_s, tpm_s), tpm)
-                off = jnp.where(is_diel, off_s, off)
-                scat_ok = (is_diel & valid_s) | (~is_diel & scat_ok)
-                if track_collapse:
+            if track_collapse:
+                def post_diel(is_diel):
                     # dispersive interaction: em collapses to the hero's
                     # share (cond-gated recompute; idempotent)
                     coll_now = active & found & is_diel
@@ -671,20 +573,19 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                         jnp.any(coll_now),
                         lambda _: tuple(_single_lambda_em_c(LIGHTS, lam)),
                         lambda _: (jnp.zeros_like(lam),) * (3 * L), 0)
-                    em = tuple(jnp.where(coll_now, em_h[i], em[i])
-                               for i in range(3 * L))
-            if any_metal:
-                wi_m, tpm_m, valid_m = _scatter_metal_c(wo, n, color, alpha,
-                                                        u2a, u2b)
-                wi = s.vwhere(is_metal, wi_m, wi)
-                tpm = s.vwhere(is_metal, tpm_m, tpm)
-                scat_ok = (is_metal & valid_m) | (~is_metal & scat_ok)
+                    return tuple(jnp.where(coll_now, em_h[i], em[i])
+                                 for i in range(3 * L))
+            else:
+                post_diel = None
 
-            new_tp = s.vmul(tp, tpm)
-            new_o = s.vadd(loc, s.vscale(n, off))
-            prob = s.vmax_comp(new_tp)
-            rr_live = (prob >= cfg.rr_threshold) & (u_rr <= prob)
-            new_tp = s.vscale(new_tp, 1.0 / jnp.maximum(prob, 1e-30))
+            wi, new_tp, new_o, scat_ok, rr_live, rng, em_new = scatter_rr_c(
+                cfg, wo, n, loc, color, rough, is_diffuse, is_metal, tp,
+                rng, any_dielectric=any_dielectric, any_metal=any_metal,
+                eta_fn=eta_fn, camera_pdf=True,
+                rr_thresh_fn=lambda: cfg.rr_threshold,
+                post_dielectric=post_diel)
+            if track_collapse and any_dielectric:
+                em = em_new
 
             depth_ok = (bounce + 1) < cfg.depth
             cont = active & found & scat_ok & rr_live & depth_ok
