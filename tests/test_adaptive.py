@@ -1,0 +1,163 @@
+"""Adaptive-sampling tests (tpurt/adaptive.py — beyond-reference extension).
+
+The budget renderer's contract is exact: pixel p's k-th sample draws the
+same PCG stream as every other backend, and a uniform budget reproduces the
+uniform wavefront tracer's flat work enumeration bit-for-bit. Nonuniform
+budgets are pinned against per-sample deltas of the uniform tracer.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpurt import RenderConfig, cornell_spheres_scene, make_camera
+from tpurt.adaptive import (
+    allocate_budgets,
+    render_adaptive,
+    variance_proxy,
+    wavefront_render_budget,
+)
+from tpurt.render import init_state, resolve_image
+from tpurt.wavefront import wavefront_render
+
+
+def _setup(**kw):
+    cfg = RenderConfig(width=48, height=24, depth=4, tile_size=1152,
+                       enable_photons=False, **kw)
+    scene = cornell_spheres_scene()
+    cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                      aspect_ratio=2.0)
+    return cfg, scene, cam
+
+
+def _pad_budgets(cfg, values):
+    from tpurt.render import padded_pixels
+    b = np.zeros((padded_pixels(cfg),), np.int32)
+    b[:cfg.n_pixels] = values
+    return jnp.asarray(b)
+
+
+class TestBudgetRenderer:
+    def test_uniform_budget_bit_identical(self):
+        """budgets == spp everywhere must reproduce wavefront_render's
+        enumeration exactly — same issue order, same pool schedule, same
+        float adds — so the states match to the bit."""
+        cfg, scene, cam = _setup(wf_pool=512)  # pool << pixel count
+        spp = 3
+        st_u = wavefront_render(scene, cfg, cam, init_state(cfg), 42, spp)
+        st_b = wavefront_render_budget(
+            scene, cfg, cam, init_state(cfg), 42,
+            _pad_budgets(cfg, spp), max_budget=spp)
+        assert (np.asarray(st_u.rgb_sum) == np.asarray(st_b.rgb_sum)).all()
+        assert (np.asarray(st_u.n_samples)
+                == np.asarray(st_b.n_samples)).all()
+        assert float(st_u.rays) == float(st_b.rays) != 0.0
+        assert int(st_u.iteration) == int(st_b.iteration) == spp
+
+    def test_nonuniform_budget_exact_counts_and_sums(self):
+        """Every pixel gets exactly budgets[p] samples, and its sum equals
+        the sum of that pixel's first budgets[p] per-sample contributions
+        (taken from successive 1-spp uniform renders)."""
+        cfg, scene, cam = _setup(wf_pool=256)
+        rng = np.random.default_rng(5)
+        maxb = 5
+        vals = rng.integers(0, maxb + 1, cfg.n_pixels)
+        budgets = _pad_budgets(cfg, vals)
+
+        st = wavefront_render_budget(scene, cfg, cam, init_state(cfg), 9,
+                                     budgets, max_budget=maxb)
+        ns = np.asarray(st.n_samples)[:cfg.n_pixels]
+        assert (ns == vals).all()
+
+        # per-sample deltas from the uniform tracer
+        deltas = []
+        prev = init_state(cfg)
+        prev_sum = np.asarray(prev.rgb_sum)
+        for _ in range(maxb):
+            prev = wavefront_render(scene, cfg, cam, prev, 9, 1)
+            cur = np.asarray(prev.rgb_sum)
+            deltas.append(cur - prev_sum)
+            prev_sum = cur
+        expect = np.zeros_like(prev_sum)
+        for k, d in enumerate(deltas):
+            expect += np.where((vals > k)[:, None], d[:cfg.n_pixels], 0.0)
+        got = np.asarray(st.rgb_sum)[:cfg.n_pixels]
+        np.testing.assert_allclose(got, expect[:cfg.n_pixels],
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_budget_continuation_draws_new_samples(self):
+        """Two budget calls must equal one combined call: the second
+        continues each pixel at its own accumulated count."""
+        cfg, scene, cam = _setup(wf_pool=1024)
+        rng = np.random.default_rng(11)
+        b1 = rng.integers(0, 3, cfg.n_pixels)
+        b2 = rng.integers(0, 3, cfg.n_pixels)
+        st_a = wavefront_render_budget(scene, cfg, cam, init_state(cfg), 3,
+                                       _pad_budgets(cfg, b1), max_budget=2)
+        st_a = wavefront_render_budget(scene, cfg, cam, st_a, 3,
+                                       _pad_budgets(cfg, b2), max_budget=2)
+        st_b = wavefront_render_budget(scene, cfg, cam, init_state(cfg), 3,
+                                       _pad_budgets(cfg, b1 + b2),
+                                       max_budget=4)
+        n = cfg.n_pixels
+        assert (np.asarray(st_a.n_samples)[:n]
+                == np.asarray(st_b.n_samples)[:n]).all()
+        assert float(st_a.rays) == float(st_b.rays) != 0.0
+        np.testing.assert_allclose(np.asarray(st_a.rgb_sum)[:n],
+                                   np.asarray(st_b.rgb_sum)[:n],
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_zero_budget_is_noop(self):
+        cfg, scene, cam = _setup(wf_pool=256)
+        st0 = init_state(cfg)
+        st = wavefront_render_budget(scene, cfg, cam, st0, 1,
+                                     _pad_budgets(cfg, 0), max_budget=1)
+        assert float(jnp.sum(st.n_samples)) == 0.0
+        assert float(st.rays) == 0.0
+
+
+class TestAdaptiveDriver:
+    def test_end_to_end(self):
+        cfg, scene, cam = _setup(wf_pool=1024)
+        spp, pilot = 8, 4
+        st, budgets = render_adaptive(scene, cfg, cam, base_seed=17,
+                                      spp=spp, pilot_spp=pilot)
+        n = cfg.n_pixels
+        ns = np.asarray(st.n_samples)[:n]
+        b = np.asarray(budgets)[:n]
+        # every pixel: pilot + its allocated budget, no more, no less
+        assert (ns == pilot + b).all()
+        # the allocator spends roughly the requested remainder
+        want = (spp - pilot) * n
+        assert abs(int(b.sum()) - want) <= n  # rounding slack
+        img = np.asarray(resolve_image(cfg, st))
+        assert np.isfinite(img).all()
+
+    def test_proxy_floor_keeps_coverage(self):
+        """Even pixels whose half-estimates agree exactly keep a nonzero
+        proxy (the relative floor), so they can still be allocated."""
+        cfg, scene, cam = _setup()
+        P = init_state(cfg).rgb_sum.shape[0]
+        sum_a = jnp.ones((P, 3)) * 2.0
+        sum_b = jnp.ones((P, 3)) * 2.0
+        ns = jnp.ones((P,))
+        proxy = variance_proxy(cfg, sum_a, ns, sum_b, ns)
+        p = np.asarray(proxy)
+        assert (p[:cfg.n_pixels] > 0).all()
+        assert (p[cfg.n_pixels:] == 0).all()
+
+    def test_allocator_proportionality(self):
+        cfg, _, _ = _setup()
+        P = 1000
+        proxy = jnp.asarray(
+            np.r_[np.full(500, 1.0), np.full(500, 3.0)], jnp.float32)
+        b = np.asarray(allocate_budgets(proxy, total=8000, max_budget=100))
+        assert abs(b[:500].mean() - 4.0) < 0.01
+        assert abs(b[500:].mean() - 12.0) < 0.01
+
+    def test_validation(self):
+        cfg, scene, cam = _setup()
+        import pytest
+        with pytest.raises(ValueError):
+            render_adaptive(scene, cfg, cam, spp=8, pilot_spp=3)
+        with pytest.raises(ValueError):
+            render_adaptive(scene, cfg, cam, spp=2, pilot_spp=4)

@@ -67,6 +67,16 @@ def test_api_md_snippets(tmp_path):
     np.testing.assert_array_equal(np.asarray(st2.rgb_sum),
                                   np.asarray(st.rgb_sum))
 
+    # adaptive sampling section (wavefront path: needs photons off)
+    from tpurt import render_adaptive, wavefront_render_budget
+    acfg = RenderConfig(width=32, height=16, depth=2, backend="xla",
+                        tile_size=512, enable_photons=False, wf_pool=256)
+    ast, budgets = render_adaptive(lit_scene, acfg, cam, base_seed=1,
+                                   spp=3, pilot_spp=2)
+    ast = wavefront_render_budget(lit_scene, acfg, cam, ast, 1,
+                                  budgets, max_budget=16)
+    assert np.isfinite(np.asarray(resolve_image(acfg, ast))).all()
+
     from tpurt.utils.scene_io import load_scene_json
     s3, cam_meta = load_scene_json("examples/cornell.json")
     assert cam_meta is not None and "eye" in cam_meta

@@ -25,6 +25,7 @@ from tpurt.render import (
     save_checkpoint,
 )
 from tpurt.wavefront import WavefrontPool, wavefront_render
+from tpurt.adaptive import render_adaptive, wavefront_render_budget
 from tpurt.scene import (
     Light,
     Material,
@@ -50,4 +51,5 @@ __all__ = [
     "build_scene", "cornell_spheres_scene", "default_scene",
     "dispersive_scene", "instanced_scene", "torus_mesh_scene",
     "WavefrontPool", "wavefront_render",
+    "render_adaptive", "wavefront_render_budget",
 ]

@@ -102,13 +102,29 @@ def _regen(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
     pix = (p % n_pix).astype(jnp.int32)
     have_work = dead & (sample < spp) & (n_valid > 0)
     gpix = pix_offset + pix       # global pixel id (< cfg.n_pixels)
-    px = gpix % cfg.width
-    py = gpix // cfg.width
 
     # per-(pixel, sample) stream: identical construction to the progressive
     # renderer (render.py), offset by the carried iteration so progressive
     # continuation draws NEW samples (cf. wavefront_pallas it0_i + sample)
-    seed = _frame_seed(base_seed, it0 + sample)
+    new_pool = _issue(cfg, camera, pool, pix, gpix, it0 + sample,
+                      have_work, base_seed)
+    issued = jnp.sum(have_work.astype(jnp.int32))
+    np2 = next_pix + issued
+    return new_pool, next_sample + np2 // n_pix, np2 % n_pix
+
+
+def _issue(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
+           pix, gpix, seed_iter, have_work, base_seed) -> WavefrontPool:
+    """Turn the claimed work items into fresh camera rays in the dead slots.
+
+    `pix` is the state-row index the path will splat into, `gpix` the global
+    pixel coordinate (they differ only under slab sharding), `seed_iter` the
+    per-slot progressive sample index used for the RNG stream. Shared by the
+    uniform enumeration (_regen) and the per-pixel-budget enumeration
+    (adaptive._regen_budget) so both draw bit-identical streams."""
+    px = gpix % cfg.width
+    py = gpix // cfg.width
+    seed = _frame_seed(base_seed, seed_iter)
     rng = rngmod.seed_pixels(seed, px, py)
 
     u_jit, rng = rngmod.rand_2f(rng)
@@ -121,7 +137,7 @@ def _regen(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
 
     sel = have_work
     sel3 = sel[:, None]
-    new_pool = WavefrontPool(
+    return WavefrontPool(
         pix=jnp.where(sel, pix, pool.pix),
         o=jnp.where(sel3, ro, pool.o),
         d=jnp.where(sel3, rd, pool.d),
@@ -133,9 +149,6 @@ def _regen(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
         active=pool.active | sel,
         coll=jnp.where(sel, False, pool.coll),
     )
-    issued = jnp.sum(have_work.astype(jnp.int32))
-    np2 = next_pix + issued
-    return new_pool, next_sample + np2 // n_pix, np2 % n_pix
 
 
 def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool,
