@@ -115,6 +115,93 @@ class TestBudgetRenderer:
         assert float(st.rays) == 0.0
 
 
+class TestBudgetSharded:
+    def test_sharded_bit_exact_vs_slab_sequential(self):
+        """8-device sharded budget render == the same slabs drained one at
+        a time on one device (same code path -> bit-exact), and == the
+        whole-image budget pool up to float splat order (exact ray parity).
+        The 48x22/tile-64 split covers full, partial, and all-padding
+        slabs; the budget map is nonuniform across the whole image."""
+        import dataclasses
+
+        import jax
+
+        from tpurt.adaptive import wavefront_render_budget_slab
+        from tpurt.parallel import sharding as sh
+        from tpurt.render import RenderState
+
+        assert len(jax.devices()) >= 8
+        cfg = RenderConfig(width=48, height=22, depth=4, tile_size=64,
+                           enable_photons=False, backend="wavefront",
+                           wf_pool=256)
+        scene = cornell_spheres_scene()
+        cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                          aspect_ratio=48 / 22)
+        maxb = 4
+
+        mesh = sh.make_mesh(8)
+        state = sh.init_state_sharded(cfg, mesh)
+        Pn = state.rgb_sum.shape[0]
+        Pl = Pn // 8
+        assert Pl * 5 < cfg.n_pixels < Pl * 6
+        rng = np.random.default_rng(3)
+        bud_np = np.zeros((Pn,), np.int32)
+        bud_np[:cfg.n_pixels] = rng.integers(0, maxb + 1, cfg.n_pixels)
+        budgets = jax.device_put(
+            jnp.asarray(bud_np),
+            jax.sharding.NamedSharding(mesh,
+                                       jax.sharding.PartitionSpec(sh.AXIS)))
+
+        step = sh.make_wavefront_budget_sharded_step(mesh, cfg, maxb)
+        st = step(scene, cam, state, jnp.uint32(42), budgets)
+        ns = np.asarray(st.n_samples)
+        assert (ns == bud_np).all()
+
+        # sequential per-slab comparator: the identical per-device body
+        slab_fn = jax.jit(wavefront_render_budget_slab,
+                          static_argnames=("cfg", "max_budget"))
+        rgb_parts, rays_total = [], 0.0
+        for d in range(8):
+            z3 = jnp.zeros((Pl, 3), jnp.float32)
+            loc = RenderState(
+                rgb_sum=z3, n_samples=jnp.zeros((Pl,), jnp.float32),
+                vis_pos=z3, vis_norm=z3, vis_wo=z3, vis_tp=z3,
+                vis_mat=jnp.zeros((Pl,), jnp.int32),
+                iteration=jnp.zeros((), jnp.int32),
+                photon_radius=jnp.asarray(cfg.photon_radius_init,
+                                          jnp.float32),
+                rays=jnp.zeros((), jnp.float32))
+            off = d * Pl
+            out = slab_fn(scene, cfg, cam, loc, jnp.uint32(42),
+                          jnp.asarray(bud_np[off:off + Pl]), maxb,
+                          jnp.int32(off))
+            rgb_parts.append(np.asarray(out.rgb_sum))
+            rays_total += float(out.rays)
+        np.testing.assert_array_equal(np.asarray(st.rgb_sum),
+                                      np.concatenate(rgb_parts))
+        assert float(st.rays) == rays_total != 0.0
+
+        # whole-image single pool: identical (pixel, sample) paths ->
+        # exact segment parity; radiance up to splat order
+        wcfg = dataclasses.replace(cfg, wf_pool=2048)
+        st1 = wavefront_render_budget(
+            scene, wcfg, cam, init_state(wcfg), jnp.uint32(42),
+            _pad_budgets(wcfg, bud_np[:cfg.n_pixels]), max_budget=maxb)
+        assert float(st1.rays) == float(st.rays)
+        n = cfg.n_pixels
+        np.testing.assert_allclose(np.asarray(st.rgb_sum)[:n],
+                                   np.asarray(st1.rgb_sum)[:n],
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_requires_wavefront_backend(self):
+        import pytest
+
+        from tpurt.parallel import sharding as sh
+        cfg = RenderConfig(width=8, height=8, backend="pallas")
+        with pytest.raises(ValueError, match="wavefront"):
+            sh.make_wavefront_budget_sharded_step(sh.make_mesh(2), cfg, 4)
+
+
 class TestAdaptiveDriver:
     def test_end_to_end(self):
         cfg, scene, cam = _setup(wf_pool=1024)
@@ -146,13 +233,17 @@ class TestAdaptiveDriver:
         assert (p[cfg.n_pixels:] == 0).all()
 
     def test_allocator_proportionality(self):
-        cfg, _, _ = _setup()
-        P = 1000
         proxy = jnp.asarray(
             np.r_[np.full(500, 1.0), np.full(500, 3.0)], jnp.float32)
-        b = np.asarray(allocate_budgets(proxy, total=8000, max_budget=100))
+        b = np.asarray(allocate_budgets(proxy, total=8000, max_budget=100,
+                                        power=1.0))
         assert abs(b[:500].mean() - 4.0) < 0.01
         assert abs(b[500:].mean() - 12.0) < 0.01
+        # default power 0.5: same total, 1:sqrt(3) split
+        b = np.asarray(allocate_budgets(proxy, total=8000, max_budget=100))
+        assert abs(b.sum() - 8000) <= 1000  # rounding slack
+        w = np.sqrt(3.0)
+        assert abs(b[500:].mean() / b[:500].mean() - w) < 0.1  # int rounding
 
     def test_validation(self):
         cfg, scene, cam = _setup()

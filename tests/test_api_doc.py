@@ -86,5 +86,6 @@ def test_api_md_snippets(tmp_path):
                  "resolve_image_sharded", "init_planes_sharded",
                  "make_pallas_sharded_step", "make_regen_sharded_step",
                  "make_wavefront_sharded_step", "make_sample_sharded_step",
+                 "make_wavefront_budget_sharded_step",
                  "resolve_planes"):
         assert callable(getattr(sh, name)), name

@@ -85,6 +85,51 @@ def build(scene_name):
     return scene, cam, kw
 
 
+def adaptive_probe(args):
+    """Adaptive-vs-uniform at equal mean spp: MSE against a converged
+    ground truth, cost in actually-traced rays, efficiency at equal rays
+    eff = (mse_u * rays_u) / (mse_a * rays_a)  (> 1: adaptive reaches the
+    same error with proportionally fewer rays). Raw (linear) means, no
+    tonemap — the MC-estimator metric. Camera+NEE only (wavefront path)."""
+    from tpurt import RenderConfig, init_state, render_adaptive
+    from tpurt.wavefront import wavefront_render
+    scene, cam, kw = build(args.scene)
+    cfg = RenderConfig(backend="wavefront", enable_photons=False,
+                       wf_pool=4096, hero_wavelengths=args.hero, **kw)
+    n = cfg.n_pixels
+
+    def raw(st):
+        return (np.asarray(st.rgb_sum, np.float64)[:n]
+                / np.maximum(np.asarray(st.n_samples, np.float64)[:n, None], 1))
+
+    gt_st = wavefront_render(scene, cfg, cam, init_state(cfg), 999331,
+                             args.gt_spp)
+    gt = raw(gt_st)
+
+    res = {"uniform": ([], []), "adaptive": ([], [])}
+    for rep in range(args.reps):
+        seed = 1000 + 7919 * rep
+        st_u = wavefront_render(scene, cfg, cam, init_state(cfg), seed,
+                                args.spp)
+        res["uniform"][0].append(((raw(st_u) - gt) ** 2).mean())
+        res["uniform"][1].append(float(st_u.rays))
+        st_a, _ = render_adaptive(scene, cfg, cam, base_seed=seed,
+                                  spp=args.spp,
+                                  pilot_spp=max(2, args.spp // 8) // 2 * 2)
+        res["adaptive"][0].append(((raw(st_a) - gt) ** 2).mean())
+        res["adaptive"][1].append(float(st_a.rays))
+
+    mse_u, rays_u = (float(np.mean(v)) for v in res["uniform"])
+    mse_a, rays_a = (float(np.mean(v)) for v in res["adaptive"])
+    print(json.dumps({
+        "scene": args.scene, "spp": args.spp, "reps": args.reps,
+        "gt_spp": args.gt_spp, "hero": args.hero, "mse_uniform": round(mse_u, 6),
+        "mse_adaptive": round(mse_a, 6),
+        "rays_uniform": rays_u, "rays_adaptive": rays_a,
+        "eff_equal_rays": round((mse_u * rays_u) / (mse_a * rays_a), 3),
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=16)
@@ -93,9 +138,20 @@ def main():
     ap.add_argument("--scene", default="config3",
                     choices=["config3", "mesh", "cornell"])
     ap.add_argument("--stacks", nargs="*", default=list(STACKS))
+    ap.add_argument("--adaptive", action="store_true",
+                    help="adaptive-vs-uniform equal-ray MSE probe instead "
+                         "of the flag-stack variance sweep")
+    ap.add_argument("--gt-spp", type=int, default=512)
+    ap.add_argument("--hero", type=int, default=1,
+                    help="hero_wavelengths for the adaptive probe (hero>1 "
+                         "removes global chroma noise so the probe sees the "
+                         "spatially-heterogeneous path noise)")
     args = ap.parse_args()
     if args.reps < 2:
         ap.error("--reps must be >= 2 (sample variance divides by reps-1)")
+    if args.adaptive:
+        adaptive_probe(args)
+        return
 
     from tpurt import RenderConfig, init_state, render, resolve_image
     scene, cam, kw = build(args.scene)

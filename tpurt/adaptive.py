@@ -73,12 +73,15 @@ def _round_major_tables(budgets, max_budget: int):
 
 
 def _regen_budget(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
-                  next_work, base_seed, base_counts, order, cum, total):
+                  next_work, base_seed, base_counts, order, cum, total,
+                  pix_offset):
     """Refill dead slots from the round-major budgeted work stream.
 
     ``base_counts[p]`` is the pixel's progressive sample index to continue
     from (its accumulated n_samples), so repeated budget calls draw fresh
-    samples exactly like the uniform tracer's iteration carry."""
+    samples exactly like the uniform tracer's iteration carry. ``pix`` is
+    the state-row index; the global pixel coordinate adds ``pix_offset``
+    (nonzero only under slab sharding)."""
     dead = ~pool.active
     rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
     w = next_work + rank
@@ -90,7 +93,7 @@ def _regen_budget(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
     pix = order[jnp.clip(r, 0, order.shape[0] - 1)]
     sample_it = base_counts[pix] + s_safe
 
-    new_pool = _issue(cfg, camera, pool, pix, pix, sample_it,
+    new_pool = _issue(cfg, camera, pool, pix, pix_offset + pix, sample_it,
                       have_work, base_seed)
     issued = jnp.sum(have_work.astype(jnp.int32))
     return new_pool, next_work + issued
@@ -108,6 +111,18 @@ def wavefront_render_budget(scene, cfg: RenderConfig, camera: Camera,
     driver asserts the bound). Accumulates into the same RenderState as
     every other backend; vispoints/photon state untouched (camera+NEE only,
     like the uniform wavefront tracers)."""
+    return wavefront_render_budget_slab(scene, cfg, camera, state,
+                                        base_seed, budgets, max_budget,
+                                        jnp.int32(0))
+
+
+def wavefront_render_budget_slab(scene, cfg: RenderConfig, camera: Camera,
+                                 state: RenderState, base_seed, budgets,
+                                 max_budget: int, pix_offset) -> RenderState:
+    """wavefront_render_budget over one pixel slab: ``state``/``budgets``
+    hold the slab's rows, pixel ids are slab-local, RNG/camera coordinates
+    add ``pix_offset`` (cf. wavefront.wavefront_render_slab). Per-device
+    body of parallel.sharding.make_wavefront_budget_sharded_step."""
     reject_camera_strata(cfg)
     Q = cfg.wf_pool
     budgets = jnp.clip(budgets.astype(jnp.int32), 0, max_budget)
@@ -142,7 +157,7 @@ def wavefront_render_budget(scene, cfg: RenderConfig, camera: Camera,
         pool, next_work, rgb, ns, rays, sweeps = carry
         pool, next_work = _regen_budget(
             cfg, camera, pool, next_work, base_seed, base_counts,
-            order, cum, total)
+            order, cum, total, pix_offset)
         pool, terminated, nrays = _sweep(scene, cfg, pool, hero_tabs)
         t3 = terminated[:, None]
         rgb = rgb.at[pool.pix].add(jnp.where(t3, pool.rad, 0.0),
@@ -199,29 +214,37 @@ def variance_proxy(cfg: RenderConfig, sum_a, n_a, sum_b, n_b,
     return out.at[:n].set(img.reshape(-1))
 
 
-def allocate_budgets(proxy, total: int, max_budget: int):
-    """Spend ``total`` samples across pixels proportionally to ``proxy``.
+def allocate_budgets(proxy, total: int, max_budget: int,
+                     power: float = 0.5):
+    """Spend ``total`` samples across pixels proportionally to
+    ``proxy ** power``.
 
-    Rounded to ints and clipped to [0, max_budget]; the realized sum may
-    differ from ``total`` by rounding (the caller reads n_samples for the
-    exact count). Pad rows (proxy == 0) get 0."""
-    p = proxy / jnp.maximum(jnp.sum(proxy), 1e-30)
+    power=1 is the classical variance-proportional rule; the default 0.5
+    dampens it against pilot-proxy noise, which measures strictly better
+    or equal at equal rays (tools/quality.py --adaptive: cornell eff
+    0.97 -> 1.04, config3 1.156 -> 1.150). Rounded to ints and clipped to
+    [0, max_budget]; the realized sum may differ from ``total`` by
+    rounding (the caller reads n_samples for the exact count). Pad rows
+    (proxy == 0) get 0."""
+    p = jnp.where(proxy > 0, proxy, 0.0) ** power
+    p = p / jnp.maximum(jnp.sum(p), 1e-30)
     alloc = jnp.round(p * jnp.float32(total)).astype(jnp.int32)
     return jnp.clip(alloc, 0, max_budget)
 
 
 def render_adaptive(scene: Scene, cfg: RenderConfig, camera: Camera,
                     base_seed=0, spp: int = 64, pilot_spp: int = 8,
-                    budget_cap: int = 16, smooth: bool = True):
+                    budget_cap: int = 16, smooth: bool = True,
+                    alloc_power: float = 0.5):
     """Adaptive render at a mean of ``spp`` samples/pixel.
 
     Phase 1: two uniform pilot passes of pilot_spp/2 each (the halves are
     consecutive windows of the progressive sequence, so they are
     independent). Phase 2: their disagreement sets a per-pixel variance
     proxy, and the remaining (spp - pilot_spp) * n_pixels samples are spent
-    proportionally (per-pixel cap: budget_cap * the remaining mean).
-    Returns (state, budgets). resolve_image handles the nonuniform counts
-    (per-pixel alpha divide, blit.wgsl:38 semantics)."""
+    proportionally to proxy**alloc_power (per-pixel cap: budget_cap * the
+    remaining mean). Returns (state, budgets). resolve_image handles the
+    nonuniform counts (per-pixel alpha divide, blit.wgsl:38 semantics)."""
     if pilot_spp < 2 or pilot_spp % 2:
         raise ValueError("pilot_spp must be an even count >= 2")
     if spp < pilot_spp:
@@ -241,7 +264,7 @@ def render_adaptive(scene: Scene, cfg: RenderConfig, camera: Camera,
     n_b = state.n_samples - n_a
 
     proxy = variance_proxy(cfg, sum_a, n_a, sum_b, n_b, smooth)
-    budgets = allocate_budgets(proxy, remaining, max_budget)
+    budgets = allocate_budgets(proxy, remaining, max_budget, alloc_power)
     if remaining > 0:
         state = wavefront_render_budget(scene, cfg, camera, state,
                                         base_seed, budgets, max_budget)

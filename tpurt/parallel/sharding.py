@@ -263,6 +263,46 @@ def make_wavefront_sharded_step(mesh: Mesh, cfg: RenderConfig, spp: int = 1):
     return jax.jit(sharded)
 
 
+def make_wavefront_budget_sharded_step(mesh: Mesh, cfg: RenderConfig,
+                                       max_budget: int):
+    """Multi-chip BUDGET wavefront step (adaptive sampling): each device
+    drains its own persistent pool over its pixel slab's slice of a
+    per-pixel budget map (tpurt.adaptive.wavefront_render_budget_slab).
+
+    ``budgets`` is the full padded (P,) i32 map, sharded over the pixel
+    axis like the state rows (pad rows 0). Every (pixel, sample) path is
+    the exact single-chip path — only the float splat order differs from
+    the whole-image pool. cfg.backend must be "wavefront".
+
+    Returns f(scene, camera, state, base_seed, budgets) -> state.
+    """
+    if cfg.backend != "wavefront":
+        raise ValueError(
+            f"make_wavefront_budget_sharded_step shards the XLA pool "
+            f"tracer (cfg.backend='wavefront'), got backend={cfg.backend!r}")
+    from tpurt.adaptive import wavefront_render_budget_slab
+    from tpurt.wavefront import reject_camera_strata
+    reject_camera_strata(cfg)
+
+    def body(scene, camera, state, base_seed, budgets):
+        me = jax.lax.axis_index(AXIS)
+        Pl = state.rgb_sum.shape[0]  # local slab rows
+        offset = me * Pl
+        rays0 = state.rays
+        st = wavefront_render_budget_slab(scene, cfg, camera, state,
+                                          base_seed, budgets, max_budget,
+                                          offset)
+        return _psum_rays(st, rays0)
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), _STATE_SPECS, P(), P(AXIS)),
+        out_specs=_STATE_SPECS,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 # ----- Pallas megakernel over the mesh (the production multi-chip path) -----
 
 def padded_pixels_pallas(cfg: RenderConfig, n_dev: int) -> int:
