@@ -256,16 +256,27 @@ def render_adaptive(scene: Scene, cfg: RenderConfig, camera: Camera,
         raise ValueError("summed budget bound overflows int32 — lower "
                          "budget_cap or split into multiple epochs")
 
+    if cfg.backend == "wavefront_fused":
+        # production path: in-kernel per-lane budgets (same streams as the
+        # XLA pool — see kernels.wavefront_pallas.wavefront_render_budget_
+        # fused; pilots through the fused uniform kernel)
+        from tpurt.kernels.wavefront_pallas import (
+            wavefront_render_budget_fused, wavefront_render_fused)
+        uniform_fn, budget_fn = (wavefront_render_fused,
+                                 wavefront_render_budget_fused)
+    else:
+        uniform_fn, budget_fn = wavefront_render, wavefront_render_budget
+
     state = init_state(cfg)
-    state = wavefront_render(scene, cfg, camera, state, base_seed, h)
+    state = uniform_fn(scene, cfg, camera, state, base_seed, h)
     sum_a, n_a = state.rgb_sum, state.n_samples
-    state = wavefront_render(scene, cfg, camera, state, base_seed, h)
+    state = uniform_fn(scene, cfg, camera, state, base_seed, h)
     sum_b = state.rgb_sum - sum_a
     n_b = state.n_samples - n_a
 
     proxy = variance_proxy(cfg, sum_a, n_a, sum_b, n_b, smooth)
     budgets = allocate_budgets(proxy, remaining, max_budget, alloc_power)
     if remaining > 0:
-        state = wavefront_render_budget(scene, cfg, camera, state,
-                                        base_seed, budgets, max_budget)
+        state = budget_fn(scene, cfg, camera, state, base_seed, budgets,
+                          max_budget)
     return state, budgets

@@ -399,7 +399,15 @@ def wavefront_render_pallas(scene, cfg: RenderConfig, camera,
 # tpurt.wavefront, so all three wavefront implementations are
 # cross-checkable (equal ray counts).
 
-def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
+def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
+                       budget_mode: bool = False):
+    """budget_mode adds two VMEM planes — per-lane sample budgets and
+    per-lane base counts (the pixel's accumulated n_samples, for
+    progressive continuation) — and bounds each lane's regeneration loop
+    by its own budget instead of the scalar spp (adaptive sampling,
+    tpurt/adaptive.py). With budget_mode=False the emitted kernel is
+    UNCHANGED (byte-identical jaxpr — the production path carries zero
+    risk from this extension)."""
     R = lanes // 128
     W, H = cfg.width, cfg.height
     MATS = fscene.materials
@@ -422,6 +430,9 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
 
     def kernel(acc_ref, cam_ref, seed_ref, spp_ref, base_ref, sph_ref,
                tri_ref, *rest):
+        if budget_mode:
+            bud_ref, cnt_ref = rest[0], rest[1]
+            rest = rest[2:]
         if n_slabs:
             out_ref, rays_ref = rest[n_slabs:n_slabs + 2]
             chunk = (list(rest[:n_slabs]), tuple(rest[n_slabs + 2:]))
@@ -442,6 +453,9 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
         base_seed = seed_ref[0, 0]
         spp = spp_ref[0, 0]
         it0_i = spp_ref[0, 1]   # starting iteration (continuation)
+        if budget_mode:
+            spp = bud_ref[...]      # (R, 128) per-lane sample budget
+            it0_i = cnt_ref[...]    # per-lane progressive base index
 
         intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref,
                                             chunk=chunk)
@@ -669,6 +683,95 @@ def _fused_wavefront_jit(fscene, cfg, camera, state, base_seed, spp,
         iteration=state.iteration + spp,
         rays=state.rays + jnp.sum(rays),
     )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fscene", "cfg", "max_budget",
+                                    "interpret"))
+def _fused_budget_jit(fscene, cfg, camera, state, base_seed, budgets,
+                      max_budget, interpret):
+    lanes = cfg.pallas_lanes
+    R = lanes // 128
+    P = state.rgb_sum.shape[0]
+    TR = P // 128
+    assert TR % R == 0, (
+        f"state rows {TR} not divisible by pallas tile rows {R}; "
+        "init the state with cfg.backend='pallas'")
+    n_tiles = TR // R
+
+    # clip to the contract and zero the pad tail (the kernel's valid_px
+    # would skip pad lanes anyway, but n_samples must not count them)
+    budgets = jnp.clip(budgets.astype(jnp.int32), 0, max_budget)
+    budgets = jnp.where(jnp.arange(P) < cfg.n_pixels, budgets, 0)
+    bud = budgets.reshape(TR, 128)
+    cnt = state.n_samples.astype(jnp.int32).reshape(TR, 128)
+
+    acc = jnp.stack([state.rgb_sum[:, c] for c in range(3)]).reshape(3, TR, 128)
+    cam = jnp.stack([camera.origin, camera.horizontal,
+                     camera.vertical, camera.lower_left])
+    seed_arr = jnp.asarray(base_seed, jnp.uint32).reshape(1, 1)
+    # scalar spp/it0 are superseded by the budget/count planes in
+    # budget_mode; passed for signature symmetry only
+    spp_arr = jnp.stack([jnp.int32(max_budget),
+                         state.iteration.astype(jnp.int32)]).reshape(1, 2)
+    base_arr = jnp.zeros((1, 1), jnp.int32)
+    sph_tab, tri_tab = _prim_tables(fscene, cfg)
+    chunk_tab, chunk_meta = _chunk_tables(fscene, cfg)
+
+    kernel = _make_fused_kernel(fscene, cfg, lanes, budget_mode=True)
+    vb3 = pl.BlockSpec((3, R, 128), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    vb1 = pl.BlockSpec((R, 128), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    new_acc, rays = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[vb3, sm, sm, sm, sm, sm, sm, vb1, vb1]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * len(chunk_tab),
+        out_specs=[vb3, sm],
+        out_shape=[
+            jax.ShapeDtypeStruct(acc.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+        ],
+        scratch_shapes=chunk_scratch_shapes(chunk_meta),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(acc, cam, seed_arr, spp_arr, base_arr, sph_tab, tri_tab, bud, cnt,
+      *chunk_tab)
+
+    flat = new_acc.reshape(3, P)
+    rgb = jnp.stack([flat[0], flat[1], flat[2]], axis=-1)
+    return dataclasses.replace(
+        state,
+        rgb_sum=rgb,
+        n_samples=state.n_samples + budgets.astype(jnp.float32),
+        iteration=state.iteration + jnp.int32(max_budget),
+        rays=state.rays + jnp.sum(rays),
+    )
+
+
+def wavefront_render_budget_fused(scene, cfg: RenderConfig, camera,
+                                  state: RenderState, base_seed, budgets,
+                                  max_budget: int,
+                                  interpret: bool | None = None
+                                  ) -> RenderState:
+    """Fused wavefront render under a per-pixel budget map (adaptive
+    sampling, tpurt/adaptive.py): each lane loops over its own pixel's
+    budget, continuing at the pixel's accumulated count — the in-kernel
+    form of adaptive.wavefront_render_budget (same per-(pixel, sample)
+    streams; exact ray-count parity). Falls back to the XLA budget
+    renderer for scenes beyond the kernel budget."""
+    if not supports_scene(scene, cfg):
+        from tpurt.adaptive import wavefront_render_budget
+        return wavefront_render_budget(scene, cfg, camera, state,
+                                       base_seed, budgets, max_budget)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fscene = freeze_scene(scene)
+    return _fused_budget_jit(fscene, cfg, camera, state,
+                             jnp.asarray(base_seed, jnp.uint32),
+                             budgets, int(max_budget), interpret)
 
 
 def wavefront_render_fused(scene, cfg: RenderConfig, camera,
