@@ -101,6 +101,9 @@ def main():
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--denoise", action="store_true",
+                    help="a-trous denoise each frame (AOV-guided; lets "
+                         "low --spp frames pass for converged ones)")
     args = ap.parse_args()
 
     import jax
@@ -143,7 +146,11 @@ def main():
         t0 = time.perf_counter()
         st = render(scene, cfg, cam, init_state(cfg), args.seed + frame,
                     args.spp)
-        img = np.asarray(resolve_image(cfg, st))
+        if args.denoise:
+            from tpurt.denoise import denoise_image
+            img = np.asarray(denoise_image(scene, cfg, cam, st))
+        else:
+            img = np.asarray(resolve_image(cfg, st))
         write_png(out, img)
         dt = time.perf_counter() - t0
         done += 1

@@ -26,6 +26,7 @@ from tpurt.render import (
 )
 from tpurt.wavefront import WavefrontPool, wavefront_render
 from tpurt.adaptive import render_adaptive, wavefront_render_budget
+from tpurt.denoise import atrous_denoise, denoise_image, render_aovs
 from tpurt.scene import (
     Light,
     Material,
@@ -52,4 +53,5 @@ __all__ = [
     "dispersive_scene", "instanced_scene", "torus_mesh_scene",
     "WavefrontPool", "wavefront_render",
     "render_adaptive", "wavefront_render_budget",
+    "atrous_denoise", "denoise_image", "render_aovs",
 ]

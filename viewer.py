@@ -193,6 +193,8 @@ def interactive(args):
     controller = CameraController()
     state = init_state(cfg)
     key_tm, sat = cfg.tonemap_key, cfg.tonemap_saturation
+    denoise = False      # 'n' toggle: a-trous filter the blit (tpurt
+    aovs = None          # extension; AOVs cached until the camera moves)
     preview = False
     frame = 0
     t_last = time.perf_counter()
@@ -245,11 +247,19 @@ def interactive(args):
                     vfov = min(160.0, vfov + 5.0)
                     cam = set_vfov(cam, vfov, cfg.width / cfg.height)
                     changed = True
+                elif k == "n":
+                    denoise = not denoise
                 elif k == "r":
                     changed = True
                 elif k == "p":
-                    img = np.asarray(resolve_image(cfg, state, key=key_tm,
-                                                   saturation=sat))
+                    if denoise:
+                        from tpurt.denoise import denoise_image
+                        img = np.asarray(denoise_image(
+                            scene, cfg, cam, state, key=key_tm,
+                            saturation=sat, aovs=aovs))
+                    else:
+                        img = np.asarray(resolve_image(cfg, state, key=key_tm,
+                                                       saturation=sat))
                     write_png("viewer.png", img)
 
             # held-key movement: one controller update per frame with the
@@ -291,6 +301,7 @@ def interactive(args):
                 cam = set_vfov(cam, vfov, w / h)
                 state = init_state(cfg)
                 preview = True
+                aovs = None
                 changed = False          # state already fresh
 
             if changed:
@@ -298,6 +309,7 @@ def interactive(args):
                 # (ref: lib.rs:514-526, mega_kernel.rs:199-202)
                 state = init_state(cfg)
                 preview = True
+                aovs = None
 
             # the depth-1 preview accumulates as sample 1 of the fresh
             # state, exactly like the reference's preview_next_frame (the
@@ -310,15 +322,24 @@ def interactive(args):
             preview = False
             frame += 1
 
-            img = np.asarray(resolve_image(cfg, state, key=key_tm,
-                                           saturation=sat))
+            if denoise:
+                from tpurt.denoise import denoise_image, render_aovs
+                if aovs is None:
+                    aovs = render_aovs(scene, cfg, cam)
+                img = np.asarray(denoise_image(scene, cfg, cam, state,
+                                               key=key_tm, saturation=sat,
+                                               aovs=aovs))
+            else:
+                img = np.asarray(resolve_image(cfg, state, key=key_tm,
+                                               saturation=sat))
             dt_frame = time.perf_counter() - t_frame
             sys.stdout.write("\x1b[H")
             sys.stdout.write(_ansi_blit(img, size.columns, size.lines - 2))
             sys.stdout.write(
                 f"\n\x1b[0m{_stats_line(frame, state, dt_frame, cfg)}  "
-                f"key {key_tm:.1f} sat {sat:.1f} | wasd/ec move, arrows look, "
-                f"z/x zoom, =/-/[/] tonemap, p png, q quit\x1b[K")
+                f"key {key_tm:.1f} sat {sat:.1f}"
+                f"{' dn' if denoise else ''} | wasd/ec move, arrows look, "
+                f"z/x zoom, =/-/[/] tonemap, n denoise, p png, q quit\x1b[K")
             sys.stdout.flush()
 
 
