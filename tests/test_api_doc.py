@@ -77,6 +77,21 @@ def test_api_md_snippets(tmp_path):
                                   budgets, max_budget=16)
     assert np.isfinite(np.asarray(resolve_image(acfg, ast))).all()
 
+    # depth-of-field section
+    dcfg = RenderConfig(width=32, height=16, depth=2, backend="xla",
+                        tile_size=512, aperture=0.3, focus_dist=12.0)
+    dst = render(lit_scene, dcfg, cam, init_state(dcfg), 1, 2)
+    assert float(dst.rays) > 0
+
+    # denoising section
+    from tpurt import denoise_image, render_aovs, atrous_denoise
+    dimg = denoise_image(lit_scene, cfg, cam, st)
+    aovs = render_aovs(lit_scene, cfg, cam)
+    dimg2 = denoise_image(lit_scene, cfg, cam, st, aovs=aovs,
+                          iterations=5, sigma_normal=0.35)
+    assert np.isfinite(np.asarray(dimg)).all()
+    assert (np.asarray(dimg) == np.asarray(dimg2)).all()
+
     from tpurt.utils.scene_io import load_scene_json
     s3, cam_meta = load_scene_json("examples/cornell.json")
     assert cam_meta is not None and "eye" in cam_meta

@@ -101,6 +101,11 @@ def main():
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--aperture", type=float, default=0.0,
+                    help="thin-lens diameter for depth of field "
+                         "(0 = reference pinhole)")
+    ap.add_argument("--focus", type=float, default=0.0,
+                    help="focus distance (default: the look-at point)")
     ap.add_argument("--denoise", action="store_true",
                     help="a-trous denoise each frame (AOV-guided; lets "
                          "low --spp frames pass for converged ones)")

@@ -109,6 +109,61 @@ def generate_rays(cam: Camera, u, v):
     return o, d
 
 
+def lens_perturb(cam: Camera, aperture: float, focus_dist: float, o, d, rng):
+    """Thin-lens defocus (tpurt extension; the reference is pinhole-only):
+    jitter the ray origin uniformly over a disc of diameter ``aperture``
+    in the viewport plane's basis, pivoting each ray about the focal
+    plane — (o, d) -> (o + off, d - off/F), so the ray's t==F point
+    o + F*d (the viewport plane sits at unit distance, making t the
+    world distance along the view axis) is preserved: points at
+    focus_dist render sharp, everything else defocus-blurs. The camera
+    basis and the aperture==0 estimator are untouched — important because
+    the reference feeds UNNORMALIZED ray directions into several terms
+    (wgsl :897, :919), so any rescale of d would perturb radiance.
+
+    Draws two uniforms (polar disc mapping: r = R*sqrt(u1), phi =
+    2*pi*u2). Call order across every backend: right after the
+    pixel-jitter draws, before the wavelength draw — all backends shift
+    their streams identically, keeping cross-backend exactness.
+    """
+    from tpurt.ops import rng as rngmod
+    u_lens, rng = rngmod.rand_2f(rng)
+    # op-for-op identical to lens_perturb_c (rsqrt, a*h_c + b*v_c) so the
+    # XLA and Pallas backends produce bit-identical perturbed rays
+    h, v = cam.horizontal, cam.vertical
+    hinv = jax.lax.rsqrt(h[0] * h[0] + h[1] * h[1] + h[2] * h[2])
+    vinv = jax.lax.rsqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2])
+    r = jnp.sqrt(u_lens[..., 0]) * jnp.float32(0.5 * aperture)
+    phi = u_lens[..., 1] * jnp.float32(2.0 * math.pi)
+    a = (r * jnp.cos(phi) * hinv)[..., None]
+    b = (r * jnp.sin(phi) * vinv)[..., None]
+    off = a * h[None, :] + b * v[None, :]
+    finv = jnp.float32(1.0 / focus_dist)
+    return o + off, d - off * finv, rng
+
+
+def lens_perturb_c(aperture: float, focus_dist: float, rng, o0, d0,
+                   cam_h, cam_v, rand_1f):
+    """Component-form `lens_perturb` for the Pallas kernels: o0/d0/cam_h/
+    cam_v are 3-tuples (lane arrays / SMEM scalars). Identical draws
+    (rand_1f twice == rand_2f) and identical math, so kernel and XLA
+    backends stay stream- and value-comparable."""
+    u1, rng = rand_1f(rng)
+    u2, rng = rand_1f(rng)
+    hn2 = cam_h[0] * cam_h[0] + cam_h[1] * cam_h[1] + cam_h[2] * cam_h[2]
+    vn2 = cam_v[0] * cam_v[0] + cam_v[1] * cam_v[1] + cam_v[2] * cam_v[2]
+    hinv = jax.lax.rsqrt(hn2)
+    vinv = jax.lax.rsqrt(vn2)
+    r = jnp.sqrt(u1) * jnp.float32(0.5 * aperture)
+    phi = u2 * jnp.float32(2.0 * math.pi)
+    a = r * jnp.cos(phi) * hinv
+    b = r * jnp.sin(phi) * vinv
+    off = tuple(a * cam_h[c] + b * cam_v[c] for c in range(3))
+    finv = jnp.float32(1.0 / focus_dist)
+    return (tuple(o0[c] + off[c] for c in range(3)),
+            tuple(d0[c] - off[c] * finv for c in range(3)), rng)
+
+
 def _rot_axis_angle(axis, angle):
     """3x3 rotation about a unit axis (Rodrigues) — host-side numpy."""
     axis = np.asarray(axis, np.float64)

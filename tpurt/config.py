@@ -89,6 +89,19 @@ class RenderConfig:
     #   wgsl :915, while photons/shadows use Cauchy). True applies Cauchy
     #   dispersion on the camera path too — required for the dispersive-glass
     #   benchmark config; documented deviation per SURVEY.md §2a.
+    # Camera
+    aperture: float = 0.0              # EXTENSION (0 = reference pinhole):
+    #   thin-lens diameter in world units. >0 jitters each camera ray's
+    #   origin over the lens disc and pivots it about the focal plane at
+    #   focus_dist (camera.lens_perturb) — depth of field. Static: at 0
+    #   the compiled kernels are bit-identical to the reference sampling
+    #   (no extra draws); >0 inserts two lens uniforms after the pixel
+    #   jitter in EVERY backend, so cross-backend exactness is preserved
+    #   either way. The camera basis itself never changes (the reference
+    #   consumes unnormalized ray directions, wgsl :897/:919, so a
+    #   viewport rescale would perturb radiance).
+    focus_dist: float = 1.0            # world distance (along the view
+    #   axis) of the sharp plane when aperture > 0; ignored at aperture 0.
     # Geometry path
     use_bvh: bool = False              # True: per-ray BVH traversal (XLA
     #   path only). The Pallas kernels accelerate big scenes their own way:

@@ -1464,6 +1464,11 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c] for c in range(3)
         )
         o0 = s.vbroadcast(cam_o, u)
+        if cfg.aperture > 0.0:
+            from tpurt.camera import lens_perturb_c
+            o0, d0, rng = lens_perturb_c(cfg.aperture, cfg.focus_dist,
+                                         rng, o0, d0, cam_h, cam_v,
+                                         rngmod.rand_1f)
 
         # --- one (hero) wavelength per sample (wgsl :995) ---
         u_lam, rng = rngmod.rand_1f(rng)

@@ -231,6 +231,12 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 d0 = tuple(cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c]
                            for c in range(3))
                 o0 = s.vbroadcast(cam_o, u)
+                if cfg.aperture > 0.0:
+                    from tpurt.camera import lens_perturb_c
+                    o0, d0, rng_c = lens_perturb_c(
+                        cfg.aperture, cfg.focus_dist, rng_c, o0, d0,
+                        cam_h, cam_v,
+                        rngmod.rand_1f)
                 ulam, rng_c = rngmod.rand_1f(rng_c)
                 lam_new = (jnp.float32(VISIBLE_MIN)
                            + ulam * jnp.float32(VISIBLE_RANGE))

@@ -37,6 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpurt import camera as camera_mod
 from tpurt.config import RenderConfig
 from tpurt.kernels.mega_pallas import (
     EPS,
@@ -273,6 +274,11 @@ def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
                       camera.vertical, camera.origin)
     rd = tuple(ll[c] + u * ho[c] + v * ve[c] - og[c] for c in range(3))
     ro = tuple(jnp.broadcast_to(og[c], u.shape) for c in range(3))
+    if cfg.aperture > 0.0:
+        ro, rd, new_rng = camera_mod.lens_perturb_c(
+            cfg.aperture, cfg.focus_dist, new_rng, ro, rd,
+            tuple(ho[c] for c in range(3)), tuple(ve[c] for c in range(3)),
+            rngmod.rand_1f)
 
     u_lam, new_rng = rngmod.rand_1f(new_rng)
     lam = sample_wavelength(u_lam)
@@ -502,6 +508,11 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                     cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c]
                     for c in range(3))
                 o0 = s.vbroadcast(cam_o, u)
+                if cfg.aperture > 0.0:
+                    o0, d0, rng_new = camera_mod.lens_perturb_c(
+                        cfg.aperture, cfg.focus_dist, rng_new, o0, d0,
+                        cam_h, cam_v,
+                        rngmod.rand_1f)
                 ulam, rng_new = rngmod.rand_1f(rng_new)
                 lam_new = (jnp.float32(VISIBLE_MIN)
                            + ulam * jnp.float32(VISIBLE_RANGE))

@@ -30,7 +30,8 @@ Schema (all vectors are 3-lists, all fields of each record shown):
          "half_width": 3.0, "color": [r,g,b], "intensity": 5.0,
          "color_temp": 5500.0}
       ],
-      "camera": {"eye": [x,y,z], "look_at": [x,y,z], "vfov": 60.0}
+      "camera": {"eye": [x,y,z], "look_at": [x,y,z], "vfov": 60.0,
+                 "aperture": 0.0, "focus_dist": 10.0}
     }
 
 `camera` is optional metadata returned alongside the scene — callers that

@@ -82,10 +82,21 @@ def _build(args):
             # the unstratified sequence; photon flags are inert — no
             # photon pass) — keep the mesh scene launchable on them
             extra.pop("camera_strata_bounce")
+    aperture = getattr(args, "aperture", 0.0)
+    focus = getattr(args, "focus", 0.0)
+    if args.scene_file:
+        aperture = aperture or float(cam_meta.get("aperture", 0.0))
+        focus = focus or float(cam_meta.get("focus_dist", 0.0))
+    if not focus:
+        # default focal plane: the look-at point (only matters with DOF on)
+        focus = float(np.linalg.norm(np.asarray(at, np.float64)
+                                     - np.asarray(eye, np.float64)))
     cfg = RenderConfig(width=args.width, height=args.height, depth=args.depth,
                        backend=args.backend, hero_wavelengths=args.hero,
+                       aperture=aperture, focus_dist=focus,
                        dispersion_in_camera_path=args.dispersion, **extra)
-    cam = make_camera(eye, at, vfov=vfov, aspect_ratio=args.width / args.height)
+    cam = make_camera(eye, at, vfov=vfov,
+                      aspect_ratio=args.width / args.height)
     return cfg, scene, cam, vfov, eye, at
 
 
@@ -365,6 +376,11 @@ def main():
     ap.add_argument("--dispersion", action="store_true",
                     help="Cauchy dispersion on the camera path too "
                          "(default off = the reference quirk, wgsl :915)")
+    ap.add_argument("--aperture", type=float, default=0.0,
+                    help="thin-lens diameter for depth of field "
+                         "(0 = reference pinhole)")
+    ap.add_argument("--focus", type=float, default=0.0,
+                    help="focus distance (default: the look-at point)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the site config pins "
                          "jax_platforms, so the env var doesn't work)")
