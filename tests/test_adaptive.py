@@ -186,6 +186,81 @@ class TestBudgetFused:
         assert np.isfinite(np.asarray(resolve_image(cfg, st))).all()
 
 
+class TestBudgetRegen:
+    """Per-lane budgets in the regenerative megakernel: adaptive sampling
+    with the FULL estimator (photons + per-pixel SPPM radius schedule)."""
+
+    def _setup(self, **kw):
+        cfg = RenderConfig(width=64, height=32, depth=3, backend="pallas",
+                           pallas_lanes=512, k_photons=2,
+                           max_photon_bounces=3, **kw)
+        scene = cornell_spheres_scene()
+        cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                          aspect_ratio=2.0)
+        return cfg, scene, cam
+
+    def test_uniform_budget_bit_identical_to_render_regen(self):
+        from tpurt.kernels.mega_regen import (render_budget_regen,
+                                              render_regen)
+        cfg, scene, cam = self._setup()
+        st0 = init_state(cfg)
+        st_u = render_regen(scene, cfg, cam, st0, 42, 2)
+        st_b = render_budget_regen(scene, cfg, cam, st0, 42,
+                                   _pad_budgets(cfg, 2), 2)
+        assert (np.asarray(st_u.rgb_sum) == np.asarray(st_b.rgb_sum)).all()
+        assert (np.asarray(st_u.vis_pos) == np.asarray(st_b.vis_pos)).all()
+        assert float(st_u.rays) == float(st_b.rays) != 0.0
+        assert float(st_u.photon_radius) == float(st_b.photon_radius)
+
+    def test_budget_equals_uniform_prefix_per_pixel(self):
+        """THE oracle: pixels are independent, so pixel p after budget b_p
+        must equal pixel p of a uniform render after exactly b_p samples —
+        bit-for-bit, including the photon pass and its radius schedule."""
+        from tpurt.kernels.mega_regen import (render_budget_regen,
+                                              render_regen)
+        cfg, scene, cam = self._setup()
+        st0 = init_state(cfg)
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 4, cfg.n_pixels)
+        st_b = render_budget_regen(scene, cfg, cam, st0, 42,
+                                   _pad_budgets(cfg, vals), 3)
+        prefix = [np.asarray(st0.rgb_sum)]
+        st = st0
+        for _ in range(3):
+            st = render_regen(scene, cfg, cam, st, 42, 1)
+            prefix.append(np.asarray(st.rgb_sum))
+        got = np.asarray(st_b.rgb_sum)[: cfg.n_pixels]
+        want = np.stack(prefix)[vals, np.arange(cfg.n_pixels)]
+        assert (got == want).all()
+        ns = np.asarray(st_b.n_samples)[: cfg.n_pixels]
+        assert (ns == vals).all()
+
+    def test_two_budget_calls_equal_one(self):
+        from tpurt.kernels.mega_regen import render_budget_regen
+        cfg, scene, cam = self._setup()
+        st0 = init_state(cfg)
+        rng = np.random.default_rng(4)
+        b1 = rng.integers(0, 3, cfg.n_pixels)
+        b2 = rng.integers(0, 3, cfg.n_pixels)
+        st_a = render_budget_regen(scene, cfg, cam, st0, 7,
+                                   _pad_budgets(cfg, b1), 2)
+        st_a = render_budget_regen(scene, cfg, cam, st_a, 7,
+                                   _pad_budgets(cfg, b2), 2)
+        st_c = render_budget_regen(scene, cfg, cam, st0, 7,
+                                   _pad_budgets(cfg, b1 + b2), 4)
+        assert (np.asarray(st_a.rgb_sum) == np.asarray(st_c.rgb_sum)).all()
+        assert float(st_a.rays) == float(st_c.rays) != 0.0
+
+    def test_render_adaptive_dispatches_regen(self):
+        cfg, scene, cam = self._setup()
+        st, budgets = render_adaptive(scene, cfg, cam, base_seed=5,
+                                      spp=5, pilot_spp=2)
+        n = cfg.n_pixels
+        ns = np.asarray(st.n_samples)[:n]
+        assert (ns == 2 + np.asarray(budgets)[:n]).all()
+        assert np.isfinite(np.asarray(resolve_image(cfg, st))).all()
+
+
 class TestBudgetSharded:
     def test_sharded_bit_exact_vs_slab_sequential(self):
         """8-device sharded budget render == the same slabs drained one at

@@ -256,10 +256,20 @@ def render_adaptive(scene: Scene, cfg: RenderConfig, camera: Camera,
         raise ValueError("summed budget bound overflows int32 — lower "
                          "budget_cap or split into multiple epochs")
 
-    if cfg.backend == "wavefront_fused":
-        # production path: in-kernel per-lane budgets (same streams as the
-        # XLA pool — see kernels.wavefront_pallas.wavefront_render_budget_
-        # fused; pilots through the fused uniform kernel)
+    if cfg.backend == "pallas":
+        # full-estimator adaptivity (photons included): per-lane budgets in
+        # the regenerative megakernel (kernels.mega_regen); pilots through
+        # the standard render() dispatch so they match the uniform path
+        if not cfg.pallas_regen:
+            raise ValueError("adaptive sampling on backend='pallas' needs "
+                             "the regenerative kernel (pallas_regen=True)")
+        from tpurt.kernels.mega_regen import (render_budget_regen,
+                                              render_regen)
+        uniform_fn, budget_fn = render_regen, render_budget_regen
+    elif cfg.backend == "wavefront_fused":
+        # camera-path production path: in-kernel per-lane budgets (same
+        # streams as the XLA pool — see kernels.wavefront_pallas.wavefront_
+        # render_budget_fused; pilots through the fused uniform kernel)
         from tpurt.kernels.wavefront_pallas import (
             wavefront_render_budget_fused, wavefront_render_fused)
         uniform_fn, budget_fn = (wavefront_render_fused,

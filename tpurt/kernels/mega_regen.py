@@ -76,7 +76,14 @@ from tpurt.render import _frame_seed, sppm_radius_step
 
 
 def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
-                       depth: int):
+                       depth: int, budget_mode: bool = False):
+    """budget_mode (adaptive sampling, tpurt/adaptive.py) adds one f32
+    (3, R, 128) aux plane input — per-lane sample budgets, progressive base
+    counts, and starting SPPM radii — and bounds each lane's sample loop by
+    its own budget instead of the scalar spp. Per-lane radii continue each
+    PIXEL's own schedule (base count = the pixel's accumulated n_samples),
+    which is the correct SPPM behavior under non-uniform sample counts.
+    With budget_mode=False the emitted kernel is UNCHANGED."""
     R = lanes // 128
     W, H = cfg.width, cfg.height
     MATS = fscene.materials
@@ -104,6 +111,9 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
 
     def kernel(planes_ref, z_ref, cam_ref, seed_ref, spp_ref, rad_ref,
                base_ref, sph_ref, tri_ref, *rest):
+        if budget_mode:
+            aux_ref = rest[0]
+            rest = rest[1:]
         if n_slabs:
             out_ref, rays_ref = rest[n_slabs:n_slabs + 2]
             chunk = (list(rest[:n_slabs]), tuple(rest[n_slabs + 2:]))
@@ -143,6 +153,13 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             out_ref[ch] = planes_ref[ch]
 
         it0 = rad_ref[0, 1]          # starting iteration (f32)
+        if budget_mode:
+            # per-lane planes supersede the scalars (budget counts are
+            # small ints, exact in f32)
+            spp = jnp.round(aux_ref[0]).astype(jnp.int32)      # budget
+            it0_i = jnp.round(aux_ref[1]).astype(jnp.int32)    # base count
+            it0 = aux_ref[1]
+            r0 = aux_ref[2]                                    # SPPM radius
         depth_i = np.int32(depth)
         # layout-anchored zeros: loaded from a real VMEM input, so every
         # while-carry initialized from them has a concrete (non-replicated)
@@ -210,7 +227,12 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 # never deadlock; blocked lanes stay pending and re-test
                 # next trip.
                 live = (sample < spp) & valid_px
-                min_s = jnp.min(jnp.where(live, sample, spp))
+                # dead-lane fill: scalar spp is >= any live sample; in
+                # budget mode a finished lane's own (small) budget would
+                # drag the min down and stall the drift gate — use +inf
+                min_s = jnp.min(jnp.where(
+                    live, sample,
+                    jnp.int32(2 ** 30) if budget_mode else spp))
                 spawn_c &= sample < min_s + np.int32(cfg.pallas_regen_drift)
             # global sample index = iteration at call start + local sample:
             # progressive continuation draws NEW samples, never repeats
@@ -583,10 +605,15 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
 
 
 def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
-               radius, tile_base, interpret, depth=None):
+               radius, tile_base, interpret, depth=None, aux=None):
     """Planes-level regenerative step: the raw pallas_call. Shared by the
     single-chip wrapper and the shard_map multi-chip step (tile_base = the
-    device slab's global tile offset). Returns (planes, rays_per_tile)."""
+    device slab's global tile offset). Returns (planes, rays_per_tile).
+
+    `aux` (f32 (3, TR, 128): per-lane budget / base count / SPPM radius,
+    plane order) switches the kernel to budget mode — see
+    _make_regen_kernel; the scalar spp/iteration/radius are then passed for
+    signature symmetry only."""
     lanes = cfg.pallas_lanes
     R = lanes // 128
     TR = planes.shape[1]
@@ -609,16 +636,22 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
     chunk_tab, chunk_meta = _chunk_tables(fscene, cfg)
 
     kernel = _make_regen_kernel(fscene, cfg, lanes,
-                                cfg.depth if depth is None else depth)
+                                cfg.depth if depth is None else depth,
+                                budget_mode=aux is not None)
     vb = pl.BlockSpec((N_CHANNELS, R, 128), lambda i: (0, i, 0),
                       memory_space=pltpu.VMEM)
     vz = pl.BlockSpec((R, 128), lambda i: (0, 0), memory_space=pltpu.VMEM)
     sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    aux_args, aux_specs = (), []
+    if aux is not None:
+        aux_args = (aux,)
+        aux_specs = [pl.BlockSpec((3, R, 128), lambda i: (0, i, 0),
+                                  memory_space=pltpu.VMEM)]
     zeros_in = jnp.zeros((R, 128), jnp.int32)
     new_planes, rays = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[vb, vz, sm, sm, sm, sm, sm, sm, sm]
+        in_specs=[vb, vz, sm, sm, sm, sm, sm, sm, sm] + aux_specs
         + [pl.BlockSpec(memory_space=pl.ANY)] * len(chunk_tab),
         out_specs=[vb, sm],
         out_shape=[
@@ -629,7 +662,7 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
         input_output_aliases={0: 0},
         interpret=interpret,
     )(planes, zeros_in, cam, seed_arr, spp_arr, rad_arr, base_arr,
-      sph_tab, tri_tab, *chunk_tab)
+      sph_tab, tri_tab, *aux_args, *chunk_tab)
     return new_planes, rays[:, 0]
 
 
@@ -686,3 +719,83 @@ def render_regen(scene, cfg: RenderConfig, camera, state, base_seed, spp,
                              jnp.asarray(base_seed, jnp.uint32),
                              jnp.asarray(spp, jnp.int32), interpret,
                              depth=depth)
+
+
+def budget_radius_plane(cfg, counts_f):
+    """Per-pixel SPPM radius after counts_f samples, from the initial
+    radius — the SAME float recurrence as radius_after (r *= the
+    sppm_radius_step factor at 1-based indices 1..count), where-gated per
+    pixel, so a uniform count reproduces the scalar schedule bit-for-bit."""
+    kmax = jnp.max(counts_f).astype(jnp.int32)
+
+    def rstep(i, r):
+        fi = (i + 1).astype(jnp.float32)
+        f = sppm_radius_step(cfg, fi, jnp.float32(1.0))
+        return jnp.where(fi <= counts_f, r * f, r)
+
+    r0 = jnp.full_like(counts_f, cfg.photon_radius_init)
+    return jax.lax.fori_loop(0, kmax, rstep, r0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fscene", "cfg", "max_budget",
+                                    "interpret"))
+def _render_budget_regen_jit(fscene, cfg, camera, state, base_seed, budgets,
+                             max_budget, interpret):
+    from tpurt.kernels.mega_pallas import pixels_to_planes_order
+    P = state.rgb_sum.shape[0]
+    TR = P // 128
+
+    budgets = jnp.clip(budgets.astype(jnp.int32), 0, max_budget)
+    budgets = jnp.where(jnp.arange(P) < cfg.n_pixels, budgets, 0)
+    cnt_f = state.n_samples.astype(jnp.float32)
+    rad0 = budget_radius_plane(cfg, cnt_f)
+    aux = pixels_to_planes_order(
+        cfg, jnp.stack([budgets.astype(jnp.float32), cnt_f, rad0]))
+    aux = aux.reshape(3, TR, 128)
+
+    planes = state_to_planes(state, cfg)
+    new_planes, rays = regen_call(
+        fscene, cfg, camera, planes, base_seed, 0, state.iteration,
+        state.photon_radius, 0, interpret, aux=aux)
+
+    flat = planes_pixel_order(cfg, new_planes.reshape(N_CHANNELS, P))
+    v3 = lambda a: jnp.stack([flat[a], flat[a + 1], flat[a + 2]], axis=-1)
+    # the scalar radius keeps the uniform schedule (advisory under
+    # non-uniform counts — budget calls derive per-pixel radii from
+    # n_samples, so chained budget renders stay exact)
+    r_new = radius_after(cfg, state.iteration, state.photon_radius,
+                         jnp.int32(max_budget))
+    return dataclasses.replace(
+        state,
+        rgb_sum=v3(0),
+        n_samples=state.n_samples + budgets.astype(jnp.float32),
+        vis_pos=v3(3), vis_norm=v3(6), vis_wo=v3(9), vis_tp=v3(12),
+        vis_mat=flat[15].astype(jnp.int32),
+        iteration=state.iteration + jnp.int32(max_budget),
+        photon_radius=r_new,
+        rays=state.rays + jnp.sum(rays),
+    )
+
+
+def render_budget_regen(scene, cfg: RenderConfig, camera, state, base_seed,
+                        budgets, max_budget: int,
+                        interpret: bool | None = None):
+    """Regenerative-megakernel render under a per-pixel budget map
+    (adaptive sampling with the FULL estimator — photons included, unlike
+    the wavefront budget renderers). Pixel p's k-th sample draws the
+    standard per-(pixel, sample) streams and continues the pixel's own
+    SPPM radius schedule, so estimates stay unbiased, a uniform budget
+    reproduces render_regen bit-for-bit, and two chained budget calls
+    equal one combined call."""
+    if not supports_scene(scene, cfg):
+        raise ValueError(
+            "adaptive budgets need the Pallas regen kernel; this scene "
+            "exceeds its budget — use a wavefront backend (camera-path "
+            "adaptive) or raise the kernel limits")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fscene = freeze_scene(scene)
+    return _render_budget_regen_jit(fscene, cfg, camera, state,
+                                    jnp.asarray(base_seed, jnp.uint32),
+                                    budgets, int(max_budget), interpret)
