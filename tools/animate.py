@@ -106,6 +106,9 @@ def main():
                          "(0 = reference pinhole)")
     ap.add_argument("--focus", type=float, default=0.0,
                     help="focus distance (default: the look-at point)")
+    ap.add_argument("--clamp", type=float, default=0.0,
+                    help="per-sample radiance clamp (firefly control; "
+                         "0 = off)")
     ap.add_argument("--denoise", action="store_true",
                     help="a-trous denoise each frame (AOV-guided; lets "
                          "low --spp frames pass for converged ones)")

@@ -160,7 +160,10 @@ def wavefront_render_budget_slab(scene, cfg: RenderConfig, camera: Camera,
             order, cum, total, pix_offset)
         pool, terminated, nrays = _sweep(scene, cfg, pool, hero_tabs)
         t3 = terminated[:, None]
-        rgb = rgb.at[pool.pix].add(jnp.where(t3, pool.rad, 0.0),
+        prad = pool.rad
+        if cfg.radiance_clamp > 0.0:
+            prad = jnp.minimum(prad, jnp.float32(cfg.radiance_clamp))
+        rgb = rgb.at[pool.pix].add(jnp.where(t3, prad, 0.0),
                                    mode="drop")
         ns = ns.at[pool.pix].add(jnp.where(terminated, 1.0, 0.0),
                                  mode="drop")

@@ -209,6 +209,14 @@ class RenderConfig:
     wf_max_sweeps: int = 100000        # safety bound on the sweep loop
     sky_gradient: bool = False         # legacy wavefront sky (wavefront.wgsl
     #   :129-131); False = black sky like the mega kernel (:617-620)
+    # Robustness
+    radiance_clamp: float = 0.0        # EXTENSION (0 = off, the reference):
+    #   >0 clamps each SAMPLE's RGB radiance channelwise (upper side only —
+    #   single-wavelength samples are legitimately negative in RGB) before
+    #   it is accumulated, in every backend at the same point of the
+    #   estimator, so cross-backend parity holds with the clamp on.
+    #   Biased firefly control for low-spp/denoised/preview pipelines;
+    #   leave 0 for converged or benchmark renders.
     # Instrumentation
     count_rays: bool = True            # accumulate traced-segment counter
     # Tonemap defaults (ref: blit.rs:99-101)

@@ -1754,6 +1754,9 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
 
         # =========== accumulate (wgsl :1017-1021) ===========
         total = s.vadd(rad, contrib)
+        if cfg.radiance_clamp > 0.0:
+            cl = jnp.float32(cfg.radiance_clamp)
+            total = tuple(jnp.minimum(t, cl) for t in total)
         out_ref[0] = planes_ref[0] + total[0]
         out_ref[1] = planes_ref[1] + total[1]
         out_ref[2] = planes_ref[2] + total[2]

@@ -200,11 +200,19 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
 
             # ---- finalize: all K photons done -> accumulate, next sample
             fin = ~active & (phase == 1) & (k >= K)
+            # clamp only the SPLATTED value — the carried rad keeps growing
+            # for unfinished lanes (one final clamp per sample, not per
+            # iteration; see RenderConfig.radiance_clamp)
+            if cfg.radiance_clamp > 0.0:
+                cl = jnp.float32(cfg.radiance_clamp)
+                rad_s = tuple(jnp.minimum(r, cl) for r in rad)
+            else:
+                rad_s = rad
             for c in range(3):
                 # add-form (not select-form): anchors the layout to out_ref —
                 # Mosaic rejects relayouts of non-replicated updates into a
                 # replicated-constant-initialized carry otherwise
-                out_ref[c] = out_ref[c] + jnp.where(fin, rad[c],
+                out_ref[c] = out_ref[c] + jnp.where(fin, rad_s[c],
                                                     jnp.float32(0.0))
             sample = jnp.where(fin, sample + 1, sample)
             # SPPM radius schedule, per lane (same float sequence as the

@@ -355,6 +355,8 @@ def _wavefront_pallas_jit(fscene, scene, cfg, camera, state, base_seed, spp,
         pix = pi[0].reshape(-1)
         t = (term.reshape(-1) > 0)
         radf = pf[_RAD:_RAD + 3].reshape(3, -1)
+        if cfg.radiance_clamp > 0.0:
+            radf = jnp.minimum(radf, jnp.float32(cfg.radiance_clamp))
         rgb = rgb.at[pix].add(
             jnp.where(t[:, None], jnp.transpose(radf), 0.0), mode="drop")
         nsamp = nsamp.at[pix].add(jnp.where(t, 1.0, 0.0), mode="drop")
@@ -617,8 +619,12 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             terminated = active & ~cont
 
             # lane-local "splat": masked add into this lane's own texel
+            rad_s = rad
+            if cfg.radiance_clamp > 0.0:
+                cl = jnp.float32(cfg.radiance_clamp)
+                rad_s = tuple(jnp.minimum(r, cl) for r in rad)
             for c in range(3):
-                out_ref[c] = jnp.where(terminated, out_ref[c] + rad[c],
+                out_ref[c] = jnp.where(terminated, out_ref[c] + rad_s[c],
                                        out_ref[c])
             sample = jnp.where(terminated, sample + 1, sample)
             cont_i = _mask_i32(cont)

@@ -225,6 +225,10 @@ def _step_body(scene, cfg, camera, state, base_seed, depth: int,
     if rays_reduce is not None:
         total_rays = rays_reduce(total_rays)
 
+    if cfg.radiance_clamp > 0.0:
+        # per-sample firefly clamp (upper side only; see RenderConfig)
+        color = jnp.minimum(color, jnp.float32(cfg.radiance_clamp))
+
     return RenderState(
         rgb_sum=state.rgb_sum + color.reshape(P, 3),
         n_samples=state.n_samples + 1.0,

@@ -94,6 +94,7 @@ def _build(args):
     cfg = RenderConfig(width=args.width, height=args.height, depth=args.depth,
                        backend=args.backend, hero_wavelengths=args.hero,
                        aperture=aperture, focus_dist=focus,
+                       radiance_clamp=getattr(args, "clamp", 0.0),
                        dispersion_in_camera_path=args.dispersion, **extra)
     cam = make_camera(eye, at, vfov=vfov,
                       aspect_ratio=args.width / args.height)
@@ -381,6 +382,9 @@ def main():
                          "(0 = reference pinhole)")
     ap.add_argument("--focus", type=float, default=0.0,
                     help="focus distance (default: the look-at point)")
+    ap.add_argument("--clamp", type=float, default=0.0,
+                    help="per-sample radiance clamp (firefly control; "
+                         "0 = off)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the site config pins "
                          "jax_platforms, so the env var doesn't work)")
