@@ -111,6 +111,46 @@ class TestAtrous:
         assert np.abs(out - np.asarray(img)).max() < 1e-3
 
 
+class TestDefocusRelax:
+    def test_relax_map_shape(self):
+        from tpurt.denoise import defocus_relax
+        cfg = RenderConfig(width=64, height=32, aperture=0.5,
+                           focus_dist=10.0)
+        z = jnp.full((32, 64), 10.0)
+        assert np.asarray(defocus_relax(cfg, z)).max() == 0.0   # in focus
+        z_far = jnp.full((32, 64), 40.0)
+        assert np.asarray(defocus_relax(cfg, z_far)).min() > 0.5  # blurred
+        # misses (depth 0) never relax
+        assert np.asarray(defocus_relax(cfg, jnp.zeros((32, 64)))).max() == 0
+        # pinhole config: all zeros
+        assert np.asarray(defocus_relax(
+            cfg.with_(aperture=0.0), z_far)).max() == 0.0
+
+    def test_relax_smooths_across_feature_edges(self):
+        """With relax=1, a normal/depth discontinuity no longer stops the
+        filter: a noisy but radiance-flat region denoises across it."""
+        h = w = 64
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(
+            0.5 + rng.normal(0, 0.2, (h, w, 3)).astype(np.float32))
+        albedo = jnp.ones((h, w, 3)) * 0.8
+        normal = np.zeros((h, w, 3), np.float32)
+        normal[:, : w // 2, 1] = 1.0
+        normal[:, w // 2:, 0] = 1.0
+        depth = np.full((h, w), 3.0, np.float32)
+        depth[:, w // 2:] = 9.0
+        kw = dict(sigma_color=2.0)
+        out_stop = np.asarray(atrous_denoise(
+            img, albedo, jnp.asarray(normal), jnp.asarray(depth), **kw))
+        out_relax = np.asarray(atrous_denoise(
+            img, albedo, jnp.asarray(normal), jnp.asarray(depth),
+            relax=jnp.ones((h, w)), **kw))
+        # near the feature edge the relaxed filter averages both sides ->
+        # lower residual noise than the edge-stopped filter
+        band = slice(w // 2 - 2, w // 2 + 2)
+        assert out_relax[8:-8, band].std() < out_stop[8:-8, band].std()
+
+
 class TestDenoiseImage:
     def test_end_to_end_reduces_noise(self):
         """Denoised low-spp render must be much closer to a high-spp

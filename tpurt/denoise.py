@@ -85,10 +85,37 @@ def render_aovs(scene, cfg: RenderConfig, camera: Camera) -> AOVs:
 _B3 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
 
 
+def defocus_relax(cfg: RenderConfig, depth, clamp_px: float = 2.0):
+    """Per-pixel feature-weight relaxation for depth-of-field renders.
+
+    The AOV pass is pinhole (one center ray), so its normal/depth planes
+    stay sharp where the lens has blurred the radiance — edge-stopping on
+    them would wrongly preserve detail inside the blur. This computes the
+    thin-lens circle of confusion in PIXELS at each first hit
+    (ray-position error at depth z is (aperture/2)*|1 - z/F|, see
+    camera.lens_perturb; divided by the pixel's world footprint z*|h|/W)
+    and maps it to [0, 1]: 0 = in focus (full edge-stopping), 1 = blur
+    radius >= clamp_px (features ignored, pure smoothing)."""
+    if cfg.aperture <= 0.0:
+        return jnp.zeros_like(depth)
+    z = jnp.maximum(depth, 1e-3)
+    coc_world = (0.5 * cfg.aperture) * jnp.abs(1.0 - z / cfg.focus_dist)
+    # horizontal viewport spans 2*tan(vfov/2)*aspect at unit distance; use
+    # the cfg aspect via width/height with a 60-degree-ish default scale —
+    # the exact fov only rescales clamp_px, so derive from the camera-free
+    # quantity: pixel footprint ~ z * (viewport/W). We take viewport ~ 1
+    # per unit z, i.e. footprint = z / width; callers can tune clamp_px.
+    px_size = z / jnp.float32(cfg.width)
+    coc_px = coc_world / px_size
+    relax = jnp.clip(coc_px / jnp.float32(clamp_px), 0.0, 1.0)
+    return jnp.where(depth > 0, relax, 0.0)
+
+
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def atrous_denoise(radiance, albedo, normal, depth, *, iterations: int = 5,
                    sigma_color: float | None = None,
-                   sigma_normal: float = 0.35, sigma_depth: float = 0.1):
+                   sigma_normal: float = 0.35, sigma_depth: float = 0.1,
+                   relax=None):
     """Edge-avoiding a-trous wavelet filter over (H, W, 3) linear radiance.
 
     Weights per tap q relative to center p (all Gaussian in squared
@@ -122,6 +149,11 @@ def atrous_denoise(radiance, albedo, normal, depth, *, iterations: int = 5,
         d = jnp.sqrt(jnp.sum((img[:, 1:] - img[:, :-1]) ** 2, axis=-1))
         sigma_color = jnp.maximum(2.0 * jnp.median(d), jnp.float32(1e-2))
 
+    # feature-weight relaxation (defocus_relax): 0 = full edge-stopping,
+    # 1 = features ignored for this pixel (its radiance is lens-blurred,
+    # so the pinhole AOV edges are not real image edges)
+    keep = None if relax is None else (1.0 - relax)
+
     def _pad(a, r):
         pw = ((r, r), (r, r)) + ((0, 0),) * (a.ndim - 2)
         return jnp.pad(a, pw, mode="edge")
@@ -151,8 +183,11 @@ def atrous_denoise(radiance, albedo, normal, depth, *, iterations: int = 5,
                 zscale = sigma_depth * jnp.maximum(
                     jnp.maximum(depth, z_q), 1.0)
                 dz2 = ((depth - z_q) / zscale) ** 2
+                feat = dn2 / s_n2 + dz2
+                if keep is not None:
+                    feat = feat * keep
                 w = (_B3[dy + 2] * _B3[dx + 2]
-                     * jnp.exp(-dc2 / s_c2 - dn2 / s_n2 - dz2))[..., None]
+                     * jnp.exp(-dc2 / s_c2 - feat))[..., None]
                 acc = acc + w * c_q
                 wsum = wsum + w
         img = acc / jnp.maximum(wsum, jnp.float32(1e-8))
@@ -177,9 +212,14 @@ def denoise_image(scene, cfg: RenderConfig, camera: Camera,
     avg = avg.reshape(cfg.height, cfg.width, 3)
     if aovs is None:
         aovs = render_aovs(scene, cfg, camera)
+    # DOF renders: relax feature edge-stopping where the lens has blurred
+    # the radiance (the pinhole AOVs stay sharp there — see defocus_relax)
+    relax = (defocus_relax(cfg, aovs.depth)
+             if cfg.aperture > 0.0 else None)
     den = atrous_denoise(avg, aovs.albedo, aovs.normal, aovs.depth,
                          iterations=iterations, sigma_color=sigma_color,
-                         sigma_normal=sigma_normal, sigma_depth=sigma_depth)
+                         sigma_normal=sigma_normal, sigma_depth=sigma_depth,
+                         relax=relax)
     key = cfg.tonemap_key if key is None else key
     saturation = cfg.tonemap_saturation if saturation is None else saturation
     return tm.tonemap(den, key, saturation)
