@@ -112,6 +112,11 @@ def main():
     ap.add_argument("--denoise", action="store_true",
                     help="a-trous denoise each frame (AOV-guided; lets "
                          "low --spp frames pass for converged ones)")
+    ap.add_argument("--temporal", type=float, default=0.0, metavar="ALPHA",
+                    help="blend each frame with the reprojected previous "
+                         "frame (history weight ALPHA, e.g. 0.8; biased "
+                         "preview smoothing — tpurt.temporal; disables "
+                         "frame-skip resume)")
     args = ap.parse_args()
 
     import jax
@@ -140,9 +145,12 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     aspect = args.width / args.height
     done = 0
+    tstate = None   # temporal history (tpurt.temporal)
     for frame in range(args.frames):
         out = os.path.join(args.out_dir, f"frame_{frame:04d}.png")
-        if os.path.exists(out):
+        if os.path.exists(out) and not args.temporal:
+            # temporal mode re-renders everything: skipping a frame would
+            # hole the history chain
             continue
         if keys is not None:
             cam = path_camera(frame, keys, aspect)
@@ -154,9 +162,23 @@ def main():
         t0 = time.perf_counter()
         st = render(scene, cfg, cam, init_state(cfg), args.seed + frame,
                     args.spp)
-        if args.denoise:
-            from tpurt.denoise import denoise_image
-            img = np.asarray(denoise_image(scene, cfg, cam, st))
+        if args.denoise or args.temporal:
+            from tpurt import tonemap as tm
+            from tpurt.denoise import denoise_image, render_aovs
+            aovs = render_aovs(scene, cfg, cam)
+            if args.denoise:
+                lin = denoise_image(scene, cfg, cam, st, aovs=aovs,
+                                    tonemap=False)
+            else:
+                n = cfg.n_pixels
+                lin = tm.resolve(st.rgb_sum[:n], st.n_samples[:n]) \
+                    .reshape(cfg.height, cfg.width, 3)
+            if args.temporal:
+                from tpurt.temporal import temporal_blend
+                lin, tstate = temporal_blend(cfg, tstate, cam, aovs, lin,
+                                             alpha=args.temporal)
+            img = np.asarray(tm.tonemap(lin, cfg.tonemap_key,
+                                        cfg.tonemap_saturation))
         else:
             img = np.asarray(resolve_image(cfg, st))
         write_png(out, img)

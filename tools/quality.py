@@ -90,27 +90,35 @@ def adaptive_probe(args):
     ground truth, cost in actually-traced rays, efficiency at equal rays
     eff = (mse_u * rays_u) / (mse_a * rays_a)  (> 1: adaptive reaches the
     same error with proportionally fewer rays). Raw (linear) means, no
-    tonemap — the MC-estimator metric. Camera+NEE only (wavefront path)."""
+    tonemap — the MC-estimator metric. --adaptive-backend wavefront =
+    camera+NEE only; pallas = the FULL estimator (photons + per-pixel
+    SPPM radii) through the regen budget kernel (interpret mode here)."""
     from tpurt import RenderConfig, init_state, render_adaptive
-    from tpurt.wavefront import wavefront_render
     scene, cam, kw = build(args.scene)
-    cfg = RenderConfig(backend="wavefront", enable_photons=False,
-                       wf_pool=4096, hero_wavelengths=args.hero, **kw)
+    if args.adaptive_backend == "pallas":
+        from tpurt.render import render
+        cfg = RenderConfig(backend="pallas", pallas_lanes=512,
+                           hero_wavelengths=args.hero, **kw)
+        uniform_render = render
+    else:
+        from tpurt.wavefront import wavefront_render as uniform_render
+        cfg = RenderConfig(backend="wavefront", enable_photons=False,
+                           wf_pool=4096, hero_wavelengths=args.hero, **kw)
     n = cfg.n_pixels
 
     def raw(st):
         return (np.asarray(st.rgb_sum, np.float64)[:n]
                 / np.maximum(np.asarray(st.n_samples, np.float64)[:n, None], 1))
 
-    gt_st = wavefront_render(scene, cfg, cam, init_state(cfg), 999331,
-                             args.gt_spp)
+    gt_st = uniform_render(scene, cfg, cam, init_state(cfg), 999331,
+                           args.gt_spp)
     gt = raw(gt_st)
 
     res = {"uniform": ([], []), "adaptive": ([], [])}
     for rep in range(args.reps):
         seed = 1000 + 7919 * rep
-        st_u = wavefront_render(scene, cfg, cam, init_state(cfg), seed,
-                                args.spp)
+        st_u = uniform_render(scene, cfg, cam, init_state(cfg), seed,
+                              args.spp)
         res["uniform"][0].append(((raw(st_u) - gt) ** 2).mean())
         res["uniform"][1].append(float(st_u.rays))
         st_a, _ = render_adaptive(scene, cfg, cam, base_seed=seed,
@@ -126,6 +134,7 @@ def adaptive_probe(args):
         "gt_spp": args.gt_spp, "hero": args.hero, "mse_uniform": round(mse_u, 6),
         "mse_adaptive": round(mse_a, 6),
         "rays_uniform": rays_u, "rays_adaptive": rays_a,
+        "backend": args.adaptive_backend,
         "eff_equal_rays": round((mse_u * rays_u) / (mse_a * rays_a), 3),
     }), flush=True)
 
@@ -142,6 +151,10 @@ def main():
                     help="adaptive-vs-uniform equal-ray MSE probe instead "
                          "of the flag-stack variance sweep")
     ap.add_argument("--gt-spp", type=int, default=512)
+    ap.add_argument("--adaptive-backend", default="wavefront",
+                    choices=["wavefront", "pallas"],
+                    help="pallas = full estimator (photons) through the "
+                         "regen budget kernel, interpret mode")
     ap.add_argument("--hero", type=int, default=1,
                     help="hero_wavelengths for the adaptive probe (hero>1 "
                          "removes global chroma noise so the probe sees the "

@@ -200,7 +200,7 @@ def denoise_image(scene, cfg: RenderConfig, camera: Camera,
                   sigma_color: float | None = None,
                   sigma_normal: float = 0.35,
                   sigma_depth: float = 0.1, key=None, saturation=None,
-                  aovs: AOVs | None = None):
+                  aovs: AOVs | None = None, tonemap: bool = True):
     """Drop-in denoising variant of `render.resolve_image`: resolve the
     accumulated state to linear radiance, a-trous filter it guided by a
     deterministic AOV pass, then tonemap (ref blit semantics preserved:
@@ -220,6 +220,8 @@ def denoise_image(scene, cfg: RenderConfig, camera: Camera,
                          iterations=iterations, sigma_color=sigma_color,
                          sigma_normal=sigma_normal, sigma_depth=sigma_depth,
                          relax=relax)
+    if not tonemap:
+        return den        # linear, for temporal blending (tpurt.temporal)
     key = cfg.tonemap_key if key is None else key
     saturation = cfg.tonemap_saturation if saturation is None else saturation
     return tm.tonemap(den, key, saturation)
