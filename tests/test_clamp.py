@@ -2,9 +2,13 @@
 reference has no firefly control)."""
 
 import numpy as np
+import pytest
 
 from tpurt import RenderConfig, cornell_spheres_scene, make_camera, render
 from tpurt.render import init_state
+
+# the cross-backend case compiles two Pallas kernels in interpret mode
+pytestmark = pytest.mark.slow
 
 
 def _setup(backend="xla", **kw):

@@ -1,0 +1,73 @@
+"""Interactive-viewer smoke through a pty: keys drive the real event loop
+(move, denoise toggle, temporal toggle, quit). Guards the glue that unit
+tests can't reach (raw-term key parsing, display-path branches)."""
+
+import os
+import pty
+import select
+import subprocess
+import sys
+import time
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+def _drive(keys_after_frames, timeout=420):
+    """Send each key after ``n`` further status lines ("frame ...") have
+    been rendered — event-driven, so the test doesn't guess compile
+    times."""
+    master, slave = pty.openpty()
+    env = dict(os.environ)
+    proc = subprocess.Popen(
+        [sys.executable, "viewer.py", "--cpu", "--backend", "xla",
+         "--scene", "cornell", "--width", "64", "--height", "36",
+         "--depth", "2"],
+        stdin=slave, stdout=slave, stderr=subprocess.PIPE,
+        env=env, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    os.close(slave)
+    out = b""
+    t0 = time.time()
+    sent = list(keys_after_frames)
+    frames_seen = 0
+    send_at_frame = sent[0][0] if sent else None
+    try:
+        while proc.poll() is None and time.time() - t0 < timeout:
+            r, _, _ = select.select([master], [], [], 0.2)
+            if r:
+                try:
+                    out += os.read(master, 65536)
+                except OSError:
+                    break
+            frames_seen = out.count(b"rays_total")
+            while sent and frames_seen >= send_at_frame:
+                _, key = sent.pop(0)
+                os.write(master, key.encode())
+                if sent:
+                    send_at_frame = frames_seen + sent[0][0]
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        os.close(master)
+    err = proc.stderr.read().decode(errors="replace")
+    return proc.returncode, out.decode(errors="replace"), err
+
+
+def test_viewer_temporal_denoise_keys():
+    """First frame renders (slow: jit), then toggle denoise + temporal,
+    move the camera (fires the history capture + reprojection blend),
+    and quit cleanly."""
+    rc, out, err = _drive([
+        (1, "n"),    # after the first frame: toggle denoise
+        (1, "t"),    # temporal on
+        (1, "w"),    # move -> clear + history reproject path
+        (1, "w"),
+        (3, "q"),
+    ])
+    assert rc == 0, f"viewer exited {rc}; stderr tail: {err[-2000:]}"
+    assert "tp" in out            # status line shows the temporal flag
+    assert "dn" in out
+    assert "Traceback" not in err

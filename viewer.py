@@ -207,6 +207,12 @@ def interactive(args):
     key_tm, sat = cfg.tonemap_key, cfg.tonemap_saturation
     denoise = False      # 'n' toggle: a-trous filter the blit (tpurt
     aovs = None          # extension; AOVs cached until the camera moves)
+    temporal = False     # 't' toggle: reproject the pre-move image while
+    thist = None         # the fresh accumulation warms up (display-only —
+    last_lin = None      # the accumulator itself stays exact;
+    last_depth = None    # tpurt.temporal)
+    last_cam = cam
+    TEMPORAL_FADE = 16   # samples until the history blend reaches zero
     preview = False
     frame = 0
     t_last = time.perf_counter()
@@ -261,6 +267,10 @@ def interactive(args):
                     changed = True
                 elif k == "n":
                     denoise = not denoise
+                elif k == "t":
+                    temporal = not temporal
+                    if not temporal:
+                        thist = None
                 elif k == "r":
                     changed = True
                 elif k == "p":
@@ -314,11 +324,18 @@ def interactive(args):
                 state = init_state(cfg)
                 preview = True
                 aovs = None
+                thist = last_lin = None   # history dims changed
                 changed = False          # state already fresh
 
             if changed:
                 # clear accumulation + 1-bounce preview next frame
                 # (ref: lib.rs:514-526, mega_kernel.rs:199-202)
+                if temporal and last_lin is not None:
+                    # the displayed pre-move frame becomes the history the
+                    # post-move frames reproject from
+                    from tpurt.temporal import TemporalState
+                    thist = TemporalState(img=last_lin, depth=last_depth,
+                                          camera=last_cam)
                 state = init_state(cfg)
                 preview = True
                 aovs = None
@@ -334,24 +351,48 @@ def interactive(args):
             preview = False
             frame += 1
 
-            if denoise:
+            if denoise or temporal:
+                from tpurt import tonemap as _tm
                 from tpurt.denoise import denoise_image, render_aovs
                 if aovs is None:
                     aovs = render_aovs(scene, cfg, cam)
-                img = np.asarray(denoise_image(scene, cfg, cam, state,
-                                               key=key_tm, saturation=sat,
-                                               aovs=aovs))
+                if denoise:
+                    lin = denoise_image(scene, cfg, cam, state, aovs=aovs,
+                                        tonemap=False)
+                else:
+                    n = cfg.n_pixels
+                    lin = _tm.resolve(state.rgb_sum[:n],
+                                      state.n_samples[:n]) \
+                        .reshape(cfg.height, cfg.width, 3)
+                if temporal and thist is not None:
+                    # blend fades out as the fresh accumulation converges,
+                    # so the exact estimator takes over
+                    fade = max(0.0, 1.0 - float(state.iteration)
+                               / TEMPORAL_FADE)
+                    if fade > 0.0:
+                        from tpurt.temporal import reproject
+                        warped, valid = reproject(cfg, thist, cam,
+                                                  aovs.depth)
+                        import jax.numpy as _jnp
+                        a = _jnp.where(valid, 0.85 * fade, 0.0)[..., None]
+                        lin = (1.0 - a) * lin + a * warped
+                    else:
+                        thist = None
+                last_lin, last_depth, last_cam = lin, aovs.depth, cam
+                img = np.asarray(_tm.tonemap(lin, key_tm, sat))
             else:
                 img = np.asarray(resolve_image(cfg, state, key=key_tm,
                                                saturation=sat))
+                last_lin = None
             dt_frame = time.perf_counter() - t_frame
             sys.stdout.write("\x1b[H")
             sys.stdout.write(_ansi_blit(img, size.columns, size.lines - 2))
             sys.stdout.write(
                 f"\n\x1b[0m{_stats_line(frame, state, dt_frame, cfg)}  "
                 f"key {key_tm:.1f} sat {sat:.1f}"
-                f"{' dn' if denoise else ''} | wasd/ec move, arrows look, "
-                f"z/x zoom, =/-/[/] tonemap, n denoise, p png, q quit\x1b[K")
+                f"{' dn' if denoise else ''}{' tp' if temporal else ''} | "
+                f"wasd/ec move, arrows look, z/x zoom, =/-/[/] tonemap, "
+                f"n denoise, t temporal, p png, q quit\x1b[K")
             sys.stdout.flush()
 
 
