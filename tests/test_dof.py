@@ -89,6 +89,38 @@ class TestLensSampling:
         assert np.asarray(valid).mean() < 0.05
 
 
+class TestDofValidation:
+    def test_zero_focus_raises_clearly(self):
+        import pytest
+        cam, o, d = _cam(), *generate_rays(
+            _cam(), jnp.asarray([0.5]), jnp.asarray([0.5]))
+        rng = rngmod.seed_pixels(jnp.uint32(1), jnp.zeros(1, jnp.int32),
+                                 jnp.zeros(1, jnp.int32))
+        with pytest.raises(ValueError, match="focus_dist"):
+            lens_perturb(cam, 0.5, 0.0, o, d, rng)
+
+    def test_cli_zero_overrides_scene_file(self, tmp_path):
+        """--aperture 0 must beat a scene file's camera aperture (the CLI
+        default is None, not 0, so explicit zero is distinguishable)."""
+        import argparse, json, sys, os
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, root)
+        import viewer
+        doc = json.load(open(os.path.join(root, "examples/cornell.json")))
+        doc["camera"].update(aperture=0.5, focus_dist=6.0)
+        p = tmp_path / "s.json"
+        p.write_text(json.dumps(doc))
+        base = dict(scene_file=str(p), scene="cornell", width=64, height=36,
+                    depth=2, backend="xla", hero=1, dispersion=False,
+                    clamp=0.0)
+        cfg, *_ = viewer._build(argparse.Namespace(
+            **base, aperture=None, focus=None))
+        assert cfg.aperture == 0.5 and cfg.focus_dist == 6.0
+        cfg0, *_ = viewer._build(argparse.Namespace(
+            **base, aperture=0.0, focus=None))
+        assert cfg0.aperture == 0.0
+
+
 class TestDofBackends:
     def _setup(self, backend, **kw):
         cfg = RenderConfig(width=64, height=32, depth=4, backend=backend,

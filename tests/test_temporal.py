@@ -35,7 +35,7 @@ class TestReproject:
         rng = np.random.default_rng(0)
         img = jnp.asarray(rng.random((64, 96, 3), np.float32))
         prev = TemporalState(img=img, depth=aovs.depth, camera=cam)
-        warped, valid = reproject(cfg, prev, cam, aovs.depth)
+        warped, valid = reproject(prev, cam, aovs.depth)
         v = np.asarray(valid)
         hit = np.asarray(aovs.depth) > 0
         assert v[hit].mean() > 0.99
@@ -53,7 +53,7 @@ class TestReproject:
         rng = np.random.default_rng(1)
         img = jnp.asarray(rng.random((64, 96, 3), np.float32))
         prev = TemporalState(img=img, depth=aovs1.depth, camera=cam)
-        warped, valid = reproject(cfg, prev, cam2, aovs2.depth)
+        warped, valid = reproject(prev, cam2, aovs2.depth)
         v = np.asarray(valid)
         assert 0.5 < v.mean() < 1.0
         assert np.isfinite(np.asarray(warped)).all()
@@ -63,7 +63,7 @@ class TestReproject:
         aovs = render_aovs(scene, cfg, cam)
         prev = TemporalState(img=jnp.zeros((64, 96, 3)),
                              depth=aovs.depth, camera=cam)
-        _, valid = reproject(cfg, prev, cam, jnp.zeros((64, 96)))
+        _, valid = reproject(prev, cam, jnp.zeros((64, 96)))
         assert not np.asarray(valid).any()
 
 
@@ -72,9 +72,22 @@ class TestTemporalBlend:
         cfg, scene, cam = _setup()
         aovs = render_aovs(scene, cfg, cam)
         img = jnp.ones((64, 96, 3)) * 0.3
-        out, ts = temporal_blend(cfg, None, cam, aovs, img, alpha=0.8)
+        out, ts = temporal_blend(None, cam, aovs, img, alpha=0.8)
         assert (np.asarray(out) == 0.3).all()
         assert ts.camera is cam
+
+    def test_alpha_clamped_no_feedback_blowup(self):
+        """alpha > 1 would be a gain->infinity feedback loop (the history
+        stores the blended output); temporal_blend clamps it to 1."""
+        cfg, scene, cam = _setup()
+        aovs = render_aovs(scene, cfg, cam)
+        ts = None
+        img = jnp.ones((64, 96, 3)) * 0.5
+        for _ in range(12):
+            out, ts = temporal_blend(ts, cam, aovs, img, alpha=1.7)
+        o = np.asarray(out)
+        assert np.isfinite(o).all()
+        assert 0.0 <= o.min() and o.max() <= 0.5 + 1e-5
 
     def test_static_accumulation_reduces_noise(self):
         """Static camera, independent noisy frames: the EMA output drifts
@@ -88,7 +101,7 @@ class TestTemporalBlend:
             st = render(scene, cfg, cam, init_state(cfg), 10 + f, 2)
             lin = _linear(cfg, st)
             frames.append(np.asarray(lin))
-            out, ts = temporal_blend(cfg, ts, cam, aovs, lin, alpha=0.8)
+            out, ts = temporal_blend(ts, cam, aovs, lin, alpha=0.8)
         mse_single = float(((frames[-1] - np.asarray(gt)) ** 2).mean())
         mse_temporal = float(((np.asarray(out) - np.asarray(gt)) ** 2).mean())
         assert mse_temporal < mse_single / 3.0

@@ -101,10 +101,10 @@ def main():
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--aperture", type=float, default=0.0,
+    ap.add_argument("--aperture", type=float, default=None,
                     help="thin-lens diameter for depth of field "
                          "(0 = reference pinhole)")
-    ap.add_argument("--focus", type=float, default=0.0,
+    ap.add_argument("--focus", type=float, default=None,
                     help="focus distance (default: the look-at point)")
     ap.add_argument("--clamp", type=float, default=0.0,
                     help="per-sample radiance clamp (firefly control; "
@@ -175,7 +175,7 @@ def main():
                     .reshape(cfg.height, cfg.width, 3)
             if args.temporal:
                 from tpurt.temporal import temporal_blend
-                lin, tstate = temporal_blend(cfg, tstate, cam, aovs, lin,
+                lin, tstate = temporal_blend(tstate, cam, aovs, lin,
                                              alpha=args.temporal)
             img = np.asarray(tm.tonemap(lin, cfg.tonemap_key,
                                         cfg.tonemap_saturation))

@@ -126,6 +126,9 @@ def lens_perturb(cam: Camera, aperture: float, focus_dist: float, o, d, rng):
     pixel-jitter draws, before the wavelength draw — all backends shift
     their streams identically, keeping cross-backend exactness.
     """
+    if focus_dist <= 0.0:
+        raise ValueError("aperture > 0 requires focus_dist > 0 "
+                         "(the sharp-plane distance; see RenderConfig)")
     from tpurt.ops import rng as rngmod
     u_lens, rng = rngmod.rand_2f(rng)
     # op-for-op identical to lens_perturb_c (rsqrt, a*h_c + b*v_c) so the
@@ -148,6 +151,9 @@ def lens_perturb_c(aperture: float, focus_dist: float, rng, o0, d0,
     cam_v are 3-tuples (lane arrays / SMEM scalars). Identical draws
     (rand_1f twice == rand_2f) and identical math, so kernel and XLA
     backends stay stream- and value-comparable."""
+    if focus_dist <= 0.0:
+        raise ValueError("aperture > 0 requires focus_dist > 0 "
+                         "(the sharp-plane distance; see RenderConfig)")
     u1, rng = rand_1f(rng)
     u2, rng = rand_1f(rng)
     hn2 = cam_h[0] * cam_h[0] + cam_h[1] * cam_h[1] + cam_h[2] * cam_h[2]

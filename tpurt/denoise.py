@@ -200,7 +200,8 @@ def denoise_image(scene, cfg: RenderConfig, camera: Camera,
                   sigma_color: float | None = None,
                   sigma_normal: float = 0.35,
                   sigma_depth: float = 0.1, key=None, saturation=None,
-                  aovs: AOVs | None = None, tonemap: bool = True):
+                  aovs: AOVs | None = None, tonemap: bool = True,
+                  defocus_clamp_px: float = 2.0):
     """Drop-in denoising variant of `render.resolve_image`: resolve the
     accumulated state to linear radiance, a-trous filter it guided by a
     deterministic AOV pass, then tonemap (ref blit semantics preserved:
@@ -214,7 +215,7 @@ def denoise_image(scene, cfg: RenderConfig, camera: Camera,
         aovs = render_aovs(scene, cfg, camera)
     # DOF renders: relax feature edge-stopping where the lens has blurred
     # the radiance (the pinhole AOVs stay sharp there — see defocus_relax)
-    relax = (defocus_relax(cfg, aovs.depth)
+    relax = (defocus_relax(cfg, aovs.depth, clamp_px=defocus_clamp_px)
              if cfg.aperture > 0.0 else None)
     den = atrous_denoise(avg, aovs.albedo, aovs.normal, aovs.depth,
                          iterations=iterations, sigma_color=sigma_color,

@@ -32,14 +32,12 @@ for the camera that rendered it.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from tpurt.camera import Camera
-from tpurt.config import RenderConfig
 from tpurt.denoise import AOVs
 
 
@@ -59,9 +57,9 @@ def _basis(cam: Camera):
     return h, v, jnp.sqrt(hn2), jnp.sqrt(vn2), fn
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def reproject(cfg: RenderConfig, prev: TemporalState, cam_new: Camera,
-              depth_new, *, depth_tol: float = 0.05):
+@jax.jit
+def reproject(prev: TemporalState, cam_new: Camera,
+              depth_new, depth_tol: float = 0.05):
     """Warp the history into the new camera.
 
     ``depth_new`` is the NEW frame's AOV depth plane (H, W). Returns
@@ -127,7 +125,7 @@ def reproject(cfg: RenderConfig, prev: TemporalState, cam_new: Camera,
     return warped, valid
 
 
-def temporal_blend(cfg: RenderConfig, prev: TemporalState | None,
+def temporal_blend(prev: TemporalState | None,
                    cam: Camera, aovs: AOVs, img_linear,
                    alpha: float = 0.8, depth_tol: float = 0.05):
     """Blend the current frame's LINEAR image with reprojected history.
@@ -137,11 +135,12 @@ def temporal_blend(cfg: RenderConfig, prev: TemporalState | None,
     weight where reprojection is valid; disoccluded pixels fall back to
     the current frame.
     """
+    alpha = min(max(float(alpha), 0.0), 1.0)   # >1 would be a feedback
+    #   loop with gain > 1 (the history stores the blended output)
     if prev is None:
         blended = img_linear
     else:
-        warped, valid = reproject(cfg, prev, cam, aovs.depth,
-                                  depth_tol=depth_tol)
+        warped, valid = reproject(prev, cam, aovs.depth, depth_tol)
         a = jnp.where(valid, jnp.float32(alpha), 0.0)[..., None]
         blended = (1.0 - a) * img_linear + a * warped
     return blended, TemporalState(img=blended, depth=aovs.depth, camera=cam)

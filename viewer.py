@@ -82,11 +82,17 @@ def _build(args):
             # the unstratified sequence; photon flags are inert — no
             # photon pass) — keep the mesh scene launchable on them
             extra.pop("camera_strata_bounce")
-    aperture = getattr(args, "aperture", 0.0)
-    focus = getattr(args, "focus", 0.0)
+    # CLI None = "not given" so an explicit --aperture 0 overrides a scene
+    # file's camera; --focus 0/None = auto (the look-at distance)
+    aperture = getattr(args, "aperture", None)
+    focus = getattr(args, "focus", None)
     if args.scene_file:
-        aperture = aperture or float(cam_meta.get("aperture", 0.0))
-        focus = focus or float(cam_meta.get("focus_dist", 0.0))
+        if aperture is None:
+            aperture = float(cam_meta.get("aperture", 0.0))
+        if not focus:
+            focus = float(cam_meta.get("focus_dist", 0.0))
+    if aperture is None:
+        aperture = 0.0
     if not focus:
         # default focal plane: the look-at point (only matters with DOF on)
         focus = float(np.linalg.norm(np.asarray(at, np.float64)
@@ -371,8 +377,7 @@ def interactive(args):
                                / TEMPORAL_FADE)
                     if fade > 0.0:
                         from tpurt.temporal import reproject
-                        warped, valid = reproject(cfg, thist, cam,
-                                                  aovs.depth)
+                        warped, valid = reproject(thist, cam, aovs.depth)
                         import jax.numpy as _jnp
                         a = _jnp.where(valid, 0.85 * fade, 0.0)[..., None]
                         lin = (1.0 - a) * lin + a * warped
@@ -418,10 +423,11 @@ def main():
     ap.add_argument("--dispersion", action="store_true",
                     help="Cauchy dispersion on the camera path too "
                          "(default off = the reference quirk, wgsl :915)")
-    ap.add_argument("--aperture", type=float, default=0.0,
+    ap.add_argument("--aperture", type=float, default=None,
                     help="thin-lens diameter for depth of field "
-                         "(0 = reference pinhole)")
-    ap.add_argument("--focus", type=float, default=0.0,
+                         "(0 = reference pinhole; unset defers to a "
+                         "--scene-file camera)")
+    ap.add_argument("--focus", type=float, default=None,
                     help="focus distance (default: the look-at point)")
     ap.add_argument("--clamp", type=float, default=0.0,
                     help="per-sample radiance clamp (firefly control; "
