@@ -92,6 +92,15 @@ def test_api_md_snippets(tmp_path):
     assert np.isfinite(np.asarray(dimg)).all()
     assert (np.asarray(dimg) == np.asarray(dimg2)).all()
 
+    # temporal reprojection section
+    from tpurt import tonemap as _tm
+    from tpurt.temporal import temporal_blend
+    lin = denoise_image(lit_scene, cfg, cam, st, aovs=aovs, tonemap=False)
+    lin, ts = temporal_blend(None, cam, aovs, lin, alpha=0.8)
+    lin, ts = temporal_blend(ts, cam, aovs, lin, alpha=0.8)
+    timg = _tm.tonemap(lin, cfg.tonemap_key, cfg.tonemap_saturation)
+    assert np.isfinite(np.asarray(timg)).all()
+
     from tpurt.utils.scene_io import load_scene_json
     s3, cam_meta = load_scene_json("examples/cornell.json")
     assert cam_meta is not None and "eye" in cam_meta

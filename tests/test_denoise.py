@@ -152,6 +152,7 @@ class TestDefocusRelax:
 
 
 class TestDenoiseImage:
+    @pytest.mark.slow
     def test_end_to_end_reduces_noise(self):
         """Denoised low-spp render must be much closer to a high-spp
         reference than the raw low-spp resolve is."""

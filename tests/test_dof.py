@@ -3,6 +3,7 @@ cfg.aperture + cfg.focus_dist thin-lens sampling (camera.lens_perturb)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tpurt import (RenderConfig, cornell_spheres_scene, make_camera, render)
 from tpurt.camera import generate_rays, lens_perturb, lens_perturb_c
@@ -121,6 +122,7 @@ class TestDofValidation:
         assert cfg0.aperture == 0.0
 
 
+@pytest.mark.slow
 class TestDofBackends:
     def _setup(self, backend, **kw):
         cfg = RenderConfig(width=64, height=32, depth=4, backend=backend,

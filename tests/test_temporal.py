@@ -3,6 +3,7 @@ reference clears its accumulator on any camera change, lib.rs:514-526)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tpurt import RenderConfig, cornell_spheres_scene, make_camera, render
 from tpurt.denoise import render_aovs
@@ -89,6 +90,7 @@ class TestTemporalBlend:
         assert np.isfinite(o).all()
         assert 0.0 <= o.min() and o.max() <= 0.5 + 1e-5
 
+    @pytest.mark.slow
     def test_static_accumulation_reduces_noise(self):
         """Static camera, independent noisy frames: the EMA output drifts
         toward the converged image much closer than any single frame."""
