@@ -111,5 +111,6 @@ def test_api_md_snippets(tmp_path):
                  "make_pallas_sharded_step", "make_regen_sharded_step",
                  "make_wavefront_sharded_step", "make_sample_sharded_step",
                  "make_wavefront_budget_sharded_step",
+                 "make_regen_budget_sharded_step", "build_regen_budget_aux",
                  "resolve_planes"):
         assert callable(getattr(sh, name)), name

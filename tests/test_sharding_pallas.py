@@ -218,3 +218,37 @@ def test_render_image_sharded_front_door():
     fcfg = RenderConfig(width=64, height=32, backend="wavefront_fused")
     with pytest.raises(ValueError, match="no sharded form"):
         sh.render_image_sharded(scene, fcfg, cam, spp=2, mesh=mesh)
+
+
+def test_sharded_regen_budget_bit_identical():
+    """The sharded BUDGET regen step (adaptive sampling, full estimator)
+    equals the single-chip render_budget_regen bit-for-bit across the full
+    8-device mesh: aux budget/count/radius planes shard like the state."""
+    from tpurt.kernels.mega_regen import render_budget_regen
+    from tpurt.render import init_state, padded_pixels
+    cfg = RenderConfig(width=64, height=32, depth=3, backend="pallas",
+                       pallas_lanes=256, k_photons=1, max_photon_bounces=2)
+    scene = cornell_spheres_scene()
+    cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                      aspect_ratio=2.0)
+    P = padded_pixels(cfg)
+    rng = np.random.default_rng(6)
+    budgets = np.zeros((P,), np.int32)
+    budgets[: cfg.n_pixels] = rng.integers(0, 4, cfg.n_pixels)
+    budgets = jnp.asarray(budgets)
+
+    st0 = init_state(cfg)
+    st_single = render_budget_regen(scene, cfg, cam, st0, 17, budgets, 3)
+
+    mesh = sh.make_mesh(8)
+    planes = sh.init_planes_sharded(cfg, mesh)
+    aux, clipped = sh.build_regen_budget_aux(cfg, budgets, st0.n_samples, 3)
+    step = sh.make_regen_budget_sharded_step(mesh, cfg, scene, 3,
+                                             interpret=True)
+    planes, rays = step(cam, planes, aux, jnp.float32(0.0), jnp.uint32(17))
+
+    assert float(rays) == float(st_single.rays) != 0.0
+    flat = np.asarray(planes).reshape(16, -1)
+    flat = np.asarray(mp.planes_pixel_order(cfg, jnp.asarray(flat)))
+    a = np.stack([flat[0], flat[1], flat[2]], -1)
+    np.testing.assert_array_equal(a, np.asarray(st_single.rgb_sum))

@@ -426,6 +426,70 @@ def make_regen_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
     return jax.jit(sharded)
 
 
+def build_regen_budget_aux(cfg: RenderConfig, budgets, counts,
+                           max_budget: int):
+    """Aux planes for the sharded regen BUDGET step: the (3, TR, 128) f32
+    stack of per-lane budget / base count / starting SPPM radius in plane
+    order — the multi-chip twin of the single-chip packing inside
+    mega_regen._render_budget_regen_jit (same clip, same radius
+    recurrence, so sharded and single-chip runs stay bit-identical).
+    ``budgets``/``counts`` are full padded (P,) arrays (budgets i32-like,
+    counts = the state's per-pixel n_samples)."""
+    from tpurt.kernels.mega_pallas import pixels_to_planes_order
+    from tpurt.kernels.mega_regen import budget_radius_plane
+    P_ = budgets.shape[0]
+    budgets = jnp.clip(budgets.astype(jnp.int32), 0, max_budget)
+    budgets = jnp.where(jnp.arange(P_) < cfg.n_pixels, budgets, 0)
+    cnt_f = counts.astype(jnp.float32)
+    rad0 = budget_radius_plane(cfg, cnt_f)
+    aux = pixels_to_planes_order(
+        cfg, jnp.stack([budgets.astype(jnp.float32), cnt_f, rad0]))
+    return aux.reshape(3, P_ // 128, 128), budgets
+
+
+def make_regen_budget_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
+                                   max_budget: int,
+                                   interpret: bool | None = None):
+    """Multi-chip BUDGET regenerative step (adaptive sampling with the
+    full estimator, sharded over pixel slabs): each device runs the
+    per-lane budget state machine (mega_regen budget mode) on its plane
+    slab; the aux budget/count/radius planes shard exactly like the state
+    planes. Every (pixel, sample) path is the single-chip path.
+
+    Returns f(camera, planes, aux, rays, base_seed) -> (planes, rays);
+    build `aux` with build_regen_budget_aux and track n_samples/iteration
+    host-side like the single-chip render_budget_regen does.
+    """
+    from tpurt.kernels import mega_regen as mr
+
+    if not mr.supports_scene(scene, cfg):
+        raise ValueError(
+            "scene exceeds the fused-kernel budgets — adaptive budgets "
+            "need the regen kernel (see render_budget_regen)")
+    fscene = mr.freeze_scene(scene)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    R = cfg.pallas_lanes // 128
+
+    def body(camera, planes, aux, rays, base_seed):
+        me = jax.lax.axis_index(AXIS)
+        tiles_local = planes.shape[1] // R
+        new_planes, tile_rays = mr.regen_call(
+            fscene, cfg, camera, planes, base_seed, 0, jnp.int32(0),
+            jnp.float32(cfg.photon_radius_init), me * tiles_local,
+            interpret, aux=aux)
+        return (new_planes,
+                rays + jax.lax.psum(jnp.sum(tile_rays), AXIS))
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(None, AXIS, None), P(None, AXIS, None), P(), P()),
+        out_specs=(P(None, AXIS, None), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_regen_sample_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
                                    spp: int, interpret: bool | None = None):
     """SAMPLE sharding for the regenerative megakernel: the full plane
