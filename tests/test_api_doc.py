@@ -92,6 +92,15 @@ def test_api_md_snippets(tmp_path):
     assert np.isfinite(np.asarray(dimg)).all()
     assert (np.asarray(dimg) == np.asarray(dimg2)).all()
 
+    # motion blur section
+    from tpurt.camera import MotionCamera
+    mcfg = RenderConfig(width=32, height=16, depth=2, backend="xla",
+                        tile_size=512, motion_blur=True)
+    mcam = MotionCamera(cam0=make_camera((0, 5, -12), (0, 5, 0), vfov=60.0),
+                        cam1=make_camera((1, 5, -12), (1, 5, 0), vfov=60.0))
+    mst = render(lit_scene, mcfg, mcam, init_state(mcfg), 1, 2)
+    assert float(mst.rays) > 0
+
     # temporal reprojection section
     from tpurt import tonemap as _tm
     from tpurt.temporal import temporal_blend

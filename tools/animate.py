@@ -112,6 +112,10 @@ def main():
     ap.add_argument("--denoise", action="store_true",
                     help="a-trous denoise each frame (AOV-guided; lets "
                          "low --spp frames pass for converged ones)")
+    ap.add_argument("--shutter", type=float, default=0.0, metavar="FRAC",
+                    help="motion blur: shutter stays open for FRAC of a "
+                         "frame interval (camera-only blur; orbit/path "
+                         "cameras are evaluated at frame and frame+FRAC)")
     ap.add_argument("--temporal", type=float, default=0.0, metavar="ALPHA",
                     help="blend each frame with the reprojected previous "
                          "frame (history weight ALPHA, e.g. 0.8; biased "
@@ -152,13 +156,18 @@ def main():
             # temporal mode re-renders everything: skipping a frame would
             # hole the history chain
             continue
-        if keys is not None:
-            cam = path_camera(frame, keys, aspect)
-        elif args.orbit:
-            cam = orbit_camera(frame, args.frames, eye0, look_at, vfov,
-                               aspect)
-        else:
-            cam = cam0  # fixed camera: frames differ only by seed
+        def cam_at(f):
+            if keys is not None:
+                return path_camera(f, keys, aspect)
+            if args.orbit:
+                return orbit_camera(f, args.frames, eye0, look_at, vfov,
+                                    aspect)
+            return cam0  # fixed camera: frames differ only by seed
+
+        cam = cam_at(frame)
+        if args.shutter > 0.0:
+            from tpurt.camera import MotionCamera
+            cam = MotionCamera(cam0=cam, cam1=cam_at(frame + args.shutter))
         t0 = time.perf_counter()
         st = render(scene, cfg, cam, init_state(cfg), args.seed + frame,
                     args.spp)
@@ -174,8 +183,10 @@ def main():
                 lin = tm.resolve(st.rgb_sum[:n], st.n_samples[:n]) \
                     .reshape(cfg.height, cfg.width, 3)
             if args.temporal:
+                from tpurt.camera import base_camera
                 from tpurt.temporal import temporal_blend
-                lin, tstate = temporal_blend(tstate, cam, aovs, lin,
+                lin, tstate = temporal_blend(tstate, base_camera(cam),
+                                             aovs, lin,
                                              alpha=args.temporal)
             img = np.asarray(tm.tonemap(lin, cfg.tonemap_key,
                                         cfg.tonemap_saturation))

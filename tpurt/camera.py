@@ -170,6 +170,108 @@ def lens_perturb_c(aperture: float, focus_dist: float, rng, o0, d0,
             tuple(d0[c] - off[c] * finv for c in range(3)), rng)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MotionCamera:
+    """Camera pose pair for shutter motion blur (tpurt extension; the
+    reference has no shutter). With ``RenderConfig.motion_blur=True`` every
+    backend accepts this in place of a Camera: each camera ray draws one
+    shutter time u_t ~ U(0,1) and uses the basis lerp(cam0, cam1, u_t) —
+    one extra uniform after the pixel jitter, at the same stream position
+    in all backends, so cross-backend exactness holds with the shutter
+    open. Geometry is static (camera-only blur, like the capability
+    surface being matched)."""
+    cam0: Camera
+    cam1: Camera
+
+
+def motion_rows(camera) -> jnp.ndarray:
+    """(8, 3) kernel camera table for motion blur: rows 0-3 the shutter-open
+    basis (origin/horizontal/vertical/lower_left), rows 4-7 the deltas to
+    shutter close — the per-lane basis is row_i + u_t * row_{i+4}."""
+    c0, c1 = camera.cam0, camera.cam1
+    base = jnp.stack([c0.origin, c0.horizontal, c0.vertical, c0.lower_left])
+    end = jnp.stack([c1.origin, c1.horizontal, c1.vertical, c1.lower_left])
+    return jnp.concatenate([base, end - base], axis=0)
+
+
+def lerp_camera_vecs(camera: MotionCamera, u_t):
+    """Per-lane lerped basis vectors for the XLA spawn paths: returns
+    (origin, horizontal, vertical, lower_left), each (..., 3) with the
+    leading dims of ``u_t``."""
+    c0, c1 = camera.cam0, camera.cam1
+    t = u_t[..., None]
+
+    def L(a, b):
+        return a[None, :] + t * (b - a)[None, :]
+
+    return (L(c0.origin, c1.origin), L(c0.horizontal, c1.horizontal),
+            L(c0.vertical, c1.vertical), L(c0.lower_left, c1.lower_left))
+
+
+def base_camera(camera) -> Camera:
+    """The shutter-open Camera of either a Camera or a MotionCamera (for
+    consumers that need one pose: AOVs, temporal reprojection, viewers)."""
+    return camera.cam0 if isinstance(camera, MotionCamera) else camera
+
+
+def lens_perturb_hv(aperture: float, focus_dist: float, h, v, o, d, rng):
+    """`lens_perturb` with explicit basis vectors ((..., 3), broadcastable
+    against o/d) — the motion-blur path needs the per-lane lerped basis
+    instead of a single camera's. Same draws and op order."""
+    if focus_dist <= 0.0:
+        raise ValueError("aperture > 0 requires focus_dist > 0 "
+                         "(the sharp-plane distance; see RenderConfig)")
+    from tpurt.ops import rng as rngmod
+    u_lens, rng = rngmod.rand_2f(rng)
+    hinv = jax.lax.rsqrt(jnp.sum(h * h, axis=-1))
+    vinv = jax.lax.rsqrt(jnp.sum(v * v, axis=-1))
+    r = jnp.sqrt(u_lens[..., 0]) * jnp.float32(0.5 * aperture)
+    phi = u_lens[..., 1] * jnp.float32(2.0 * math.pi)
+    a = (r * jnp.cos(phi) * hinv)[..., None]
+    b = (r * jnp.sin(phi) * vinv)[..., None]
+    off = a * h + b * v
+    finv = jnp.float32(1.0 / focus_dist)
+    return o + off, d - off * finv, rng
+
+
+def lerp_components_c(camera: MotionCamera, u_t):
+    """Component-form shutter lerp for kernels whose camera arrives as a
+    pytree of (3,) arrays: returns (ll, h, v, o) as 3-tuples of lane
+    arrays at the per-lane shutter times ``u_t``."""
+    c0, c1 = camera.cam0, camera.cam1
+
+    def L(a, b):
+        return tuple(a[c] + u_t * (b[c] - a[c]) for c in range(3))
+
+    return (L(c0.lower_left, c1.lower_left),
+            L(c0.horizontal, c1.horizontal),
+            L(c0.vertical, c1.vertical),
+            L(c0.origin, c1.origin))
+
+
+def spawn_camera_rays(cfg, camera, u, v, rng):
+    """Shared XLA camera-ray spawn: [shutter-time draw] -> ray gen ->
+    [lens draws]. ``camera`` is a Camera, or a MotionCamera when
+    cfg.motion_blur. Draw order (jitter happens at the caller):
+    time, lens, then the caller's wavelength — identical in every
+    backend, so cross-backend streams stay exact."""
+    from tpurt.ops import rng as rngmod
+    if cfg.motion_blur:
+        u_t, rng = rngmod.rand_1f(rng)
+        o, h, vv, ll = lerp_camera_vecs(camera, u_t)
+        d = ll + u[..., None] * h + v[..., None] * vv - o
+        if cfg.aperture > 0.0:
+            o, d, rng = lens_perturb_hv(cfg.aperture, cfg.focus_dist,
+                                        h, vv, o, d, rng)
+        return o, d, rng
+    o, d = generate_rays(camera, u, v)
+    if cfg.aperture > 0.0:
+        o, d, rng = lens_perturb(camera, cfg.aperture, cfg.focus_dist,
+                                 o, d, rng)
+    return o, d, rng
+
+
 def _rot_axis_angle(axis, angle):
     """3x3 rotation about a unit axis (Rodrigues) — host-side numpy."""
     axis = np.asarray(axis, np.float64)

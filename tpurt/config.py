@@ -102,6 +102,13 @@ class RenderConfig:
     #   viewport rescale would perturb radiance).
     focus_dist: float = 1.0            # world distance (along the view
     #   axis) of the sharp plane when aperture > 0; ignored at aperture 0.
+    motion_blur: bool = False          # EXTENSION (False = reference):
+    #   True makes every backend accept a camera.MotionCamera (shutter
+    #   open/close pose pair) and draw one shutter time per camera ray
+    #   (after the pixel jitter, before the lens/wavelength draws — the
+    #   same stream position everywhere, so cross-backend exactness
+    #   holds). Camera-only blur; geometry is static. False compiles to
+    #   the unchanged reference sampling.
     # Geometry path
     use_bvh: bool = False              # True: per-ray BVH traversal (XLA
     #   path only). The Pallas kernels accelerate big scenes their own way:

@@ -75,9 +75,11 @@ def render_aovs(scene, cfg: RenderConfig, camera: Camera) -> AOVs:
     secondary bounces are what the filter is smoothing). Dielectric
     first hits keep their material color as albedo — for the default
     near-white glass this makes demodulation a near-no-op there, which is
-    the right behavior for a specular surface.
+    the right behavior for a specular surface. A MotionCamera uses its
+    shutter-open pose (features stay deterministic).
     """
-    return _render_aovs_jit(scene, cfg, camera)
+    from tpurt.camera import base_camera
+    return _render_aovs_jit(scene, cfg, base_camera(camera))
 
 
 # 1D B3-spline kernel; the 5x5 filter is its outer product (separable, but

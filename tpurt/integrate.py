@@ -697,11 +697,8 @@ def render_tile(scene, cfg: RenderConfig, camera, px, py, seed, photon_radius,
     u_jit, rng = rngmod.rand_2f(rng)
     u = (px.astype(jnp.float32) + u_jit[:, 0]) / jnp.float32(cfg.width)
     v = (py.astype(jnp.float32) + u_jit[:, 1]) / jnp.float32(cfg.height)
-    from tpurt.camera import generate_rays, lens_perturb
-    ray_o, ray_d = generate_rays(camera, u, v)
-    if cfg.aperture > 0.0:
-        ray_o, ray_d, rng = lens_perturb(camera, cfg.aperture,
-                                         cfg.focus_dist, ray_o, ray_d, rng)
+    from tpurt.camera import spawn_camera_rays
+    ray_o, ray_d, rng = spawn_camera_rays(cfg, camera, u, v, rng)
 
     u_lam, rng = rngmod.rand_1f(rng)
     from tpurt.ops.spectra import sample_wavelength

@@ -1460,14 +1460,29 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
         cam_h = (cam_ref[1, 0], cam_ref[1, 1], cam_ref[1, 2])
         cam_v = (cam_ref[2, 0], cam_ref[2, 1], cam_ref[2, 2])
         cam_ll = (cam_ref[3, 0], cam_ref[3, 1], cam_ref[3, 2])
-        d0 = tuple(
-            cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c] for c in range(3)
-        )
-        o0 = s.vbroadcast(cam_o, u)
+        if cfg.motion_blur:
+            cam_do = (cam_ref[4, 0], cam_ref[4, 1], cam_ref[4, 2])
+            cam_dh = (cam_ref[5, 0], cam_ref[5, 1], cam_ref[5, 2])
+            cam_dv = (cam_ref[6, 0], cam_ref[6, 1], cam_ref[6, 2])
+            cam_dll = (cam_ref[7, 0], cam_ref[7, 1], cam_ref[7, 2])
+        if cfg.motion_blur:
+            ut, rng = rngmod.rand_1f(rng)
+            ch = tuple(cam_h[c] + ut * cam_dh[c] for c in range(3))
+            cv = tuple(cam_v[c] + ut * cam_dv[c] for c in range(3))
+            co = tuple(cam_o[c] + ut * cam_do[c] for c in range(3))
+            d0 = tuple(cam_ll[c] + ut * cam_dll[c]
+                       + u * ch[c] + v * cv[c] - co[c] for c in range(3))
+            o0 = co
+        else:
+            ch, cv = cam_h, cam_v
+            d0 = tuple(
+                cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c] for c in range(3)
+            )
+            o0 = s.vbroadcast(cam_o, u)
         if cfg.aperture > 0.0:
             from tpurt.camera import lens_perturb_c
             o0, d0, rng = lens_perturb_c(cfg.aperture, cfg.focus_dist,
-                                         rng, o0, d0, cam_h, cam_v,
+                                         rng, o0, d0, ch, cv,
                                          rngmod.rand_1f)
 
         # --- one (hero) wavelength per sample (wgsl :995) ---
@@ -1787,8 +1802,12 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
     assert TR % R == 0, (TR, R)
     n_tiles = TR // R
 
-    cam = jnp.stack([camera.origin, camera.horizontal,
-                     camera.vertical, camera.lower_left])
+    if cfg.motion_blur:
+        from tpurt.camera import motion_rows
+        cam = motion_rows(camera)                 # (8, 3): basis + deltas
+    else:
+        cam = jnp.stack([camera.origin, camera.horizontal,
+                         camera.vertical, camera.lower_left])
     if strata_seed is None:
         strata_seed = seed
     seed_arr = jnp.stack([jnp.asarray(seed, jnp.uint32),

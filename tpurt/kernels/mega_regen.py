@@ -144,6 +144,11 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
         cam_h = (cam_ref[1, 0], cam_ref[1, 1], cam_ref[1, 2])
         cam_v = (cam_ref[2, 0], cam_ref[2, 1], cam_ref[2, 2])
         cam_ll = (cam_ref[3, 0], cam_ref[3, 1], cam_ref[3, 2])
+        if cfg.motion_blur:
+            cam_do = (cam_ref[4, 0], cam_ref[4, 1], cam_ref[4, 2])
+            cam_dh = (cam_ref[5, 0], cam_ref[5, 1], cam_ref[5, 2])
+            cam_dv = (cam_ref[6, 0], cam_ref[6, 1], cam_ref[6, 2])
+            cam_dll = (cam_ref[7, 0], cam_ref[7, 1], cam_ref[7, 2])
 
         intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref,
                                             chunk=chunk)
@@ -258,14 +263,25 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 uj2, rng_c = rngmod.rand_1f(rng_c)
                 u = (px.astype(jnp.float32) + uj1) / jnp.float32(W)
                 v = (py.astype(jnp.float32) + uj2) / jnp.float32(H)
-                d0 = tuple(cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c]
-                           for c in range(3))
-                o0 = s.vbroadcast(cam_o, u)
+                if cfg.motion_blur:
+                    ut, rng_c = rngmod.rand_1f(rng_c)
+                    ch = tuple(cam_h[c] + ut * cam_dh[c] for c in range(3))
+                    cv = tuple(cam_v[c] + ut * cam_dv[c] for c in range(3))
+                    co = tuple(cam_o[c] + ut * cam_do[c] for c in range(3))
+                    d0 = tuple(cam_ll[c] + ut * cam_dll[c]
+                               + u * ch[c] + v * cv[c] - co[c]
+                               for c in range(3))
+                    o0 = co
+                else:
+                    ch, cv = cam_h, cam_v
+                    d0 = tuple(cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c]
+                               for c in range(3))
+                    o0 = s.vbroadcast(cam_o, u)
                 if cfg.aperture > 0.0:
                     from tpurt.camera import lens_perturb_c
                     o0, d0, rng_c = lens_perturb_c(
                         cfg.aperture, cfg.focus_dist, rng_c, o0, d0,
-                        cam_h, cam_v,
+                        ch, cv,
                         rngmod.rand_1f)
                 ulam, rng_c = rngmod.rand_1f(rng_c)
                 lam_new = (jnp.float32(VISIBLE_MIN)
@@ -630,8 +646,12 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
         "init the state with cfg.backend='pallas'")
     n_tiles = TR // R
 
-    cam = jnp.stack([camera.origin, camera.horizontal,
-                     camera.vertical, camera.lower_left])
+    if cfg.motion_blur:
+        from tpurt.camera import motion_rows
+        cam = motion_rows(camera)                 # (8, 3): basis + deltas
+    else:
+        cam = jnp.stack([camera.origin, camera.horizontal,
+                         camera.vertical, camera.lower_left])
     seed_arr = jnp.asarray(base_seed, jnp.uint32).reshape(1, 1)
     spp_arr = jnp.stack([jnp.asarray(spp, jnp.int32),
                          jnp.asarray(iteration, jnp.int32)]).reshape(1, 2)

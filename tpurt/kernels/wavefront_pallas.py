@@ -269,9 +269,14 @@ def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
     uj2, new_rng = rngmod.rand_1f(new_rng)
     u = (px.astype(jnp.float32) + uj1) / jnp.float32(cfg.width)
     v = (py.astype(jnp.float32) + uj2) / jnp.float32(cfg.height)
-    # component-form camera ray (camera basis is a (3,) array here)
-    ll, ho, ve, og = (camera.lower_left, camera.horizontal,
-                      camera.vertical, camera.origin)
+    # component-form camera ray (camera basis is a (3,) array here; a
+    # 3-tuple of lane arrays under motion blur)
+    if cfg.motion_blur:
+        ut, new_rng = rngmod.rand_1f(new_rng)
+        ll, ho, ve, og = camera_mod.lerp_components_c(camera, ut)
+    else:
+        ll, ho, ve, og = (camera.lower_left, camera.horizontal,
+                          camera.vertical, camera.origin)
     rd = tuple(ll[c] + u * ho[c] + v * ve[c] - og[c] for c in range(3))
     ro = tuple(jnp.broadcast_to(og[c], u.shape) for c in range(3))
     if cfg.aperture > 0.0:
@@ -452,6 +457,11 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
         cam_h = (cam_ref[1, 0], cam_ref[1, 1], cam_ref[1, 2])
         cam_v = (cam_ref[2, 0], cam_ref[2, 1], cam_ref[2, 2])
         cam_ll = (cam_ref[3, 0], cam_ref[3, 1], cam_ref[3, 2])
+        if cfg.motion_blur:
+            cam_do = (cam_ref[4, 0], cam_ref[4, 1], cam_ref[4, 2])
+            cam_dh = (cam_ref[5, 0], cam_ref[5, 1], cam_ref[5, 2])
+            cam_dv = (cam_ref[6, 0], cam_ref[6, 1], cam_ref[6, 2])
+            cam_dll = (cam_ref[7, 0], cam_ref[7, 1], cam_ref[7, 2])
         row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
         idx = gtile * lanes + row * 128 + col
@@ -506,14 +516,25 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 uj2, rng_new = rngmod.rand_1f(rng_new)
                 u = (px.astype(jnp.float32) + uj1) / jnp.float32(W)
                 v = (py.astype(jnp.float32) + uj2) / jnp.float32(H)
-                d0 = tuple(
-                    cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c]
-                    for c in range(3))
-                o0 = s.vbroadcast(cam_o, u)
+                if cfg.motion_blur:
+                    ut, rng_new = rngmod.rand_1f(rng_new)
+                    ch = tuple(cam_h[c] + ut * cam_dh[c] for c in range(3))
+                    cv = tuple(cam_v[c] + ut * cam_dv[c] for c in range(3))
+                    co = tuple(cam_o[c] + ut * cam_do[c] for c in range(3))
+                    d0 = tuple(cam_ll[c] + ut * cam_dll[c]
+                               + u * ch[c] + v * cv[c] - co[c]
+                               for c in range(3))
+                    o0 = co
+                else:
+                    ch, cv = cam_h, cam_v
+                    d0 = tuple(
+                        cam_ll[c] + u * cam_h[c] + v * cam_v[c] - cam_o[c]
+                        for c in range(3))
+                    o0 = s.vbroadcast(cam_o, u)
                 if cfg.aperture > 0.0:
                     o0, d0, rng_new = camera_mod.lens_perturb_c(
                         cfg.aperture, cfg.focus_dist, rng_new, o0, d0,
-                        cam_h, cam_v,
+                        ch, cv,
                         rngmod.rand_1f)
                 ulam, rng_new = rngmod.rand_1f(rng_new)
                 lam_new = (jnp.float32(VISIBLE_MIN)
@@ -662,8 +683,11 @@ def _fused_wavefront_jit(fscene, cfg, camera, state, base_seed, spp,
 
     # accumulation planes from state (conversion paid once per call)
     acc = jnp.stack([state.rgb_sum[:, c] for c in range(3)]).reshape(3, TR, 128)
-    cam = jnp.stack([camera.origin, camera.horizontal,
-                     camera.vertical, camera.lower_left])
+    if cfg.motion_blur:
+        cam = camera_mod.motion_rows(camera)      # (8, 3): basis + deltas
+    else:
+        cam = jnp.stack([camera.origin, camera.horizontal,
+                         camera.vertical, camera.lower_left])
     seed_arr = jnp.asarray(base_seed, jnp.uint32).reshape(1, 1)
     spp_arr = jnp.stack([jnp.asarray(spp, jnp.int32),
                          state.iteration.astype(jnp.int32)]).reshape(1, 2)
@@ -724,8 +748,11 @@ def _fused_budget_jit(fscene, cfg, camera, state, base_seed, budgets,
     cnt = state.n_samples.astype(jnp.int32).reshape(TR, 128)
 
     acc = jnp.stack([state.rgb_sum[:, c] for c in range(3)]).reshape(3, TR, 128)
-    cam = jnp.stack([camera.origin, camera.horizontal,
-                     camera.vertical, camera.lower_left])
+    if cfg.motion_blur:
+        cam = camera_mod.motion_rows(camera)      # (8, 3): basis + deltas
+    else:
+        cam = jnp.stack([camera.origin, camera.horizontal,
+                         camera.vertical, camera.lower_left])
     seed_arr = jnp.asarray(base_seed, jnp.uint32).reshape(1, 1)
     # scalar spp/it0 are superseded by the budget/count planes in
     # budget_mode; passed for signature symmetry only

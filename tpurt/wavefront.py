@@ -130,11 +130,8 @@ def _issue(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
     u_jit, rng = rngmod.rand_2f(rng)
     u = (px.astype(jnp.float32) + u_jit[:, 0]) / jnp.float32(cfg.width)
     v = (py.astype(jnp.float32) + u_jit[:, 1]) / jnp.float32(cfg.height)
-    ro, rd = generate_rays(camera, u, v)
-    if cfg.aperture > 0.0:
-        from tpurt.camera import lens_perturb
-        ro, rd, rng = lens_perturb(camera, cfg.aperture, cfg.focus_dist,
-                                   ro, rd, rng)
+    from tpurt.camera import spawn_camera_rays
+    ro, rd, rng = spawn_camera_rays(cfg, camera, u, v, rng)
 
     u_lam, rng = rngmod.rand_1f(rng)
     lam = sample_wavelength(u_lam)

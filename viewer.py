@@ -101,6 +101,7 @@ def _build(args):
                        backend=args.backend, hero_wavelengths=args.hero,
                        aperture=aperture, focus_dist=focus,
                        radiance_clamp=getattr(args, "clamp", 0.0),
+                       motion_blur=getattr(args, "shutter", 0.0) > 0.0,
                        dispersion_in_camera_path=args.dispersion, **extra)
     cam = make_camera(eye, at, vfov=vfov,
                       aspect_ratio=args.width / args.height)
