@@ -66,6 +66,7 @@ class TestMotionBlur:
         # pixel far above the tonemap range
         assert np.median(img_m[core]) < 0.8 * np.median(img_s[core])
 
+    @pytest.mark.slow
     def test_cross_backend_exact_rays(self):
         """XLA, regen megakernel, and fused wavefront draw identical
         streams with the shutter open."""
@@ -88,6 +89,17 @@ class TestMotionBlur:
             a = np.asarray(st_x.rgb_sum)[:n]
             b = np.asarray(st_o.rgb_sum)[:n]
             assert (np.abs(a - b).max(axis=-1) > 1e-2).mean() < 0.02
+
+    def test_camera_kind_mismatch_raises(self):
+        cfg = RenderConfig(width=32, height=16, depth=2, backend="xla",
+                           enable_photons=False, motion_blur=True)
+        scene = cornell_spheres_scene()
+        mcam = _motion_cam(0.5)
+        with pytest.raises(TypeError, match="MotionCamera"):
+            render(scene, cfg, mcam.cam0, init_state(cfg), 1, 1)
+        with pytest.raises(TypeError, match="motion_blur"):
+            render(scene, cfg.with_(motion_blur=False), mcam,
+                   init_state(cfg), 1, 1)
 
     def test_composes_with_dof(self):
         cfg = RenderConfig(width=64, height=32, depth=2, backend="xla",

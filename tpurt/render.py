@@ -137,6 +137,20 @@ def _use_pallas(scene, cfg) -> bool:
     return mega_pallas.supports_scene(scene, cfg)
 
 
+def _check_camera_kind(cfg: RenderConfig, camera) -> None:
+    """Catch the camera-type/flag mismatch up front (it would otherwise
+    surface as an AttributeError deep inside a kernel trace)."""
+    from tpurt.camera import MotionCamera
+    is_motion = isinstance(camera, MotionCamera)
+    if cfg.motion_blur and not is_motion:
+        raise TypeError("cfg.motion_blur=True needs a camera.MotionCamera "
+                        "(shutter open/close pose pair), got a Camera")
+    if is_motion and not cfg.motion_blur:
+        raise TypeError("got a MotionCamera but cfg.motion_blur is False — "
+                        "set RenderConfig(motion_blur=True) or pass "
+                        "camera.cam0")
+
+
 def render_step(scene: Scene, cfg: RenderConfig, camera: Camera,
                 state: RenderState, base_seed, depth: int | None = None) -> RenderState:
     """Advance every pixel by one progressive sample (one reference frame).
@@ -146,6 +160,7 @@ def render_step(scene: Scene, cfg: RenderConfig, camera: Camera,
     compile-time constants, so `scene` must be concrete here — call this
     OUTSIDE any enclosing jit when using the pallas backend.
     """
+    _check_camera_kind(cfg, camera)
     if cfg.backend in WAVEFRONT_BACKENDS:
         # depth is a static kernel constant for the pool tracers: a preview
         # override re-jits a depth-limited form (same as the XLA/pallas
@@ -251,6 +266,7 @@ def render(scene: Scene, cfg: RenderConfig, camera: Camera,
     (P,3)<->planes layout conversion is paid once, not per step), and the
     scene is baked into the kernel as compile-time constants.
     """
+    _check_camera_kind(cfg, camera)
     if cfg.backend in WAVEFRONT_BACKENDS:
         return _wavefront_dispatch(cfg)(scene, cfg, camera, state,
                                         base_seed, spp)
