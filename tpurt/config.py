@@ -102,6 +102,18 @@ class RenderConfig:
     #   viewport rescale would perturb radiance).
     focus_dist: float = 1.0            # world distance (along the view
     #   axis) of the sharp plane when aperture > 0; ignored at aperture 0.
+    qmc: bool = False                  # EXTENSION (False = reference):
+    #   True draws the CAMERA-SPAWN uniforms (pixel jitter, shutter time,
+    #   lens disc, wavelength) from a per-pixel Owen-scrambled Sobol
+    #   sequence indexed by the global sample number (ops/qmc.py) instead
+    #   of the PCG stream; all path/photon/NEE/RR draws keep the
+    #   unchanged PCG streams. Low-discrepancy spawn points cover the
+    #   pixel footprint / lens / shutter / spectrum evenly across
+    #   samples: antialiasing, depth of field, motion blur and single-λ
+    #   spectral noise converge up to O(N^-1.5). Unbiased (each draw is
+    #   marginally uniform); spawn values are a pure function of
+    #   (base_seed, pixel, sample, dim), so cross-backend exactness
+    #   holds exactly as in PCG mode.
     motion_blur: bool = False          # EXTENSION (False = reference):
     #   True makes every backend accept a camera.MotionCamera (shutter
     #   open/close pose pair) and draw one shutter time per camera ray

@@ -683,7 +683,8 @@ def trace_photons(scene, cfg: RenderConfig, lam, seed, px, py, vis,
 # ----- Per-tile frame sample -----
 
 def render_tile(scene, cfg: RenderConfig, camera, px, py, seed, photon_radius,
-                depth: int, vis_prev: dict, valid=None, strata_seed=None):
+                depth: int, vis_prev: dict, valid=None, strata_seed=None,
+                qmc_ctx=None):
     """One progressive sample for a tile of pixels (= one reference frame's
     work for those pixels, ref: mega_kernel.wgsl:984-1021).
 
@@ -691,16 +692,33 @@ def render_tile(scene, cfg: RenderConfig, camera, px, py, seed, photon_radius,
     real pixels — padding lanes (pixel-count round-up) stay inactive so the
     traced-segment counter is exact. Returns (color (N,3), vis, ray_count).
     Accumulation (+= color, count += 1) happens in the caller.
+    qmc_ctx: (base_seed, global_sample_index), required when cfg.qmc —
+    the spawn draws then come from the Owen-scrambled Sobol stream.
     """
     rng = rngmod.seed_pixels(seed, px, py)
 
-    u_jit, rng = rngmod.rand_2f(rng)
+    # cfg.qmc: spawn draws from the low-discrepancy stream; the path and
+    # photon PCG streams are untouched (they start at position 0 instead
+    # of after the spawn draws — shifted identically in every backend, so
+    # cross-backend pairing holds either way)
+    if cfg.qmc:
+        if qmc_ctx is None:
+            raise ValueError("cfg.qmc=True requires qmc_ctx="
+                             "(base_seed, global_sample_index)")
+        from tpurt.ops import qmc as qmcmod
+        src = qmcmod.spawn_stream(qmc_ctx[0], qmc_ctx[1], px, py)
+    else:
+        src = rng
+
+    u_jit, src = rngmod.rand_2f(src)
     u = (px.astype(jnp.float32) + u_jit[:, 0]) / jnp.float32(cfg.width)
     v = (py.astype(jnp.float32) + u_jit[:, 1]) / jnp.float32(cfg.height)
     from tpurt.camera import spawn_camera_rays
-    ray_o, ray_d, rng = spawn_camera_rays(cfg, camera, u, v, rng)
+    ray_o, ray_d, src = spawn_camera_rays(cfg, camera, u, v, src)
 
-    u_lam, rng = rngmod.rand_1f(rng)
+    u_lam, src = rngmod.rand_1f(src)
+    if not cfg.qmc:
+        rng = src
     from tpurt.ops.spectra import sample_wavelength
     lam = sample_wavelength(u_lam)
 

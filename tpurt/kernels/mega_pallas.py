@@ -1452,8 +1452,18 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
         photon_radius = rad_ref[0, 0]
 
         # --- camera ray (ref: camera.rs:21-53; draw order = integrate.py) ---
-        uj1, rng = rngmod.rand_1f(rng)
-        uj2, rng = rngmod.rand_1f(rng)
+        # cfg.qmc: spawn draws from the Owen-scrambled Sobol stream
+        # (seed_ref[0,2]=base seed, [0,3]=global sample index); the path
+        # PCG stream then starts at position 0 — same shift as the XLA
+        # backend, so cross-backend pairing holds (integrate.render_tile)
+        if cfg.qmc:
+            from tpurt.ops import qmc as qmcmod
+            src = qmcmod.spawn_stream(seed_ref[0, 2], seed_ref[0, 3],
+                                      px, py)
+        else:
+            src = rng
+        uj1, src = rngmod.rand_1f(src)
+        uj2, src = rngmod.rand_1f(src)
         u = (px.astype(jnp.float32) + uj1) / jnp.float32(W)
         v = (py.astype(jnp.float32) + uj2) / jnp.float32(H)
         cam_o = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
@@ -1466,7 +1476,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             cam_dv = (cam_ref[6, 0], cam_ref[6, 1], cam_ref[6, 2])
             cam_dll = (cam_ref[7, 0], cam_ref[7, 1], cam_ref[7, 2])
         if cfg.motion_blur:
-            ut, rng = rngmod.rand_1f(rng)
+            ut, src = rngmod.rand_1f(src)
             ch = tuple(cam_h[c] + ut * cam_dh[c] for c in range(3))
             cv = tuple(cam_v[c] + ut * cam_dv[c] for c in range(3))
             co = tuple(cam_o[c] + ut * cam_do[c] for c in range(3))
@@ -1481,12 +1491,14 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             o0 = s.vbroadcast(cam_o, u)
         if cfg.aperture > 0.0:
             from tpurt.camera import lens_perturb_c
-            o0, d0, rng = lens_perturb_c(cfg.aperture, cfg.focus_dist,
-                                         rng, o0, d0, ch, cv,
+            o0, d0, src = lens_perturb_c(cfg.aperture, cfg.focus_dist,
+                                         src, o0, d0, ch, cv,
                                          rngmod.rand_1f)
 
         # --- one (hero) wavelength per sample (wgsl :995) ---
-        u_lam, rng = rngmod.rand_1f(rng)
+        u_lam, src = rngmod.rand_1f(src)
+        if not cfg.qmc:
+            rng = src
         lam = jnp.float32(VISIBLE_MIN) + u_lam * jnp.float32(VISIBLE_RANGE)
 
         # --- per-frame spectral precomputes (lambda-invariant per path) ---
@@ -1786,7 +1798,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                    static_argnames=("fscene", "cfg", "depth", "interpret"))
 def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
                     seed, photon_radius, depth: int, interpret: bool = False,
-                    tile_base=0, strata_seed=None):
+                    tile_base=0, strata_seed=None, qmc_ctx=None):
     """Advance every pixel by one progressive sample via the Pallas kernel.
 
     planes: (16, TR, 128) f32 state (see N_CHANNELS layout); returns
@@ -1794,6 +1806,8 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
     offset of this planes shard (nonzero under shard_map pixel sharding).
     strata_seed: the (possibly window-epoch) seed the emission stratum
     hashes — defaults to `seed` (photon_strata_window == 1).
+    qmc_ctx: (base_seed, global_sample_index), required when cfg.qmc
+    (rides two extra seed_arr slots; non-qmc signatures are unchanged).
     """
     lanes = cfg.pallas_lanes
     assert lanes % 128 == 0, "pallas_lanes must be a multiple of 128"
@@ -1810,8 +1824,15 @@ def megakernel_step(fscene: FrozenScene, cfg: RenderConfig, camera, planes,
                          camera.vertical, camera.lower_left])
     if strata_seed is None:
         strata_seed = seed
-    seed_arr = jnp.stack([jnp.asarray(seed, jnp.uint32),
-                          jnp.asarray(strata_seed, jnp.uint32)]).reshape(1, 2)
+    seed_vals = [jnp.asarray(seed, jnp.uint32),
+                 jnp.asarray(strata_seed, jnp.uint32)]
+    if cfg.qmc:
+        if qmc_ctx is None:
+            raise ValueError("cfg.qmc=True requires qmc_ctx="
+                             "(base_seed, global_sample_index)")
+        seed_vals += [jnp.asarray(qmc_ctx[0], jnp.uint32),
+                      jnp.asarray(qmc_ctx[1], jnp.int32).astype(jnp.uint32)]
+    seed_arr = jnp.stack(seed_vals).reshape(1, len(seed_vals))
     rad_arr = jnp.asarray(photon_radius, jnp.float32).reshape(1, 1)
     base_arr = jnp.asarray(tile_base, jnp.int32).reshape(1, 1)
 
@@ -1930,7 +1951,8 @@ def _render_pallas_jit(fscene, cfg, camera, state, base_seed, spp, depth,
             strata_seed = _frame_seed(base_seed, strata_epoch(cfg, it))
         new_planes, tile_rays = megakernel_step(
             fscene, cfg, camera, planes, seed, radius, depth,
-            interpret=interpret, strata_seed=strata_seed)
+            interpret=interpret, strata_seed=strata_seed,
+            qmc_ctx=(base_seed, it) if cfg.qmc else None)
         it_new = it + 1
         from tpurt.render import sppm_radius_step
         r_new = sppm_radius_step(cfg, it_new.astype(jnp.float32), radius)

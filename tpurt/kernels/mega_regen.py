@@ -259,12 +259,23 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
 
             def _cam_spawn_vals(_):
                 rng_c = rngmod.seed_pixels(samp_seed, px, py)
-                uj1, rng_c = rngmod.rand_1f(rng_c)
-                uj2, rng_c = rngmod.rand_1f(rng_c)
+                # cfg.qmc: spawn draws from the Owen-scrambled Sobol
+                # stream, indexed by the per-lane GLOBAL sample — the
+                # regenerative schedule interleaves samples across lanes,
+                # and a pure function of (base_seed, pixel, sample, dim)
+                # is invariant to that (same pairing as integrate/XLA)
+                if cfg.qmc:
+                    from tpurt.ops import qmc as qmcmod
+                    src = qmcmod.spawn_stream(base_seed, it0_i + sample,
+                                              px, py)
+                else:
+                    src = rng_c
+                uj1, src = rngmod.rand_1f(src)
+                uj2, src = rngmod.rand_1f(src)
                 u = (px.astype(jnp.float32) + uj1) / jnp.float32(W)
                 v = (py.astype(jnp.float32) + uj2) / jnp.float32(H)
                 if cfg.motion_blur:
-                    ut, rng_c = rngmod.rand_1f(rng_c)
+                    ut, src = rngmod.rand_1f(src)
                     ch = tuple(cam_h[c] + ut * cam_dh[c] for c in range(3))
                     cv = tuple(cam_v[c] + ut * cam_dv[c] for c in range(3))
                     co = tuple(cam_o[c] + ut * cam_do[c] for c in range(3))
@@ -279,11 +290,13 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                     o0 = s.vbroadcast(cam_o, u)
                 if cfg.aperture > 0.0:
                     from tpurt.camera import lens_perturb_c
-                    o0, d0, rng_c = lens_perturb_c(
-                        cfg.aperture, cfg.focus_dist, rng_c, o0, d0,
+                    o0, d0, src = lens_perturb_c(
+                        cfg.aperture, cfg.focus_dist, src, o0, d0,
                         ch, cv,
                         rngmod.rand_1f)
-                ulam, rng_c = rngmod.rand_1f(rng_c)
+                ulam, src = rngmod.rand_1f(src)
+                if not cfg.qmc:
+                    rng_c = src
                 lam_new = (jnp.float32(VISIBLE_MIN)
                            + ulam * jnp.float32(VISIBLE_RANGE))
                 # hero-wavelength emission: C stratified lambdas share

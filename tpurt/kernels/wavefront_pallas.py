@@ -265,14 +265,21 @@ def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
     seed = _frame_seed(base_seed, it0 + sample)
     new_rng = rngmod.seed_pixels(seed, px, py)
 
-    uj1, new_rng = rngmod.rand_1f(new_rng)
-    uj2, new_rng = rngmod.rand_1f(new_rng)
+    # cfg.qmc: spawn draws from the Owen-scrambled Sobol stream (same
+    # pairing as integrate.render_tile; path PCG stream untouched)
+    if cfg.qmc:
+        from tpurt.ops import qmc as qmcmod
+        src = qmcmod.spawn_stream(base_seed, it0 + sample, px, py)
+    else:
+        src = new_rng
+    uj1, src = rngmod.rand_1f(src)
+    uj2, src = rngmod.rand_1f(src)
     u = (px.astype(jnp.float32) + uj1) / jnp.float32(cfg.width)
     v = (py.astype(jnp.float32) + uj2) / jnp.float32(cfg.height)
     # component-form camera ray (camera basis is a (3,) array here; a
     # 3-tuple of lane arrays under motion blur)
     if cfg.motion_blur:
-        ut, new_rng = rngmod.rand_1f(new_rng)
+        ut, src = rngmod.rand_1f(src)
         ll, ho, ve, og = camera_mod.lerp_components_c(camera, ut)
     else:
         ll, ho, ve, og = (camera.lower_left, camera.horizontal,
@@ -280,12 +287,14 @@ def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
     rd = tuple(ll[c] + u * ho[c] + v * ve[c] - og[c] for c in range(3))
     ro = tuple(jnp.broadcast_to(og[c], u.shape) for c in range(3))
     if cfg.aperture > 0.0:
-        ro, rd, new_rng = camera_mod.lens_perturb_c(
-            cfg.aperture, cfg.focus_dist, new_rng, ro, rd,
+        ro, rd, src = camera_mod.lens_perturb_c(
+            cfg.aperture, cfg.focus_dist, src, ro, rd,
             tuple(ho[c] for c in range(3)), tuple(ve[c] for c in range(3)),
             rngmod.rand_1f)
 
-    u_lam, new_rng = rngmod.rand_1f(new_rng)
+    u_lam, src = rngmod.rand_1f(src)
+    if not cfg.qmc:
+        new_rng = src
     lam = sample_wavelength(u_lam)
 
     # lambda-dependent emission, once per path (MXU one-hot in XLA);
@@ -512,12 +521,19 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             def _spawn_vals(_):
                 seed = _frame_seed(base_seed, it0_i + sample)
                 rng_new = rngmod.seed_pixels(seed, px, py)
-                uj1, rng_new = rngmod.rand_1f(rng_new)
-                uj2, rng_new = rngmod.rand_1f(rng_new)
+                # cfg.qmc: Sobol spawn draws (pairing = integrate.py)
+                if cfg.qmc:
+                    from tpurt.ops import qmc as qmcmod
+                    src = qmcmod.spawn_stream(base_seed, it0_i + sample,
+                                              px, py)
+                else:
+                    src = rng_new
+                uj1, src = rngmod.rand_1f(src)
+                uj2, src = rngmod.rand_1f(src)
                 u = (px.astype(jnp.float32) + uj1) / jnp.float32(W)
                 v = (py.astype(jnp.float32) + uj2) / jnp.float32(H)
                 if cfg.motion_blur:
-                    ut, rng_new = rngmod.rand_1f(rng_new)
+                    ut, src = rngmod.rand_1f(src)
                     ch = tuple(cam_h[c] + ut * cam_dh[c] for c in range(3))
                     cv = tuple(cam_v[c] + ut * cam_dv[c] for c in range(3))
                     co = tuple(cam_o[c] + ut * cam_do[c] for c in range(3))
@@ -532,11 +548,13 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                         for c in range(3))
                     o0 = s.vbroadcast(cam_o, u)
                 if cfg.aperture > 0.0:
-                    o0, d0, rng_new = camera_mod.lens_perturb_c(
-                        cfg.aperture, cfg.focus_dist, rng_new, o0, d0,
+                    o0, d0, src = camera_mod.lens_perturb_c(
+                        cfg.aperture, cfg.focus_dist, src, o0, d0,
                         ch, cv,
                         rngmod.rand_1f)
-                ulam, rng_new = rngmod.rand_1f(rng_new)
+                ulam, src = rngmod.rand_1f(src)
+                if not cfg.qmc:
+                    rng_new = src
                 lam_new = (jnp.float32(VISIBLE_MIN)
                            + ulam * jnp.float32(VISIBLE_RANGE))
                 # hero-wavelength mode: em = the C-averaged emission via the

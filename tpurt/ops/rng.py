@@ -100,7 +100,14 @@ def rand_u32(state):
 
 
 def rand_1f(state):
-    """Uniform float32 in [0, 1). (ref: mega_kernel.wgsl:662-664)."""
+    """Uniform float32 in [0, 1). (ref: mega_kernel.wgsl:662-664).
+
+    Dispatch: a state exposing ``next_1f`` (ops.qmc.QmcStream) draws from
+    its own sequence instead — so the camera/lens helpers thread either
+    stream kind unchanged (cfg.qmc swaps the spawn draws only)."""
+    nxt = getattr(state, "next_1f", None)
+    if nxt is not None:
+        return nxt()
     bits, state = rand_u32(state)
     return _u32_to_f32(bits) * _INV_U32, state
 

@@ -368,7 +368,8 @@ def make_pallas_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
             new_planes, tile_rays = mp.megakernel_step(
                 fscene, cfg, camera, planes, seed, radius, d,
                 interpret=interpret, tile_base=tile_base,
-                strata_seed=strata_seed)
+                strata_seed=strata_seed,
+                qmc_ctx=(base_seed, it) if cfg.qmc else None)
             it1 = it + 1
             k = it1.astype(jnp.float32)
             r1 = sppm_radius_step(cfg, k, radius)

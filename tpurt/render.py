@@ -219,6 +219,7 @@ def _step_body(scene, cfg, camera, state, base_seed, depth: int,
         color, vis, rays = render_tile(
             scene, cfg, camera, tpx, tpy, seed, state.photon_radius, depth,
             vis_prev, valid=tvalid, strata_seed=strata_seed,
+            qmc_ctx=(base_seed, state.iteration) if cfg.qmc else None,
         )
         return color, vis, rays
 

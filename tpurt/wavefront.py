@@ -127,13 +127,22 @@ def _issue(cfg: RenderConfig, camera: Camera, pool: WavefrontPool,
     seed = _frame_seed(base_seed, seed_iter)
     rng = rngmod.seed_pixels(seed, px, py)
 
-    u_jit, rng = rngmod.rand_2f(rng)
+    # cfg.qmc: spawn draws from the Owen-scrambled Sobol stream keyed on
+    # the per-slot global sample index (same pairing as integrate.py)
+    if cfg.qmc:
+        from tpurt.ops import qmc as qmcmod
+        src = qmcmod.spawn_stream(base_seed, seed_iter, px, py)
+    else:
+        src = rng
+    u_jit, src = rngmod.rand_2f(src)
     u = (px.astype(jnp.float32) + u_jit[:, 0]) / jnp.float32(cfg.width)
     v = (py.astype(jnp.float32) + u_jit[:, 1]) / jnp.float32(cfg.height)
     from tpurt.camera import spawn_camera_rays
-    ro, rd, rng = spawn_camera_rays(cfg, camera, u, v, rng)
+    ro, rd, src = spawn_camera_rays(cfg, camera, u, v, src)
 
-    u_lam, rng = rngmod.rand_1f(rng)
+    u_lam, src = rngmod.rand_1f(src)
+    if not cfg.qmc:
+        rng = src
     lam = sample_wavelength(u_lam)
 
     sel = have_work
