@@ -29,6 +29,13 @@ def _render(platform: str, scene_name: str):
         cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0,
                           aspect_ratio=16 / 9)
         cfg = RenderConfig(width=192, height=108, depth=8, backend="pallas")
+    elif scene_name == "qmc":
+        # the Sobol/Owen uint32 ALU path through Mosaic (+ lens dims)
+        scene = cornell_spheres_scene()
+        cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0,
+                          aspect_ratio=16 / 9)
+        cfg = RenderConfig(width=192, height=108, depth=8, backend="pallas",
+                           qmc=True, aperture=0.4, focus_dist=12.0)
     else:
         scene = torus_mesh_scene(8, 4)
         cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
@@ -60,7 +67,7 @@ def main():
     # countable-rare), <5% of pixels with >1% relative radiance diff.
     ok = True
     results = []
-    for scene in ("cornell", "mesh"):
+    for scene in ("cornell", "mesh", "qmc"):
         img_t, rays_t = _render("tpu", scene)
         img_c, rays_c = _render("cpu", scene)
         rays_ok = abs(rays_t - rays_c) <= 1e-5 * max(rays_t, 1.0)
