@@ -84,3 +84,34 @@ def test_bad_material_index_rejected(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="material 7 out of range"):
         load_scene_json(str(p))
+
+
+class TestConfigOverrides:
+    """RenderConfig.parse_overrides — the shared `--set KEY=VAL` parser
+    behind viewer.py / tools/animate.py / tools/probe.py."""
+
+    def test_parses_and_validates(self):
+        from tpurt.config import RenderConfig
+        kw = RenderConfig.parse_overrides(
+            ["qmc=True", "photon_strata=16", "backend=wavefront"])
+        assert kw == {"qmc": True, "photon_strata": 16,
+                      "backend": "wavefront"}
+        cfg = RenderConfig(**kw)  # constructs cleanly
+        assert cfg.qmc and cfg.photon_strata == 16
+
+    def test_unknown_field_fails_fast(self):
+        import pytest
+        from tpurt.config import RenderConfig
+        with pytest.raises(SystemExit, match="not a RenderConfig field"):
+            RenderConfig.parse_overrides(["qcm=True"])
+
+    def test_viewer_build_applies_set(self):
+        import argparse
+        import viewer
+        ns = argparse.Namespace(
+            scene="cornell", scene_file=None, width=64, height=32,
+            depth=2, backend="xla", hero=1, dispersion=False,
+            aperture=None, focus=None, clamp=0.0, shutter=0.0,
+            set=["qmc=True", "tile_size=2048"])
+        cfg, scene, cam, *_ = viewer._build(ns)
+        assert cfg.qmc is True and cfg.tile_size == 2048

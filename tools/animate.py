@@ -101,6 +101,9 @@ def main():
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--set", action="append", metavar="KEY=VAL",
+                    help="override any RenderConfig field (repeatable), "
+                         "e.g. --set qmc=True (parsed by viewer._build)")
     ap.add_argument("--aperture", type=float, default=None,
                     help="thin-lens diameter for depth of field "
                          "(0 = reference pinhole)")

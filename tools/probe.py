@@ -21,7 +21,6 @@ tunnel tolerates one client; cold Mosaic compiles can take 5-25 min.
 import sys, os as _os
 sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import argparse
-import ast
 import json
 import math
 import os
@@ -33,14 +32,10 @@ import jax
 
 
 def parse_sets(pairs):
-    out = {}
-    for p in pairs or []:
-        k, v = p.split("=", 1)
-        try:
-            out[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            out[k] = v
-    return out
+    # the shared validated parser (unknown field names fail fast instead
+    # of silently producing a TypeError deep in RenderConfig)
+    from tpurt.config import RenderConfig
+    return RenderConfig.parse_overrides(pairs)
 
 
 def build(args):

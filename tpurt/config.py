@@ -245,6 +245,27 @@ class RenderConfig:
     def with_(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 
+    @staticmethod
+    def parse_overrides(pairs) -> dict:
+        """CLI `--set KEY=VAL` pairs -> a validated kwargs dict (values via
+        ast.literal_eval; unknown field names raise). Shared by viewer.py,
+        tools/animate.py and tools/probe.py so every config knob is
+        reachable from every entry point."""
+        import ast
+        fields = {f.name for f in dataclasses.fields(RenderConfig)}
+        out = {}
+        for kv in pairs or ():
+            k, _, v = kv.partition("=")
+            if k not in fields:
+                raise SystemExit(
+                    f"--set {k}: not a RenderConfig field "
+                    f"(see tpurt/config.py for the list)")
+            try:
+                out[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                out[k] = v  # bare strings (e.g. backend=pallas)
+        return out
+
     @property
     def n_pixels(self) -> int:
         return self.width * self.height

@@ -97,12 +97,16 @@ def _build(args):
         # default focal plane: the look-at point (only matters with DOF on)
         focus = float(np.linalg.norm(np.asarray(at, np.float64)
                                      - np.asarray(eye, np.float64)))
-    cfg = RenderConfig(width=args.width, height=args.height, depth=args.depth,
-                       backend=args.backend, hero_wavelengths=args.hero,
-                       aperture=aperture, focus_dist=focus,
-                       radiance_clamp=getattr(args, "clamp", 0.0),
-                       motion_blur=getattr(args, "shutter", 0.0) > 0.0,
-                       dispersion_in_camera_path=args.dispersion, **extra)
+    # --set KEY=VAL (repeatable) wins over every dedicated flag: any
+    # RenderConfig knob is reachable without its own CLI option
+    extra.update(RenderConfig.parse_overrides(getattr(args, "set", None)))
+    cfg = RenderConfig(**{**dict(
+        width=args.width, height=args.height, depth=args.depth,
+        backend=args.backend, hero_wavelengths=args.hero,
+        aperture=aperture, focus_dist=focus,
+        radiance_clamp=getattr(args, "clamp", 0.0),
+        motion_blur=getattr(args, "shutter", 0.0) > 0.0,
+        dispersion_in_camera_path=args.dispersion), **extra})
     cam = make_camera(eye, at, vfov=vfov,
                       aspect_ratio=args.width / args.height)
     return cfg, scene, cam, vfov, eye, at
@@ -433,6 +437,9 @@ def main():
     ap.add_argument("--clamp", type=float, default=0.0,
                     help="per-sample radiance clamp (firefly control; "
                          "0 = off)")
+    ap.add_argument("--set", action="append", metavar="KEY=VAL",
+                    help="override any RenderConfig field (repeatable), "
+                         "e.g. --set qmc=True --set photon_strata=16")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the site config pins "
                          "jax_platforms, so the env var doesn't work)")
