@@ -96,6 +96,32 @@ def test_sharded_regen_bit_identical(drift):
     np.testing.assert_array_equal(a, np.asarray(st.rgb_sum))
 
 
+def test_sharded_regen_power_light_bit_identical():
+    """cfg.light_sample="power" under shard_map equals single-chip
+    bit-for-bit on a 4-light scene (the select uniform rides the same
+    global per-pixel stream on every device)."""
+    from tpurt import many_light_scene
+    from tpurt.render import init_state, render
+    cfg = RenderConfig(width=64, height=32, depth=3, backend="pallas",
+                       pallas_lanes=256, k_photons=1, max_photon_bounces=2,
+                       light_sample="power")
+    scene = many_light_scene(4)
+    cam = make_camera((0.0, 5.0, -12.0), (0.0, 5.0, 0.0), vfov=60.0,
+                      aspect_ratio=2.0)
+    mesh = sh.make_mesh(8)
+    planes = sh.init_planes_sharded(cfg, mesh)
+    step = sh.make_regen_sharded_step(mesh, cfg, scene, spp=2, interpret=True)
+    planes, it, radius, rays = step(
+        cam, planes, jnp.int32(0), jnp.float32(cfg.photon_radius_init),
+        jnp.float32(0.0), jnp.uint32(23))
+    st = render(scene, cfg, cam, init_state(cfg), 23, 2)
+    assert float(rays) == float(st.rays)
+    flat = np.asarray(planes).reshape(16, -1)
+    flat = np.asarray(mp.planes_pixel_order(cfg, jnp.asarray(flat)))
+    a = np.stack([flat[0], flat[1], flat[2]], -1)
+    np.testing.assert_array_equal(a, np.asarray(st.rgb_sum))
+
+
 def test_sharded_chunked_mesh_bit_identical():
     """Chunked-mesh mode under shard_map equals single-chip bit-for-bit:
     the HBM slab tensor and SMEM/VMEM chunk scratch are per-device

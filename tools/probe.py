@@ -5,6 +5,7 @@ Scenes:
   spheres   instanced_scene(N) via the dynamic sphere-BVH walk
   mesh      torus_mesh_scene(~N tris) via the dynamic triangle-BVH walk
   cornell   cornell_spheres_scene @1080p (bench config 1)
+  lights    many_light_scene(--n lights) @1080p (light_sample A/B)
 
 Any RenderConfig field can be overridden with --set key=value (repeatable);
 values are parsed as Python literals.  Prints ONE JSON line with the
@@ -73,6 +74,16 @@ def build(args):
         fs = freeze_scene(scene)
         assert _use_tri_bvh(fs, cfg) or _use_tri_chunked(fs, cfg), \
             "tri-BVH/chunked not engaged"
+    elif args.scene == "lights":
+        # many-light NEE stress (--n = light count); A/B the modes with
+        #   probe.py lights --n 16
+        #   probe.py lights --n 16 --set light_sample=\"power\"
+        from tpurt import many_light_scene
+        kw.update(parse_sets(args.set))
+        cfg = RenderConfig(**kw)
+        scene = many_light_scene(args.n)
+        cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0,
+                          aspect_ratio=16 / 9)
     else:  # cornell
         kw.update(parse_sets(args.set))
         cfg = RenderConfig(**kw)
@@ -84,9 +95,11 @@ def build(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("scene", choices=["config3", "spheres", "mesh", "cornell"])
+    ap.add_argument("scene", choices=["config3", "spheres", "mesh",
+                                      "cornell", "lights"])
     ap.add_argument("--n", type=int, default=1024,
-                    help="spheres: count; mesh: ~triangle count")
+                    help="spheres: count; mesh: ~triangle count; "
+                         "lights: light count")
     ap.add_argument("--spp", type=int, default=8)
     ap.add_argument("--depth", type=int, default=30)
     ap.add_argument("--set", action="append", metavar="KEY=VAL",

@@ -38,6 +38,7 @@ from tpurt.scene import (
     default_scene,
     dispersive_scene,
     instanced_scene,
+    many_light_scene,
     torus_mesh_scene,
 )
 
@@ -50,7 +51,8 @@ __all__ = [
     "save_checkpoint", "load_checkpoint",
     "Light", "Material", "MeshData", "Scene", "Sphere",
     "build_scene", "cornell_spheres_scene", "default_scene",
-    "dispersive_scene", "instanced_scene", "torus_mesh_scene",
+    "dispersive_scene", "instanced_scene", "many_light_scene",
+    "torus_mesh_scene",
     "WavefrontPool", "wavefront_render",
     "render_adaptive", "wavefront_render_budget",
     "atrous_denoise", "denoise_image", "render_aovs",

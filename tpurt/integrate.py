@@ -148,6 +148,10 @@ def sample_direct_lighting(scene, cfg, pos, norm, lam, rng, light_rgbs=None):
     if light_rgbs is None:
         light_rgbs = light_emission_rgb(scene, lam)
 
+    if cfg.light_sample == "power" and scene.num_lights > 0:
+        return _sample_direct_power(scene, cfg, pos, norm, lam, rng,
+                                    light_rgbs)
+
     for i in range(scene.num_lights):
         lpos = scene.light_pos[i]
         lhw = scene.light_hw[i]
@@ -184,6 +188,54 @@ def sample_direct_lighting(scene, cfg, pos, norm, lam, rng, light_rgbs=None):
 
 def cos_light_or_one(is_area, cos_light):
     return jnp.where(is_area, cos_light, 1.0)
+
+
+def _sample_direct_power(scene, cfg, pos, norm, lam, rng, light_rgbs):
+    """cfg.light_sample == "power": one power-proportionally selected
+    light per lane, weighted by 1/pmf (EXTENSION; the reference loops
+    all lights). Draw layout: one select uniform, then the same 2f light
+    sample as each "all"-mode light — every backend pairs up. Callers
+    count ONE shadow segment per live lane (see render_tile)."""
+    from tpurt.ops.sampling import light_select_power, select_chain
+    L = scene.num_lights
+    N = pos.shape[0]
+    u_sel, rng = rngmod.rand_1f(rng)
+    sels, inv_pmf = light_select_power(
+        u_sel,
+        [scene.light_intensity[i] for i in range(L)],
+        [scene.light_hw[i] for i in range(L)],
+        [scene.light_type[i] == 1 for i in range(L)])
+    lpos = select_chain(sels, [scene.light_pos[i][None, :] for i in range(L)])
+    lnorm = select_chain(sels, [scene.light_normal[i][None, :]
+                                for i in range(L)])
+    lhw = select_chain(sels, [scene.light_hw[i] for i in range(L)])
+    is_area = select_chain(
+        sels, [(scene.light_type[i] == 1).astype(jnp.float32)
+               for i in range(L)]) > 0.5
+    light_rgb = select_chain(sels, light_rgbs)
+
+    u, rng = rngmod.rand_2f(rng)
+    lp_area = sample_square_point(lpos, lhw, lnorm, u)  # (N, 3)
+    lp = jnp.where(is_area[:, None], lp_area, lpos)
+
+    to_light = lp - pos
+    dist = jnp.sqrt(jnp.maximum(dot(to_light, to_light), 1e-30))
+    ldir = to_light / dist[:, None]
+    ndotl = dot(norm, ldir)
+
+    cos_light = jnp.maximum(0.0, jnp.sum(lnorm * (-ldir), axis=-1))
+    geom_ok = (dist >= EPS) & (ndotl > 0.0) & jnp.where(
+        is_area, cos_light > 0.0, True)
+    area_ok = jnp.where(is_area, lhw > 0.0, True)
+    live = geom_ok & area_ok
+
+    so = pos + norm * EPS
+    atten = _shadow(scene, cfg, so, ldir, dist - EPS, lam)
+
+    inv_pdf = jnp.where(is_area, jnp.maximum(4.0 * lhw * lhw, 1e-10), 1.0)
+    contrib = light_rgb * (ndotl * cos_light_or_one(is_area, cos_light)
+                           * atten * inv_pdf * inv_pmf / (dist * dist))[:, None]
+    return jnp.where(live[:, None], contrib, jnp.zeros((N, 3))), rng
 
 
 # ----- Dielectric scattering -----
@@ -442,8 +494,10 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
         lane_d = active & found & is_diffuse
         rad = rad + jnp.where(lane_d[:, None], nee, 0.0)
         if cfg.count_rays:
-            # only diffuse lanes actually fire shadow rays in the reference
-            st_rays = st["rays"] + jnp.sum(lane_d.astype(jnp.float32)) * scene.num_lights
+            # only diffuse lanes actually fire shadow rays in the reference;
+            # power light sampling fires exactly one per lane instead of L
+            n_shadow = 1 if cfg.light_sample == "power" else scene.num_lights
+            st_rays = st["rays"] + jnp.sum(lane_d.astype(jnp.float32)) * n_shadow
         else:
             st_rays = st["rays"]
 

@@ -952,7 +952,7 @@ def _diffuse_scatter_c(wo, n, color, rough, u2a, u2b):
 
 
 def nee_direct_c(LIGHTS, loc, n, lam, rng, shadow, shadow_mask_fn, emv_fn,
-                 z3):
+                 z3, mode="all"):
     """THE NEE light loop (wgsl :568-615) shared by every fused kernel body
     (tile-sync camera, regen interleaved, wavefront sweep, wavefront fused
     — the photon walk has no NEE). The bodies differ only in the shadow
@@ -966,8 +966,15 @@ def nee_direct_c(LIGHTS, loc, n, lam, rng, shadow, shadow_mask_fn, emv_fn,
         light's weight is ready (closures may load refs / select on
         collapse state in place).
 
-    Returns (direct, rng): 2 rng draws consumed per light.
+    mode (static) = cfg.light_sample: "all" loops every light (reference
+    semantics, 2 draws + 1 shadow segment per light); "power" delegates to
+    the O(1)-shadow-rays branch below (3 draws + 1 shadow segment total).
+
+    Returns (direct, rng): 2 rng draws consumed per light ("all" mode).
     """
+    if mode == "power" and LIGHTS:
+        return _nee_direct_power_c(LIGHTS, loc, n, lam, rng, shadow,
+                                   shadow_mask_fn, emv_fn, z3)
     direct = z3
     for li, lt in enumerate(LIGHTS):
         u1, rng = rngmod.rand_1f(rng)
@@ -999,6 +1006,71 @@ def nee_direct_c(LIGHTS, loc, n, lam, rng, shadow, shadow_mask_fn, emv_fn,
         w = jnp.where(live, geom * atten / (dist * dist), 0.0)
         direct = s.vadd(direct, s.vscale(emv_fn(li), w))
     return direct, rng
+
+
+def _nee_direct_power_c(LIGHTS, loc, n, lam, rng, shadow, shadow_mask_fn,
+                        emv_fn, z3):
+    """cfg.light_sample == "power" NEE for the fused kernels (EXTENSION;
+    twin of integrate._sample_direct_power, same 3-draw layout: select
+    uniform, then the 2f light sample). ONE power-proportionally selected
+    light per lane, weighted by 1/pmf — one shadow sweep per bounce
+    regardless of light count. The per-light pmf terms are compile-time
+    constants here (frozen scene), traced scalars in the XLA path; the
+    selection arithmetic is the same f32 chain either way
+    (ops/sampling.light_select_power). Callers count ONE shadow segment
+    per live lane.
+    """
+    from tpurt.ops.sampling import light_select_power
+    u_sel, rng = rngmod.rand_1f(rng)
+    sels, inv_pmf = light_select_power(
+        u_sel,
+        [np.float32(lt.intensity) for lt in LIGHTS],
+        [np.float32(lt.hw) for lt in LIGHTS],
+        [lt.ltype == 1 for lt in LIGHTS])
+    u1, rng = rngmod.rand_1f(rng)
+    u2, rng = rngmod.rand_1f(rng)
+
+    zero = jnp.zeros_like(u_sel)
+    lp, lnorm_sel, emv = z3, z3, z3
+    hw_sel, area_sel = zero, zero
+    for li, lt in enumerate(LIGHTS):
+        if lt.ltype == 1:
+            su = (u1 - 0.5) * np.float32(2.0 * lt.hw)
+            sv = (u2 - 0.5) * np.float32(2.0 * lt.hw)
+            lp_i = tuple(
+                np.float32(lt.pos[c]) + su * np.float32(lt.tangent[c])
+                + sv * np.float32(lt.bitangent[c]) for c in range(3))
+        else:
+            lp_i = s.vbroadcast(lt.pos, u_sel)
+        m = sels[li]
+        lp = s.vwhere(m, lp_i, lp)
+        lnorm_sel = s.vwhere(m, s.vbroadcast(lt.normal, u_sel), lnorm_sel)
+        hw_sel = jnp.where(m, np.float32(lt.hw), hw_sel)
+        area_sel = jnp.where(m, np.float32(1.0 if lt.ltype == 1 else 0.0),
+                             area_sel)
+        emv = s.vwhere(m, emv_fn(li), emv)
+
+    to_light = s.vsub(lp, loc)
+    dist = jnp.sqrt(jnp.maximum(s.vdot(to_light, to_light), 1e-30))
+    ldir = s.vscale(to_light, 1.0 / dist)
+    ndotl = s.vdot(n, ldir)
+    is_area = area_sel > 0.5
+    cos_light = jnp.maximum(0.0, -(lnorm_sel[0] * ldir[0]
+                                   + lnorm_sel[1] * ldir[1]
+                                   + lnorm_sel[2] * ldir[2]))
+    live = (dist >= EPS) & (ndotl > 0.0)
+    # boolean algebra (Mosaic has no i1-vector select): area lights also
+    # require a front-facing sample point and a positive half-width
+    live = live & (~is_area | ((cos_light > 0.0) & (hw_sel > 0.0)))
+    inv_pdf = jnp.where(is_area,
+                        jnp.maximum(4.0 * hw_sel * hw_sel, 1e-10),
+                        jnp.float32(1.0))
+    geom = ndotl * jnp.where(is_area, cos_light, jnp.float32(1.0))
+    so = s.vadd(loc, s.vscale(n, EPS))
+    atten = shadow(so, ldir, dist - EPS, lam, shadow_mask_fn() & live)
+    w = jnp.where(live,
+                  geom * atten * inv_pdf * inv_pmf / (dist * dist), 0.0)
+    return s.vscale(emv, w), rng
 
 
 def scatter_rr_c(cfg, wo, n, loc, color, rough, is_diffuse, is_metal, tp,
@@ -1581,13 +1653,15 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                     return light_rgb[li]
             direct, rng = nee_direct_c(
                 LIGHTS, loc, n, lam, rng, shadow,
-                lambda: active & found & is_diffuse, emv_fn, z3)
+                lambda: active & found & is_diffuse, emv_fn, z3,
+                mode=cfg.light_sample)
 
             lane_d = active & found & is_diffuse
             nee = s.vmul(s.vmul(tp, color), direct)
             rad = s.vadd(rad, s.vwhere(lane_d, nee, z3))
             if cfg.count_rays:
-                rays = rays + jnp.sum(_mask_f32(lane_d)) * L
+                rays = rays + jnp.sum(_mask_f32(lane_d)) * (
+                    1 if cfg.light_sample == "power" else L)
 
             # shared scatter draws (order = integrate.py); camera scatter
             # cells are tile-shared per (sample, bounce) when strata are on

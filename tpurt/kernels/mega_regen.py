@@ -497,7 +497,8 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                     return (em[3 * li], em[3 * li + 1], em[3 * li + 2])
             direct, rng = nee_direct_c(
                 LIGHTS, loc, n, lam, rng, shadow,
-                lambda: active & is_cam & found & is_diffuse, emv_fn, z3)
+                lambda: active & is_cam & found & is_diffuse, emv_fn, z3,
+                mode=cfg.light_sample)
 
             rng = jnp.where(is_cam, rng, rng_pre_nee)
 
@@ -506,7 +507,8 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             rad = tuple(jnp.where(lane_d, rad[c] + nee[c], rad[c])
                         for c in range(3))
             if cfg.count_rays:
-                rays = rays + jnp.sum(_mask_f32(lane_d)) * L
+                rays = rays + jnp.sum(_mask_f32(lane_d)) * (
+                    1 if cfg.light_sample == "power" else L)
 
             # ---- photon-only: density estimation at own vispoint
             if K > 0:

@@ -143,14 +143,16 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
             LIGHTS, loc, n, lam, rng, shadow,
             lambda: active & found & is_diffuse,
             lambda li: (pf_ref[_EM + 3 * li], pf_ref[_EM + 3 * li + 1],
-                        pf_ref[_EM + 3 * li + 2]), z3)
+                        pf_ref[_EM + 3 * li + 2]), z3,
+            mode=cfg.light_sample)
 
         lane_d = active & found & is_diffuse
         nee = s.vmul(s.vmul(tp, color), direct)
         rad = tuple(jnp.where(lane_d, rad[c] + nee[c], rad[c])
                     for c in range(3))
         if cfg.count_rays:
-            rays = rays + jnp.sum(_mask_f32(lane_d)) * L
+            rays = rays + jnp.sum(_mask_f32(lane_d)) * (
+                1 if cfg.light_sample == "power" else L)
 
         # scatter draws (order = tpurt.wavefront._sweep)
         def eta_fn():
@@ -614,14 +616,16 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             direct, rng = nee_direct_c(
                 LIGHTS, loc, n, lam, rng, shadow,
                 lambda: active & found & is_diffuse,
-                lambda li: (em[3 * li], em[3 * li + 1], em[3 * li + 2]), z3)
+                lambda li: (em[3 * li], em[3 * li + 1], em[3 * li + 2]), z3,
+                mode=cfg.light_sample)
 
             lane_d = active & found & is_diffuse
             nee = s.vmul(s.vmul(tp, color), direct)
             rad = tuple(jnp.where(lane_d, rad[c] + nee[c], rad[c])
                         for c in range(3))
             if cfg.count_rays:
-                rays = rays + jnp.sum(_mask_f32(lane_d)) * L
+                rays = rays + jnp.sum(_mask_f32(lane_d)) * (
+                    1 if cfg.light_sample == "power" else L)
 
             def eta_fn():
                 lam_um = lam * jnp.float32(1e-3)

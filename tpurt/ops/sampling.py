@@ -77,3 +77,64 @@ def sample_cone_toward(origin, target, state, cos_half=PHOTON_CONE_COS):
     uc, state = rand_1f(state)
     u, state = rand_2f(state)
     return cone_from_u(origin, target, uc, u[..., 0], cos_half), state
+
+
+# ----- many-light NEE: power-proportional light selection (EXTENSION;
+# the reference loops NEE over every light, wgsl :568-615) -----
+
+def light_select_power(u_sel, intensities, hws, is_areas):
+    """Pick ONE light per lane with probability proportional to a power
+    heuristic, for cfg.light_sample="power" NEE: O(1) shadow rays per
+    bounce regardless of light count.
+
+    intensities / hws: length-L sequences of f32 scalars — python floats
+    in the frozen kernels, traced jnp scalars in the XLA path; is_areas:
+    bools (python or traced). The arithmetic below is a fixed chain of
+    f32 mul/add/div in one order, so both forms produce bit-identical
+    pmfs and selections (the cross-backend exactness contract).
+
+    Heuristic: p_i = intensity * (4*hw^2 for area lights, 1 for points)
+    — emitted flux up to the lambda-dependent color/blackbody factor,
+    which stays O(1) across lights. ANY positive p_i is unbiased (the
+    contribution is weighted by 1/pmf); a floor keeps zero-power lights
+    selectable so their (zero) contribution never divides by zero.
+
+    Returns (sels, inv_pmf): L boolean planes (exactly one true per
+    lane) and the selected light's 1/pmf plane.
+    """
+    powers = []
+    for i in range(len(intensities)):
+        area_w = jnp.float32(4.0) * hws[i] * hws[i]
+        p = intensities[i] * jnp.where(is_areas[i], area_w,
+                                       jnp.float32(1.0))
+        powers.append(jnp.maximum(p, jnp.float32(1e-20)))
+    cdf = []
+    tot = jnp.float32(0.0)
+    for p in powers:
+        tot = tot + p
+        cdf.append(tot)
+    r = u_sel * tot
+    sels = []
+    prev = jnp.float32(0.0)
+    inv_pmf = jnp.zeros_like(u_sel)
+    for i, p in enumerate(powers):
+        # the last bucket is open-ended: u_sel within an ulp of 1 can
+        # put r at/above tot, and it must still select a light
+        m = (r >= prev) if i == len(powers) - 1 else \
+            (r >= prev) & (r < cdf[i])
+        sels.append(m)
+        inv_pmf = jnp.where(m, tot / p, inv_pmf)
+        prev = cdf[i]
+    return sels, inv_pmf
+
+
+def select_chain(sels, values):
+    """Per-lane gather by chained selects: values[i] under sels[i].
+    values: (N,)/(N,3) arrays, or scalars/(3,) rows (broadcast); exactly
+    one sel true per lane (light_select_power's postcondition)."""
+    out = None
+    for m, v in zip(sels, values):
+        v = jnp.asarray(v)
+        mm = m[..., None] if v.ndim > m.ndim else m
+        out = jnp.where(mm, v, 0.0) if out is None else jnp.where(mm, v, out)
+    return out

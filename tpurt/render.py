@@ -138,8 +138,9 @@ def _use_pallas(scene, cfg) -> bool:
 
 
 def _check_camera_kind(cfg: RenderConfig, camera) -> None:
-    """Catch the camera-type/flag mismatch up front (it would otherwise
-    surface as an AttributeError deep inside a kernel trace)."""
+    """Catch the camera-type/flag mismatch (and bad cfg enums) up front —
+    they would otherwise surface as an AttributeError deep inside a
+    kernel trace (or silently fall back to reference behavior)."""
     from tpurt.camera import MotionCamera
     is_motion = isinstance(camera, MotionCamera)
     if cfg.motion_blur and not is_motion:
@@ -149,6 +150,9 @@ def _check_camera_kind(cfg: RenderConfig, camera) -> None:
         raise TypeError("got a MotionCamera but cfg.motion_blur is False — "
                         "set RenderConfig(motion_blur=True) or pass "
                         "camera.cam0")
+    if cfg.light_sample not in ("all", "power"):
+        raise ValueError(f"cfg.light_sample must be 'all' or 'power', got "
+                         f"{cfg.light_sample!r}")
 
 
 def render_step(scene: Scene, cfg: RenderConfig, camera: Camera,

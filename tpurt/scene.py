@@ -390,6 +390,46 @@ def instanced_scene(n_instances: int = 256, seed: int = 7) -> Scene:
     return build_scene(materials, spheres, [], lights)
 
 
+def many_light_scene(n_lights: int = 16, seed: int = 11) -> Scene:
+    """Cornell-style room lit by a grid of n_lights small area lights of
+    very unequal power (plus the sphere props) — the many-light NEE
+    stress scene for cfg.light_sample="power" (EXTENSION; the reference
+    never exceeds one light). All-mode NEE cost grows O(n_lights) here;
+    power mode stays O(1) shadow rays per bounce."""
+    rng = np.random.default_rng(seed)
+    materials = [
+        Material.diffuse((0.73, 0.73, 0.73)),
+        Material.diffuse((0.65, 0.05, 0.05)),
+        Material.diffuse((0.12, 0.45, 0.15)),
+        Material.dielectric(1.5, 0.0),
+    ]
+    R = 1000.0
+    box = 5.0
+    spheres = [
+        Sphere(0, R, (0.0, -R, 0.0)),
+        Sphere(0, R, (0.0, R + 2 * box, 0.0)),
+        Sphere(0, R, (0.0, box, R + box)),
+        Sphere(1, R, (-R - box, box, 0.0)),
+        Sphere(2, R, (R + box, box, 0.0)),
+        Sphere(3, 1.5, (-1.8, 1.5, 1.0)),
+        Sphere(0, 1.2, (1.8, 1.2, -0.5)),
+    ]
+    side = int(math.ceil(math.sqrt(n_lights)))
+    lights = []
+    for i in range(n_lights):
+        gx, gz = i % side, i // side
+        x = (gx + 0.5) / side * 2 * (box - 0.5) - (box - 0.5)
+        z = (gz + 0.5) / side * 2 * (box - 0.5) - (box - 0.5)
+        # log-uniform power spread: selection has real work to do
+        inten = float(10.0 ** rng.uniform(-1.0, 1.0))
+        col = tuple(float(c) for c in rng.uniform(0.3, 1.0, 3))
+        lights.append(Light.square_area(
+            [x, 2 * box - 0.01, z], [0.0, -1.0, 0.0],
+            float(rng.uniform(0.2, 0.6)), col, inten,
+            float(rng.uniform(2500.0, 6500.0))))
+    return build_scene(materials, spheres, [], lights)
+
+
 def dispersive_scene() -> Scene:
     """Dispersive glass + metal materials (BASELINE config 4)."""
     materials = [

@@ -214,7 +214,8 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool,
     lane_d = active & found & is_diffuse
     rad = rad + jnp.where(lane_d[:, None], pool.tp * color * direct, 0.0)
     if cfg.count_rays:
-        rays = rays + jnp.sum(lane_d.astype(jnp.float32)) * scene.num_lights
+        rays = rays + jnp.sum(lane_d.astype(jnp.float32)) * (
+            1 if cfg.light_sample == "power" else scene.num_lights)
 
     # scatter (same draw order as the mega integrator)
     wi, new_tp, new_o, scat_ok, rr_live, rng = scatter_and_rr(
