@@ -80,13 +80,14 @@ def test_light_select_power_unit():
 
 
 def test_power_unbiased_vs_all():
-    """XLA backend: the power estimator converges to the all-lights image
-    (same physics, stochastic light choice weighted by 1/pmf)."""
+    """XLA backend: the power and spatial estimators converge to the
+    all-lights image (same physics, stochastic light choice weighted by
+    1/pmf)."""
     scene = _many_light_scene()
     cam = _cam()
     spp = 96
     means = {}
-    for mode in ("all", "power"):
+    for mode in ("all", "power", "spatial"):
         cfg = RenderConfig(width=W, height=H, depth=3, backend="xla",
                            enable_photons=False, light_sample=mode)
         st = render(scene, cfg, cam, init_state(cfg), 321, spp)
@@ -94,6 +95,7 @@ def test_power_unbiased_vs_all():
         assert np.isfinite(img).all()
         means[mode] = img.mean(axis=0)
     np.testing.assert_allclose(means["power"], means["all"], rtol=0.06)
+    np.testing.assert_allclose(means["spatial"], means["all"], rtol=0.06)
 
 
 def test_power_one_shadow_segment_per_bounce():
@@ -123,14 +125,15 @@ def test_power_one_shadow_segment_per_bounce():
 
 
 @pytest.mark.slow
-def test_power_cross_backend_camera_paths():
+@pytest.mark.parametrize("mode", ["power", "spatial"])
+def test_power_cross_backend_camera_paths(mode):
     """Same draw layout in every backend: exact ray-counter parity and
     image agreement up to reassociation (camera paths only — the
     wavefront family has no photon pass)."""
     scene = _many_light_scene()
     cam = _cam()
     kw = dict(width=W, height=H, depth=3, enable_photons=False,
-              light_sample="power", tile_size=512, pallas_lanes=512,
+              light_sample=mode, tile_size=512, pallas_lanes=512,
               wf_pool=512)
     results = {}
     for name, extra in (

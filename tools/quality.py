@@ -139,6 +139,51 @@ def adaptive_probe(args):
     }), flush=True)
 
 
+def lights_probe(args):
+    """Many-light NEE ("all" vs "power" at equal spp), scored at equal
+    RAYS: power mode trades one stochastically-chosen light per bounce
+    (higher variance per sample) for L-fold fewer shadow sweeps, so the
+    honest metric is eff = (var_all * rays_all) / (var_power * rays_power)
+    (> 1: power reaches equal noise with fewer total segments)."""
+    from tpurt import (RenderConfig, init_state, make_camera,
+                       many_light_scene, render, resolve_image)
+    scene = many_light_scene(args.n_lights)
+    cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0, aspect_ratio=2.0)
+    kw = dict(width=64, height=32, depth=8,
+              enable_photons=not args.no_photons)
+    out = {}
+    for mode in ("all", "power", "spatial"):
+        cfg = RenderConfig(backend="xla", light_sample=mode, **kw)
+        imgs, rays = [], []
+        for rep in range(args.reps):
+            st = render(scene, cfg, cam, init_state(cfg),
+                        1000 + 7919 * rep, args.spp)
+            imgs.append(np.asarray(resolve_image(cfg, st), np.float64))
+            rays.append(float(st.rays))
+        imgs = np.stack(imgs)
+        mean = imgs.mean(0)
+        var = ((imgs - mean) ** 2).sum(0) / (len(imgs) - 1)
+        score = float(var.mean() / max(np.abs(mean).mean() ** 2, 1e-12))
+        out[mode] = (score, float(np.mean(rays)))
+        print(json.dumps({
+            "scene": f"lights{args.n_lights}", "spp": args.spp,
+            "reps": args.reps, "photons": not args.no_photons,
+            "light_sample": mode, "rel_var_rgb": round(score, 5),
+            "rays": out[mode][1],
+        }), flush=True)
+    for mode in ("power", "spatial"):
+        eff = (out["all"][0] * out["all"][1]
+               / (out[mode][0] * out[mode][1]))
+        print(json.dumps({
+            "scene": f"lights{args.n_lights}", "mode": mode,
+            "eff_equal_rays_vs_all": round(eff, 3),
+            "rays_ratio_all_over_mode": round(
+                out["all"][1] / out[mode][1], 3),
+            "var_ratio_mode_over_all": round(
+                out[mode][0] / out["all"][0], 3),
+        }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=16)
@@ -159,11 +204,21 @@ def main():
                     help="hero_wavelengths for the adaptive probe (hero>1 "
                          "removes global chroma noise so the probe sees the "
                          "spatially-heterogeneous path noise)")
+    ap.add_argument("--lights", action="store_true",
+                    help="many-light NEE probe: light_sample all-vs-power "
+                         "at equal spp, scored at equal rays")
+    ap.add_argument("--n-lights", type=int, default=16)
+    ap.add_argument("--no-photons", action="store_true",
+                    help="lights probe: camera+NEE only (photon segments "
+                         "are mode-independent and dilute the ray ratio)")
     args = ap.parse_args()
     if args.reps < 2:
         ap.error("--reps must be >= 2 (sample variance divides by reps-1)")
     if args.adaptive:
         adaptive_probe(args)
+        return
+    if args.lights:
+        lights_probe(args)
         return
 
     from tpurt import RenderConfig, init_state, render, resolve_image

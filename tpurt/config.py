@@ -106,11 +106,15 @@ class RenderConfig:
     #   NEE light strategy. "all" loops every light per bounce (shadow
     #   rays scale O(L), wgsl :568-615). "power" draws ONE light per
     #   bounce with probability proportional to intensity*(4*hw^2 | 1)
-    #   and weights by 1/pmf (ops/sampling.light_select_power): O(1)
-    #   shadow rays per bounce regardless of light count — the many-light
-    #   mode. Unbiased; same draw layout in every backend (one select
-    #   uniform + the 2f light sample), so cross-backend exactness holds.
-    #   Photon emission is unchanged (already O(K), round-robin).
+    #   and weights by 1/pmf (ops/sampling): O(1) shadow rays per bounce
+    #   regardless of light count. "spatial" additionally divides each
+    #   weight by the lane's squared distance to the light center (the
+    #   unshadowed-contribution heuristic — use this one; "power" alone
+    #   ignores proximity and costs variance when illumination is
+    #   nearest-light dominated). Both are unbiased with the same draw
+    #   layout in every backend (one select uniform + the 2f light
+    #   sample), so cross-backend exactness holds. Photon emission is
+    #   unchanged (already O(K), round-robin).
     qmc: bool = False                  # EXTENSION (False = reference):
     #   True draws the CAMERA-SPAWN uniforms (pixel jitter, shutter time,
     #   lens disc, wavelength) from a per-pixel Owen-scrambled Sobol

@@ -148,7 +148,7 @@ def sample_direct_lighting(scene, cfg, pos, norm, lam, rng, light_rgbs=None):
     if light_rgbs is None:
         light_rgbs = light_emission_rgb(scene, lam)
 
-    if cfg.light_sample == "power" and scene.num_lights > 0:
+    if cfg.light_sample in ("power", "spatial") and scene.num_lights > 0:
         return _sample_direct_power(scene, cfg, pos, norm, lam, rng,
                                     light_rgbs)
 
@@ -191,20 +191,35 @@ def cos_light_or_one(is_area, cos_light):
 
 
 def _sample_direct_power(scene, cfg, pos, norm, lam, rng, light_rgbs):
-    """cfg.light_sample == "power": one power-proportionally selected
-    light per lane, weighted by 1/pmf (EXTENSION; the reference loops
-    all lights). Draw layout: one select uniform, then the same 2f light
-    sample as each "all"-mode light — every backend pairs up. Callers
-    count ONE shadow segment per live lane (see render_tile)."""
-    from tpurt.ops.sampling import light_select_power, select_chain
+    """cfg.light_sample == "power"/"spatial": ONE selected light per
+    lane, weighted by 1/pmf (EXTENSION; the reference loops all lights).
+    "power" selects by total emitted power; "spatial" additionally
+    divides each weight by the lane's squared distance to the light
+    center — the unshadowed-contribution heuristic, much lower variance
+    when illumination is proximity-dominated. Draw layout: one select
+    uniform, then the same 2f light sample as each "all"-mode light —
+    every backend pairs up. Callers count ONE shadow segment per live
+    lane (see render_tile)."""
+    from tpurt.ops.sampling import (light_powers, select_chain,
+                                    select_from_powers)
     L = scene.num_lights
     N = pos.shape[0]
     u_sel, rng = rngmod.rand_1f(rng)
-    sels, inv_pmf = light_select_power(
-        u_sel,
+    powers = light_powers(
         [scene.light_intensity[i] for i in range(L)],
         [scene.light_hw[i] for i in range(L)],
         [scene.light_type[i] == 1 for i in range(L)])
+    if cfg.light_sample == "spatial":
+        # per-lane 1/dist^2 to the light CENTER (selection must not
+        # depend on the 2f sample drawn after it); floor keeps the pmf
+        # bounded when a lane shades right next to a light
+        sp = []
+        for i in range(L):
+            to = scene.light_pos[i][None, :] - pos
+            d2 = jnp.sum(to * to, axis=-1)
+            sp.append(powers[i] / jnp.maximum(d2, jnp.float32(1e-4)))
+        powers = sp
+    sels, inv_pmf = select_from_powers(u_sel, powers)
     lpos = select_chain(sels, [scene.light_pos[i][None, :] for i in range(L)])
     lnorm = select_chain(sels, [scene.light_normal[i][None, :]
                                 for i in range(L)])
@@ -496,7 +511,7 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
         if cfg.count_rays:
             # only diffuse lanes actually fire shadow rays in the reference;
             # power light sampling fires exactly one per lane instead of L
-            n_shadow = 1 if cfg.light_sample == "power" else scene.num_lights
+            n_shadow = 1 if cfg.light_sample != "all" else scene.num_lights
             st_rays = st["rays"] + jnp.sum(lane_d.astype(jnp.float32)) * n_shadow
         else:
             st_rays = st["rays"]

@@ -967,14 +967,15 @@ def nee_direct_c(LIGHTS, loc, n, lam, rng, shadow, shadow_mask_fn, emv_fn,
         collapse state in place).
 
     mode (static) = cfg.light_sample: "all" loops every light (reference
-    semantics, 2 draws + 1 shadow segment per light); "power" delegates to
-    the O(1)-shadow-rays branch below (3 draws + 1 shadow segment total).
+    semantics, 2 draws + 1 shadow segment per light); "power"/"spatial"
+    delegate to the O(1)-shadow-rays branch below (3 draws + 1 shadow
+    segment total).
 
     Returns (direct, rng): 2 rng draws consumed per light ("all" mode).
     """
-    if mode == "power" and LIGHTS:
+    if mode in ("power", "spatial") and LIGHTS:
         return _nee_direct_power_c(LIGHTS, loc, n, lam, rng, shadow,
-                                   shadow_mask_fn, emv_fn, z3)
+                                   shadow_mask_fn, emv_fn, z3, mode)
     direct = z3
     for li, lt in enumerate(LIGHTS):
         u1, rng = rngmod.rand_1f(rng)
@@ -1009,24 +1010,34 @@ def nee_direct_c(LIGHTS, loc, n, lam, rng, shadow, shadow_mask_fn, emv_fn,
 
 
 def _nee_direct_power_c(LIGHTS, loc, n, lam, rng, shadow, shadow_mask_fn,
-                        emv_fn, z3):
-    """cfg.light_sample == "power" NEE for the fused kernels (EXTENSION;
-    twin of integrate._sample_direct_power, same 3-draw layout: select
-    uniform, then the 2f light sample). ONE power-proportionally selected
+                        emv_fn, z3, mode):
+    """cfg.light_sample == "power"/"spatial" NEE for the fused kernels
+    (EXTENSION; twin of integrate._sample_direct_power, same 3-draw
+    layout: select uniform, then the 2f light sample). ONE selected
     light per lane, weighted by 1/pmf — one shadow sweep per bounce
-    regardless of light count. The per-light pmf terms are compile-time
-    constants here (frozen scene), traced scalars in the XLA path; the
-    selection arithmetic is the same f32 chain either way
-    (ops/sampling.light_select_power). Callers count ONE shadow segment
-    per live lane.
+    regardless of light count. "spatial" divides each base power by the
+    lane's squared distance to the light center (unshadowed-contribution
+    heuristic). The base power terms are compile-time constants here
+    (frozen scene), traced scalars in the XLA path; the selection
+    arithmetic is the same f32 chain either way (ops/sampling). Callers
+    count ONE shadow segment per live lane.
     """
-    from tpurt.ops.sampling import light_select_power
+    from tpurt.ops.sampling import light_powers, select_from_powers
     u_sel, rng = rngmod.rand_1f(rng)
-    sels, inv_pmf = light_select_power(
-        u_sel,
+    powers = light_powers(
         [np.float32(lt.intensity) for lt in LIGHTS],
         [np.float32(lt.hw) for lt in LIGHTS],
         [lt.ltype == 1 for lt in LIGHTS])
+    if mode == "spatial":
+        sp = []
+        for li, lt in enumerate(LIGHTS):
+            dx = np.float32(lt.pos[0]) - loc[0]
+            dy = np.float32(lt.pos[1]) - loc[1]
+            dz = np.float32(lt.pos[2]) - loc[2]
+            d2 = dx * dx + dy * dy + dz * dz
+            sp.append(powers[li] / jnp.maximum(d2, jnp.float32(1e-4)))
+        powers = sp
+    sels, inv_pmf = select_from_powers(u_sel, powers)
     u1, rng = rngmod.rand_1f(rng)
     u2, rng = rngmod.rand_1f(rng)
 
@@ -1661,7 +1672,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             rad = s.vadd(rad, s.vwhere(lane_d, nee, z3))
             if cfg.count_rays:
                 rays = rays + jnp.sum(_mask_f32(lane_d)) * (
-                    1 if cfg.light_sample == "power" else L)
+                    1 if cfg.light_sample != "all" else L)
 
             # shared scatter draws (order = integrate.py); camera scatter
             # cells are tile-shared per (sample, bounce) when strata are on

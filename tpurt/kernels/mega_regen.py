@@ -508,7 +508,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                         for c in range(3))
             if cfg.count_rays:
                 rays = rays + jnp.sum(_mask_f32(lane_d)) * (
-                    1 if cfg.light_sample == "power" else L)
+                    1 if cfg.light_sample != "all" else L)
 
             # ---- photon-only: density estimation at own vispoint
             if K > 0:

@@ -152,7 +152,7 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                     for c in range(3))
         if cfg.count_rays:
             rays = rays + jnp.sum(_mask_f32(lane_d)) * (
-                1 if cfg.light_sample == "power" else L)
+                1 if cfg.light_sample != "all" else L)
 
         # scatter draws (order = tpurt.wavefront._sweep)
         def eta_fn():
@@ -625,7 +625,7 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                         for c in range(3))
             if cfg.count_rays:
                 rays = rays + jnp.sum(_mask_f32(lane_d)) * (
-                    1 if cfg.light_sample == "power" else L)
+                    1 if cfg.light_sample != "all" else L)
 
             def eta_fn():
                 lam_um = lam * jnp.float32(1e-3)

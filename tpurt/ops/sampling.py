@@ -82,32 +82,37 @@ def sample_cone_toward(origin, target, state, cos_half=PHOTON_CONE_COS):
 # ----- many-light NEE: power-proportional light selection (EXTENSION;
 # the reference loops NEE over every light, wgsl :568-615) -----
 
-def light_select_power(u_sel, intensities, hws, is_areas):
-    """Pick ONE light per lane with probability proportional to a power
-    heuristic, for cfg.light_sample="power" NEE: O(1) shadow rays per
-    bounce regardless of light count.
-
-    intensities / hws: length-L sequences of f32 scalars — python floats
-    in the frozen kernels, traced jnp scalars in the XLA path; is_areas:
-    bools (python or traced). The arithmetic below is a fixed chain of
-    f32 mul/add/div in one order, so both forms produce bit-identical
-    pmfs and selections (the cross-backend exactness contract).
-
-    Heuristic: p_i = intensity * (4*hw^2 for area lights, 1 for points)
-    — emitted flux up to the lambda-dependent color/blackbody factor,
-    which stays O(1) across lights. ANY positive p_i is unbiased (the
-    contribution is weighted by 1/pmf); a floor keeps zero-power lights
-    selectable so their (zero) contribution never divides by zero.
-
-    Returns (sels, inv_pmf): L boolean planes (exactly one true per
-    lane) and the selected light's 1/pmf plane.
-    """
+def light_powers(intensities, hws, is_areas):
+    """Per-light selection weights for cfg.light_sample="power":
+    p_i = intensity * (4*hw^2 for area lights, 1 for points) — emitted
+    flux up to the lambda-dependent color/blackbody factor, which stays
+    O(1) across lights. intensities / hws: length-L sequences of f32
+    scalars — python floats in the frozen kernels, traced jnp scalars in
+    the XLA path; is_areas: bools (python or traced). Fixed f32 op chain
+    in one order, so both forms produce bit-identical weights (the
+    cross-backend exactness contract)."""
     powers = []
     for i in range(len(intensities)):
         area_w = jnp.float32(4.0) * hws[i] * hws[i]
         p = intensities[i] * jnp.where(is_areas[i], area_w,
                                        jnp.float32(1.0))
-        powers.append(jnp.maximum(p, jnp.float32(1e-20)))
+        powers.append(p)
+    return powers
+
+
+def select_from_powers(u_sel, powers):
+    """Pick ONE light per lane with probability proportional to powers
+    (length-L sequence of f32 scalars OR per-lane planes — the spatial
+    heuristic passes planes), for the O(1)-shadow-rays NEE modes.
+
+    ANY positive p_i is unbiased (the contribution is weighted by
+    1/pmf); a floor keeps zero-power lights selectable so their (zero)
+    contribution never divides by zero.
+
+    Returns (sels, inv_pmf): L boolean planes (exactly one true per
+    lane) and the selected light's 1/pmf plane.
+    """
+    powers = [jnp.maximum(p, jnp.float32(1e-20)) for p in powers]
     cdf = []
     tot = jnp.float32(0.0)
     for p in powers:
@@ -126,6 +131,12 @@ def light_select_power(u_sel, intensities, hws, is_areas):
         inv_pmf = jnp.where(m, tot / p, inv_pmf)
         prev = cdf[i]
     return sels, inv_pmf
+
+
+def light_select_power(u_sel, intensities, hws, is_areas):
+    """cfg.light_sample="power" selection: light_powers -> select."""
+    return select_from_powers(u_sel, light_powers(intensities, hws,
+                                                  is_areas))
 
 
 def select_chain(sels, values):

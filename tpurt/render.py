@@ -150,9 +150,9 @@ def _check_camera_kind(cfg: RenderConfig, camera) -> None:
         raise TypeError("got a MotionCamera but cfg.motion_blur is False — "
                         "set RenderConfig(motion_blur=True) or pass "
                         "camera.cam0")
-    if cfg.light_sample not in ("all", "power"):
-        raise ValueError(f"cfg.light_sample must be 'all' or 'power', got "
-                         f"{cfg.light_sample!r}")
+    if cfg.light_sample not in ("all", "power", "spatial"):
+        raise ValueError(f"cfg.light_sample must be 'all', 'power' or "
+                         f"'spatial', got {cfg.light_sample!r}")
 
 
 def render_step(scene: Scene, cfg: RenderConfig, camera: Camera,

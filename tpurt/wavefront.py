@@ -215,7 +215,7 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool,
     rad = rad + jnp.where(lane_d[:, None], pool.tp * color * direct, 0.0)
     if cfg.count_rays:
         rays = rays + jnp.sum(lane_d.astype(jnp.float32)) * (
-            1 if cfg.light_sample == "power" else scene.num_lights)
+            1 if cfg.light_sample != "all" else scene.num_lights)
 
     # scatter (same draw order as the mega integrator)
     wi, new_tp, new_o, scat_ok, rr_live, rng = scatter_and_rr(
