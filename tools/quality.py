@@ -184,6 +184,39 @@ def lights_probe(args):
         }), flush=True)
 
 
+def rr_probe(args):
+    """Photon RR scaling (cfg.photon_rr_scale) scored at equal RAYS:
+    scale < 1 kills photon walks earlier (fewer segments) at the cost of
+    deep-photon variance, so the honest metric is
+    eff = (var_1 * rays_1) / (var_s * rays_s) (> 1: the scaled RR
+    reaches equal noise with fewer total segments)."""
+    from tpurt import RenderConfig, init_state, render, resolve_image
+    scene, cam, kw = build(args.scene)
+    kw = dict(kw, width=64, height=32, backend="xla")
+    kw.update(RenderConfig.parse_overrides(args.set))
+    out = {}
+    for scale in (1.0, 0.7, 0.5, 0.35):
+        cfg = RenderConfig(photon_rr_scale=scale, **kw)
+        imgs, rays = [], []
+        for rep in range(args.reps):
+            st = render(scene, cfg, cam, init_state(cfg),
+                        1000 + 7919 * rep, args.spp)
+            imgs.append(np.asarray(resolve_image(cfg, st), np.float64))
+            rays.append(float(st.rays))
+        imgs = np.stack(imgs)
+        mean = imgs.mean(0)
+        var = ((imgs - mean) ** 2).sum(0) / (len(imgs) - 1)
+        score = float(var.mean() / max(np.abs(mean).mean() ** 2, 1e-12))
+        out[scale] = (score, float(np.mean(rays)))
+        eff = (out[1.0][0] * out[1.0][1]) / max(score * out[scale][1], 1e-30)
+        print(json.dumps({
+            "scene": args.scene, "spp": args.spp, "reps": args.reps,
+            "photon_rr_scale": scale, "rel_var_rgb": round(score, 5),
+            "rays": out[scale][1],
+            "eff_equal_rays_vs_1": round(eff, 3),
+        }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--spp", type=int, default=16)
@@ -211,6 +244,13 @@ def main():
     ap.add_argument("--no-photons", action="store_true",
                     help="lights probe: camera+NEE only (photon segments "
                          "are mode-independent and dilute the ray ratio)")
+    ap.add_argument("--rr", action="store_true",
+                    help="photon RR scaling probe: photon_rr_scale sweep "
+                         "at equal spp, scored at equal rays")
+    ap.add_argument("--set", action="append", default=[],
+                    metavar="KEY=VAL",
+                    help="extra RenderConfig overrides for the rr probe "
+                         "(e.g. --set hero_wavelengths=4)")
     args = ap.parse_args()
     if args.reps < 2:
         ap.error("--reps must be >= 2 (sample variance divides by reps-1)")
@@ -219,6 +259,9 @@ def main():
         return
     if args.lights:
         lights_probe(args)
+        return
+    if args.rr:
+        rr_probe(args)
         return
 
     from tpurt import RenderConfig, init_state, render, resolve_image

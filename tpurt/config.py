@@ -24,6 +24,18 @@ class RenderConfig:
     max_photon_bounces: int = 8        # MAX_PHOTON_BOUNCES (wgsl :102)
     photon_radius_init: float = 2.0    # PHOTON_RADIUS_INIT (mega_kernel.rs:12)
     photon_rr_threshold: float = 0.01  # photon RR kill (wgsl :856)
+    photon_rr_scale: float = 1.0       # EXTENSION (1.0 = reference RR):
+    #   thins the photon-walk Russian roulette — survival probability
+    #   min(max_c(tp), 1) * scale, survivors reweighted by
+    #   1/(max_c(tp) * scale). Composes with (not replaces) the
+    #   reference's normalize-by-prob RR, so the per-bounce expectation
+    #   equals the reference estimator's for every throughput; < 1 kills
+    #   photons s-fold faster at every bounce, trading variance on deep
+    #   photon contributions for fewer photon segments (the majority of
+    #   all traced segments on photon-heavy scenes). Measure the trade
+    #   with tools/quality.py --rr (var*rays at equal noise). Camera-path
+    #   RR is untouched. At exactly 1.0 every kernel compiles to the
+    #   reference's RR ops unchanged.
     sppm_alpha: float = 0.67           # radius schedule (mega_kernel.rs:198)
     photon_strata: int = 0             # EXTENSION (0 = reference sampling):
     #   power-of-two N stratifies each photon's emission position and

@@ -613,8 +613,22 @@ def scatter_and_rr(cfg: RenderConfig, wo, n, loc, color, rough, ior, mtype,
     # Russian roulette (wgsl :976-979 / :855-858)
     prob = jnp.max(new_tp, axis=-1)
     thr = cfg.rr_threshold if camera_path else cfg.photon_rr_threshold
-    rr_live = (prob >= thr) & (u_rr <= prob)
-    new_tp = new_tp / jnp.maximum(prob, 1e-30)[:, None]
+    scale = 1.0 if camera_path else cfg.photon_rr_scale
+    if scale == 1.0:
+        rr_live = (prob >= thr) & (u_rr <= prob)
+        new_tp = new_tp / jnp.maximum(prob, 1e-30)[:, None]
+    else:
+        # EXTENSION (cfg.photon_rr_scale): extra thinning COMPOSED with
+        # the reference's own RR — survive with min(prob,1)*s, reweight
+        # by 1/(prob*s). Expectation per bounce equals the reference's
+        # (tpm*min(prob,1)/prob) for EVERY prob, including the prob > 1
+        # regime where the reference normalizes tp down with certain
+        # survival (photon tp starts at light_power/k >> 1); a clamped
+        # min(s*prob,1) kill would instead lengthen those walks.
+        p = jnp.minimum(prob, jnp.float32(1.0)) * jnp.float32(scale)
+        rr_live = (prob >= thr) & (u_rr <= p)
+        new_tp = new_tp / jnp.maximum(prob * jnp.float32(scale),
+                                      1e-30)[:, None]
     return wi, new_tp, new_o, scat_ok, rr_live, rng
 
 

@@ -1086,7 +1086,8 @@ def _nee_direct_power_c(LIGHTS, loc, n, lam, rng, shadow, shadow_mask_fn,
 
 def scatter_rr_c(cfg, wo, n, loc, color, rough, is_diffuse, is_metal, tp,
                  rng, *, any_dielectric, any_metal, eta_fn, camera_pdf,
-                 rr_thresh_fn, strata_fn=None, post_dielectric=None):
+                 rr_thresh_fn, strata_fn=None, post_dielectric=None,
+                 rr_scale_fn=None):
     """THE scatter-select + Russian-roulette block (wgsl :906-979 camera,
     :782-853 photon) shared by all five fused kernel bodies. Per-site
     variation is injected, each closure emitting its ops exactly where
@@ -1100,7 +1101,11 @@ def scatter_rr_c(cfg, wo, n, loc, color, rough, is_diffuse, is_metal, tp,
         per-lane camera/photon select);
       strata_fn(u2a, u2b, u_choice) -> remapped triple (bounce strata);
       post_dielectric(is_diel) -> arbitrary extra (hero-collapse updates),
-        returned as `extra`.
+        returned as `extra`;
+      rr_scale_fn() -> RR survival-probability scale (scalar const, or a
+        per-lane camera/photon select) for cfg.photon_rr_scale != 1.0;
+        None (the default, and ALWAYS at scale 1.0) emits the reference's
+        RR ops unchanged.
 
     Consumes exactly 4 rng draws. Returns
     (wi, new_tp, new_o, scat_ok, rr_live, rng, extra).
@@ -1139,8 +1144,21 @@ def scatter_rr_c(cfg, wo, n, loc, color, rough, is_diffuse, is_metal, tp,
     new_tp = s.vmul(tp, tpm)
     new_o = s.vadd(loc, s.vscale(n, off))
     prob = s.vmax_comp(new_tp)
-    rr_live = (prob >= rr_thresh_fn()) & (u_rr <= prob)
-    new_tp = s.vscale(new_tp, 1.0 / jnp.maximum(prob, 1e-30))
+    if rr_scale_fn is None:
+        rr_live = (prob >= rr_thresh_fn()) & (u_rr <= prob)
+        new_tp = s.vscale(new_tp, 1.0 / jnp.maximum(prob, 1e-30))
+    else:
+        # EXTENSION (cfg.photon_rr_scale): extra thinning composed with
+        # the reference's RR — survive with min(prob,1)*sc, reweight by
+        # 1/(prob*sc); per-bounce expectation equals the reference's for
+        # every prob (twin of integrate.scatter_and_rr, see the rationale
+        # there). Lanes with sc == 1 (regen camera lanes) reduce exactly
+        # to the reference ops: u_rr < 1 makes the min(prob,1) kill
+        # equivalent to the unclamped one, and the division is by prob.
+        sc = rr_scale_fn()
+        p = jnp.minimum(prob, jnp.float32(1.0)) * sc
+        rr_live = (prob >= rr_thresh_fn()) & (u_rr <= p)
+        new_tp = s.vscale(new_tp, 1.0 / jnp.maximum(prob * sc, 1e-30))
     return wi, new_tp, new_o, scat_ok, rr_live, rng, extra
 
 
@@ -1847,7 +1865,9 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                             eta_fn=lambda: ior + cauchy_add,
                             camera_pdf=False,
                             rr_thresh_fn=lambda: cfg.photon_rr_threshold,
-                            strata_fn=strata_fn)
+                            strata_fn=strata_fn,
+                            rr_scale_fn=None if cfg.photon_rr_scale == 1.0
+                            else (lambda: jnp.float32(cfg.photon_rr_scale)))
 
                     cont = live & scat_ok & rr_live
                     cont_i = _mask_i32(cont)

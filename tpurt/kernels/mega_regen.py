@@ -588,7 +588,12 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                     rr_thresh_fn=lambda: jnp.where(
                         is_cam, np.float32(cfg.rr_threshold),
                         np.float32(cfg.photon_rr_threshold)),
-                    strata_fn=strata_fn, post_dielectric=post_diel)
+                    strata_fn=strata_fn, post_dielectric=post_diel,
+                    # photon lanes only; camera lanes keep reference RR
+                    rr_scale_fn=None if cfg.photon_rr_scale == 1.0
+                    else (lambda: jnp.where(
+                        is_cam, np.float32(1.0),
+                        np.float32(cfg.photon_rr_scale))))
             if track_collapse and any_dielectric:
                 coll = coll_new
 

@@ -153,6 +153,9 @@ def _check_camera_kind(cfg: RenderConfig, camera) -> None:
     if cfg.light_sample not in ("all", "power", "spatial"):
         raise ValueError(f"cfg.light_sample must be 'all', 'power' or "
                          f"'spatial', got {cfg.light_sample!r}")
+    if not (cfg.photon_rr_scale > 0.0):
+        raise ValueError(f"cfg.photon_rr_scale must be > 0, got "
+                         f"{cfg.photon_rr_scale!r}")
 
 
 def render_step(scene: Scene, cfg: RenderConfig, camera: Camera,
