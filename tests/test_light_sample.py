@@ -124,6 +124,25 @@ def test_power_one_shadow_segment_per_bounce():
     assert rays["all"] == n + 3 * d, rays
 
 
+def test_no_lights_counts_no_shadow_segments():
+    """Zero-light scene: NEE is gated on L > 0 in every backend, so
+    single-light modes must not count the phantom per-lane shadow
+    segment — rays must be mode-independent (camera segments only)."""
+    mats = [Material.diffuse((0.7, 0.7, 0.7))]
+    sph = [Sphere(0, 1000.0, (0.0, -1000.0, 0.0))]   # floor
+    scene = build_scene(mats, sph, [], [])
+    cam = make_camera((0.0, 2.0, -5.0), (0.0, -1.0, 5.0), vfov=60.0,
+                      aspect_ratio=W / H)
+    rays = {}
+    for mode in ("all", "power", "spatial"):
+        cfg = RenderConfig(width=W, height=H, depth=2, backend="xla",
+                           enable_photons=False, light_sample=mode)
+        st = render(scene, cfg, cam, init_state(cfg), 7, 1)
+        rays[mode] = float(st.rays)
+    assert rays["power"] == rays["all"] == rays["spatial"], rays
+    assert rays["all"] > 0.0
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("mode", ["power", "spatial"])
 def test_power_cross_backend_camera_paths(mode):

@@ -64,9 +64,12 @@ def test_scale_reduces_segments():
 
 
 def test_scale_validation():
-    cfg = RenderConfig(width=W, height=H, photon_rr_scale=0.0)
-    with pytest.raises(ValueError, match="photon_rr_scale"):
-        render(_photon_scene(), cfg, _cam(), init_state(cfg), 1, 1)
+    # > 1 is rejected too: u_rr < 1 caps effective survival at 1 while
+    # the reweight divides by prob*scale — it would bias photons darker
+    for bad in (0.0, -0.5, 1.5):
+        cfg = RenderConfig(width=W, height=H, photon_rr_scale=bad)
+        with pytest.raises(ValueError, match="photon_rr_scale"):
+            render(_photon_scene(), cfg, _cam(), init_state(cfg), 1, 1)
 
 
 def test_unbiased_vs_reference_rr():

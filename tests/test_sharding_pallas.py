@@ -269,7 +269,7 @@ def test_sharded_regen_budget_bit_identical():
     mesh = sh.make_mesh(8)
     planes = sh.init_planes_sharded(cfg, mesh)
     aux, clipped = sh.build_regen_budget_aux(cfg, budgets, st0.n_samples, 3)
-    step = sh.make_regen_budget_sharded_step(mesh, cfg, scene, 3,
+    step = sh.make_regen_budget_sharded_step(mesh, cfg, scene,
                                              interpret=True)
     planes, rays = step(cam, planes, aux, jnp.float32(0.0), jnp.uint32(17))
 

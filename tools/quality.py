@@ -139,14 +139,31 @@ def adaptive_probe(args):
     }), flush=True)
 
 
+def _rel_var_reps(scene, cfg, cam, spp, reps):
+    """The shared scoring block: render `reps` independent spp-sample
+    images (seeds 1000 + 7919*rep), return (rel_var_rgb, mean_rays, imgs)
+    — per-pixel sample variance of the resolved image, normalized by the
+    scene's own mean scale (so scores compare across flag stacks)."""
+    from tpurt import init_state, render, resolve_image
+    imgs, rays = [], []
+    for rep in range(reps):
+        st = render(scene, cfg, cam, init_state(cfg), 1000 + 7919 * rep, spp)
+        imgs.append(np.asarray(resolve_image(cfg, st), np.float64))
+        rays.append(float(st.rays))
+    imgs = np.stack(imgs)                        # (reps, H, W, 3)
+    mean = imgs.mean(0)
+    var = ((imgs - mean) ** 2).sum(0) / (len(imgs) - 1)
+    score = float(var.mean() / max(np.abs(mean).mean() ** 2, 1e-12))
+    return score, float(np.mean(rays)), imgs
+
+
 def lights_probe(args):
     """Many-light NEE ("all" vs "power" at equal spp), scored at equal
     RAYS: power mode trades one stochastically-chosen light per bounce
     (higher variance per sample) for L-fold fewer shadow sweeps, so the
     honest metric is eff = (var_all * rays_all) / (var_power * rays_power)
     (> 1: power reaches equal noise with fewer total segments)."""
-    from tpurt import (RenderConfig, init_state, make_camera,
-                       many_light_scene, render, resolve_image)
+    from tpurt import RenderConfig, make_camera, many_light_scene
     scene = many_light_scene(args.n_lights)
     cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0, aspect_ratio=2.0)
     kw = dict(width=64, height=32, depth=8,
@@ -154,17 +171,8 @@ def lights_probe(args):
     out = {}
     for mode in ("all", "power", "spatial"):
         cfg = RenderConfig(backend="xla", light_sample=mode, **kw)
-        imgs, rays = [], []
-        for rep in range(args.reps):
-            st = render(scene, cfg, cam, init_state(cfg),
-                        1000 + 7919 * rep, args.spp)
-            imgs.append(np.asarray(resolve_image(cfg, st), np.float64))
-            rays.append(float(st.rays))
-        imgs = np.stack(imgs)
-        mean = imgs.mean(0)
-        var = ((imgs - mean) ** 2).sum(0) / (len(imgs) - 1)
-        score = float(var.mean() / max(np.abs(mean).mean() ** 2, 1e-12))
-        out[mode] = (score, float(np.mean(rays)))
+        score, mrays, _ = _rel_var_reps(scene, cfg, cam, args.spp, args.reps)
+        out[mode] = (score, mrays)
         print(json.dumps({
             "scene": f"lights{args.n_lights}", "spp": args.spp,
             "reps": args.reps, "photons": not args.no_photons,
@@ -190,24 +198,15 @@ def rr_probe(args):
     deep-photon variance, so the honest metric is
     eff = (var_1 * rays_1) / (var_s * rays_s) (> 1: the scaled RR
     reaches equal noise with fewer total segments)."""
-    from tpurt import RenderConfig, init_state, render, resolve_image
+    from tpurt import RenderConfig
     scene, cam, kw = build(args.scene)
     kw = dict(kw, width=64, height=32, backend="xla")
     kw.update(RenderConfig.parse_overrides(args.set))
     out = {}
     for scale in (1.0, 0.7, 0.5, 0.35):
         cfg = RenderConfig(photon_rr_scale=scale, **kw)
-        imgs, rays = [], []
-        for rep in range(args.reps):
-            st = render(scene, cfg, cam, init_state(cfg),
-                        1000 + 7919 * rep, args.spp)
-            imgs.append(np.asarray(resolve_image(cfg, st), np.float64))
-            rays.append(float(st.rays))
-        imgs = np.stack(imgs)
-        mean = imgs.mean(0)
-        var = ((imgs - mean) ** 2).sum(0) / (len(imgs) - 1)
-        score = float(var.mean() / max(np.abs(mean).mean() ** 2, 1e-12))
-        out[scale] = (score, float(np.mean(rays)))
+        score, mrays, _ = _rel_var_reps(scene, cfg, cam, args.spp, args.reps)
+        out[scale] = (score, mrays)
         eff = (out[1.0][0] * out[1.0][1]) / max(score * out[scale][1], 1e-30)
         print(json.dumps({
             "scene": args.scene, "spp": args.spp, "reps": args.reps,
@@ -264,32 +263,24 @@ def main():
         rr_probe(args)
         return
 
-    from tpurt import RenderConfig, init_state, render, resolve_image
+    from tpurt import RenderConfig
     scene, cam, kw = build(args.scene)
 
     ref_var = None
     for name in args.stacks:
         flags = STACKS[name]
         cfg = RenderConfig(backend="xla", **kw, **flags)
-        imgs = []
-        for rep in range(args.reps):
-            st = render(scene, cfg, cam, init_state(cfg),
-                        1000 + 7919 * rep, args.spp)
-            imgs.append(np.asarray(resolve_image(cfg, st), np.float64))
-        imgs = np.stack(imgs)                    # (reps, H, W, 3)
-        mean = imgs.mean(0)
         # two variance views, both normalized by the scene's own scale:
         # - rgb: total per-channel variance (dominated by single-lambda
         #   CHROMA noise in spectral scenes — the component hero-
         #   wavelength sampling collapses)
         # - luma: Rec.709 luminance variance (the PATH/geometry noise
         #   that strata correlation could inflate)
-        var = ((imgs - mean) ** 2).sum(0) / (len(imgs) - 1)
+        score, _, imgs = _rel_var_reps(scene, cfg, cam, args.spp, args.reps)
         w709 = np.array([0.2126, 0.7152, 0.0722])
         luma = imgs @ w709
         lmean = luma.mean(0)
         lvar = ((luma - lmean) ** 2).sum(0) / (len(imgs) - 1)
-        score = float(var.mean() / max(np.abs(mean).mean() ** 2, 1e-12))
         lscore = float(lvar.mean() / max(np.abs(lmean).mean() ** 2, 1e-12))
         if name == "reference":
             ref_var = (score, lscore)

@@ -123,6 +123,8 @@ def wavefront_render_budget_slab(scene, cfg: RenderConfig, camera: Camera,
     hold the slab's rows, pixel ids are slab-local, RNG/camera coordinates
     add ``pix_offset`` (cf. wavefront.wavefront_render_slab). Per-device
     body of parallel.sharding.make_wavefront_budget_sharded_step."""
+    from tpurt.render import _check_camera_kind   # deferred: import cycle
+    _check_camera_kind(cfg, camera)
     reject_camera_strata(cfg)
     Q = cfg.wf_pool
     budgets = jnp.clip(budgets.astype(jnp.int32), 0, max_budget)

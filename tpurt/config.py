@@ -24,7 +24,7 @@ class RenderConfig:
     max_photon_bounces: int = 8        # MAX_PHOTON_BOUNCES (wgsl :102)
     photon_radius_init: float = 2.0    # PHOTON_RADIUS_INIT (mega_kernel.rs:12)
     photon_rr_threshold: float = 0.01  # photon RR kill (wgsl :856)
-    photon_rr_scale: float = 1.0       # EXTENSION (1.0 = reference RR):
+    photon_rr_scale: float = 1.0       # EXTENSION, in (0, 1] (1 = ref RR):
     #   thins the photon-walk Russian roulette — survival probability
     #   min(max_c(tp), 1) * scale, survivors reweighted by
     #   1/(max_c(tp) * scale). Composes with (not replaces) the

@@ -511,7 +511,9 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
         if cfg.count_rays:
             # only diffuse lanes actually fire shadow rays in the reference;
             # power light sampling fires exactly one per lane instead of L
-            n_shadow = 1 if cfg.light_sample != "all" else scene.num_lights
+            # (and none at all on zero-light scenes — NEE is gated on L > 0)
+            n_shadow = (min(1, scene.num_lights)
+                        if cfg.light_sample != "all" else scene.num_lights)
             st_rays = st["rays"] + jnp.sum(lane_d.astype(jnp.float32)) * n_shadow
         else:
             st_rays = st["rays"]

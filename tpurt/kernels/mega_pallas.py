@@ -1576,7 +1576,6 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             cam_dh = (cam_ref[5, 0], cam_ref[5, 1], cam_ref[5, 2])
             cam_dv = (cam_ref[6, 0], cam_ref[6, 1], cam_ref[6, 2])
             cam_dll = (cam_ref[7, 0], cam_ref[7, 1], cam_ref[7, 2])
-        if cfg.motion_blur:
             ut, src = rngmod.rand_1f(src)
             ch = tuple(cam_h[c] + ut * cam_dh[c] for c in range(3))
             cv = tuple(cam_v[c] + ut * cam_dv[c] for c in range(3))
@@ -1690,7 +1689,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             rad = s.vadd(rad, s.vwhere(lane_d, nee, z3))
             if cfg.count_rays:
                 rays = rays + jnp.sum(_mask_f32(lane_d)) * (
-                    1 if cfg.light_sample != "all" else L)
+                    min(1, L) if cfg.light_sample != "all" else L)
 
             # shared scatter draws (order = integrate.py); camera scatter
             # cells are tile-shared per (sample, bounce) when strata are on

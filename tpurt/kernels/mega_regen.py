@@ -508,7 +508,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                         for c in range(3))
             if cfg.count_rays:
                 rays = rays + jnp.sum(_mask_f32(lane_d)) * (
-                    1 if cfg.light_sample != "all" else L)
+                    min(1, L) if cfg.light_sample != "all" else L)
 
             # ---- photon-only: density estimation at own vispoint
             if K > 0:
@@ -836,6 +836,8 @@ def render_budget_regen(scene, cfg: RenderConfig, camera, state, base_seed,
     SPPM radius schedule, so estimates stay unbiased, a uniform budget
     reproduces render_regen bit-for-bit, and two chained budget calls
     equal one combined call."""
+    from tpurt.render import _check_camera_kind   # deferred: import cycle
+    _check_camera_kind(cfg, camera)
     if not supports_scene(scene, cfg):
         raise ValueError(
             "adaptive budgets need the Pallas regen kernel; this scene "

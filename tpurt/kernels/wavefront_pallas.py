@@ -152,7 +152,7 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                     for c in range(3))
         if cfg.count_rays:
             rays = rays + jnp.sum(_mask_f32(lane_d)) * (
-                1 if cfg.light_sample != "all" else L)
+                min(1, L) if cfg.light_sample != "all" else L)
 
         # scatter draws (order = tpurt.wavefront._sweep)
         def eta_fn():
@@ -395,6 +395,8 @@ def wavefront_render_pallas(scene, cfg: RenderConfig, camera,
     """Wavefront render with the Pallas sweep kernel. Scene must be concrete
     (frozen into the kernel); falls back to the XLA wavefront for scenes
     beyond the kernel's budget."""
+    from tpurt.render import _check_camera_kind   # deferred: import cycle
+    _check_camera_kind(cfg, camera)
     if not supports_scene(scene, cfg):
         from tpurt.wavefront import wavefront_render
         return wavefront_render(scene, cfg, camera, state, base_seed, spp)
@@ -625,7 +627,7 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                         for c in range(3))
             if cfg.count_rays:
                 rays = rays + jnp.sum(_mask_f32(lane_d)) * (
-                    1 if cfg.light_sample != "all" else L)
+                    min(1, L) if cfg.light_sample != "all" else L)
 
             def eta_fn():
                 lam_um = lam * jnp.float32(1e-3)
@@ -828,6 +830,8 @@ def wavefront_render_budget_fused(scene, cfg: RenderConfig, camera,
     form of adaptive.wavefront_render_budget (same per-(pixel, sample)
     streams; exact ray-count parity). Falls back to the XLA budget
     renderer for scenes beyond the kernel budget."""
+    from tpurt.render import _check_camera_kind   # deferred: import cycle
+    _check_camera_kind(cfg, camera)
     if not supports_scene(scene, cfg):
         from tpurt.adaptive import wavefront_render_budget
         return wavefront_render_budget(scene, cfg, camera, state,
@@ -847,6 +851,8 @@ def wavefront_render_fused(scene, cfg: RenderConfig, camera,
     Pallas kernel (see module notes) — no host stages between bounces.
     Same per-(pixel, sample) streams as tpurt.wavefront; falls back to the
     XLA wavefront for scenes beyond the kernel budget."""
+    from tpurt.render import _check_camera_kind   # deferred: import cycle
+    _check_camera_kind(cfg, camera)
     if not supports_scene(scene, cfg):
         from tpurt.wavefront import wavefront_render
         return wavefront_render(scene, cfg, camera, state, base_seed, spp)

@@ -449,7 +449,6 @@ def build_regen_budget_aux(cfg: RenderConfig, budgets, counts,
 
 
 def make_regen_budget_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
-                                   max_budget: int,
                                    interpret: bool | None = None):
     """Multi-chip BUDGET regenerative step (adaptive sampling with the
     full estimator, sharded over pixel slabs): each device runs the
@@ -458,8 +457,11 @@ def make_regen_budget_sharded_step(mesh: Mesh, cfg: RenderConfig, scene,
     planes. Every (pixel, sample) path is the single-chip path.
 
     Returns f(camera, planes, aux, rays, base_seed) -> (planes, rays);
-    build `aux` with build_regen_budget_aux and track n_samples/iteration
-    host-side like the single-chip render_budget_regen does.
+    build `aux` with build_regen_budget_aux (which owns the max_budget
+    clip — the kernel reads per-lane budgets from the aux planes, so the
+    step itself has no static budget bound, unlike the wavefront twin's
+    round table) and track n_samples/iteration host-side like the
+    single-chip render_budget_regen does.
     """
     from tpurt.kernels import mega_regen as mr
 

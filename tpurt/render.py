@@ -153,8 +153,10 @@ def _check_camera_kind(cfg: RenderConfig, camera) -> None:
     if cfg.light_sample not in ("all", "power", "spatial"):
         raise ValueError(f"cfg.light_sample must be 'all', 'power' or "
                          f"'spatial', got {cfg.light_sample!r}")
-    if not (cfg.photon_rr_scale > 0.0):
-        raise ValueError(f"cfg.photon_rr_scale must be > 0, got "
+    if not (0.0 < cfg.photon_rr_scale <= 1.0):
+        # > 1 would bias photons DARKER, not lengthen walks: u_rr < 1 caps
+        # effective survival at 1 while the reweight divides by prob*scale
+        raise ValueError(f"cfg.photon_rr_scale must be in (0, 1], got "
                          f"{cfg.photon_rr_scale!r}")
 
 

@@ -215,7 +215,8 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool,
     rad = rad + jnp.where(lane_d[:, None], pool.tp * color * direct, 0.0)
     if cfg.count_rays:
         rays = rays + jnp.sum(lane_d.astype(jnp.float32)) * (
-            1 if cfg.light_sample != "all" else scene.num_lights)
+            min(1, scene.num_lights) if cfg.light_sample != "all"
+            else scene.num_lights)
 
     # scatter (same draw order as the mega integrator)
     wi, new_tp, new_o, scat_ok, rr_live, rng = scatter_and_rr(
@@ -275,6 +276,8 @@ def wavefront_render_slab(scene, cfg: RenderConfig, camera: Camera,
     pixel ids are slab-local, RNG/camera coordinates are global (see _regen).
     This is the per-device body of parallel.sharding.make_wavefront_sharded
     _step; the public wavefront_render is the pix_offset=0 whole image."""
+    from tpurt.render import _check_camera_kind   # deferred: render imports us
+    _check_camera_kind(cfg, camera)
     reject_camera_strata(cfg)
     Q = cfg.wf_pool
     spp = jnp.asarray(spp, jnp.int32)

@@ -67,6 +67,12 @@ def _build(args):
     else:
         build, (eye, at, vfov) = scenes[args.scene]
         scene = build()
+    # --set KEY=VAL (repeatable) wins over every dedicated flag: any
+    # RenderConfig knob is reachable without its own CLI option. Parsed
+    # up front so backend-conditional tweaks below see the EFFECTIVE
+    # backend (--set backend=wavefront must behave like --backend)
+    overrides = RenderConfig.parse_overrides(getattr(args, "set", None))
+    eff_backend = overrides.get("backend", args.backend)
     extra = {}
     if args.scene == "mesh" and not args.scene_file:
         # 4k triangles: the dynamic whole-tile BVH walk (chunked past
@@ -77,7 +83,7 @@ def _build(args):
                      photon_strata=16, photon_strata_dir=4096,
                      photon_strata_shared_k=True, photon_strata_bounce=True,
                      camera_strata_bounce=True, photon_strata_window=8)
-        if args.backend.startswith("wavefront"):
+        if eff_backend.startswith("wavefront"):
             # the wavefront tracers reject camera_strata_bounce (they draw
             # the unstratified sequence; photon flags are inert — no
             # photon pass) — keep the mesh scene launchable on them
@@ -97,9 +103,7 @@ def _build(args):
         # default focal plane: the look-at point (only matters with DOF on)
         focus = float(np.linalg.norm(np.asarray(at, np.float64)
                                      - np.asarray(eye, np.float64)))
-    # --set KEY=VAL (repeatable) wins over every dedicated flag: any
-    # RenderConfig knob is reachable without its own CLI option
-    extra.update(RenderConfig.parse_overrides(getattr(args, "set", None)))
+    extra.update(overrides)
     cfg = RenderConfig(**{**dict(
         width=args.width, height=args.height, depth=args.depth,
         backend=args.backend, hero_wavelengths=args.hero,
