@@ -110,6 +110,15 @@ def test_api_md_snippets(tmp_path):
     timg = _tm.tonemap(lin, cfg.tonemap_key, cfg.tonemap_saturation)
     assert np.isfinite(np.asarray(timg)).all()
 
+    # ray-query section
+    from tpurt import occlusion, trace_rays
+    origins = np.zeros((4, 3), np.float32)
+    directions = np.tile(np.array([[0, 0, 1]], np.float32), (4, 1))
+    hits = trace_rays(lit_scene, origins, directions)
+    assert hits.hit.shape == (4,) and hits.position.shape == (4, 3)
+    vis = occlusion(lit_scene, origins, directions, t_max=10.0)
+    assert vis.shape == (4,) and float(vis.min()) >= 0.0
+
     from tpurt.utils.scene_io import load_scene_json
     s3, cam_meta = load_scene_json("examples/cornell.json")
     assert cam_meta is not None and "eye" in cam_meta
