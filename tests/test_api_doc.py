@@ -110,6 +110,15 @@ def test_api_md_snippets(tmp_path):
     timg = _tm.tonemap(lin, cfg.tonemap_key, cfg.tonemap_saturation)
     assert np.isfinite(np.asarray(timg)).all()
 
+    # rendering conveniences (preset / render_until)
+    from tpurt import render_until
+    qcfg = RenderConfig.preset("quality", width=32, height=16, depth=2,
+                               backend="xla")
+    assert qcfg.hero_wavelengths == 4 and qcfg.qmc
+    ust, uinfo = render_until(lit_scene, cfg, cam, init_state(cfg), 3,
+                              target_rel_err=1e9, batch_spp=2, max_spp=8)
+    assert uinfo["converged"] and float(ust.iteration) == uinfo["spp"]
+
     # ray-query section
     from tpurt import occlusion, trace_rays
     origins = np.zeros((4, 3), np.float32)

@@ -21,6 +21,7 @@ from tpurt.render import (
     load_checkpoint,
     render,
     render_step,
+    render_until,
     resolve_image,
     save_checkpoint,
 )
@@ -48,7 +49,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Camera", "CameraController", "make_camera", "set_vfov",
     "RenderConfig", "RenderState",
-    "init_state", "render", "render_step", "resolve_image",
+    "init_state", "render", "render_step", "render_until", "resolve_image",
     "save_checkpoint", "load_checkpoint",
     "Light", "Material", "MeshData", "Scene", "Sphere",
     "build_scene", "cornell_spheres_scene", "default_scene",

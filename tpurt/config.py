@@ -270,6 +270,32 @@ class RenderConfig:
     def with_(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
 
+    # Measured flag stacks (rationale + numbers in docs/DESIGN.md). All
+    # scene-independent and unbiased; scene-tuned stacks (photon strata
+    # windows, BVH knobs) stay per-scene — see bench.py for those.
+    PRESETS = {
+        # pure reference parity: every extension off (== RenderConfig())
+        "reference": {},
+        # lowest variance per sample: hero-wavelength spectral sampling
+        # (collapses single-lambda chroma noise, eff 10^3-10^5 on spectral
+        # scenes) + Owen-scrambled Sobol camera spawn
+        "quality": dict(hero_wavelengths=4, qmc=True),
+        # fewest traced segments to a given noise floor: quality +
+        # photon-walk RR thinning (32% fewer segments at unchanged
+        # variance on NEE-lit scenes)
+        "fast": dict(hero_wavelengths=4, qmc=True, photon_rr_scale=0.5),
+    }
+
+    @classmethod
+    def preset(cls, name: str, **overrides) -> "RenderConfig":
+        """A RenderConfig from a named, measured flag stack — the three
+        above — with any field overridable: RenderConfig.preset("quality",
+        width=1920, height=1080). Unknown names raise with the list."""
+        if name not in cls.PRESETS:
+            raise ValueError(f"unknown preset {name!r}; "
+                             f"available: {sorted(cls.PRESETS)}")
+        return cls(**{**cls.PRESETS[name], **overrides})
+
     @staticmethod
     def parse_overrides(pairs) -> dict:
         """CLI `--set KEY=VAL` pairs -> a validated kwargs dict (values via

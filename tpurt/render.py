@@ -298,6 +298,60 @@ def _render_xla(scene, cfg, camera, state, base_seed, spp: int):
     return jax.lax.fori_loop(0, spp, body, state)
 
 
+def render_until(scene: Scene, cfg: RenderConfig, camera: Camera,
+                 state: RenderState, base_seed, *,
+                 target_rel_err: float = 0.02, batch_spp: int = 8,
+                 max_spp: int = 1024, min_batches: int = 2):
+    """Progressive render until the image reaches a noise target
+    (EXTENSION — the reference accumulates forever; this is the
+    production stopping rule for offline/serving use).
+
+    Renders ``batch_spp``-sample batches through ``render`` (any backend)
+    and, after each, estimates the mean relative standard error of the
+    accumulated image host-side from the BATCH means (Welford over the
+    per-batch linear images — no extra device state, no estimator
+    change):  err = mean(se_of_mean) / mean(|mean|), with the per-pixel
+    standard error from the batch-to-batch sample variance over B
+    batches. Stops when err <= target_rel_err (after at least
+    ``min_batches`` batches, so the variance estimate exists) or when
+    ``max_spp`` NEW samples have been added. SPPM note: photon batches
+    are treated as i.i.d., which is conservative — the radius schedule
+    makes later batches slightly LOWER variance.
+
+    Returns ``(state, info)`` — info has spp (new samples added),
+    batches, rel_err, and converged (whether the target was met).
+    """
+    if batch_spp < 1 or min_batches < 2:
+        raise ValueError("batch_spp >= 1 and min_batches >= 2 required "
+                         "(the batch variance divides by B-1)")
+    import numpy as np
+    n = cfg.n_pixels
+    prev = np.asarray(state.rgb_sum, np.float64)[:n]
+    mean = np.zeros_like(prev)       # Welford over batch means
+    m2 = np.zeros_like(prev)
+    done_spp, batches, rel_err = 0, 0, float("inf")
+    while done_spp < max_spp:
+        spp = min(batch_spp, max_spp - done_spp)
+        state = render(scene, cfg, camera, state, base_seed, spp)
+        done_spp += spp
+        batches += 1
+        cur = np.asarray(state.rgb_sum, np.float64)[:n]
+        batch_mean = (cur - prev) / spp
+        prev = cur
+        delta = batch_mean - mean
+        mean += delta / batches
+        m2 += delta * (batch_mean - mean)
+        if batches >= min_batches:
+            var = m2 / (batches - 1)            # batch-to-batch variance
+            se = np.sqrt(var / batches)         # std error of the mean
+            rel_err = float(se.mean() / max(np.abs(mean).mean(), 1e-12))
+            if rel_err <= target_rel_err:
+                break
+    return state, {"spp": done_spp, "batches": batches,
+                   "rel_err": rel_err,
+                   "converged": rel_err <= target_rel_err}
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def resolve_image(cfg: RenderConfig, state: RenderState,
                   key=None, saturation=None):
