@@ -33,7 +33,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from tpurt.camera import Camera
 from tpurt.config import RenderConfig

@@ -44,9 +44,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from tpurt.camera import Camera, generate_rays
+from tpurt.camera import Camera
 from tpurt.config import RenderConfig
 from tpurt.integrate import (
     _HIT,
