@@ -76,6 +76,37 @@ def test_matches_aov_pass():
                                np.asarray(aovs.depth), rtol=1e-6)
 
 
+def test_light_probe_inverse_square():
+    """Point-light NEE at a unit-albedo diffuse point: reflected radiance
+    scales as cos/d^2, so two probe points at distances d and 2d under
+    the same light differ 4x (cos identical: light straight above)."""
+    from tpurt import light_probe
+    scene = _scene()
+    nrm = np.array([[0.0, 1.0, 0.0]], np.float32)
+    # light at (0,5,0): distances 1.0 and 2.5; one lane per call so both
+    # draw the SAME spectral sequence (lane-0 stream) and the ratio is
+    # exactly d^2 despite lambda-dependent emission
+    e1 = np.asarray(light_probe(scene, [[0.0, 4.0, 0.0]], nrm, samples=4))
+    e2 = np.asarray(light_probe(scene, [[0.0, 2.5, 0.0]], nrm, samples=4))
+    assert e1.shape == (1, 3) and np.isfinite(e1).all()
+    assert float(e1.mean()) > 0.0
+    np.testing.assert_allclose(e1[0], e2[0] * 2.5 ** 2, rtol=1e-3)
+    # facing away: zero
+    e3 = np.asarray(light_probe(scene, [[0.0, 4.0, 0.0]], -nrm, samples=4))
+    assert float(np.abs(e3).max()) == 0.0
+
+
+def test_light_probe_shadowed():
+    from tpurt import light_probe
+    scene = _scene()       # opaque unit sphere at (0,0,5), light at (0,5,0)
+    # directly under the sphere: the light is occluded; off to the side: lit
+    pts = np.array([[0.0, -1.5, 5.0], [3.0, -1.5, 5.0]], np.float32)
+    nrm = np.tile([[0.0, 1.0, 0.0]], (2, 1)).astype(np.float32)
+    e = np.asarray(light_probe(scene, pts, nrm, samples=8))
+    assert float(np.abs(e[0]).max()) == 0.0       # fully blocked
+    assert float(e[1].mean()) > 0.0
+
+
 def test_occlusion_rules():
     scene = _scene(extra_sph=[Sphere(1, 1.0, (0.0, 0.0, -5.0))])  # glass
     o = np.zeros((3, 3))

@@ -28,7 +28,7 @@ from tpurt.render import (
 from tpurt.wavefront import WavefrontPool, wavefront_render
 from tpurt.adaptive import render_adaptive, wavefront_render_budget
 from tpurt.denoise import atrous_denoise, denoise_image, render_aovs
-from tpurt.query import RayHits, occlusion, trace_rays
+from tpurt.query import RayHits, light_probe, occlusion, trace_rays
 from tpurt.scene import (
     Light,
     Material,
@@ -58,5 +58,5 @@ __all__ = [
     "WavefrontPool", "wavefront_render",
     "render_adaptive", "wavefront_render_budget",
     "atrous_denoise", "denoise_image", "render_aovs",
-    "RayHits", "occlusion", "trace_rays",
+    "RayHits", "light_probe", "occlusion", "trace_rays",
 ]

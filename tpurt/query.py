@@ -80,6 +80,49 @@ def _occlusion_jit(scene, cfg: RenderConfig, o, d, t_max, lam):
     return _shadow(scene, cfg, o, d, t_max, lam)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "samples"))
+def _light_probe_jit(scene, cfg: RenderConfig, pos, norm, samples, seed):
+    from tpurt.integrate import sample_direct_lighting
+    from tpurt.ops import rng as rngmod
+    from tpurt.ops.spectra import sample_wavelength
+    from tpurt.render import _frame_seed
+    n = pos.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    zero = jnp.zeros((n,), jnp.int32)
+
+    def body(k, acc):
+        rng = rngmod.seed_pixels(_frame_seed(seed, k), idx, zero)
+        u_lam, rng = rngmod.rand_1f(rng)
+        lam = sample_wavelength(u_lam)
+        direct, _ = sample_direct_lighting(scene, cfg, pos, norm, lam, rng)
+        return acc + direct
+
+    acc = jax.lax.fori_loop(0, samples, body, jnp.zeros((n, 3)))
+    return acc / jnp.float32(samples)
+
+
+def light_probe(scene, points, normals, samples: int = 16,
+                cfg: RenderConfig | None = None, seed=0) -> jnp.ndarray:
+    """Direct-lighting bake: the estimator's NEE term at arbitrary surface
+    points — (N, 3) RGB reflected radiance of a UNIT-ALBEDO diffuse
+    surface (multiply by your own albedo), Monte-Carlo-averaged over
+    ``samples`` spectral NEE draws per point under one jit.
+
+    Exactly the render path's direct-lighting rule (wgsl :568-615):
+    same light sampling (``cfg.light_sample`` modes included), same
+    Fresnel-dielectric shadow attenuation, same Oren-Nayar shading
+    factor. Pairs with ``trace_rays`` (surface finding) and
+    ``occlusion`` (AO) for camera-less light-map baking —
+    examples/bake_ao.py.
+    """
+    if cfg is None:
+        cfg = RenderConfig()
+    pos = jnp.asarray(points, jnp.float32).reshape(-1, 3)
+    nrm = jnp.asarray(normals, jnp.float32).reshape(-1, 3)
+    return _light_probe_jit(scene, cfg, pos, nrm, int(samples),
+                            jnp.asarray(seed, jnp.uint32))
+
+
 def occlusion(scene, origins, directions, t_max,
               cfg: RenderConfig | None = None,
               lambda_nm=550.0) -> jnp.ndarray:
