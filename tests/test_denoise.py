@@ -150,6 +150,30 @@ class TestDefocusRelax:
         band = slice(w // 2 - 2, w // 2 + 2)
         assert out_relax[8:-8, band].std() < out_stop[8:-8, band].std()
 
+    def test_local_sigma_smooths_heterogeneous_speckle(self):
+        """Per-pixel auto sigma: a speckled patch inside an otherwise
+        clean image is smoothed (all four quadrant means are noisy ->
+        sigma boosted locally) while a clean color step survives (its
+        quadrants are flat -> sigma stays at the global floor)."""
+        h = w = 64
+        rng = np.random.default_rng(3)
+        img = np.full((h, w, 3), 2.0, np.float32)
+        img[:, w // 2:] = 4.0                       # clean 2x color step
+        patch = (slice(8, 24), slice(8, 24))
+        img[patch] = np.maximum(
+            rng.normal(3.0, 1.5, (16, 16, 3)), 0.0).astype(np.float32)
+        albedo = jnp.ones((h, w, 3))
+        normal = jnp.asarray(np.tile([0.0, 0.0, 1.0], (h, w, 1)),
+                             jnp.float32)
+        depth = jnp.full((h, w), 5.0)
+        out = np.asarray(atrous_denoise(jnp.asarray(img), albedo, normal,
+                                        depth))
+        inner = (slice(11, 21), slice(11, 21))
+        assert out[inner].std() < img[inner].std() * 0.3
+        left = out[40:60, w // 2 - 8:w // 2 - 2].mean()
+        right = out[40:60, w // 2 + 2:w // 2 + 8].mean()
+        assert right / left > 1.7, (left, right)
+
 
 class TestDenoiseImage:
     @pytest.mark.slow
