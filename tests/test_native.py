@@ -44,6 +44,15 @@ def _numpy_bvh(tri_min, tri_max, max_prims):
         del os.environ["TPURT_NO_NATIVE"]
 
 
+def _numpy_sah_build(tri_min, tri_max, max_prims):
+    os.environ["TPURT_NO_NATIVE"] = "1"
+    try:
+        from tpurt import accel
+        return accel.build_bvh(tri_min, tri_max, max_prims, sah=True)
+    finally:
+        del os.environ["TPURT_NO_NATIVE"]
+
+
 class TestNativeBVH:
     @pytest.mark.parametrize("n_tris,max_prims", [(1, 2), (7, 1), (64, 2),
                                                   (333, 4), (2048, 2)])
@@ -73,6 +82,59 @@ class TestNativeBVH:
         tri_min, tri_max = lo, (lo + 0.5).astype(np.float32)
         bvh = accel.build_bvh(tri_min, tri_max, 2)  # native path
         accel.validate_bvh(bvh, tri_min, tri_max)
+
+
+class TestNativeSahBVH:
+    """The binned-SAH builder's C++ twin must be bit-identical to
+    accel._build_bvh_py(sah=True) — same bin costs (float64), same
+    float32-area median candidate, same tie-breaking and partitions."""
+
+    def _mesh(self, trial, n_tris, rng):
+        kind = trial % 4
+        if kind == 0:   # uniform
+            c = rng.uniform(-10, 10, (n_tris, 3)).astype(np.float32)
+        elif kind == 1:  # clustered: SAH should win many splits
+            centers = rng.uniform(-50, 50, (max(1, n_tris // 20), 3))
+            c = (centers[rng.integers(0, len(centers), n_tris)]
+                 + rng.normal(0, 0.5, (n_tris, 3))).astype(np.float32)
+        elif kind == 2:  # degenerate: all centroids identical
+            c = np.tile(rng.uniform(-1, 1, (1, 3)),
+                        (n_tris, 1)).astype(np.float32)
+        else:            # collinear along x
+            c = np.zeros((n_tris, 3), np.float32)
+            c[:, 0] = np.linspace(0, 100, n_tris)
+        h = rng.uniform(0.01, 2.0, (n_tris, 3)).astype(np.float32)
+        return (c - h).astype(np.float32), (c + h).astype(np.float32)
+
+    @pytest.mark.parametrize("trial,n_tris,max_prims",
+                             [(0, 200, 2), (1, 333, 4), (2, 64, 2),
+                              (3, 128, 1), (1, 900, 64), (0, 1, 2)])
+    def test_bit_identical_to_numpy_sah(self, native_lib, trial, n_tris,
+                                        max_prims):
+        from tpurt import accel
+        from tpurt.utils.native import build_bvh_native
+        rng = np.random.default_rng(1000 * trial + n_tris)
+        tri_min, tri_max = self._mesh(trial, n_tris, rng)
+
+        ref = accel._build_bvh_py(tri_min, tri_max, max_prims, sah=True)
+        nat = build_bvh_native(tri_min, tri_max, max_prims, sah=True)
+        assert nat is not None
+        for got, want in zip(nat, (ref.bbox_min, ref.bbox_max, ref.left,
+                                   ref.right, ref.first, ref.count,
+                                   ref.order)):
+            np.testing.assert_array_equal(got, want)
+
+    def test_build_bvh_sah_dispatches_native(self, native_lib):
+        """accel.build_bvh(sah=True) uses the native builder and still
+        honors the node-count envelope / validity invariants."""
+        from tpurt import accel
+        rng = np.random.default_rng(7)
+        tri_min, tri_max = self._mesh(1, 400, rng)
+        bvh = accel.build_bvh(tri_min, tri_max, 4, sah=True)
+        accel.validate_bvh(bvh, tri_min, tri_max)
+        ref = _numpy_sah_build(tri_min, tri_max, 4)
+        np.testing.assert_array_equal(bvh.bbox_min, ref.bbox_min)
+        np.testing.assert_array_equal(bvh.order, ref.order)
 
 
 class TestNativeObj:

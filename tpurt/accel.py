@@ -46,7 +46,8 @@ def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, max_prims: int = 2,
     Uses the native C++ builder when native/libtpurt_native.so is present
     (identical output — see tests/test_native.py); NumPy otherwise.
 
-    sah=True: binned surface-area-heuristic splits (NumPy only). Same node
+    sah=True: binned surface-area-heuristic splits (native C++ when built,
+    bit-identical NumPy fallback — see tests/test_native.py). Same node
     layout and leaf-order contract; only the split positions differ, so the
     tree is a drop-in for every traversal. The cost model matches the Pallas
     walk, where a leaf visit sweeps exactly `leaf_size` records regardless
@@ -56,9 +57,13 @@ def build_bvh(tri_min: np.ndarray, tri_max: np.ndarray, max_prims: int = 2,
     max_prims = max(int(max_prims), 1)
     T = int(tri_min.shape[0])
     if sah and T > 0:
-        bvh = _build_bvh_py(np.asarray(tri_min, np.float32),
-                            np.asarray(tri_max, np.float32), max_prims,
-                            sah=True)
+        from tpurt.utils.native import build_bvh_native
+        nat = build_bvh_native(np.asarray(tri_min, np.float32),
+                               np.asarray(tri_max, np.float32), max_prims,
+                               sah=True)
+        bvh = BVH(*nat) if nat is not None else _build_bvh_py(
+            np.asarray(tri_min, np.float32),
+            np.asarray(tri_max, np.float32), max_prims, sah=True)
         # Lopsided SAH splits can mint many under-full leaves; the packed
         # SMEM tables (bvh_pallas.MAX_BVH_*) are calibrated for the median
         # build's < 2*ceil(T/K) nodes. Hold SAH trees to that SAME envelope

@@ -55,6 +55,11 @@ def load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, i64,
     ]
+    try:  # absent from a stale .so built before the SAH entry point
+        lib.tpurt_build_bvh_sah.restype = ctypes.c_int
+        lib.tpurt_build_bvh_sah.argtypes = lib.tpurt_build_bvh.argtypes
+    except AttributeError:
+        pass
     lib.tpurt_obj_open.restype = ctypes.c_void_p
     lib.tpurt_obj_open.argtypes = [ctypes.c_char_p]
     lib.tpurt_obj_counts.restype = None
@@ -74,12 +79,15 @@ def _ptr(a):
 
 
 def build_bvh_native(tri_min: np.ndarray, tri_max: np.ndarray,
-                     max_prims: int):
+                     max_prims: int, sah: bool = False):
     """Native BVH build; returns the same tuple layout as accel.build_bvh
-    or None if the library is unavailable."""
+    or None if the library is unavailable. sah=True calls the binned-SAH
+    builder (bit-identical to accel._build_bvh_py(sah=True))."""
     lib = load()
     if lib is None:
         return None
+    if sah and not hasattr(lib, "tpurt_build_bvh_sah"):
+        return None  # stale .so predating the SAH entry point
     tri_min = np.ascontiguousarray(tri_min, np.float32)
     tri_max = np.ascontiguousarray(tri_max, np.float32)
     T = tri_min.shape[0]
@@ -91,7 +99,8 @@ def build_bvh_native(tri_min: np.ndarray, tri_max: np.ndarray,
     first = np.zeros((max_nodes,), np.int32)
     count = np.zeros((max_nodes,), np.int32)
     order = np.zeros((max(T, 1),), np.int32)
-    n = lib.tpurt_build_bvh(
+    fn = lib.tpurt_build_bvh_sah if sah else lib.tpurt_build_bvh
+    n = fn(
         _ptr(tri_min), _ptr(tri_max), T, int(max_prims),
         _ptr(bbox_min), _ptr(bbox_max), _ptr(left), _ptr(right),
         _ptr(first), _ptr(count), _ptr(order), max_nodes)
