@@ -13,9 +13,7 @@ import argparse
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-if "axon" not in str(getattr(jax.config, "jax_platforms", "")):
-    pass  # leave platform selection to the environment; --cpu forces it
+import jax  # platform selection is left to the environment; --cpu forces CPU
 
 
 def main():

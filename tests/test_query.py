@@ -12,6 +12,7 @@ Contracts:
     the squared Fresnel transmission (the render path's shadow rule).
 """
 
+import pytest
 import numpy as np
 
 from tpurt import (Light, Material, RenderConfig, Sphere, build_scene,
@@ -94,6 +95,13 @@ def test_light_probe_inverse_square():
     # facing away: zero
     e3 = np.asarray(light_probe(scene, [[0.0, 4.0, 0.0]], -nrm, samples=4))
     assert float(np.abs(e3).max()) == 0.0
+
+
+def test_light_probe_rejects_zero_samples():
+    from tpurt import light_probe
+    with pytest.raises(ValueError, match="samples"):
+        light_probe(_scene(), [[0.0, 4.0, 0.0]], [[0.0, 1.0, 0.0]],
+                    samples=0)
 
 
 def test_light_probe_shadowed():

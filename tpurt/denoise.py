@@ -36,8 +36,6 @@ import jax.numpy as jnp
 from tpurt import tonemap as tm
 from tpurt.camera import Camera, generate_rays
 from tpurt.config import RenderConfig
-from tpurt.integrate import intersect_scene, material_lookup
-from tpurt.ops.intersect import MISS
 from tpurt.render import RenderState
 
 
@@ -50,6 +48,7 @@ class AOVs(NamedTuple):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _render_aovs_jit(scene, cfg: RenderConfig, camera: Camera) -> AOVs:
+    from tpurt.query import _trace_rays_jit
     W, H = cfg.width, cfg.height
     x = jnp.arange(W, dtype=jnp.float32)
     y = jnp.arange(H, dtype=jnp.float32)
@@ -57,15 +56,13 @@ def _render_aovs_jit(scene, cfg: RenderConfig, camera: Camera) -> AOVs:
     u = ((px + 0.5) / W).reshape(-1)
     v = ((py + 0.5) / H).reshape(-1)
     o, d = generate_rays(camera, u, v)
-    hit = intersect_scene(scene, cfg, o, d)
-    found = hit["t"] < MISS
-    color, _, _, _ = material_lookup(scene, hit["mat"])
-    albedo = jnp.where(found[:, None], color, 1.0)
-    normal = jnp.where(found[:, None], hit["normal"], 0.0)
-    depth = jnp.where(found, hit["t"], 0.0)
+    hits = _trace_rays_jit(scene, cfg, o, d)
+    # miss default differs from the query API's zeros: albedo 1 keeps
+    # demodulation a no-op on background pixels
+    albedo = jnp.where(hits.hit[:, None], hits.albedo, 1.0)
     return AOVs(albedo=albedo.reshape(H, W, 3),
-                normal=normal.reshape(H, W, 3),
-                depth=depth.reshape(H, W))
+                normal=hits.normal.reshape(H, W, 3),
+                depth=jnp.where(hits.hit, hits.t, 0.0).reshape(H, W))
 
 
 def render_aovs(scene, cfg: RenderConfig, camera: Camera) -> AOVs:

@@ -115,6 +115,8 @@ def light_probe(scene, points, normals, samples: int = 16,
     ``occlusion`` (AO) for camera-less light-map baking —
     examples/bake_ao.py.
     """
+    if int(samples) < 1:
+        raise ValueError("samples >= 1 required")
     if cfg is None:
         cfg = RenderConfig()
     pos = jnp.asarray(points, jnp.float32).reshape(-1, 3)

@@ -324,10 +324,13 @@ def render_until(scene: Scene, cfg: RenderConfig, camera: Camera,
     if batch_spp < 1 or min_batches < 2:
         raise ValueError("batch_spp >= 1 and min_batches >= 2 required "
                          "(the batch variance divides by B-1)")
-    import numpy as np
     n = cfg.n_pixels
     prev = np.asarray(state.rgb_sum, np.float64)[:n]
-    mean = np.zeros_like(prev)       # Welford over batch means
+    # spp-weighted Welford over batch means: a truncated final batch
+    # (max_spp not a multiple of batch_spp) has batch-mean variance
+    # sigma^2/spp, so weighting by spp keeps `mean` equal to the true
+    # accumulated mean and E[m2] = (B-1) * sigma^2 (per-SAMPLE variance).
+    mean = np.zeros_like(prev)
     m2 = np.zeros_like(prev)
     done_spp, batches, rel_err = 0, 0, float("inf")
     while done_spp < max_spp:
@@ -339,11 +342,11 @@ def render_until(scene: Scene, cfg: RenderConfig, camera: Camera,
         batch_mean = (cur - prev) / spp
         prev = cur
         delta = batch_mean - mean
-        mean += delta / batches
-        m2 += delta * (batch_mean - mean)
+        mean += delta * (spp / done_spp)
+        m2 += spp * delta * (batch_mean - mean)
         if batches >= min_batches:
-            var = m2 / (batches - 1)            # batch-to-batch variance
-            se = np.sqrt(var / batches)         # std error of the mean
+            sigma2 = m2 / (batches - 1)         # per-sample variance
+            se = np.sqrt(sigma2 / done_spp)     # std error of accum mean
             rel_err = float(se.mean() / max(np.abs(mean).mean(), 1e-12))
             if rel_err <= target_rel_err:
                 break
