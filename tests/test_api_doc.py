@@ -61,6 +61,24 @@ def test_api_md_snippets(tmp_path):
     write_png(str(tmp_path / "a.png"), np.asarray(img))
     write_ppm(str(tmp_path / "a.ppm"), np.asarray(img))
 
+    # HDR export section: untonemapped radiance + lossless PFM roundtrip.
+    # tonemap(resolve_radiance) matches resolve_image to float ulp; the
+    # comparison excludes pixels near the Reinhard pole c*key = -1 (only
+    # reachable through negative out-of-gamut radiance at very low spp),
+    # where ulp-level cross-jit wobble amplifies without bound.
+    from tpurt import resolve_radiance, tonemap as _tmod
+    from tpurt.utils.image import read_pfm, write_pfm
+    hdr = np.asarray(resolve_radiance(cfg, st))
+    assert hdr.shape == (16, 32, 3) and hdr.max() > 1e-6
+    tm_img = np.asarray(_tmod.tonemap(hdr, cfg.tonemap_key,
+                                      cfg.tonemap_saturation))
+    safe = np.all(1.0 + hdr * cfg.tonemap_key > 0.25, axis=-1)
+    assert safe.mean() > 0.5  # non-vacuous (76% safe at this 2-spp probe)
+    np.testing.assert_allclose(tm_img[safe], np.asarray(img)[safe],
+                               atol=1e-5, rtol=1e-5)
+    write_pfm(str(tmp_path / "a.pfm"), hdr)
+    np.testing.assert_array_equal(read_pfm(str(tmp_path / "a.pfm")), hdr)
+
     save_checkpoint(str(tmp_path / "ck"), cfg, st)
     cfg2, st2 = load_checkpoint(str(tmp_path / "ck"))
     assert cfg2 == cfg

@@ -23,6 +23,7 @@ from tpurt.render import (
     render_step,
     render_until,
     resolve_image,
+    resolve_radiance,
     save_checkpoint,
 )
 from tpurt.wavefront import WavefrontPool, wavefront_render
@@ -50,6 +51,7 @@ __all__ = [
     "Camera", "CameraController", "make_camera", "set_vfov",
     "RenderConfig", "RenderState",
     "init_state", "render", "render_step", "render_until", "resolve_image",
+    "resolve_radiance",
     "save_checkpoint", "load_checkpoint",
     "Light", "Material", "MeshData", "Scene", "Sphere",
     "build_scene", "cornell_spheres_scene", "default_scene",

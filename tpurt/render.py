@@ -369,6 +369,19 @@ def resolve_image(cfg: RenderConfig, state: RenderState,
     return img.reshape(cfg.height, cfg.width, 3)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def resolve_radiance(cfg: RenderConfig, state: RenderState):
+    """Resolve to an (H, W, 3) HDR image of UNtonemapped mean spectral
+    radiance (rgb_sum / n_samples — the blit's division, blit.wgsl:38,
+    without its tonemap). Extension: the reference has no HDR export (its
+    accumulation texture never leaves the GPU); this is the hook for EXR/PFM
+    pipelines, light-probe captures, and post-processing outside the
+    built-in Reinhard curve (pair with utils.image.write_pfm)."""
+    n = cfg.n_pixels
+    avg = tm.resolve(state.rgb_sum[:n], state.n_samples[:n])
+    return avg.reshape(cfg.height, cfg.width, 3)
+
+
 # ----- Checkpoint / resume (SURVEY.md §5: the accumulator IS the checkpoint) -----
 
 def save_checkpoint(path: str, cfg: RenderConfig, state: RenderState) -> None:

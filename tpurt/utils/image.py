@@ -47,6 +47,29 @@ def write_png(path: str, img: np.ndarray, assume_srgb8: bool = False) -> None:
         f.write(chunk(b"IEND", b""))
 
 
+def write_pfm(path: str, img: np.ndarray) -> None:
+    """Write (H, W, 3) float32 linear radiance to PFM (HDR, no deps; the
+    companion of render.resolve_radiance). PFM stores rows bottom-to-top;
+    negative scale declares little-endian."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w = img.shape[:2]
+    with open(path, "wb") as f:
+        f.write(f"PF\n{w} {h}\n-1.0\n".encode())
+        f.write(np.ascontiguousarray(img[::-1]).astype("<f4").tobytes())
+
+
+def read_pfm(path: str) -> np.ndarray:
+    """Read a PFM written by write_pfm back to (H, W, 3) float32."""
+    with open(path, "rb") as f:
+        assert f.readline().strip() == b"PF", "only 3-channel PF supported"
+        w, h = map(int, f.readline().split())
+        scale = float(f.readline())
+        data = np.frombuffer(f.read(), "<f4" if scale < 0 else ">f4")
+    return data.reshape(h, w, 3)[::-1].astype(np.float32)
+
+
 def write_ppm(path: str, img: np.ndarray) -> None:
     """Write (H, W, 3) image to binary PPM (P6)."""
     img = np.asarray(img)
