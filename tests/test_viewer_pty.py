@@ -60,14 +60,21 @@ def test_viewer_temporal_denoise_keys():
     """First frame renders (slow: jit), then toggle denoise + temporal,
     move the camera (fires the history capture + reprojection blend),
     and quit cleanly."""
+    for stale in ("viewer.pfm",):
+        if os.path.exists(stale):
+            os.remove(stale)
     rc, out, err = _drive([
         (1, "n"),    # after the first frame: toggle denoise
         (1, "t"),    # temporal on
         (1, "w"),    # move -> clear + history reproject path
         (1, "w"),
-        (3, "q"),
+        (1, "h"),    # HDR PFM dump
+        (2, "q"),
     ])
     assert rc == 0, f"viewer exited {rc}; stderr tail: {err[-2000:]}"
     assert "tp" in out            # status line shows the temporal flag
     assert "dn" in out
     assert "Traceback" not in err
+    from tpurt.utils.image import read_pfm
+    assert read_pfm("viewer.pfm").shape == (36, 64, 3)
+    os.remove("viewer.pfm")

@@ -19,7 +19,7 @@ photon radius; --csv for machine-readable logs).
 
 Keys (interactive): w/a/s/d move, e/c up/down, W/A/S/D boosted,
 arrow keys look, '='/'-' tonemap key, '['/']' saturation, 'z'/'x' zoom,
-'r' reset accumulation, 'p' save PNG, 'q' quit.
+'r' reset accumulation, 'p' save PNG, 'h' save HDR PFM, 'q' quit.
 """
 
 from __future__ import annotations
@@ -298,6 +298,12 @@ def interactive(args):
                         img = np.asarray(resolve_image(cfg, state, key=key_tm,
                                                        saturation=sat))
                     write_png("viewer.png", img)
+                elif k == "h":
+                    # HDR dump: untonemapped mean radiance to float32 PFM
+                    from tpurt.render import resolve_radiance
+                    from tpurt.utils.image import write_pfm
+                    write_pfm("viewer.pfm",
+                              np.asarray(resolve_radiance(cfg, state)))
 
             # held-key movement: one controller update per frame with the
             # REAL frame duration, like the reference's event loop
