@@ -60,9 +60,12 @@ def test_viewer_temporal_denoise_keys():
     """First frame renders (slow: jit), then toggle denoise + temporal,
     move the camera (fires the history capture + reprojection blend),
     and quit cleanly."""
-    for stale in ("viewer.pfm",):
-        if os.path.exists(stale):
-            os.remove(stale)
+    # the viewer subprocess runs with cwd=<repo root> (see _drive), so its
+    # dump lands there regardless of pytest's cwd
+    pfm_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "viewer.pfm")
+    if os.path.exists(pfm_path):
+        os.remove(pfm_path)
     rc, out, err = _drive([
         (1, "n"),    # after the first frame: toggle denoise
         (1, "t"),    # temporal on
@@ -76,5 +79,5 @@ def test_viewer_temporal_denoise_keys():
     assert "dn" in out
     assert "Traceback" not in err
     from tpurt.utils.image import read_pfm
-    assert read_pfm("viewer.pfm").shape == (36, 64, 3)
-    os.remove("viewer.pfm")
+    assert read_pfm(pfm_path).shape == (36, 64, 3)
+    os.remove(pfm_path)

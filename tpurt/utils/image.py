@@ -54,6 +54,8 @@ def write_pfm(path: str, img: np.ndarray) -> None:
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = np.repeat(img[:, :, None], 3, axis=2)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"write_pfm needs (H, W, 3) or (H, W), got {img.shape}")
     h, w = img.shape[:2]
     with open(path, "wb") as f:
         f.write(f"PF\n{w} {h}\n-1.0\n".encode())
@@ -67,7 +69,10 @@ def read_pfm(path: str) -> np.ndarray:
         w, h = map(int, f.readline().split())
         scale = float(f.readline())
         data = np.frombuffer(f.read(), "<f4" if scale < 0 else ">f4")
-    return data.reshape(h, w, 3)[::-1].astype(np.float32)
+    img = data.reshape(h, w, 3)[::-1].astype(np.float32)
+    if abs(scale) != 1.0:  # spec: |scale| multiplies the stored samples
+        img = img * np.float32(abs(scale))
+    return img
 
 
 def write_ppm(path: str, img: np.ndarray) -> None:
