@@ -23,6 +23,26 @@ from tpurt import (
 )
 
 
+def test_pfm_io(tmp_path):
+    """PFM writer/reader contracts: exact roundtrip, spec |scale| applied
+    on read, non-RGB shapes rejected on write."""
+    import pytest
+    from tpurt.utils.image import read_pfm, write_pfm
+    a = np.random.default_rng(1).random((8, 4, 3)).astype(np.float32)
+    p = str(tmp_path / "a.pfm")
+    write_pfm(p, a)
+    np.testing.assert_array_equal(read_pfm(p), a)
+    gray = a[..., 0]
+    write_pfm(p, gray)  # (H, W) broadcasts to 3 channels
+    np.testing.assert_array_equal(read_pfm(p), np.repeat(gray[..., None], 3, 2))
+    with open(p, "wb") as f:  # external file with a non-unit scale
+        f.write(b"PF\n4 8\n-0.25\n")
+        f.write(np.ascontiguousarray(a[::-1]).astype("<f4").tobytes())
+    np.testing.assert_allclose(read_pfm(p), a * np.float32(0.25), rtol=1e-7)
+    with pytest.raises(ValueError):
+        write_pfm(p, np.zeros((4, 4, 4), np.float32))
+
+
 def test_api_md_snippets(tmp_path):
     mesh = MeshData(material_id=0, translation=(0, 0, 4), scale=2.0)
     assert hasattr(mesh, "load_obj")
