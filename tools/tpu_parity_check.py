@@ -36,6 +36,23 @@ def _render(platform: str, scene_name: str):
                           aspect_ratio=16 / 9)
         cfg = RenderConfig(width=192, height=108, depth=8, backend="pallas",
                            qmc=True, aperture=0.4, focus_dist=12.0)
+    elif scene_name == "instanced":
+        # the config-3 production stack: ordered static cull tree
+        # (lax.switch leaf dispatch + SMEM stack) + photon strata + hero —
+        # the Mosaic-heaviest static path. Smaller frame/spp than the other
+        # rows: the CPU side runs the same kernel in interpret mode.
+        from tpurt.scene import instanced_scene
+        scene = instanced_scene(64)
+        cam = make_camera((0, 8, -20), (0, 2, 0), vfov=60.0,
+                          aspect_ratio=16 / 9)
+        cfg = RenderConfig(width=128, height=72, depth=6, backend="pallas",
+                           pallas_static_unroll=64, pallas_cluster_size=8,
+                           pallas_cluster_ordered=True,
+                           photon_strata=8, photon_strata_dir=64,
+                           photon_strata_shared_k=True,
+                           photon_strata_bounce=True,
+                           photon_strata_window=4,
+                           hero_wavelengths=4)
     else:
         scene = torus_mesh_scene(8, 4)
         cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
@@ -44,9 +61,10 @@ def _render(platform: str, scene_name: str):
                            pallas_static_unroll=8, pallas_bvh=True)
     state = init_state(cfg)
     interpret = platform == "cpu"
+    spp = 4 if scene_name == "instanced" else 8  # bound the interpret run
     from tpurt.kernels.mega_regen import render_regen
     with jax.default_device(jax.devices(platform)[0]):
-        st = render_regen(scene, cfg, cam, state, 1234, 8,
+        st = render_regen(scene, cfg, cam, state, 1234, spp,
                           interpret=interpret)
         img = np.asarray(resolve_image(cfg, st))
     return img, float(st.rays)
@@ -67,7 +85,7 @@ def main():
     # countable-rare), <5% of pixels with >1% relative radiance diff.
     ok = True
     results = []
-    for scene in ("cornell", "mesh", "qmc"):
+    for scene in ("cornell", "mesh", "qmc", "instanced"):
         img_t, rays_t = _render("tpu", scene)
         img_c, rays_c = _render("cpu", scene)
         rays_ok = abs(rays_t - rays_c) <= 1e-5 * max(rays_t, 1.0)
