@@ -123,21 +123,54 @@ class MeshData:
         rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
         return pts * self.scale @ rot.T + self.translation
 
-    def add_triangles(self, positions: np.ndarray, indices: np.ndarray):
-        """Append raw triangles; positions are transformed by the baked TRS."""
+    def add_triangles(self, positions: np.ndarray, indices: np.ndarray,
+                      tri_material: np.ndarray | None = None):
+        """Append raw triangles; positions are transformed by the baked TRS.
+
+        tri_material (T,) overrides the mesh-wide material_id per face —
+        the device scene carries per-triangle ids (Scene.tri_mat), the
+        reference's single-id-per-mesh layout (instance.rs:88-92) is just
+        the uniform special case.
+        """
         base = self.positions.shape[0]
         self.positions = np.concatenate([self.positions, self._xform(np.asarray(positions, np.float32))])
         idx = np.asarray(indices, np.int32) + base
         self.indices = np.concatenate([self.indices, idx])
-        self.tri_material = np.concatenate([
-            self.tri_material,
-            np.full((idx.shape[0],), self.material_id, np.int32),
-        ])
+        if tri_material is None:
+            tri_material = np.full((idx.shape[0],), self.material_id, np.int32)
+        else:
+            tri_material = np.asarray(tri_material, np.int32)
+            if tri_material.shape != (idx.shape[0],):
+                raise ValueError(
+                    f"tri_material shape {tri_material.shape} != ({idx.shape[0]},)")
+        self.tri_material = np.concatenate([self.tri_material, tri_material])
 
-    def load_obj(self, path: str):
-        from tpurt.utils.obj import parse_obj
-        positions, indices = parse_obj(path)
-        self.add_triangles(positions, indices)
+    def load_obj(self, path: str, materials: list | None = None):
+        """Load an OBJ file into this mesh.
+
+        With `materials` (a mutable list of Material) the loader honors
+        `mtllib`/`usemtl`: each named MTL material is mapped via
+        `utils.obj.mtl_to_material`, appended to `materials`, and its faces
+        get that per-face id. Faces before any `usemtl`, or whose name has
+        no definition, fall back to this mesh's material_id. Without
+        `materials` every face uses material_id (reference behavior,
+        src/lib.rs:267-271).
+        """
+        if materials is None:
+            from tpurt.utils.obj import parse_obj
+            positions, indices = parse_obj(path)
+            self.add_triangles(positions, indices)
+        else:
+            from tpurt.utils.obj import parse_obj_mtl, mtl_to_material
+            positions, indices, tri_slot, slot_names, mtl_defs = parse_obj_mtl(path)
+            slot_to_id = np.full((len(slot_names),), self.material_id, np.int32)
+            for slot, name in enumerate(slot_names):
+                if name is not None and name in mtl_defs:
+                    slot_to_id[slot] = len(materials)
+                    materials.append(mtl_to_material(mtl_defs[name]))
+            self.add_triangles(positions, indices,
+                               tri_material=slot_to_id[tri_slot]
+                               if indices.shape[0] else None)
         print(f"Loading model: {path} ({indices.shape[0]} triangles)")
 
     def num_triangles(self) -> int:
