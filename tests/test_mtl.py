@@ -124,6 +124,44 @@ def test_meshdata_load_obj_with_materials(tmp_path):
     np.testing.assert_array_equal(mesh2.tri_material, [7] * 5)
 
 
+def test_scene_json_use_mtl(tmp_path):
+    """JSON scenes can opt into MTL libraries per mesh ("use_mtl": true);
+    the mapped materials append after the document's own list and the
+    round-trip through save_scene_json preserves the per-face split."""
+    import json
+
+    from tpurt.utils.scene_io import load_scene_json, save_scene_json
+
+    path = _write(tmp_path)
+    doc = {
+        "materials": [{"type": "diffuse", "color": [0.5, 0.5, 0.5]}],
+        "spheres": [{"material": 0, "radius": 1.0, "center": [0, 1, 0]}],
+        "meshes": [{"material": 0, "obj": "cube.obj", "use_mtl": True}],
+        "lights": [{"type": "point", "position": [0, 5, 0],
+                    "intensity": 10.0, "color_temp": 5500.0}],
+    }
+    p = tmp_path / "scene.json"
+    p.write_text(json.dumps(doc))
+    scene, _ = load_scene_json(str(p))
+    # doc material + red_wall + glass appended
+    assert scene.mat_color.shape[0] == 3
+    tm = set(int(x) for x in np.asarray(scene.tri_mat))
+    assert tm == {0, 1, 2}
+
+    # round-trip keeps the per-face material split
+    q = tmp_path / "roundtrip.json"
+    save_scene_json(str(q), scene)
+    scene2, _ = load_scene_json(str(q))
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(scene.tri_mat)), np.sort(np.asarray(scene2.tri_mat)))
+
+    # without use_mtl the same document keeps one material
+    doc["meshes"][0]["use_mtl"] = False
+    p.write_text(json.dumps(doc))
+    scene3, _ = load_scene_json(str(p))
+    assert scene3.mat_color.shape[0] == 1
+
+
 def test_per_face_materials_render(tmp_path):
     """End-to-end: a two-face mesh with different per-face materials
     renders, and the per-face ids actually reach the estimator (the two

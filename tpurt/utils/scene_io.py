@@ -19,7 +19,7 @@ Schema (all vectors are 3-lists, all fields of each record shown):
       ],
       "meshes": [
         {"material": 1, "translation": [x,y,z], "rotation_deg": 0.0,
-         "scale": 1.0, "obj": "path/to/model.obj"},
+         "scale": 1.0, "obj": "path/to/model.obj", "use_mtl": false},
         {"material": 1, "positions": [[x,y,z], ...],
          "indices": [[i0,i1,i2], ...]}
       ],
@@ -83,7 +83,13 @@ def load_scene_json(path: str):
                         rotation_deg=float(me.get("rotation_deg", 0.0)),
                         scale=float(me.get("scale", 1.0)))
         if "obj" in me:
-            mesh.load_obj(os.path.join(base, me["obj"]))
+            if me.get("use_mtl", False):
+                # mtllib/usemtl materials append to the document's list;
+                # "material" stays the fallback for unmatched faces
+                mesh.load_obj(os.path.join(base, me["obj"]),
+                              materials=materials)
+            else:
+                mesh.load_obj(os.path.join(base, me["obj"]))
         else:
             mesh.add_triangles(np.asarray(me["positions"], np.float32),
                                np.asarray(me["indices"], np.int32))
