@@ -253,6 +253,21 @@ class RenderConfig:
     wf_max_sweeps: int = 100000        # safety bound on the sweep loop
     sky_gradient: bool = False         # legacy wavefront sky (wavefront.wgsl
     #   :129-131); False = black sky like the mega kernel (:617-620)
+    # Environment emission (EXTENSION — the reference's sky returns black,
+    # mega_kernel.wgsl:617-620). sky_intensity > 0 turns the miss branch of
+    # EVERY backend's camera path into a spectral emitter with the same
+    # form as the lights (color * intensity * blackbody(lambda, temp) *
+    # cie_to_rgb(lambda) * range, wgsl :574-578): hero-averaged when
+    # hero_wavelengths > 1, full-weight single-lambda after a dispersive
+    # collapse. sky_temp = 0 means a flat (equal-energy) spectrum; with
+    # sky_gradient also set the tint lerps white -> (.5,.7,1) by direction
+    # (the legacy RGB gradient stays as-is when sky_intensity == 0).
+    # Photons are unaffected (an environment emits, it does not receive).
+    # No extra RNG draws or segments: cross-backend ray-count exactness
+    # holds with the sky on.
+    sky_intensity: float = 0.0
+    sky_color: tuple = (1.0, 1.0, 1.0)
+    sky_temp: float = 0.0
     # Robustness
     radiance_clamp: float = 0.0        # EXTENSION (0 = off, the reference):
     #   >0 clamps each SAMPLE's RGB radiance channelwise (upper side only —

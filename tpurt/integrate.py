@@ -133,6 +133,35 @@ def light_emission_rgb(scene, lam):
     return out
 
 
+def sky_emission_rgb(cfg, lam):
+    """Spectral environment emission at this path's wavelength (EXTENSION —
+    the reference's sky returns black, mega_kernel.wgsl:617-620). Same form
+    as light emission (wgsl :574-578) so the spectral estimator treats the
+    sky as one more emitter: color*intensity * blackbody(lam, temp) *
+    cie_to_rgb(lam) * range, with temp = 0 meaning a flat spectrum. Returns
+    the WHITE (untinted) emission; callers multiply by cfg.sky_color (and
+    the optional per-direction gradient tint) so hero tables stay
+    direction-independent."""
+    cie = cie_to_rgb(lam)  # (N, 3)
+    temp = jnp.float32(cfg.sky_temp)
+    spd = jnp.where(temp > 0.0, blackbody(lam, jnp.maximum(temp, 1.0)), 1.0)
+    return jnp.float32(cfg.sky_intensity) * spd[:, None] * cie \
+        * jnp.float32(VISIBLE_RANGE)
+
+
+def _sky_tint(cfg, d):
+    """Per-lane RGB tint of the sky: cfg.sky_color, lerped toward
+    (.5,.7,1) by direction height when cfg.sky_gradient is also set
+    (the legacy wavefront gradient's ramp, wavefront.wgsl:129-131)."""
+    base = jnp.asarray(cfg.sky_color, jnp.float32)[None, :]
+    if not cfg.sky_gradient:
+        return base
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-30)
+    t = 0.5 * (dn[:, 1:2] + 1.0)
+    ramp = (1.0 - t) + t * jnp.asarray([0.5, 0.7, 1.0], jnp.float32)[None, :]
+    return base * ramp
+
+
 def sample_direct_lighting(scene, cfg, pos, norm, lam, rng, light_rgbs=None):
     """Next-event estimation over all lights (ref: mega_kernel.wgsl:568-615).
 
@@ -449,6 +478,21 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
     # collapse can only happen when the camera path is dispersive
     track_collapse = C > 1 and cfg.dispersion_in_camera_path
 
+    # Environment emission (cfg.sky_intensity > 0): hoisted like the light
+    # emissions; the direction-dependent tint is applied at miss time.
+    sky_on = float(cfg.sky_intensity) > 0.0
+    if sky_on:
+        if C > 1:
+            from tpurt.ops.spectra import (hero_emission_lookup,
+                                           hero_emission_table_jnp)
+            sky_rgb = hero_emission_lookup(
+                hero_emission_table_jnp(jnp.ones((3,), jnp.float32),
+                                        cfg.sky_intensity, cfg.sky_temp, C),
+                C, lam)
+        else:
+            sky_rgb = sky_emission_rgb(cfg, lam)
+        sky_hero = sky_emission_rgb(cfg, lam) if track_collapse else None
+
     active0 = jnp.ones((N,), bool) if valid is None else valid
     state = {
         "b": jnp.int32(0), "anylive": jnp.bool_(True),
@@ -477,7 +521,14 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
 
         hit = intersect_scene(scene, cfg, o, d)
         found = hit["t"] < _HIT
-        # Miss -> sky is black (ref: wgsl:617-620): nothing added, lane dies.
+        # Miss -> sky is black (ref: wgsl:617-620) unless the environment
+        # emitter is on (cfg.sky_intensity); either way the lane dies.
+        if sky_on:
+            em = sky_rgb
+            if track_collapse:
+                em = jnp.where(st["collapsed"][:, None], sky_hero, sky_rgb)
+            sky_add = tp * em * _sky_tint(cfg, d)
+            rad = rad + jnp.where((active & ~found)[:, None], sky_add, 0.0)
 
         color, rough, ior, mtype = material_lookup(scene, hit["mat"])
         is_diffuse = mtype == 0

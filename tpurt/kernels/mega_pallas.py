@@ -761,6 +761,30 @@ def _single_lambda_em_c(lights, lam):
     return out
 
 
+def _sky_em_c(cfg, lam):
+    """Untinted spectral sky emission planes at lam, component form
+    (EXTENSION — see integrate.sky_emission_rgb; the reference's sky is
+    black, mega_kernel.wgsl:617-620). Same emission form as the lights."""
+    cie = s.cie_to_rgb_c(lam)
+    spd = (blackbody(lam, np.float32(cfg.sky_temp))
+           if cfg.sky_temp > 0.0 else 1.0)
+    k = np.float32(cfg.sky_intensity * VISIBLE_RANGE)
+    return tuple(k * spd * cie[c] for c in range(3))
+
+
+def _sky_tint_c(cfg, d):
+    """cfg.sky_color as per-channel factors; with cfg.sky_gradient the
+    tint lerps white -> (.5,.7,1) by direction height (the legacy
+    wavefront ramp, wavefront.wgsl:129-131)."""
+    if not cfg.sky_gradient:
+        return tuple(np.float32(c) for c in cfg.sky_color)
+    dn = s.vnormalize(d, eps=1e-30)
+    t = 0.5 * (dn[1] + 1.0)
+    return tuple(np.float32(cfg.sky_color[c])
+                 * ((1.0 - t) + t * np.float32(g))
+                 for c, g in enumerate((0.5, 0.7, 1.0)))
+
+
 def _material_lookup_static(materials, mat_id):
     """Per-lane material attributes via an unrolled constant select chain.
     Returns (color, rough, ior, is_diffuse, is_metal)."""
@@ -1629,6 +1653,19 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
         else:
             light_rgb = hero_rgb
 
+        # Environment emission (cfg.sky_intensity > 0): hoisted like the
+        # light emissions; the direction tint is applied at miss time.
+        SKY_ON = float(cfg.sky_intensity) > 0.0
+        if SKY_ON:
+            if C_HERO == 1 or track_collapse:
+                sky_hero = _sky_em_c(cfg, lam)
+            if C_HERO > 1:
+                sky_rgb = s.hero_em_lookup_c(
+                    hero_emission_table((1.0, 1.0, 1.0), cfg.sky_intensity,
+                                        cfg.sky_temp, C_HERO), delta, lam)
+            else:
+                sky_rgb = sky_hero
+
         zero = jnp.zeros_like(u)
         z3 = (zero, zero, zero)
 
@@ -1655,6 +1692,15 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
 
             t, loc, n, mat = intersect(o, d, active)
             found = t < _HIT
+
+            # environment emission on miss (black sky otherwise, :617-620)
+            if SKY_ON:
+                em = (s.vwhere(st["coll"] > 0, sky_hero, sky_rgb)
+                      if track_collapse else sky_rgb)
+                tint = _sky_tint_c(cfg, d)
+                miss = active & ~found
+                rad = tuple(jnp.where(miss, rad[c] + tp[c] * em[c] * tint[c],
+                                      rad[c]) for c in range(3))
 
             color, rough, ior, is_diffuse, is_metal = \
                 _material_lookup_static(MATS, mat)

@@ -56,6 +56,8 @@ from tpurt.kernels.mega_pallas import (
     _chunk_tables,
     _make_scene_fns,
     _single_lambda_em_c,
+    _sky_em_c,
+    _sky_tint_c,
     _prim_tables,
     chunk_scratch_shapes,
     _scatter_dielectric_c,
@@ -103,6 +105,14 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
         HERO_TABS = [hero_emission_table(lt.color, lt.intensity, lt.temp,
                                          C_HERO) for lt in LIGHTS]
         HERO_DELTA = VISIBLE_RANGE / C_HERO
+    # Environment emission (cfg.sky_intensity > 0, EXTENSION): computed at
+    # miss time from the lane's lambda plane — the lane state stays
+    # unchanged (unlike the light emissions, which NEE needs every bounce,
+    # the sky is read once per path at most).
+    SKY_ON = float(cfg.sky_intensity) > 0.0
+    if SKY_ON and C_HERO > 1:
+        SKY_TAB = hero_emission_table((1.0, 1.0, 1.0), cfg.sky_intensity,
+                                      cfg.sky_temp, C_HERO)
 
     from tpurt.kernels.mega_pallas import (_use_sph_chunked,
                                            _use_tri_chunked)
@@ -467,6 +477,20 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             else:
                 t, loc, n, mat = intersect(o, d, active)
             found = t < _HIT
+
+            # environment emission on CAMERA miss (photon lanes just die;
+            # an environment emits, it does not receive)
+            if SKY_ON:
+                em_s = (s.hero_em_lookup_c(SKY_TAB, HERO_DELTA, lam)
+                        if C_HERO > 1 else _sky_em_c(cfg, lam))
+                if track_collapse:
+                    em_s = s.vwhere(coll > 0, _sky_em_c(cfg, lam), em_s)
+                tint = _sky_tint_c(cfg, d)
+                miss = active & is_cam & ~found
+                rad = tuple(jnp.where(miss,
+                                      rad[c] + tp[c] * em_s[c] * tint[c],
+                                      rad[c]) for c in range(3))
+
             color, rough, ior, is_diffuse, is_metal = \
                 _material_lookup_static(MATS, mat)
             wo = s.vneg(d)

@@ -18,7 +18,8 @@ layout across the whole render:
   splat  (XLA)    terminated slots scatter-add into the image
 
 Pool plane layout (QR = Q/128):
-  f32 (13+3L, QR, 128): o xyz | d xyz | tp rgb | rad rgb | lam | em[l] rgb...
+  f32 (13+3L[+3], QR, 128): o xyz | d xyz | tp rgb | rad rgb | lam |
+                            em[l] rgb... [| sky-em rgb when cfg.sky_intensity]
   i32 (3, QR, 128):     pix | bounce | active
   u32 (QR, 128):        PCG stream
 
@@ -56,6 +57,8 @@ from tpurt.kernels.mega_pallas import (
     _scatter_dielectric_c,
     _scatter_metal_c,
     _single_lambda_em_c,
+    _sky_em_c,
+    _sky_tint_c,
     freeze_scene,
     supports_scene,
 )
@@ -65,13 +68,16 @@ from tpurt.ops.spectra import (DISPERSION_B, VISIBLE_MIN, VISIBLE_RANGE,
                                hero_emission_table)
 from tpurt.render import RenderState, _frame_seed
 
-# f32 channel bases (emission channels follow, 3 per light)
+# f32 channel bases (emission channels follow, 3 per light; with the
+# environment emitter on, 3 sky-emission channels follow those — the sky
+# is one more lambda-dependent emitter whose planes spawn hero-averaged
+# and collapse to the hero's share exactly like the light em planes)
 _O, _D, _TP, _RAD, _LAM = 0, 3, 6, 9, 12
 _EM = 13
 
 
-def _n_fchannels(L: int) -> int:
-    return _EM + 3 * L
+def _n_fchannels(L: int, sky: bool = False) -> int:
+    return _EM + 3 * L + (3 if sky else 0)
 
 
 # ----- the sweep kernel -----
@@ -90,6 +96,8 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
     C_HERO = max(1, int(cfg.hero_wavelengths))
     track_collapse = (C_HERO > 1 and cfg.dispersion_in_camera_path
                       and any_dielectric)
+    SKY_ON = float(cfg.sky_intensity) > 0.0
+    _SKY = _EM + 3 * L
 
     from tpurt.kernels.mega_pallas import (_use_sph_chunked,
                                            _use_tri_chunked)
@@ -128,8 +136,16 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
             _material_lookup_static(MATS, mat)
         wo = s.vneg(d)
 
-        # miss: black sky (mega kernel) or the legacy wavefront gradient
-        if cfg.sky_gradient:
+        # miss: black sky (mega kernel), the spectral environment emitter
+        # (cfg.sky_intensity — planes spawned/collapsed like the light em
+        # planes), or the legacy RGB wavefront gradient
+        if SKY_ON:
+            tint = _sky_tint_c(cfg, d)
+            miss = active & ~found
+            rad = tuple(jnp.where(miss,
+                                  rad[c] + tp[c] * pf_ref[_SKY + c]
+                                  * tint[c], rad[c]) for c in range(3))
+        elif cfg.sky_gradient:
             dn = s.vnormalize(d, eps=1e-30)
             t_sky = 0.5 * (dn[1] + 1.0)
             sky = tuple((1.0 - t_sky) + t_sky * np.float32(c)
@@ -179,15 +195,23 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
             coll_now = active & found & ~(is_diffuse | is_metal)
 
             # post-collapse hero emission at FULL weight (dirac
-            # continuation is hero-only; no 1/C)
+            # continuation is hero-only; no 1/C) — the sky channels
+            # collapse alongside the light channels
+            n_em = 3 * L + (3 if SKY_ON else 0)
+
+            def _collapse_vals(_):
+                vals = tuple(_single_lambda_em_c(LIGHTS, lam))
+                if SKY_ON:
+                    vals = vals + _sky_em_c(cfg, lam)
+                return vals
+
             em_h = jax.lax.cond(
-                jnp.any(coll_now),
-                lambda _: tuple(_single_lambda_em_c(LIGHTS, lam)),
-                lambda _: (jnp.zeros_like(lam),) * (3 * L), 0)
-            for i, ch in enumerate(range(_EM, _EM + 3 * L)):
+                jnp.any(coll_now), _collapse_vals,
+                lambda _: (jnp.zeros_like(lam),) * n_em, 0)
+            for i, ch in enumerate(range(_EM, _EM + n_em)):
                 pf_out[ch] = jnp.where(coll_now, em_h[i], pf_ref[ch])
         else:
-            for ch in range(_EM, _EM + 3 * L):
+            for ch in range(_EM, _EM + 3 * L + (3 if SKY_ON else 0)):
                 pf_out[ch] = pf_ref[ch]
         pi_out[0] = pi_ref[0]            # pix unchanged
         pi_out[1] = bounce + 1
@@ -210,7 +234,7 @@ def sweep_pallas(fscene, cfg: RenderConfig, pf, pi, rng, interpret=False):
     assert QR % R == 0
     n_tiles = QR // R
     L = len(fscene.lights)
-    C = _n_fchannels(L)
+    C = _n_fchannels(L, float(cfg.sky_intensity) > 0.0)
 
     sph_tab, tri_tab = _prim_tables(fscene, cfg)
     chunk_tab, chunk_meta = _chunk_tables(fscene, cfg)
@@ -322,6 +346,20 @@ def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
     for li, em in enumerate(ems):
         for c in range(3):
             cols.append(f(em[:, c].reshape(QR, 128), _EM + 3 * li + c))
+    if float(cfg.sky_intensity) > 0.0:
+        from tpurt.integrate import sky_emission_rgb
+        if C_HERO > 1:
+            from tpurt.ops.spectra import (hero_emission_lookup,
+                                           hero_emission_table_jnp)
+            sky_em = hero_emission_lookup(
+                hero_emission_table_jnp(jnp.ones((3,), jnp.float32),
+                                        cfg.sky_intensity, cfg.sky_temp,
+                                        C_HERO), C_HERO, lam.reshape(-1))
+        else:
+            sky_em = sky_emission_rgb(cfg, lam.reshape(-1))
+        base = _EM + 3 * scene.num_lights
+        for c in range(3):
+            cols.append(f(sky_em[:, c].reshape(QR, 128), base + c))
     pf = jnp.stack(cols)
 
     pi = jnp.stack([
@@ -345,7 +383,8 @@ def _wavefront_pallas_jit(fscene, scene, cfg, camera, state, base_seed, spp,
     QR = Q // 128
     L = len(fscene.lights)
 
-    pf = jnp.zeros((_n_fchannels(L), QR, 128), jnp.float32)
+    pf = jnp.zeros((_n_fchannels(L, float(cfg.sky_intensity) > 0.0),
+                    QR, 128), jnp.float32)
     pi = jnp.zeros((3, QR, 128), jnp.int32)
     rng = jnp.zeros((QR, 128), jnp.uint32)
     C_HERO = max(1, int(cfg.hero_wavelengths))
@@ -448,6 +487,14 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
         HERO_TABS = [hero_emission_table(lt.color, lt.intensity, lt.temp,
                                          C_HERO) for lt in LIGHTS]
         HERO_DELTA = VISIBLE_RANGE / C_HERO
+    # environment emitter: 3 more per-lane emission entries after the
+    # light em entries, spawned hero-averaged / collapsed to the hero's
+    # share exactly like them (see the sweep kernel / module docstring)
+    SKY_ON = float(cfg.sky_intensity) > 0.0
+    N_EM = 3 * L + (3 if SKY_ON else 0)
+    if SKY_ON and C_HERO > 1:
+        SKY_TAB = hero_emission_table((1.0, 1.0, 1.0), cfg.sky_intensity,
+                                      cfg.sky_temp, C_HERO)
 
     from tpurt.kernels.mega_pallas import (_use_sph_chunked,
                                            _use_tri_chunked)
@@ -504,7 +551,7 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             "bounce": jnp.zeros_like(px),
             "o": z3, "d": z3, "tp": z3, "rad": z3,
             "lam": zero,
-            "em": tuple(zero for _ in range(3 * L)),
+            "em": tuple(zero for _ in range(N_EM)),
             "rng": jnp.zeros_like(px).astype(jnp.uint32),
             "rays": jnp.float32(0.0),
         }
@@ -568,21 +615,26 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                     for tab in HERO_TABS:
                         em_new.extend(s.hero_em_lookup_c(tab, HERO_DELTA,
                                                          lam_new))
+                    if SKY_ON:
+                        em_new.extend(s.hero_em_lookup_c(SKY_TAB, HERO_DELTA,
+                                                         lam_new))
                 else:
-                    em_new = _single_lambda_em_c(LIGHTS, lam_new)
+                    em_new = list(_single_lambda_em_c(LIGHTS, lam_new))
+                    if SKY_ON:
+                        em_new.extend(_sky_em_c(cfg, lam_new))
                 return (*o0, *d0, lam_new, rng_new, *em_new)
 
             def _spawn_skip(_):
                 return (zero,) * 7 \
                     + (jnp.zeros_like(px).astype(jnp.uint32),) \
-                    + (zero,) * (3 * L)
+                    + (zero,) * N_EM
 
             vals = jax.lax.cond(jnp.any(regen), _spawn_vals, _spawn_skip, 0)
             o0 = vals[0:3]
             d0 = vals[3:6]
             lam_new = vals[6]
             rng_new = vals[7]
-            em_new = vals[8:8 + 3 * L]
+            em_new = vals[8:8 + N_EM]
 
             o = s.vwhere(regen, o0, st["o"])
             d = s.vwhere(regen, d0, st["d"])
@@ -590,7 +642,7 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             rad = s.vwhere(regen, z3, st["rad"])
             lam = jnp.where(regen, lam_new, st["lam"])
             em = tuple(jnp.where(regen, em_new[i], st["em"][i])
-                       for i in range(3 * L))
+                       for i in range(N_EM))
             rng = jnp.where(regen, rng_new, st["rng"])
             bounce = jnp.where(regen, 0, st["bounce"])
             active = active | regen
@@ -606,7 +658,13 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 _material_lookup_static(MATS, mat)
             wo = s.vneg(d)
 
-            if cfg.sky_gradient:
+            if SKY_ON:
+                tint = _sky_tint_c(cfg, d)
+                miss = active & ~found
+                rad = tuple(jnp.where(miss,
+                                      rad[c] + tp[c] * em[3 * L + c]
+                                      * tint[c], rad[c]) for c in range(3))
+            elif cfg.sky_gradient:
                 dn = s.vnormalize(d, eps=1e-30)
                 t_sky = 0.5 * (dn[1] + 1.0)
                 sky = tuple((1.0 - t_sky) + t_sky * np.float32(c)
@@ -641,12 +699,17 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                     # share (cond-gated recompute; idempotent)
                     coll_now = active & found & is_diel
 
+                    def _coll_vals(_):
+                        vals = tuple(_single_lambda_em_c(LIGHTS, lam))
+                        if SKY_ON:
+                            vals = vals + _sky_em_c(cfg, lam)
+                        return vals
+
                     em_h = jax.lax.cond(
-                        jnp.any(coll_now),
-                        lambda _: tuple(_single_lambda_em_c(LIGHTS, lam)),
-                        lambda _: (jnp.zeros_like(lam),) * (3 * L), 0)
+                        jnp.any(coll_now), _coll_vals,
+                        lambda _: (jnp.zeros_like(lam),) * N_EM, 0)
                     return tuple(jnp.where(coll_now, em_h[i], em[i])
-                                 for i in range(3 * L))
+                                 for i in range(N_EM))
             else:
                 post_diel = None
 

@@ -182,10 +182,28 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool,
     n = hit["normal"]
     loc = hit["loc"]
 
-    # miss: black sky like the mega kernel, or the legacy wavefront's
-    # gradient (ref: wavefront.wgsl:129-131) behind a flag
+    # miss: black sky like the mega kernel; the spectral environment
+    # emitter (cfg.sky_intensity > 0 — see integrate.sky_emission_rgb) or
+    # the legacy RGB gradient (ref: wavefront.wgsl:129-131) behind flags
     rad = pool.rad
-    if cfg.sky_gradient:
+    if float(cfg.sky_intensity) > 0.0:
+        from tpurt.integrate import _sky_tint, sky_emission_rgb
+        Cs = max(1, int(cfg.hero_wavelengths))
+        if Cs > 1:
+            from tpurt.ops.spectra import (hero_emission_lookup,
+                                           hero_emission_table_jnp)
+            em = hero_emission_lookup(
+                hero_emission_table_jnp(jnp.ones((3,), jnp.float32),
+                                        cfg.sky_intensity, cfg.sky_temp,
+                                        Cs), Cs, pool.lam)
+            if cfg.dispersion_in_camera_path:
+                em = jnp.where(pool.coll[:, None],
+                               sky_emission_rgb(cfg, pool.lam), em)
+        else:
+            em = sky_emission_rgb(cfg, pool.lam)
+        rad = rad + jnp.where((active & ~found)[:, None],
+                              pool.tp * em * _sky_tint(cfg, pool.d), 0.0)
+    elif cfg.sky_gradient:
         t_sky = 0.5 * (normalize(pool.d, eps=1e-30)[:, 1] + 1.0)
         sky = (1.0 - t_sky)[:, None] * jnp.ones((1, 3)) \
             + t_sky[:, None] * jnp.asarray([[0.5, 0.7, 1.0]], jnp.float32)
