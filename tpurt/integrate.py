@@ -493,6 +493,21 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
             sky_rgb = sky_emission_rgb(cfg, lam)
         sky_hero = sky_emission_rgb(cfg, lam) if track_collapse else None
 
+    # Type-3 emissive materials (EXTENSION, see Material.emissive): the
+    # lambda-only emission base (cie * range; flat spectrum — intensity is
+    # folded into the material color). Evaluated unconditionally (masked
+    # math; scenes without emitters never set mtype 3). Hero-averaged like
+    # the light/sky emissions.
+    em_flat = cie_to_rgb(lam) * jnp.float32(VISIBLE_RANGE)
+    if C > 1:
+        from tpurt.ops.spectra import (hero_emission_lookup,
+                                       hero_emission_table_jnp)
+        em_avg = hero_emission_lookup(
+            hero_emission_table_jnp(jnp.ones((3,), jnp.float32), 1.0, 0.0,
+                                    C), C, lam)
+    else:
+        em_avg = em_flat
+
     active0 = jnp.ones((N,), bool) if valid is None else valid
     state = {
         "b": jnp.int32(0), "anylive": jnp.bool_(True),
@@ -532,9 +547,17 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
 
         color, rough, ior, mtype = material_lookup(scene, hit["mat"])
         is_diffuse = mtype == 0
+        is_em = mtype == 3
         wo = -d
         n = hit["normal"]
         loc = hit["loc"]
+
+        # --- type-3 emitter hit: add emission, lane terminates below ---
+        emb = em_avg
+        if track_collapse:
+            emb = jnp.where(st["collapsed"][:, None], em_flat, em_avg)
+        rad = rad + jnp.where((active & found & is_em)[:, None],
+                              tp * color * emb, 0.0)
 
         # --- vispoint store at first diffuse hit (wgsl :893-900) ---
         store = active & found & is_diffuse & ~st["vp_stored"]
@@ -576,7 +599,7 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
             cfg, wo, n, loc, color, rough, ior, mtype, lam, tp, rng,
             camera_path=True, bounce_strata=bs)
 
-        cont = active & found & scat_ok & rr_live
+        cont = active & found & scat_ok & rr_live & ~is_em
         out = {
             "b": st["b"] + 1, "anylive": jnp.any(cont),
             "o": jnp.where(cont[:, None], new_o, o),
@@ -593,7 +616,7 @@ def trace_camera_paths(scene, cfg: RenderConfig, ray_o, ray_d, lam, rng, depth: 
         if track_collapse:
             # a dielectric interaction steers the path by eta(lambda):
             # only the hero transports onward (Wilkie et al. 2014 dirac case)
-            is_dielectric = ~(is_diffuse | (mtype == 2))
+            is_dielectric = ~(is_diffuse | (mtype == 2) | is_em)
             out["collapsed"] = st["collapsed"] | \
                 (active & found & is_dielectric)
         return out
@@ -799,7 +822,8 @@ def trace_photons(scene, cfg: RenderConfig, lam, seed, px, py, vis,
                 cfg, wo, n, hit["loc"], color, rough, ior, mtype, lam, tp,
                 rng, camera_path=False, bounce_strata=bs)
 
-            cont = live & scat_ok & rr_live
+            # type-3 emitters absorb photons (they emit, never reflect)
+            cont = live & scat_ok & rr_live & (mtype != 3)
             return {
                 "b": st["b"] + 1, "anylive": jnp.any(cont),
                 "o": jnp.where(cont[:, None], new_o, o),

@@ -785,6 +785,24 @@ def _sky_tint_c(cfg, d):
                  for c, g in enumerate((0.5, 0.7, 1.0)))
 
 
+def _flat_em_c(lam):
+    """Flat-spectrum emission base at lam (cie * range), component form —
+    the lambda-only factor of type-3 emissive materials (the intensity is
+    folded into the material color; see scene.Material.emissive)."""
+    cie = s.cie_to_rgb_c(lam)
+    return tuple(np.float32(VISIBLE_RANGE) * cie[c] for c in range(3))
+
+
+def _is_emissive_static(materials, mat_id):
+    """Per-lane type-3 mask via the same unrolled select chain as
+    _material_lookup_static."""
+    is_em = jnp.zeros_like(mat_id, bool)
+    for m, mat in enumerate(materials):
+        if mat.mtype == 3:
+            is_em = is_em | (mat_id == m)
+    return is_em
+
+
 def _material_lookup_static(materials, mat_id):
     """Per-lane material attributes via an unrolled constant select chain.
     Returns (color, rough, ior, is_diffuse, is_metal)."""
@@ -1531,6 +1549,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
     L = len(LIGHTS)
     any_dielectric = any(m.mtype == 1 for m in MATS)
     any_metal = any(m.mtype == 2 for m in MATS)
+    ANY_EM = any(m.mtype == 3 for m in MATS)
 
     n_slabs = (int(_use_tri_chunked(fscene, cfg))
                + int(_use_sph_chunked(fscene, cfg)))
@@ -1666,6 +1685,17 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             else:
                 sky_rgb = sky_hero
 
+        # type-3 emissive materials: the lambda-only emission base
+        # (intensity lives in the material color; see Material.emissive)
+        if ANY_EM:
+            if C_HERO > 1:
+                emB_avg = s.hero_em_lookup_c(
+                    hero_emission_table((1.0, 1.0, 1.0), 1.0, 0.0, C_HERO),
+                    delta, lam)
+            else:
+                emB_avg = _flat_em_c(lam)
+            emB_flat = _flat_em_c(lam) if track_collapse else None
+
         zero = jnp.zeros_like(u)
         z3 = (zero, zero, zero)
 
@@ -1705,6 +1735,16 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             color, rough, ior, is_diffuse, is_metal = \
                 _material_lookup_static(MATS, mat)
             wo = s.vneg(d)
+
+            # type-3 emitter hit: add emission, lane terminates below
+            if ANY_EM:
+                is_em = _is_emissive_static(MATS, mat)
+                emb = (s.vwhere(st["coll"] > 0, emB_flat, emB_avg)
+                       if track_collapse else emB_avg)
+                hit_em = active & found & is_em
+                rad = tuple(jnp.where(hit_em,
+                                      rad[c] + tp[c] * color[c] * emb[c],
+                                      rad[c]) for c in range(3))
 
             # vispoint store at first diffuse hit (wgsl :893-900):
             # masked in-place update of the persistent output planes.
@@ -1759,6 +1799,8 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                 rr_thresh_fn=lambda: cfg.rr_threshold, strata_fn=strata_fn)
 
             cont = active & found & scat_ok & rr_live
+            if ANY_EM:
+                cont = cont & ~is_em
             cont_i = _mask_i32(cont)
             out = {
                 "b": st["b"] + 1, "anylive": jnp.max(cont_i),
@@ -1915,6 +1957,9 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
                             else (lambda: jnp.float32(cfg.photon_rr_scale)))
 
                     cont = live & scat_ok & rr_live
+                    if ANY_EM:
+                        # type-3 emitters absorb photons
+                        cont = cont & ~_is_emissive_static(MATS, mat)
                     cont_i = _mask_i32(cont)
                     return {
                         "b": pst["b"] + 1, "anylive": jnp.max(cont_i),

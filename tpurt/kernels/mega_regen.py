@@ -58,6 +58,8 @@ from tpurt.kernels.mega_pallas import (
     _single_lambda_em_c,
     _sky_em_c,
     _sky_tint_c,
+    _flat_em_c,
+    _is_emissive_static,
     _prim_tables,
     chunk_scratch_shapes,
     _scatter_dielectric_c,
@@ -113,6 +115,11 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
     if SKY_ON and C_HERO > 1:
         SKY_TAB = hero_emission_table((1.0, 1.0, 1.0), cfg.sky_intensity,
                                       cfg.sky_temp, C_HERO)
+    # type-3 emissive materials (see Material.emissive): lambda-only flat
+    # emission base, evaluated at hit time from the lane's lambda plane
+    ANY_EM = any(m.mtype == 3 for m in MATS)
+    if ANY_EM and C_HERO > 1:
+        EMB_TAB = hero_emission_table((1.0, 1.0, 1.0), 1.0, 0.0, C_HERO)
 
     from tpurt.kernels.mega_pallas import (_use_sph_chunked,
                                            _use_tri_chunked)
@@ -497,6 +504,19 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             lam_um = lam * jnp.float32(1e-3)
             cauchy_add = jnp.float32(DISPERSION_B) / (lam_um * lam_um)
 
+            # type-3 emitter hit: CAMERA lanes add emission (and terminate
+            # below, as do photon lanes — emitters absorb photons)
+            if ANY_EM:
+                is_em = _is_emissive_static(MATS, mat)
+                emb = (s.hero_em_lookup_c(EMB_TAB, HERO_DELTA, lam)
+                       if C_HERO > 1 else _flat_em_c(lam))
+                if track_collapse:
+                    emb = s.vwhere(coll > 0, _flat_em_c(lam), emb)
+                hit_em = active & is_cam & found & is_em
+                rad = tuple(jnp.where(hit_em,
+                                      rad[c] + tp[c] * color[c] * emb[c],
+                                      rad[c]) for c in range(3))
+
             # ---- camera-only: vispoint store + NEE
             store = active & is_cam & found & is_diffuse & ~(vp_stored > 0)
             for kb, val in ((_VPOS, loc), (_VNORM, n), (_VWO, wo), (_VTP, tp)):
@@ -624,6 +644,8 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             max_b = jnp.where(is_cam, depth_i, np.int32(cfg.max_photon_bounces))
             depth_ok = (bounce + 1) < max_b
             cont = active & found & scat_ok & rr_live & depth_ok
+            if ANY_EM:
+                cont = cont & ~is_em  # camera terminates, photons absorb
 
             # ---- deaths
             died = active & ~cont

@@ -18,8 +18,9 @@ layout across the whole render:
   splat  (XLA)    terminated slots scatter-add into the image
 
 Pool plane layout (QR = Q/128):
-  f32 (13+3L[+3], QR, 128): o xyz | d xyz | tp rgb | rad rgb | lam |
-                            em[l] rgb... [| sky-em rgb when cfg.sky_intensity]
+  f32 (13+3L[+3][+3], QR, 128): o xyz | d xyz | tp rgb | rad rgb | lam |
+      em[l] rgb... [| sky-em rgb when cfg.sky_intensity] [| type-3
+      emission base rgb under hero-collapse tracking — see _layout_flags]
   i32 (3, QR, 128):     pix | bounce | active
   u32 (QR, 128):        PCG stream
 
@@ -59,6 +60,8 @@ from tpurt.kernels.mega_pallas import (
     _single_lambda_em_c,
     _sky_em_c,
     _sky_tint_c,
+    _flat_em_c,
+    _is_emissive_static,
     freeze_scene,
     supports_scene,
 )
@@ -76,8 +79,21 @@ _O, _D, _TP, _RAD, _LAM = 0, 3, 6, 9, 12
 _EM = 13
 
 
-def _n_fchannels(L: int, sky: bool = False) -> int:
-    return _EM + 3 * L + (3 if sky else 0)
+def _n_fchannels(L: int, sky: bool = False, emb: bool = False) -> int:
+    return _EM + 3 * L + (3 if sky else 0) + (3 if emb else 0)
+
+
+def _layout_flags(fscene, cfg) -> tuple:
+    """(sky, emb): whether the pool carries 3 sky-emission planes
+    (cfg.sky_intensity > 0) and 3 type-3 emission-base planes. The emB
+    planes exist only under hero-collapse tracking — without it the
+    emissive base is recomputed from the lane's lambda at hit time."""
+    sky = float(cfg.sky_intensity) > 0.0
+    any_diel = any(m.mtype == 1 for m in fscene.materials)
+    any_em = any(m.mtype == 3 for m in fscene.materials)
+    emb = (any_em and max(1, int(cfg.hero_wavelengths)) > 1
+           and cfg.dispersion_in_camera_path and any_diel)
+    return sky, emb
 
 
 # ----- the sweep kernel -----
@@ -98,6 +114,9 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                       and any_dielectric)
     SKY_ON = float(cfg.sky_intensity) > 0.0
     _SKY = _EM + 3 * L
+    ANY_EM = any(m.mtype == 3 for m in MATS)
+    _, EMB_PLANES = _layout_flags(fscene, cfg)
+    _EMB = _SKY + (3 if SKY_ON else 0)
 
     from tpurt.kernels.mega_pallas import (_use_sph_chunked,
                                            _use_tri_chunked)
@@ -162,6 +181,22 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
                         pf_ref[_EM + 3 * li + 2]), z3,
             mode=cfg.light_sample)
 
+        # type-3 emitter hit: add emission; lane terminates below
+        if ANY_EM:
+            is_em = _is_emissive_static(MATS, mat)
+            if EMB_PLANES:
+                emB = (pf_ref[_EMB], pf_ref[_EMB + 1], pf_ref[_EMB + 2])
+            elif C_HERO > 1:
+                emB = s.hero_em_lookup_c(
+                    hero_emission_table((1.0, 1.0, 1.0), 1.0, 0.0, C_HERO),
+                    VISIBLE_RANGE / C_HERO, lam)
+            else:
+                emB = _flat_em_c(lam)
+            hit_em = active & found & is_em
+            rad = tuple(jnp.where(hit_em,
+                                  rad[c] + tp[c] * color[c] * emB[c],
+                                  rad[c]) for c in range(3))
+
         lane_d = active & found & is_diffuse
         nee = s.vmul(s.vmul(tp, color), direct)
         rad = tuple(jnp.where(lane_d, rad[c] + nee[c], rad[c])
@@ -183,6 +218,8 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
 
         depth_ok = (bounce + 1) < cfg.depth
         cont = active & found & scat_ok & rr_live & depth_ok
+        if ANY_EM:
+            cont = cont & ~is_em
         terminated = active & ~cont
 
         for c in range(3):
@@ -195,14 +232,16 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
             coll_now = active & found & ~(is_diffuse | is_metal)
 
             # post-collapse hero emission at FULL weight (dirac
-            # continuation is hero-only; no 1/C) — the sky channels
-            # collapse alongside the light channels
-            n_em = 3 * L + (3 if SKY_ON else 0)
+            # continuation is hero-only; no 1/C) — the sky and type-3
+            # emission-base channels collapse alongside the light channels
+            n_em = 3 * L + (3 if SKY_ON else 0) + (3 if EMB_PLANES else 0)
 
             def _collapse_vals(_):
                 vals = tuple(_single_lambda_em_c(LIGHTS, lam))
                 if SKY_ON:
                     vals = vals + _sky_em_c(cfg, lam)
+                if EMB_PLANES:
+                    vals = vals + _flat_em_c(lam)
                 return vals
 
             em_h = jax.lax.cond(
@@ -211,7 +250,8 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
             for i, ch in enumerate(range(_EM, _EM + n_em)):
                 pf_out[ch] = jnp.where(coll_now, em_h[i], pf_ref[ch])
         else:
-            for ch in range(_EM, _EM + 3 * L + (3 if SKY_ON else 0)):
+            for ch in range(_EM, _EM + 3 * L + (3 if SKY_ON else 0)
+                            + (3 if EMB_PLANES else 0)):
                 pf_out[ch] = pf_ref[ch]
         pi_out[0] = pi_ref[0]            # pix unchanged
         pi_out[1] = bounce + 1
@@ -234,7 +274,7 @@ def sweep_pallas(fscene, cfg: RenderConfig, pf, pi, rng, interpret=False):
     assert QR % R == 0
     n_tiles = QR // R
     L = len(fscene.lights)
-    C = _n_fchannels(L, float(cfg.sky_intensity) > 0.0)
+    C = _n_fchannels(L, *_layout_flags(fscene, cfg))
 
     sph_tab, tri_tab = _prim_tables(fscene, cfg)
     chunk_tab, chunk_meta = _chunk_tables(fscene, cfg)
@@ -268,7 +308,7 @@ def sweep_pallas(fscene, cfg: RenderConfig, pf, pi, rng, interpret=False):
 
 def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
                   next_sample, next_pix, spp, base_seed, it0,
-                  hero_tabs=None):
+                  hero_tabs=None, emb_planes=False):
     """Dead slots claim the next (pixel, sample) items; all math stays in
     the (QR, 128) plane shape (no pool-sized relayouts). Mirrors
     tpurt.wavefront._regen including draw order."""
@@ -346,7 +386,8 @@ def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
     for li, em in enumerate(ems):
         for c in range(3):
             cols.append(f(em[:, c].reshape(QR, 128), _EM + 3 * li + c))
-    if float(cfg.sky_intensity) > 0.0:
+    sky_on = float(cfg.sky_intensity) > 0.0
+    if sky_on:
         from tpurt.integrate import sky_emission_rgb
         if C_HERO > 1:
             from tpurt.ops.spectra import (hero_emission_lookup,
@@ -360,6 +401,16 @@ def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
         base = _EM + 3 * scene.num_lights
         for c in range(3):
             cols.append(f(sky_em[:, c].reshape(QR, 128), base + c))
+    if emb_planes:
+        # type-3 emission base (white, hero-averaged; collapses in-kernel)
+        from tpurt.ops.spectra import (hero_emission_lookup,
+                                       hero_emission_table_jnp)
+        emb = hero_emission_lookup(
+            hero_emission_table_jnp(jnp.ones((3,), jnp.float32), 1.0, 0.0,
+                                    C_HERO), C_HERO, lam.reshape(-1))
+        base = _EM + 3 * scene.num_lights + (3 if sky_on else 0)
+        for c in range(3):
+            cols.append(f(emb[:, c].reshape(QR, 128), base + c))
     pf = jnp.stack(cols)
 
     pi = jnp.stack([
@@ -383,7 +434,7 @@ def _wavefront_pallas_jit(fscene, scene, cfg, camera, state, base_seed, spp,
     QR = Q // 128
     L = len(fscene.lights)
 
-    pf = jnp.zeros((_n_fchannels(L, float(cfg.sky_intensity) > 0.0),
+    pf = jnp.zeros((_n_fchannels(L, *_layout_flags(fscene, cfg)),
                     QR, 128), jnp.float32)
     pi = jnp.zeros((3, QR, 128), jnp.int32)
     rng = jnp.zeros((QR, 128), jnp.uint32)
@@ -404,7 +455,8 @@ def _wavefront_pallas_jit(fscene, scene, cfg, camera, state, base_seed, spp,
         pf, pi, rng, ns_, npx, rgb, nsamp, rays, sweeps = carry
         pf, pi, rng, ns_, npx = _regen_planar(
             scene, cfg, camera, pf, pi, rng, ns_, npx, spp, base_seed,
-            state.iteration, hero_tabs)
+            state.iteration, hero_tabs,
+            emb_planes=_layout_flags(fscene, cfg)[1])
         pf, pi, rng, term, trays = sweep_pallas(fscene, cfg, pf, pi, rng,
                                                 interpret=interpret)
         pix = pi[0].reshape(-1)
@@ -491,10 +543,14 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
     # light em entries, spawned hero-averaged / collapsed to the hero's
     # share exactly like them (see the sweep kernel / module docstring)
     SKY_ON = float(cfg.sky_intensity) > 0.0
-    N_EM = 3 * L + (3 if SKY_ON else 0)
+    ANY_EM = any(m.mtype == 3 for m in MATS)
+    _, EMB_PLANES = _layout_flags(fscene, cfg)
+    N_EM = 3 * L + (3 if SKY_ON else 0) + (3 if EMB_PLANES else 0)
     if SKY_ON and C_HERO > 1:
         SKY_TAB = hero_emission_table((1.0, 1.0, 1.0), cfg.sky_intensity,
                                       cfg.sky_temp, C_HERO)
+    if EMB_PLANES:
+        EMB_TAB = hero_emission_table((1.0, 1.0, 1.0), 1.0, 0.0, C_HERO)
 
     from tpurt.kernels.mega_pallas import (_use_sph_chunked,
                                            _use_tri_chunked)
@@ -618,6 +674,9 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                     if SKY_ON:
                         em_new.extend(s.hero_em_lookup_c(SKY_TAB, HERO_DELTA,
                                                          lam_new))
+                    if EMB_PLANES:
+                        em_new.extend(s.hero_em_lookup_c(EMB_TAB, HERO_DELTA,
+                                                         lam_new))
                 else:
                     em_new = list(_single_lambda_em_c(LIGHTS, lam_new))
                     if SKY_ON:
@@ -673,6 +732,23 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 rad = tuple(jnp.where(miss, rad[c] + tp[c] * sky[c], rad[c])
                             for c in range(3))
 
+            # type-3 emitter hit: add emission; lane terminates below
+            if ANY_EM:
+                is_em = _is_emissive_static(MATS, mat)
+                if EMB_PLANES:
+                    base = 3 * L + (3 if SKY_ON else 0)
+                    emB = (em[base], em[base + 1], em[base + 2])
+                elif C_HERO > 1:
+                    emB = s.hero_em_lookup_c(
+                        hero_emission_table((1.0, 1.0, 1.0), 1.0, 0.0,
+                                            C_HERO), HERO_DELTA, lam)
+                else:
+                    emB = _flat_em_c(lam)
+                hit_em = active & found & is_em
+                rad = tuple(jnp.where(hit_em,
+                                      rad[c] + tp[c] * color[c] * emB[c],
+                                      rad[c]) for c in range(3))
+
             direct, rng = nee_direct_c(
                 LIGHTS, loc, n, lam, rng, shadow,
                 lambda: active & found & is_diffuse,
@@ -703,6 +779,8 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                         vals = tuple(_single_lambda_em_c(LIGHTS, lam))
                         if SKY_ON:
                             vals = vals + _sky_em_c(cfg, lam)
+                        if EMB_PLANES:
+                            vals = vals + _flat_em_c(lam)
                         return vals
 
                     em_h = jax.lax.cond(
@@ -724,6 +802,8 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
 
             depth_ok = (bounce + 1) < cfg.depth
             cont = active & found & scat_ok & rr_live & depth_ok
+            if ANY_EM:
+                cont = cont & ~is_em
             terminated = active & ~cont
 
             # lane-local "splat": masked add into this lane's own texel

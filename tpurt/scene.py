@@ -61,6 +61,18 @@ class Material:
         return Material(color=tuple(f0_color), roughness=roughness, ior=1.0,
                         mtype=2)
 
+    @staticmethod
+    def emissive(color, intensity: float = 1.0) -> "Material":
+        """Type-3 emitter (EXTENSION — the reference's lights have no
+        geometry and never appear in frame). A camera path hitting this
+        surface adds color*intensity * cie_to_rgb(lambda) * range (the
+        lights' flat-spectrum emission form, mega_kernel.wgsl:574-578) and
+        terminates; photons are absorbed; shadow rays are fully occluded
+        (like diffuse). Not sampled by NEE — pair with a Light record at
+        the same place when direct-light sampling matters."""
+        return Material(color=tuple(float(intensity) * c for c in color),
+                        roughness=0.0, ior=1.0, mtype=3)
+
 
 @dataclasses.dataclass(frozen=True)
 class Sphere:

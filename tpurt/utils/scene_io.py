@@ -12,7 +12,8 @@ Schema (all vectors are 3-lists, all fields of each record shown):
       "materials": [
         {"type": "diffuse",    "color": [r,g,b], "roughness": 0.0},
         {"type": "dielectric", "ior": 1.5,       "roughness": 0.01},
-        {"type": "metal",      "color": [r,g,b], "roughness": 0.1}
+        {"type": "metal",      "color": [r,g,b], "roughness": 0.1},
+        {"type": "emissive",   "color": [r,g,b], "intensity": 10.0}
       ],
       "spheres": [
         {"material": 0, "radius": 1.0, "center": [x,y,z]}
@@ -48,7 +49,7 @@ import numpy as np
 
 from tpurt.scene import Light, Material, MeshData, Scene, Sphere, build_scene
 
-_MTYPES = {0: "diffuse", 1: "dielectric", 2: "metal"}
+_MTYPES = {0: "diffuse", 1: "dielectric", 2: "metal", 3: "emissive"}
 
 
 def load_scene_json(path: str):
@@ -69,6 +70,10 @@ def load_scene_json(path: str):
         elif kind == "metal":
             materials.append(Material.metal(m.get("color", (0.9, 0.9, 0.9)),
                                             float(m.get("roughness", 0.0))))
+        elif kind == "emissive":
+            materials.append(Material.emissive(
+                m.get("color", (1.0, 1.0, 1.0)),
+                float(m.get("intensity", 1.0))))
         else:
             raise ValueError(f"unknown material type {kind!r}")
 

@@ -228,6 +228,26 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool,
         rgbs = None
     direct, rng = sample_direct_lighting(scene, cfg, loc, n, pool.lam,
                                          rng, light_rgbs=rgbs)
+
+    # type-3 emitter hit (see Material.emissive): add emission; the lane
+    # terminates below. Masked math — no RNG draws, so exactness holds.
+    is_em = mtype == 3
+    from tpurt.ops.spectra import VISIBLE_RANGE
+    from tpurt.integrate import cie_to_rgb
+    emB_flat = cie_to_rgb(pool.lam) * jnp.float32(VISIBLE_RANGE)
+    if C > 1:
+        from tpurt.ops.spectra import (hero_emission_lookup,
+                                       hero_emission_table_jnp)
+        emB = hero_emission_lookup(
+            hero_emission_table_jnp(jnp.ones((3,), jnp.float32), 1.0, 0.0,
+                                    C), C, pool.lam)
+        if track_collapse:
+            emB = jnp.where(pool.coll[:, None], emB_flat, emB)
+    else:
+        emB = emB_flat
+    rad = rad + jnp.where((active & found & is_em)[:, None],
+                          pool.tp * color * emB, 0.0)
+
     lane_d = active & found & is_diffuse
     rad = rad + jnp.where(lane_d[:, None], pool.tp * color * direct, 0.0)
     if cfg.count_rays:
@@ -241,7 +261,7 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool,
         camera_path=True)
 
     depth_ok = (pool.bounce + 1) < cfg.depth
-    cont = active & found & scat_ok & rr_live & depth_ok
+    cont = active & found & scat_ok & rr_live & depth_ok & ~is_em
     terminated = active & ~cont
 
     new_pool = WavefrontPool(
@@ -254,7 +274,8 @@ def _sweep(scene, cfg: RenderConfig, pool: WavefrontPool,
         rng=rng,
         bounce=pool.bounce + 1,
         active=cont,
-        coll=pool.coll | (active & found & ~(is_diffuse | (mtype == 2)))
+        coll=pool.coll | (active & found
+                          & ~(is_diffuse | (mtype == 2) | is_em))
         if track_collapse else pool.coll,
     )
     return new_pool, terminated, rays
