@@ -23,7 +23,10 @@ import argparse
 import json
 
 import jax
-jax.config.update("jax_platforms", "cpu")
+# QUALITY_PLATFORM=tpu runs the probe on the accelerator (useful when the
+# CPU is busy with the test suite); the estimator is backend-identical
+jax.config.update("jax_platforms",
+                  _os.environ.get("QUALITY_PLATFORM", "cpu"))
 import numpy as np
 
 
@@ -61,6 +64,16 @@ STACKS = {
                       photon_strata_shared_k=True, photon_strata_bounce=True,
                       camera_strata_bounce=True, hero_wavelengths=4,
                       photon_strata_window=8),
+    # importance-aimed photon emission (cfg.photon_aim, r2): alone and on
+    # top of the shipped config-3 stack (aimed lanes leave the shared
+    # strata beam, so the combination must be measured, not assumed)
+    "aim50": dict(photon_aim=0.5),
+    "aim80": dict(photon_aim=0.8),
+    "K2h8_w16_aim50": dict(photon_strata=16, photon_strata_dir=256,
+                           photon_strata_shared_k=True,
+                           photon_strata_bounce=True,
+                           camera_strata_bounce=True, hero_wavelengths=8,
+                           photon_strata_window=16, photon_aim=0.5),
 }
 
 

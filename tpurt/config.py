@@ -36,6 +36,28 @@ class RenderConfig:
     #   with tools/quality.py --rr (var*rays at equal noise). Camera-path
     #   RR is untouched. At exactly 1.0 every kernel compiles to the
     #   reference's RR ops unchanged.
+    photon_aim: float = 0.0            # EXTENSION, in [0, 1) (0 = reference
+    #   sampling): importance-aimed photon emission from AREA lights. With
+    #   probability q = photon_aim a photon's emission direction is drawn
+    #   uniformly in a cone from its quad point toward the lane's own SPPM
+    #   vispoint (half-angle subtending photon_aim_widen * photon_radius at
+    #   the vispoint distance), otherwise from the reference's cosine
+    #   hemisphere; the throughput is weighted by p_cos/p_mix (defensive
+    #   mixture, ops/soa.aim_mixture_weight_c), which is unbiased for every
+    #   integrand because the cosine component keeps full-hemisphere
+    #   support (q < 1) and the vispoint/radius are data of the integral,
+    #   not the photon's own draws. Lanes with no vispoint (and point
+    #   lights, whose emission cone is already aimed, wgsl :710-721) use
+    #   reference sampling with weight exactly 1. Dramatically raises the
+    #   chance a FIRST photon segment lands inside the splat disc — the
+    #   time-to-noise-target win is measured by tools/quality.py. Draws 3
+    #   extra uniforms per photon spawn (after the reference layout, so
+    #   flag-off streams are untouched). XLA + regenerative-megakernel
+    #   backends only.
+    photon_aim_widen: float = 3.0      # aim-cone padding over the splat
+    #   disc: wider catches near-miss first hits that still scatter into
+    #   the disc; narrower concentrates harder (clamped to [1.1deg, 45deg]
+    #   half-angle either way, ops/soa.AIM_SIN_MIN/MAX).
     sppm_alpha: float = 0.67           # radius schedule (mega_kernel.rs:198)
     photon_strata: int = 0             # EXTENSION (0 = reference sampling):
     #   power-of-two N stratifies each photon's emission position and

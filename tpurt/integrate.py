@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from tpurt.config import RenderConfig
 from tpurt.ops import rng as rngmod
+from tpurt.ops import soa
 from tpurt.ops.bsdf import (
     INV_PI,
     abs_cos_theta,
@@ -771,6 +772,32 @@ def trace_photons(scene, cfg: RenderConfig, lam, seed, px, py, vis,
         d_cos = cosine_hemisphere_from_u(
             jnp.broadcast_to(lnorm, (N, 3)), uh1, uh2)
         tp_area = light_power / cfg.k_photons
+
+        if cfg.photon_aim > 0.0:
+            # EXTENSION cfg.photon_aim: importance-aim the area-light
+            # emission at the lane's own vispoint (defensive mixture; see
+            # ops/soa.aimed_cone_c). 3 extra draws AFTER the reference
+            # layout so flag-off streams are untouched; drawn for every k
+            # (point-light ks too) to keep the stream layout uniform — the
+            # weight only ever touches the area branch.
+            uch, rng = rngmod.rand_1f(rng)
+            u_aim, rng = rngmod.rand_2f(rng)
+            q_lane = jnp.where(vp_ok, jnp.float32(cfg.photon_aim),
+                               jnp.float32(0.0))
+            o_aim = lp + lnorm * EPS  # the photon origin (= ph_o below)
+            o_c = (o_aim[..., 0], o_aim[..., 1], o_aim[..., 2])
+            vp_c = (vis["pos"][..., 0], vis["pos"][..., 1],
+                    vis["pos"][..., 2])
+            d_aim, ax, cos_a = soa.aimed_cone_c(
+                o_c, vp_c, photon_radius,
+                jnp.float32(cfg.photon_aim_widen),
+                u_aim[..., 0], u_aim[..., 1])
+            choose = (uch < q_lane)[..., None]
+            d_cos = jnp.where(choose, jnp.stack(d_aim, axis=-1), d_cos)
+            d_c = (d_cos[..., 0], d_cos[..., 1], d_cos[..., 2])
+            aim_w = soa.aim_mixture_weight_c(
+                d_c, (lnorm[0], lnorm[1], lnorm[2]), ax, cos_a, q_lane)
+            tp_area = tp_area * aim_w[..., None]
 
         ph_o = jnp.where(is_point, origin_b, lp + lnorm * EPS)
         ph_d = jnp.where(is_point, d_cone, d_cos)

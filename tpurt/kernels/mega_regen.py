@@ -388,6 +388,13 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                     ue2, rkk = rngmod.rand_1f(rkk)
                     uh1, rkk = rngmod.rand_1f(rkk)
                     uh2, rkk = rngmod.rand_1f(rkk)
+                    if cfg.photon_aim > 0.0:
+                        # EXTENSION cfg.photon_aim: 3 extra draws AFTER
+                        # the reference layout (same order as the XLA
+                        # integrator's trace_photons)
+                        uch, rkk = rngmod.rand_1f(rkk)
+                        ua1, rkk = rngmod.rand_1f(rkk)
+                        ua2, rkk = rngmod.rand_1f(rkk)
                     rng_pk = rkk
                     if cfg.photon_strata:
                         # tile-coherent emission cell per (sample, k)
@@ -396,6 +403,18 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                                 strat_seed, rngmod.strata_k(cfg, k),
                                 *rngmod.strata_counts(cfg),
                                 uc, up1, ue1, ue2, uh1, uh2)
+                    if cfg.photon_aim > 0.0:
+                        # aim at the lane's own vispoint — the PERSISTENT
+                        # one (stale vispoints stay valid aim/density
+                        # targets, wgsl :1004's length test), same gate as
+                        # the XLA path's vp_ok
+                        vp_c = (out_ref[_VPOS], out_ref[_VPOS + 1],
+                                out_ref[_VPOS + 2])
+                        vp_ok = jnp.sqrt(s.vdot(vp_c, vp_c)) > 0.001
+                        q_lane = jnp.where(vp_ok,
+                                           np.float32(cfg.photon_aim),
+                                           np.float32(0.0))
+                        aim_choose = uch < q_lane
                     ph_o, ph_d, ph_tp = z3, z3, z3
                     for li in range(L):
                         sel = (k % L == li) if L > 1 else spawn_p
@@ -436,6 +455,20 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                             kt = s.vbroadcast(tuple(
                                 lt.color[c] * lt.intensity / cfg.k_photons
                                 for c in range(3)), uc)
+                            if cfg.photon_aim > 0.0:
+                                # cfg.photon_aim (area lights only): aimed
+                                # cone with the defensive-mixture weight —
+                                # same helper + op order as the XLA path
+                                ad, ax, cos_a = s.aimed_cone_c(
+                                    ko, vp_c, radius,
+                                    np.float32(cfg.photon_aim_widen),
+                                    ua1, ua2)
+                                kd = s.vwhere(aim_choose, ad, kd)
+                                ln = tuple(np.float32(lt.normal[c])
+                                           for c in range(3))
+                                wv = s.aim_mixture_weight_c(
+                                    kd, ln, ax, cos_a, q_lane)
+                                kt = s.vscale(kt, wv)
                         if L > 1:
                             ph_o = s.vwhere(sel, ko, ph_o)
                             ph_d = s.vwhere(sel, kd, ph_d)

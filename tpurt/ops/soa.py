@@ -402,3 +402,59 @@ def hero_em_lookup_c(tab, delta, lam):
         va[1] * (1.0 - f) + vb[1] * f,
         va[2] * (1.0 - f) + vb[2] * f,
     )
+
+
+# ----- aimed photon emission (cfg.photon_aim EXTENSION; no reference
+# counterpart — the reference's area lights always emit cosine-hemisphere,
+# mega_kernel.wgsl:757-764) -----
+
+# Cone half-angle clamps: never tighter than ~1.1 deg (bounds the aimed pdf
+# at ~1/(2*pi*2e-4) so f32 mixture weights stay sane) and never wider than
+# 45 deg (a wider "aim" is just a worse cosine sample).
+AIM_SIN_MIN = 0.02
+AIM_SIN_MAX = 0.7071
+
+
+def aimed_cone_c(o, aim, radius, widen, ua, ub):
+    """Uniform direction in the cone from `o` toward `aim` whose half-angle
+    subtends `widen * radius` (the photon splat disc, padded) at the aim
+    distance. All component-form planes; radius may be a scalar or a
+    per-lane plane. Returns (dir, axis, cos_a) for aim_mixture_weight_c.
+
+    Used by cfg.photon_aim: each photon emitted from an area light aims at
+    the lane's own SPPM vispoint with probability q. The vispoint and the
+    SPPM radius are fixed data of the photon integral being estimated (they
+    come from the camera path / the schedule, never from the photon's own
+    draws), so any emission pdf built from them is a valid importance
+    sampler for the reference's cosine-emission target."""
+    dv = vsub(aim, o)
+    dist = jnp.sqrt(jnp.maximum(vdot(dv, dv), 1e-12))
+    axis = vscale(dv, 1.0 / dist)
+    sin_a = jnp.clip(widen * radius / dist,
+                     jnp.float32(AIM_SIN_MIN), jnp.float32(AIM_SIN_MAX))
+    cos_a = jnp.sqrt(1.0 - sin_a * sin_a)
+    return cone_toward_c(axis, ua, ub, cos_a), axis, cos_a
+
+
+def aim_mixture_weight_c(d, lnorm, axis, cos_a, q):
+    """p_cos / p_mix for the defensive emission mixture whose target is the
+    reference's cosine hemisphere about the light normal `lnorm`:
+
+        p_mix(d) = q * U(aim cone)(d) + (1 - q) * cos(theta_n)/pi
+
+    `q` is a per-lane plane in [0, 1) — 0 where the lane cannot aim (no
+    vispoint yet), in which case the weight is exactly 1 and the estimator
+    is bit-for-bit the reference's. q < 1 keeps the cosine component
+    defending the whole hemisphere, so the weighted estimator is unbiased
+    for EVERY downstream integrand (samples outside the aim cone get weight
+    up to 1/(1-q); samples inside get p_cos/p_mix < 1)."""
+    cos_n = jnp.maximum(vdot(d, lnorm), 0.0)
+    p_cos = cos_n * jnp.float32(INV_PI)
+    in_cone = vdot(d, axis) >= cos_a
+    p_aim = jnp.where(
+        in_cone,
+        1.0 / (jnp.float32(TWO_PI) * jnp.maximum(1.0 - cos_a, 1e-7)),
+        jnp.float32(0.0))
+    denom = q * p_aim + (1.0 - q) * p_cos
+    return jnp.where(denom > 0.0, p_cos / jnp.maximum(denom, 1e-30),
+                     jnp.float32(0.0))

@@ -158,6 +158,18 @@ def _check_camera_kind(cfg: RenderConfig, camera) -> None:
         # effective survival at 1 while the reweight divides by prob*scale
         raise ValueError(f"cfg.photon_rr_scale must be in (0, 1], got "
                          f"{cfg.photon_rr_scale!r}")
+    if not (0.0 <= cfg.photon_aim < 1.0):
+        # q = 1 would drop the defensive cosine component of the emission
+        # mixture and bias every contribution outside the aim cone to zero
+        raise ValueError(f"cfg.photon_aim must be in [0, 1), got "
+                         f"{cfg.photon_aim!r}")
+    if cfg.photon_aim > 0.0 and (
+            cfg.backend in WAVEFRONT_BACKENDS
+            or (cfg.backend == "pallas" and not cfg.pallas_regen)):
+        raise NotImplementedError(
+            "cfg.photon_aim is implemented in the XLA integrator and the "
+            "regenerative megakernel only — use backend='xla' or "
+            "backend='pallas' (pallas_regen=True, the default)")
 
 
 def render_step(scene: Scene, cfg: RenderConfig, camera: Camera,
