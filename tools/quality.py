@@ -10,9 +10,11 @@ report each stack's efficiency relative to the reference sampler
 (ratio > 1: fewer samples for equal noise; < 1: structured per-sample
 correlation costs variance that extra throughput must buy back).
 
-CPU/XLA-backend by design (estimator-level property, identical across
-backends — the cross-backend exactness tests pin that), so it can run
-concurrently with TPU perf probes.
+XLA-backend by design (estimator-level property, identical across
+backends — the cross-backend exactness tests pin that). Runs on CPU by
+default so it can go concurrently with TPU perf probes; set
+QUALITY_PLATFORM=tpu to run on the accelerator instead (useful when the
+CPU is busy with the test suite).
 
 Usage: python tools/quality.py [--spp 16] [--reps 8] [--scene config3]
 Prints one JSON line per flag stack.

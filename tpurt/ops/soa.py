@@ -450,7 +450,13 @@ def aim_mixture_weight_c(d, lnorm, axis, cos_a, q):
     up to 1/(1-q); samples inside get p_cos/p_mix < 1)."""
     cos_n = jnp.maximum(vdot(d, lnorm), 0.0)
     p_cos = cos_n * jnp.float32(INV_PI)
-    in_cone = vdot(d, axis) >= cos_a
+    # Tolerance on the cone test (ADVICE r2): an aimed draw's f32-assembled
+    # direction can land marginally below cos_a after rounding, which would
+    # flip its assumed density to the out-of-cone branch (weight 1/(1-q)
+    # instead of ~p_cos/(q*p_aim), p_aim up to ~796 at the 1.1deg clamp) —
+    # rare boundary fireflies. 1e-6 is far above f32 rounding of a unit dot
+    # and far below any real cone geometry.
+    in_cone = vdot(d, axis) >= cos_a - jnp.float32(1e-6)
     p_aim = jnp.where(
         in_cone,
         1.0 / (jnp.float32(TWO_PI) * jnp.maximum(1.0 - cos_a, 1e-7)),
