@@ -127,8 +127,9 @@ def run_config(config_id: int, small: bool, spp: int, verbose: bool) -> dict:
     t0 = time.perf_counter()
     state = render(scene, cfg, cam, state, 1234, spp)
     jax.block_until_ready(state)
+    compile_s = time.perf_counter() - t0
     if verbose:
-        print(f"compile+warmup ({spp} spp): {time.perf_counter() - t0:.1f}s",
+        print(f"compile+warmup ({spp} spp): {compile_s:.1f}s",
               file=sys.stderr)
 
     rays_before = float(state.rays)
@@ -152,6 +153,11 @@ def run_config(config_id: int, small: bool, spp: int, verbose: bool) -> dict:
         # measurement, so record them to keep rounds comparable
         "spp": spp,
         "backend": cfg.backend,
+        # compile+warmup wall-clock for this config in THIS process (VERDICT
+        # r2 item 2). Includes one warm render; ~0 when the persistent
+        # compilation cache (JAX_COMPILATION_CACHE_DIR) already holds the
+        # kernel — see README "First run".
+        "compile_s": round(compile_s, 1),
         # full sampler stack (ADVICE r1): every flag that changes the
         # estimator is recorded so round-over-round numbers stay comparable
         "sampler": {

@@ -81,3 +81,21 @@ def test_viewer_temporal_denoise_keys():
     from tpurt.utils.image import read_pfm
     assert read_pfm(pfm_path).shape == (36, 64, 3)
     os.remove(pfm_path)
+
+
+def test_viewer_mouse_drag_look():
+    """SGR mouse reports drive drag-look: press, drag (-> camera change ->
+    accumulation reset), release, quit. Terminal-native equivalent of the
+    reference's raw-mouse camera path (ref: lib.rs:91-100, camera.rs:124-170)."""
+    import re
+    rc, out, err = _drive([
+        (2, "\x1b[<0;10;10M"),    # left press at cell (10,10)
+        (1, "\x1b[<32;16;13M"),   # drag to (16,13) -> mouse_move
+        (1, "\x1b[<0;16;13m"),    # release ends the drag
+        (2, "q"),
+    ])
+    assert rc == 0, f"viewer exited {rc}; stderr tail: {err[-2000:]}"
+    assert "Traceback" not in err
+    spps = [int(m) for m in re.findall(r"spp\s+(\d+)", out)]
+    # the drag resets accumulation: a later spp must drop below an earlier one
+    assert any(b < a for a, b in zip(spps, spps[1:])), spps

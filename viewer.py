@@ -187,26 +187,47 @@ class _RawTerm:
         self.fd = sys.stdin.fileno()
         self.old = termios.tcgetattr(self.fd)
         tty.setcbreak(self.fd)
-        sys.stdout.write("\x1b[?25l\x1b[2J")  # hide cursor, clear
+        # ?1002h: xterm button-event (drag) mouse tracking; ?1006h: SGR
+        # extended coordinates — the terminal-native equivalent of the
+        # reference's cursor-grab + raw mouse deltas (ref: lib.rs:47-56,
+        # 91-100). Terminals without mouse support ignore both silently.
+        sys.stdout.write("\x1b[?25l\x1b[2J\x1b[?1002h\x1b[?1006h")
         return self
 
     def __exit__(self, *a):
         termios.tcsetattr(self.fd, termios.TCSADRAIN, self.old)
-        sys.stdout.write("\x1b[?25h\x1b[0m\n")
+        sys.stdout.write("\x1b[?1002l\x1b[?1006l\x1b[?25h\x1b[0m\n")
 
     def keys(self):
-        """Drain pending keypresses (non-blocking); arrows -> names."""
+        """Drain pending input (non-blocking); arrows -> names, SGR mouse
+        reports -> ("mouse", button_bits, col, row, is_press) tuples."""
         out = []
         while select.select([self.fd], [], [], 0)[0]:
             ch = os.read(self.fd, 1).decode(errors="ignore")
-            if ch == "\x1b":  # maybe an arrow escape
-                seq = ""
-                while select.select([self.fd], [], [], 0)[0] and len(seq) < 2:
-                    seq += os.read(self.fd, 1).decode(errors="ignore")
+            if ch != "\x1b":
+                out.append(ch)
+                continue
+            seq = ""
+            while select.select([self.fd], [], [], 0)[0] and len(seq) < 2:
+                seq += os.read(self.fd, 1).decode(errors="ignore")
+            if seq == "[<":  # SGR mouse report: \x1b[<b;x;y(M|m)
+                body = ""
+                # mid-sequence bytes may lag a tick behind the introducer;
+                # a 10 ms grace beats truncating every report in half
+                while (select.select([self.fd], [], [], 0.01)[0]
+                       and len(body) < 16):
+                    c = os.read(self.fd, 1).decode(errors="ignore")
+                    if c in "Mm":
+                        try:
+                            b, x, y = (int(v) for v in body.split(";"))
+                            out.append(("mouse", b, x, y, c == "M"))
+                        except ValueError:
+                            pass
+                        break
+                    body += c
+            else:
                 out.append({"[A": "up_arrow", "[B": "down_arrow",
                             "[C": "right_arrow", "[D": "left_arrow"}.get(seq, "esc"))
-            else:
-                out.append(ch)
         return out
 
 
@@ -242,6 +263,13 @@ def interactive(args):
     HOLD_TIMEOUT = 0.30
     held: dict[str, float] = {}     # move name -> last press time
     boost_until = 0.0
+    # mouse drag-look: one terminal cell of drag ~ this many reference
+    # "pixels" of raw mouse delta (a cell is ~10 px wide and twice as
+    # tall; the reference feeds winit pixel deltas straight into
+    # MOUSE_SCALING, camera.rs:9,161 — these factors make a full-window
+    # drag sweep a comparable angle to a full-window mouse sweep there)
+    DRAG_CELL_PX = (10.0, 20.0)
+    drag_last = None                # (col, row) of the previous drag report
 
     term_size = os.get_terminal_size()
 
@@ -251,6 +279,25 @@ def interactive(args):
             look_dx = look_dy = 0.0
             now_keys = time.perf_counter()
             for k in term.keys():
+                if isinstance(k, tuple):  # ("mouse", b, col, row, press)
+                    _, b, mx, my, press = k
+                    if b & 64:  # wheel: 64 up / 65 down -> scroll zoom
+                        # (ref: lib.rs:655-666)
+                        if press:
+                            vfov = (max(5.0, vfov - 5.0) if (b & 3) == 0
+                                    else min(160.0, vfov + 5.0))
+                            cam = set_vfov(cam, vfov, cfg.width / cfg.height)
+                            changed = True
+                    elif (b & 3) == 0 and press:
+                        # left button down / drag: accumulate cell deltas
+                        # as reference-pixel look deltas (see DRAG_CELL_PX)
+                        if (b & 32) and drag_last is not None:
+                            look_dx += (mx - drag_last[0]) * DRAG_CELL_PX[0]
+                            look_dy += (my - drag_last[1]) * DRAG_CELL_PX[1]
+                        drag_last = (mx, my)
+                    else:  # release or other button: end the drag
+                        drag_last = None
+                    continue
                 if k == "q":
                     return
                 elif k in MOVE or (k.lower() in MOVE and k.isupper()):
@@ -411,7 +458,7 @@ def interactive(args):
                 f"\n\x1b[0m{_stats_line(frame, state, dt_frame, cfg)}  "
                 f"key {key_tm:.1f} sat {sat:.1f}"
                 f"{' dn' if denoise else ''}{' tp' if temporal else ''} | "
-                f"wasd/ec move, arrows look, z/x zoom, =/-/[/] tonemap, "
+                f"wasd/ec move, arrows/drag look, z/x/wheel zoom, =/-/[/] tonemap, "
                 f"n denoise, t temporal, p png, q quit\x1b[K")
             sys.stdout.flush()
 
