@@ -23,11 +23,15 @@ jax.config.update("jax_enable_x64", False)
 
 
 # ---- suite split by cost ----------------------------------------------
-# The interpreter-mode Pallas parity suites dominate the full-suite wall
-# clock (~15+ min); the fast oracle/unit set runs in a few minutes.  Run
-#   python -m pytest tests/ -m "not slow" -q     (fast set, < 5 min)
-#   python -m pytest tests/ -m slow -q           (interpreter-heavy parity)
-# Modules listed here are marked slow wholesale; everything else is fast.
+# Two tiers:
+#   python -m pytest tests/ -m "not slow" -q     (fast set)
+#   python -m pytest tests/ -m slow -q           (render-heavy + parity)
+# Fast tier = unit/oracle math tests and cheap integration only.  Measured
+# per-module on a 1-core CPU box (2026-08-20, round 3): the fast set totals
+# ~3 min (largest members: test_tonemap_pallas 29s, test_scene_io 23s,
+# test_temporal 22s); any render-loop-heavy module (60-300s each, mostly
+# XLA:CPU compile) is tiered slow.  Modules listed here are marked slow
+# wholesale; everything else is fast.
 # Prefer running the slow set ONE MODULE PER PROCESS (for m in ...; do
 # pytest tests/$m.py; done): hour-long single-process runs have hit a
 # flaky XLA:CPU compiler segfault that a fresh process avoids, and
@@ -36,6 +40,7 @@ jax.config.update("jax_enable_x64", False)
 import pytest  # noqa: E402
 
 SLOW_MODULES = {
+    # interpreter-mode Pallas parity suites (the original slow tier)
     "test_reference_oracle",
     "test_mega_pallas",
     "test_sharding_pallas",
@@ -44,6 +49,22 @@ SLOW_MODULES = {
     "test_golden",
     "test_hero_wavelengths",
     "test_wavefront",
+    # render-heavy extension suites (measured 60-300s each on 1 core —
+    # dominated by per-config XLA:CPU compiles, so shape shrinking does
+    # not recover them; VERDICT r2 item 4)
+    "test_adaptive",        # 196s
+    "test_qmc",             # 302s
+    "test_light_sample",    # 154s
+    "test_denoise",         #  68s
+    "test_motion",          #  69s
+    "test_emissive",        # 185s
+    "test_sky",             # 173s
+    "test_clamp",           #  94s
+    "test_dof",             #  60s
+    "test_photon_aim",      #  79s
+    "test_photon_rr",       #  94s
+    "test_presets_until",   #  97s
+    "test_api_doc",         #  94s
 }
 
 
