@@ -102,6 +102,27 @@ def build_bench(config_id: int, small: bool):
         scene = torus_mesh_scene(45, 45)  # 4050 triangles
         cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
                           aspect_ratio=w / h)
+    elif config_id == 7:  # EXTRA (not in BASELINE): chunked any-size mode
+        # (VERDICT r2 item 1): a 64,800-triangle torus through
+        # pallas_bvh_chunk — the mesh exceeds MAX_BVH_TRIS (8192), so the
+        # fused walk streams per-chunk sub-BVH slabs HBM->SMEM with a
+        # near-to-far worklist + live-t re-vote (kernels/bvh_pallas.py).
+        # Sampler stack = the measured mesh stack (docs/DESIGN.md).
+        from tpurt import torus_mesh_scene
+        cfg = RenderConfig(width=w, height=h, depth=30,
+                           pallas_bvh=True, pallas_bvh_leaf=64,
+                           photon_strata=16, photon_strata_dir=4096,
+                           photon_strata_shared_k=True,
+                           photon_strata_bounce=True,
+                           camera_strata_bounce=True,
+                           photon_strata_window=8,
+                           hero_wavelengths=4, **kw)
+        scene = torus_mesh_scene(180, 180)  # 64,800 triangles
+        cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
+                          aspect_ratio=w / h)
+        from tpurt.kernels.mega_pallas import _use_tri_chunked, freeze_scene
+        assert _use_tri_chunked(freeze_scene(scene), cfg), \
+            "config 7 must exercise the chunked walk"
     else:  # headline: Cornell sphere scene @1080p, reference defaults
         cfg = RenderConfig(width=w, height=h, depth=30, **kw)
         scene = cornell_spheres_scene()
@@ -185,17 +206,17 @@ def main():
     ap.add_argument("--config", type=int, default=1)
     ap.add_argument("--all", action="store_true",
                     help="run all 5 BASELINE configs + the extra mesh "
-                         "config 6, one JSON line each")
+                         "config 6 and chunked config 7, one JSON line each")
     ap.add_argument("--spp", type=int, default=0,
                     help="timed samples (0 = per-config default: 256 for the "
                          "sub-second wavefront config 5, else 64)")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
-    if not args.all and args.config not in (1, 2, 3, 4, 5, 6):
-        ap.error(f"--config must be 1-6, got {args.config} (a typo here "
+    if not args.all and args.config not in (1, 2, 3, 4, 5, 6, 7):
+        ap.error(f"--config must be 1-7, got {args.config} (a typo here "
                  "used to silently benchmark the config-1 scene)")
-    configs = [1, 2, 3, 4, 5, 6] if args.all else [args.config]
+    configs = [1, 2, 3, 4, 5, 6, 7] if args.all else [args.config]
     for cid in configs:
         # config 5's frame is sub-second at 64 spp (launch-overhead-bound);
         # time a 256-spp steady-state region there unless --spp overrides.

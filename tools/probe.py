@@ -57,8 +57,12 @@ def build(args):
         scene = instanced_scene(args.n)
         cam = make_camera((0, 18, -30), (0, 1, 8), vfov=55.0,
                           aspect_ratio=16 / 9)
-        from tpurt.kernels.mega_pallas import _use_sph_bvh, freeze_scene
-        assert _use_sph_bvh(freeze_scene(scene), cfg), "sphere-BVH not engaged"
+        from tpurt.kernels.mega_pallas import (_use_sph_bvh,
+                                               _use_sph_chunked,
+                                               freeze_scene)
+        fs = freeze_scene(scene)
+        assert _use_sph_bvh(fs, cfg) or _use_sph_chunked(fs, cfg), \
+            "sphere-BVH/chunked not engaged"
     elif args.scene == "mesh":
         kw.update(pallas_bvh=True, pallas_bvh_leaf=32)
         kw.update(parse_sets(args.set))
