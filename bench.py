@@ -174,10 +174,12 @@ def run_config(config_id: int, small: bool, spp: int, verbose: bool) -> dict:
         # measurement, so record them to keep rounds comparable
         "spp": spp,
         "backend": cfg.backend,
-        # compile+warmup wall-clock for this config in THIS process (VERDICT
-        # r2 item 2). Includes one warm render; ~0 when the persistent
-        # compilation cache (JAX_COMPILATION_CACHE_DIR) already holds the
-        # kernel — see README "First run".
+        # compile+warmup wall-clock for this config in THIS process.
+        # Highly environment-dependent: 9 replicates of the IDENTICAL
+        # headline kernel measured 5.9-313s (median ~17s) — the spread is
+        # shared-compile-service contention, not program cost. See README
+        # "First run" for the distribution and what the persistent cache
+        # does (and does not) cover here.
         "compile_s": round(compile_s, 1),
         # full sampler stack (ADVICE r1): every flag that changes the
         # estimator is recorded so round-over-round numbers stay comparable

@@ -410,6 +410,8 @@ def test_chunked_walk_matches_single_table(sah):
         out_ref[3] = nrm[0]
 
     def kern2(o_ref, d_ref, top_ref, hbm_ref, out_ref, *scratch):
+        from tpurt.kernels.mega_pallas import chunk_scratch_reset
+        chunk_scratch_reset((None, scratch))   # invalidate resident tag
         o = (o_ref[0], o_ref[1], o_ref[2])
         d = (d_ref[0], d_ref[1], d_ref[2])
         mask = jnp.ones_like(o[0], bool)
@@ -452,7 +454,8 @@ def test_chunked_walk_matches_single_table(sah):
             + ([pltpu.VMEM((meta["rows_pc"] + 3, 128), jnp.float32)]
                if CHUNK_DMA_VIA_VMEM else [])
             + [pltpu.SemaphoreType.DMA(())] * (2 if CHUNK_DMA_VIA_VMEM
-                                               else 1)),
+                                               else 1)
+            + [pltpu.SMEM((1,), jnp.int32)]),   # resident-slab tag
         interpret=interp,
     )(o_j, d_j, top_tab, slabs)
     out1, out2 = np.asarray(out1), np.asarray(out2)

@@ -38,28 +38,41 @@ def _render_tpurt(scene, cam, W, H, D, N, base_seed, **cfg_kw):
 
 
 def _compare(scene, cam, W, H, D, N, base_seed=1234, tail_frac=0.0,
-             **cfg_kw):
-    """tail_frac: allowed fraction of pixel-channels beyond 5 sigma.  The
-    z-score normalizes by the ORACLE's tracked SE only — tpurt's own
-    estimator noise is unmodeled — so caustic-heavy scenes (lens/rough
-    glass focusing a light) legitimately throw rare bright paths that
-    land in tpurt's samples but not the oracle's decorrelated photon
-    streams (or vice versa).  The original scenes keep 0.0 (strict); the
-    heavy-tailed scenes allow a 0.5% tail, with drift still pinned by the
-    2% mean-image bound."""
+             pool=1, mean_tol=0.02, **cfg_kw):
+    """pool > 1: compare POOLED pool x pool cell means instead of raw
+    pixels.  The z-score normalizes by the ORACLE's tracked SE only —
+    tpurt's own estimator noise is unmodeled — and on caustic-heavy
+    scenes (a lens / rough glass focusing a light) the per-pixel sampling
+    distribution is so heavy-tailed that a rare bright path landing in
+    one estimator's samples but not the other's throws z into the
+    hundreds at perfectly healthy pixels.  Pooling averages each cell
+    over pool^2 x N draws, restoring the CLT the z-test assumes;
+    tail_frac then allows a small residual cell tail.  The original
+    scenes keep pool=1/tail 0 (strict); drift is always still pinned by
+    the 2% mean-image bound."""
     osc = scene_from_tpurt(scene)
     omean, ovar = render_oracle(osc, cam, W, H, D, _seeds(base_seed, N),
                                 track_var=True)
     timg = _render_tpurt(scene, cam, W, H, D, N, base_seed, **cfg_kw)
 
-    se = np.sqrt(ovar)
-    z = np.abs(timg - omean) / np.maximum(2.0 * se, 1e-3)
+    if pool > 1:
+        Hp, Wp = (H // pool) * pool, (W // pool) * pool
+        sh = (Hp // pool, pool, Wp // pool, pool, 3)
+        om = omean[:Hp, :Wp].reshape(sh).mean((1, 3))
+        tm = timg[:Hp, :Wp].reshape(sh).mean((1, 3))
+        se = np.sqrt(ovar[:Hp, :Wp].reshape(sh).sum((1, 3))) / (pool * pool)
+        z = np.abs(tm - om) / np.maximum(2.0 * se, 1e-3)
+    else:
+        se = np.sqrt(ovar)
+        z = np.abs(timg - omean) / np.maximum(2.0 * se, 1e-3)
     assert (z > 5.0).mean() <= tail_frac, (
-        f"{(z > 5.0).sum()} pixel-channels beyond 5 sigma "
+        f"{(z > 5.0).sum()} cells beyond 5 sigma "
         f"({(z > 5.0).mean():.2%} > allowed {tail_frac:.2%}, max z "
-        f"{z.max():.1f}) — estimator drift from the reference")
+        f"{z.max():.1f}, pool {pool}) — estimator drift from the reference")
     rel = abs(timg.mean() - omean.mean()) / max(abs(omean.mean()), 1e-9)
-    assert rel < 0.02, f"mean image off by {rel:.1%} vs the reference oracle"
+    assert rel < mean_tol, (
+        f"mean image off by {rel:.2%} (tol {mean_tol:.1%}) vs the "
+        "reference oracle")
     return omean, ovar, timg
 
 
@@ -167,8 +180,12 @@ def test_rough_ggx_photon_walk_matches_reference():
     scene = build_scene(materials, spheres, [], lights)
     cam = make_camera((0.0, 1.8, -4.5), (0.0, 1.0, 0.0), vfov=60.0,
                       aspect_ratio=16 / 9)
+    # GGX glints are so rare and bright that no spatial pooling restores
+    # the CLT (measured: 1.2% of pool-2 cells still trip on pure
+    # fireflies while the MEAN image agrees to 0.02%), so this scene
+    # trades a 2% cell tail for a 4x tighter integral bound.
     omean, _, timg = _compare(scene, cam, 32, 18, 8, 200, base_seed=4242,
-                              tail_frac=0.005)
+                              pool=2, tail_frac=0.02, mean_tol=0.005)
     assert omean.mean() > 0.03
 
 
@@ -195,18 +212,26 @@ def test_camera_path_dispersion_quirk_pinned():
                       aspect_ratio=16 / 9)
     W, H, D, N = 32, 18, 8, 200
     # default False == the reference quirk: full fidelity bound holds
-    # (tail allowance: the lens focuses the point light into caustics)
+    # (pooled: the lens focuses the point light into heavy-tailed
+    # caustics, see _compare)
     omean, ovar, img_ref = _compare(scene, cam, W, H, D, N, base_seed=9090,
-                                    tail_frac=0.005)
-    # True = Cauchy on the camera path too: per-pixel refraction now
-    # depends on lambda, so caustic/refraction pixels shift beyond the
-    # MC noise of the quirk-faithful render
+                                    pool=2, tail_frac=0.01, mean_tol=0.005)
+    # True = Cauchy on the camera path too, SAME SEED: the two renders
+    # share every RNG draw, so the images are coupled — a pixel's paths
+    # are identical until their first glass refraction, where only eta
+    # differs.  The documented deviation is therefore pinned EXACTLY:
+    # pixels whose paths never met glass must be bit-identical, and a
+    # substantial region (the lens and its caustics) must diverge.
     img_disp = _render_tpurt(scene, cam, W, H, D, N, 9090,
                              dispersion_in_camera_path=True)
-    se = np.sqrt(ovar)
-    z_dev = np.abs(img_disp - img_ref) / np.maximum(2.0 * se, 1e-3)
-    frac_shifted = (z_dev > 5.0).mean()
-    assert frac_shifted > 0.005, (
-        f"dispersion_in_camera_path=True changed only {frac_shifted:.2%} "
-        "of pixel-channels beyond 5 sigma — the documented deviation "
-        "should be visible through the lens sphere")
+    d = np.abs(img_disp - img_ref).max(axis=-1)     # (H, W) per pixel
+    frac_changed = (d > 1e-4).mean()
+    frac_identical = (d == 0.0).mean()
+    assert 0.02 < frac_changed < 0.95, (
+        f"dispersion_in_camera_path=True changed {frac_changed:.1%} of "
+        "pixels — the deviation should be visible through the lens "
+        "sphere but localized to glass-touching paths")
+    assert frac_identical > 0.05, (
+        f"only {frac_identical:.1%} of pixels bit-identical — the flag "
+        "must change ONLY paths that refract through glass (same-seed "
+        "coupling; photon/shadow Cauchy is identical in both renders)")

@@ -791,15 +791,26 @@ def _build_chunked(prims, pmin, pmax, sub_builder, chunk_prims: int,
 def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
                   leaf_fn_over, state, chunk_cap: int, rows_pc: int,
                   n_chunks: int, prefetch: bool = False,
-                  leaf_want: bool = False):
+                  leaf_want: bool = False, kind_tag: int = 0,
+                  t_cap0=None):
     """Two-phase chunked walk (see module comment). leaf_fn_over(tris_view)
     builds the inner leaf sweep over the scratch slab's triangle view.
-    `scratch` = (smem_ref, sem) direct route or (smem_ref, vmem_ref, sem,
-    sem2) staged route (CHUNK_DMA_VIA_VMEM). Returns the final state."""
+    `scratch` = (smem_ref, sem[, res]) direct route or (smem_ref,
+    vmem_ref, sem, sem2[, res]) staged route (CHUNK_DMA_VIA_VMEM), where
+    `res` is the resident-slab tag cell (see below). Returns the final
+    state.
+
+    kind_tag disambiguates the primitive kind sharing the scratch slab
+    (0 = triangles, 1 = spheres): the resident tag is cid * 2 + kind_tag,
+    so a sphere chunk never masquerades as the triangle chunk of the same
+    ordinal.  t_cap0 (optional per-lane plane) bounds the PHASE-1 top
+    walk: shadow rays know t_max up front, so chunks entirely beyond the
+    light never enter the worklist (closest-hit walks start unbounded
+    and pass None)."""
     if CHUNK_DMA_VIA_VMEM:
-        scratch_ref, vmem_ref, sem, sem2 = scratch
+        scratch_ref, vmem_ref, sem, sem2, res_ref = scratch
     else:
-        (scratch_ref, sem), vmem_ref, sem2 = scratch, None, None
+        (scratch_ref, sem, res_ref), vmem_ref, sem2 = scratch, None, None
     inv = tuple(1.0 / d[c] for c in range(3))
     far = jnp.full_like(o[0], MISS)
     nodes_v = _PackedTable(scratch_ref, base0=chunk_cap)
@@ -819,7 +830,8 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
 
         st1 = _bvh_walk(top_nodes, o, inv,
                         vote=lambda st: vote(state),
-                        t_cap=lambda st: far,
+                        t_cap=(lambda st: far) if t_cap0 is None
+                        else (lambda st: t_cap0),
                         leaf_fn=note, state={"_wl": jnp.int32(0)},
                         leaf_node=True, stack_ref=stack_ref)
 
@@ -859,29 +871,43 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
             rc = top_nodes.record(nid)
             tn, tf = _node_box_entry(top_nodes, nid, o, inv)
             want = vote(st) & ~((tn > tf) | (tf <= 0.0) | (tn >= t_cap(st)))
+            tag = entry_cid(i) * 2 + kind_tag
             if pf:
                 hbm_to_vmem(i).wait()
                 bounce = vmem_ref.at[pl.ds(0, rows_pc)]
                 dma2 = pltpu.make_async_copy(bounce, dst, sem2)
                 dma2.start()
                 dma2.wait()
+                res_ref[0] = tag        # keep the resident invariant
                 # bounce is free again — overlap the next slab's HBM read
                 # with this chunk's sweep
                 hbm_to_vmem(i + 1).start()
             else:
-                src = chunk_ref.at[pl.ds(entry_cid(i) * rows_pc, rows_pc)]
-                if CHUNK_DMA_VIA_VMEM:
-                    bounce = vmem_ref.at[pl.ds(0, rows_pc)]
-                    dma = pltpu.make_async_copy(src, bounce, sem)
-                    dma.start()
-                    dma.wait()
-                    dma2 = pltpu.make_async_copy(bounce, dst, sem2)
-                    dma2.start()
-                    dma2.wait()
-                else:
-                    dma = pltpu.make_async_copy(src, dst, sem)
-                    dma.start()
-                    dma.wait()
+                # resident-slab skip: consecutive walks of a tile (closest
+                # hit, then the bounce's shadow sweep, then the next
+                # bounce) mostly revisit the SAME front chunk, and the
+                # serialized DMA waits — not HBM bandwidth — were the
+                # measured cost of chunked mode. Only load when some lane
+                # wants the chunk AND the scratch holds a different slab.
+                need = jnp.any(want) & (res_ref[0] != tag)
+
+                @pl.when(need)
+                def _load():
+                    src = chunk_ref.at[pl.ds(entry_cid(i) * rows_pc,
+                                             rows_pc)]
+                    if CHUNK_DMA_VIA_VMEM:
+                        bounce = vmem_ref.at[pl.ds(0, rows_pc)]
+                        dma = pltpu.make_async_copy(src, bounce, sem)
+                        dma.start()
+                        dma.wait()
+                        dma2 = pltpu.make_async_copy(bounce, dst, sem2)
+                        dma2.start()
+                        dma2.wait()
+                    else:
+                        dma = pltpu.make_async_copy(src, dst, sem)
+                        dma.start()
+                        dma.wait()
+                    res_ref[0] = tag
 
             def sweep(st):
                 return _bvh_walk(nodes_v, o, inv, vote, t_cap, leaf_fn, st,
@@ -898,6 +924,66 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
                          pltpu.SMEM((STACK_DEPTH,), jnp.int32))
 
 
+def _chunked_walk_interleaved(top_nodes, chunk_ref, scratch, o, d, vote,
+                              t_cap, leaf_fn_over, state, chunk_cap: int,
+                              rows_pc: int, n_chunks: int,
+                              kind_tag: int = 0, leaf_want: bool = False):
+    """Single-phase chunked walk: the chunk DMA + sub-BVH sweep happen AT
+    the top tree's leaves, inside ONE ordered near-to-far descent under
+    the LIVE per-lane t-caps.  The two-phase walk (_chunked_walk) runs
+    its phase-1 top walk capless — every box-overlapping chunk enters
+    the worklist and is DMA'd + swept even when the nearest chunk's hits
+    would have pruned it — whereas here chunk k's sweep tightens the
+    caps BEFORE the walk decides whether to descend into chunk k+1's
+    subtree at all: far chunks are never voted, never DMA'd, never
+    swept.  (Same record layouts; the two-phase form remains for the
+    prefetch pipeline, which needs the explicit worklist to look ahead.)
+
+    The resident-slab tag (kind_tag, see _chunked_walk) still skips the
+    DMA when consecutive walks of a tile revisit the same chunk."""
+    if CHUNK_DMA_VIA_VMEM:
+        scratch_ref, vmem_ref, sem, sem2, res_ref = scratch
+    else:
+        (scratch_ref, sem, res_ref), vmem_ref, sem2 = scratch, None, None
+    inv = tuple(1.0 / d[c] for c in range(3))
+    nodes_v = _PackedTable(scratch_ref, base0=chunk_cap)
+    leaf_fn = leaf_fn_over(_PackedTable(scratch_ref, 0))
+    dst = scratch_ref.at[pl.ds(0, rows_pc)]
+
+    def run(top_stack, sub_stack):
+        def chunk_leaf(node, first, count, st):
+            rc = top_nodes.record(node)
+            cid = jnp.clip(top_nodes.field(rc, 8).astype(jnp.int32),
+                           0, n_chunks - 1)
+            tag = cid * 2 + kind_tag
+
+            @pl.when(res_ref[0] != tag)
+            def _load():
+                src = chunk_ref.at[pl.ds(cid * rows_pc, rows_pc)]
+                if CHUNK_DMA_VIA_VMEM:
+                    bounce = vmem_ref.at[pl.ds(0, rows_pc)]
+                    dma = pltpu.make_async_copy(src, bounce, sem)
+                    dma.start()
+                    dma.wait()
+                    dma2 = pltpu.make_async_copy(bounce, dst, sem2)
+                    dma2.start()
+                    dma2.wait()
+                else:
+                    dma = pltpu.make_async_copy(src, dst, sem)
+                    dma.start()
+                    dma.wait()
+                res_ref[0] = tag
+
+            return _bvh_walk(nodes_v, o, inv, vote, t_cap, leaf_fn, st,
+                             leaf_want=leaf_want, stack_ref=sub_stack)
+
+        return _bvh_walk(top_nodes, o, inv, vote, t_cap, chunk_leaf,
+                         state, leaf_node=True, stack_ref=top_stack)
+
+    return pl.run_scoped(run, pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                         pltpu.SMEM((STACK_DEPTH,), jnp.int32))
+
+
 def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                             mask, chunk_cap: int, rows_pc: int,
                             n_chunks: int, leaf_size: int = 0,
@@ -906,15 +992,17 @@ def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
     `scratch` = the chunk-DMA scratch refs (see _chunked_walk)."""
     state = _tri_closest_state(o)
 
-    st = _chunked_walk(
-        top_nodes, chunk_ref, scratch, o, d,
-        vote=lambda st: mask, t_cap=lambda st: st["t"],
-        leaf_fn_over=lambda tris: _sweep_leaf_fn(tris, o, d,
-                                                 _tri_closest_body,
-                                                 leaf_size, cluster_rows),
-        state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
-        n_chunks=n_chunks, prefetch=prefetch,
-        leaf_want=cluster_rows > 0)
+    kw = dict(vote=lambda st: mask, t_cap=lambda st: st["t"],
+              leaf_fn_over=lambda tris: _sweep_leaf_fn(
+                  tris, o, d, _tri_closest_body, leaf_size, cluster_rows),
+              state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
+              n_chunks=n_chunks, leaf_want=cluster_rows > 0)
+    if prefetch:   # the lookahead pipeline needs the two-phase worklist
+        st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
+                           prefetch=True, **kw)
+    else:
+        st = _chunked_walk_interleaved(top_nodes, chunk_ref, scratch,
+                                       o, d, **kw)
     return st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
 
 
@@ -925,16 +1013,18 @@ def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
     """Chunked any-hit occlusion — same contract as tri_shadow_bvh."""
     state = {"occ": jnp.zeros_like(o[0], jnp.int32), "tm": t_max}
 
-    st = _chunked_walk(
-        top_nodes, chunk_ref, scratch, o, d,
-        vote=lambda st: mask & ~(st["occ"] > 0),
-        t_cap=lambda st: st["tm"],
-        leaf_fn_over=lambda tris: _sweep_leaf_fn(tris, o, d,
-                                                 _tri_shadow_body,
-                                                 leaf_size, cluster_rows),
-        state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
-        n_chunks=n_chunks, prefetch=prefetch,
-        leaf_want=cluster_rows > 0)
+    kw = dict(vote=lambda st: mask & ~(st["occ"] > 0),
+              t_cap=lambda st: st["tm"],
+              leaf_fn_over=lambda tris: _sweep_leaf_fn(
+                  tris, o, d, _tri_shadow_body, leaf_size, cluster_rows),
+              state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
+              n_chunks=n_chunks, leaf_want=cluster_rows > 0)
+    if prefetch:
+        st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
+                           prefetch=True, t_cap0=t_max, **kw)
+    else:
+        st = _chunked_walk_interleaved(top_nodes, chunk_ref, scratch,
+                                       o, d, **kw)
     return st["occ"] > 0
 
 
@@ -952,11 +1042,15 @@ def closest_sphere_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, a,
         return _make_leaf_fn(_make_sphere_closest_body(sphs, o, d, a),
                              leaf_size)
 
-    st = _chunked_walk(
-        top_nodes, chunk_ref, scratch, o, d,
-        vote=lambda st: mask, t_cap=lambda st: st["t"],
-        leaf_fn_over=leaf_fn_over, state=st, chunk_cap=chunk_cap,
-        rows_pc=rows_pc, n_chunks=n_chunks, prefetch=prefetch)
+    kw = dict(vote=lambda st: mask, t_cap=lambda st: st["t"],
+              leaf_fn_over=leaf_fn_over, state=st, chunk_cap=chunk_cap,
+              rows_pc=rows_pc, n_chunks=n_chunks, kind_tag=1)
+    if prefetch:
+        st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
+                           prefetch=True, **kw)
+    else:
+        st = _chunked_walk_interleaved(top_nodes, chunk_ref, scratch,
+                                       o, d, **kw)
     return st["t"], (st["cx"], st["cy"], st["cz"]), st["mat"]
 
 
@@ -972,10 +1066,14 @@ def sphere_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, t_max,
         return _make_leaf_fn(
             _make_sphere_shadow_body(sphs, o, d, t_max, lam, a), leaf_size)
 
-    st = _chunked_walk(
-        top_nodes, chunk_ref, scratch, o, d,
-        vote=lambda st: mask & (st["atten"] > 0.0),
-        t_cap=lambda st: t_max,
-        leaf_fn_over=leaf_fn_over, state=st, chunk_cap=chunk_cap,
-        rows_pc=rows_pc, n_chunks=n_chunks, prefetch=prefetch)
+    kw = dict(vote=lambda st: mask & (st["atten"] > 0.0),
+              t_cap=lambda st: t_max,
+              leaf_fn_over=leaf_fn_over, state=st, chunk_cap=chunk_cap,
+              rows_pc=rows_pc, n_chunks=n_chunks, kind_tag=1)
+    if prefetch:
+        st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
+                           prefetch=True, t_cap0=t_max, **kw)
+    else:
+        st = _chunked_walk_interleaved(top_nodes, chunk_ref, scratch,
+                                       o, d, **kw)
     return st["atten"]

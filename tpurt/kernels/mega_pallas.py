@@ -1294,7 +1294,22 @@ def chunk_scratch_shapes(meta):
     shapes.append(pltpu.SemaphoreType.DMA(()))
     if CHUNK_DMA_VIA_VMEM:
         shapes.append(pltpu.SemaphoreType.DMA(()))
+    # resident-slab tag (bvh_pallas._chunked_walk): which (kind, chunk) the
+    # SMEM scratch currently holds, so consecutive walks over the same
+    # chunk skip the HBM->SMEM DMA entirely. Kernel bodies must reset it
+    # via chunk_scratch_reset before the first walk of a tile.
+    shapes.append(pltpu.SMEM((1,), jnp.int32))
     return shapes
+
+
+def chunk_scratch_reset(chunk):
+    """Invalidate the resident-slab tag at tile start (chunk = the
+    (slab_refs, scratch_refs) pair or None). MUST run before the first
+    chunked walk of every kernel invocation: the SMEM scratch is
+    uninitialized per tile, and a stale/garbage tag that happened to
+    match a valid (kind, chunk) id would skip the DMA that loads it."""
+    if chunk is not None:
+        chunk[1][-1][0] = jnp.int32(-1)
 
 
 def _use_sph_bvh(fscene: FrozenScene, cfg: RenderConfig) -> bool:
@@ -1563,6 +1578,7 @@ def _make_kernel(fscene: FrozenScene, cfg: RenderConfig, depth: int,
             chunk = (list(rest[:n_slabs]), tuple(rest[n_slabs + 2:]))
         else:
             (out_ref, rays_ref), chunk = rest, None
+        chunk_scratch_reset(chunk)
         intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref,
                                             chunk=chunk)
         # base_ref: global tile offset of this shard (0 single-chip; device

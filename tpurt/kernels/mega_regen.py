@@ -62,6 +62,7 @@ from tpurt.kernels.mega_pallas import (
     _is_emissive_static,
     _prim_tables,
     chunk_scratch_shapes,
+    chunk_scratch_reset,
     _scatter_dielectric_c,
     _scatter_metal_c,
     freeze_scene,
@@ -80,7 +81,7 @@ from tpurt.render import _frame_seed, sppm_radius_step
 
 
 def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
-                       depth: int, budget_mode: bool = False):
+                       budget_mode: bool = False):
     """budget_mode (adaptive sampling, tpurt/adaptive.py) adds one f32
     (3, R, 128) aux plane input — per-lane sample budgets, progressive base
     counts, and starting SPPM radii — and bounds each lane's sample loop by
@@ -136,6 +137,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             chunk = (list(rest[:n_slabs]), tuple(rest[n_slabs + 2:]))
         else:
             (out_ref, rays_ref), chunk = rest, None
+        chunk_scratch_reset(chunk)
         tile = pl.program_id(0)
         gtile = base_ref[0, 0] + tile
         row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
@@ -155,6 +157,11 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
         base_seed = seed_ref[0, 0]
         spp = spp_ref[0, 0]
         it0_i = spp_ref[0, 1]   # starting iteration (progressive continuation)
+        # camera depth bound as a RUNTIME scalar (spp_ref[0, 2]): a depth-1
+        # preview frame shares the full kernel's compile instead of paying
+        # a second multi-minute Mosaic compile (the bound only feeds a
+        # jnp.where, never the loop structure)
+        depth_i = spp_ref[0, 2]
         r0 = rad_ref[0, 0]
 
         cam_o = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
@@ -182,7 +189,6 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             it0_i = jnp.round(aux_ref[1]).astype(jnp.int32)    # base count
             it0 = aux_ref[1]
             r0 = aux_ref[2]                                    # SPPM radius
-        depth_i = np.int32(depth)
         # layout-anchored zeros: loaded from a real VMEM input, so every
         # while-carry initialized from them has a concrete (non-replicated)
         # layout. Mosaic's layout solver otherwise pins constant-initialized
@@ -753,7 +759,9 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
                          camera.vertical, camera.lower_left])
     seed_arr = jnp.asarray(base_seed, jnp.uint32).reshape(1, 1)
     spp_arr = jnp.stack([jnp.asarray(spp, jnp.int32),
-                         jnp.asarray(iteration, jnp.int32)]).reshape(1, 2)
+                         jnp.asarray(iteration, jnp.int32),
+                         jnp.asarray(cfg.depth if depth is None else depth,
+                                     jnp.int32)]).reshape(1, 3)
     rad_arr = jnp.stack([jnp.asarray(radius, jnp.float32),
                          jnp.asarray(iteration, jnp.int32)
                          .astype(jnp.float32)]).reshape(1, 2)
@@ -763,7 +771,6 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
     chunk_tab, chunk_meta = _chunk_tables(fscene, cfg)
 
     kernel = _make_regen_kernel(fscene, cfg, lanes,
-                                cfg.depth if depth is None else depth,
                                 budget_mode=aux is not None)
     vb = pl.BlockSpec((N_CHANNELS, R, 128), lambda i: (0, i, 0),
                       memory_space=pltpu.VMEM)
@@ -803,9 +810,11 @@ def radius_after(cfg, iteration, radius, spp):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("fscene", "cfg", "interpret", "depth"))
+                   static_argnames=("fscene", "cfg", "interpret"))
 def _render_regen_jit(fscene, cfg, camera, state, base_seed, spp, interpret,
                       depth=None):
+    # depth is DYNAMIC (None = cfg.depth): preview frames share the full
+    # kernel's compile — the bound is a scalar SMEM input, not a constant
     planes = state_to_planes(state, cfg)
     new_planes, rays = regen_call(
         fscene, cfg, camera, planes, base_seed, spp, state.iteration,
@@ -845,7 +854,12 @@ def render_regen(scene, cfg: RenderConfig, camera, state, base_seed, spp,
     return _render_regen_jit(fscene, cfg, camera, state,
                              jnp.asarray(base_seed, jnp.uint32),
                              jnp.asarray(spp, jnp.int32), interpret,
-                             depth=depth)
+                             # always a concrete scalar: a preview call
+                             # (depth=1) and a full call then share ONE
+                             # jit signature -> one compile
+                             depth=jnp.asarray(
+                                 cfg.depth if depth is None else depth,
+                                 jnp.int32))
 
 
 def budget_radius_plane(cfg, counts_f):

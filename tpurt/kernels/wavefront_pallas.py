@@ -53,6 +53,7 @@ from tpurt.kernels.mega_pallas import (
     _chunk_tables,
     _make_scene_fns,
     chunk_scratch_shapes,
+    chunk_scratch_reset,
     _material_lookup_static,
     _prim_tables,
     _scatter_dielectric_c,
@@ -131,6 +132,7 @@ def _make_sweep_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int):
         else:
             (pf_out, pi_out, rng_out, term_ref, rays_ref), chunk = \
                 rest, None
+        chunk_scratch_reset(chunk)
         tile = pl.program_id(0)
 
         intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref,
@@ -567,6 +569,7 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             chunk = (list(rest[:n_slabs]), tuple(rest[n_slabs + 2:]))
         else:
             (out_ref, rays_ref), chunk = rest, None
+        chunk_scratch_reset(chunk)
         tile = pl.program_id(0)
         gtile = base_ref[0, 0] + tile
         cam_o = (cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2])
