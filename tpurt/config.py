@@ -263,6 +263,15 @@ class RenderConfig:
     pallas_chunk_prefetch: bool = False  # overlap the next chunk slab's
     #   HBM->VMEM read with the current chunk's SMEM sweep (chunked modes
     #   only; bit-identical results either way)
+    pallas_chunk_interleave: bool = False  # single-phase chunked walk:
+    #   DMA + sub-sweep AT the top tree's leaves inside one ordered
+    #   descent under live t-caps (bvh_pallas._chunked_walk_interleaved)
+    #   instead of the two-phase worklist. Bit-identical results.
+    #   Measured SLOWER on the 65k torus (32 vs 46 Mrays/s — the nested
+    #   while structure costs more than capless phase-1 chunk visits);
+    #   kept as an option for scenes with much deeper chunk overlap.
+    #   Ignored when pallas_chunk_prefetch is set (the lookahead pipeline
+    #   needs the explicit worklist).
     pallas_bvh_chunk_threshold: int = 0  # primitive count above which
     #   chunked mode engages; 0 = MAX_BVH_TRIS / MAX_BVH_SPHERES (tests
     #   lower it to force chunking on small scenes)

@@ -987,7 +987,8 @@ def _chunked_walk_interleaved(top_nodes, chunk_ref, scratch, o, d, vote,
 def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                             mask, chunk_cap: int, rows_pc: int,
                             n_chunks: int, leaf_size: int = 0,
-                            cluster_rows: int = 0, prefetch: bool = False):
+                            cluster_rows: int = 0, prefetch: bool = False,
+                            interleave: bool = False):
     """Chunked closest triangle hit — same contract as closest_tri_bvh.
     `scratch` = the chunk-DMA scratch refs (see _chunked_walk)."""
     state = _tri_closest_state(o)
@@ -997,19 +998,20 @@ def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                   tris, o, d, _tri_closest_body, leaf_size, cluster_rows),
               state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
               n_chunks=n_chunks, leaf_want=cluster_rows > 0)
-    if prefetch:   # the lookahead pipeline needs the two-phase worklist
-        st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
-                           prefetch=True, **kw)
-    else:
+    if interleave and not prefetch:
         st = _chunked_walk_interleaved(top_nodes, chunk_ref, scratch,
                                        o, d, **kw)
+    else:
+        st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
+                           prefetch=prefetch, **kw)
     return st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
 
 
 def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                            t_max, mask, chunk_cap: int, rows_pc: int,
                            n_chunks: int, leaf_size: int = 0,
-                           cluster_rows: int = 0, prefetch: bool = False):
+                           cluster_rows: int = 0, prefetch: bool = False,
+                           interleave: bool = False):
     """Chunked any-hit occlusion — same contract as tri_shadow_bvh."""
     state = {"occ": jnp.zeros_like(o[0], jnp.int32), "tm": t_max}
 
@@ -1019,19 +1021,20 @@ def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                   tris, o, d, _tri_shadow_body, leaf_size, cluster_rows),
               state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
               n_chunks=n_chunks, leaf_want=cluster_rows > 0)
-    if prefetch:
-        st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
-                           prefetch=True, t_cap0=t_max, **kw)
-    else:
+    if interleave and not prefetch:
         st = _chunked_walk_interleaved(top_nodes, chunk_ref, scratch,
                                        o, d, **kw)
+    else:
+        st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
+                           prefetch=prefetch, t_cap0=t_max, **kw)
     return st["occ"] > 0
 
 
 def closest_sphere_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, a,
                                mask, state, chunk_cap: int, rows_pc: int,
                                n_chunks: int, leaf_size: int = 0,
-                               prefetch: bool = False):
+                               prefetch: bool = False,
+                               interleave: bool = False):
     """Chunked closest sphere hit — same contract as closest_sphere_bvh
     (continues from the static 'always' sweep's state)."""
     best_t, best_c, best_mat = state
@@ -1045,19 +1048,20 @@ def closest_sphere_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, a,
     kw = dict(vote=lambda st: mask, t_cap=lambda st: st["t"],
               leaf_fn_over=leaf_fn_over, state=st, chunk_cap=chunk_cap,
               rows_pc=rows_pc, n_chunks=n_chunks, kind_tag=1)
-    if prefetch:
-        st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
-                           prefetch=True, **kw)
-    else:
+    if interleave and not prefetch:
         st = _chunked_walk_interleaved(top_nodes, chunk_ref, scratch,
                                        o, d, **kw)
+    else:
+        st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
+                           prefetch=prefetch, **kw)
     return st["t"], (st["cx"], st["cy"], st["cz"]), st["mat"]
 
 
 def sphere_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, t_max,
                               lam, a, mask, atten, chunk_cap: int,
                               rows_pc: int, n_chunks: int,
-                              leaf_size: int = 0, prefetch: bool = False):
+                              leaf_size: int = 0, prefetch: bool = False,
+                              interleave: bool = False):
     """Chunked shadow-factor walk — same contract as sphere_shadow_bvh
     (continues from `atten`; ref: mega_kernel.wgsl:511-538)."""
     st = {"atten": atten}
@@ -1070,10 +1074,10 @@ def sphere_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, t_max,
               t_cap=lambda st: t_max,
               leaf_fn_over=leaf_fn_over, state=st, chunk_cap=chunk_cap,
               rows_pc=rows_pc, n_chunks=n_chunks, kind_tag=1)
-    if prefetch:
-        st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
-                           prefetch=True, t_cap0=t_max, **kw)
-    else:
+    if interleave and not prefetch:
         st = _chunked_walk_interleaved(top_nodes, chunk_ref, scratch,
                                        o, d, **kw)
+    else:
+        st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
+                           prefetch=prefetch, t_cap0=t_max, **kw)
     return st["atten"]

@@ -1429,7 +1429,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
             st = bvh_pallas.closest_sphere_bvh_chunked(
                 top_nodes, sph_slab, chunk_scratch, o, d, a, m, st,
                 SCC, SRPC, SNCH, leaf_size=cfg.pallas_bvh_leaf,
-                prefetch=cfg.pallas_chunk_prefetch)
+                prefetch=cfg.pallas_chunk_prefetch,
+                interleave=cfg.pallas_chunk_interleave)
             return _sphere_state_finish(o, d, st)
 
         def sph_shadow(o, d, tm, lam_, m):
@@ -1441,7 +1442,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 top_nodes, sph_slab, chunk_scratch, o, d, tm, lam_, a,
                 m & (atten > 0.0), atten, SCC, SRPC, SNCH,
                 leaf_size=cfg.pallas_bvh_leaf,
-                prefetch=cfg.pallas_chunk_prefetch)
+                prefetch=cfg.pallas_chunk_prefetch,
+                interleave=cfg.pallas_chunk_interleave)
     elif _use_sph_bvh(fscene, cfg):
         from tpurt.kernels import bvh_pallas
         ALWAYS, TREE_SPH = bvh_pallas.split_huge_spheres(SPH)
@@ -1504,7 +1506,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 top_nodes, chunk_ref, chunk_scratch, o, d, m,
                 CC, RPC, NCH, leaf_size=cfg.pallas_bvh_leaf,
                 cluster_rows=cfg.pallas_bvh_rows,
-                prefetch=cfg.pallas_chunk_prefetch)
+                prefetch=cfg.pallas_chunk_prefetch,
+                interleave=cfg.pallas_chunk_interleave)
             return _tri_state_finish(o, d, res)
 
         def tri_occ(o, d, tm, m):
@@ -1513,7 +1516,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 top_nodes, chunk_ref, chunk_scratch, o, d, tm,
                 m, CC, RPC, NCH, leaf_size=cfg.pallas_bvh_leaf,
                 cluster_rows=cfg.pallas_bvh_rows,
-                prefetch=cfg.pallas_chunk_prefetch)
+                prefetch=cfg.pallas_chunk_prefetch,
+                interleave=cfg.pallas_chunk_interleave)
     elif tri_clusters:
         TCL = _tri_cull_tree(TRIS, cfg.pallas_cluster_size)
         tri_hit = lambda o, d, m: _closest_tri_clustered(TCL, o, d, m)
