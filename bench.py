@@ -19,8 +19,10 @@ import os
 import sys
 import time
 
-# persistent compilation cache: the Mosaic kernels take minutes to compile
-# cold; cached reruns warm up in seconds
+# persistent compilation cache: helps on runtimes whose TPU plugin supports
+# executable serialization (standard Cloud TPU); on the axon tunnel it only
+# covers CPU-side jits — see README "First run" for the measured compile
+# distribution
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_compilation"))
 
@@ -123,6 +125,24 @@ def build_bench(config_id: int, small: bool):
         from tpurt.kernels.mega_pallas import _use_tri_chunked, freeze_scene
         assert _use_tri_chunked(freeze_scene(scene), cfg), \
             "config 7 must exercise the chunked walk"
+    elif config_id == 8:  # EXTRA: chunked SPHERE mode (VERDICT r2 item 1's
+        # ">=16k-sphere scene"): 16,385 instances — the non-huge tree side
+        # exceeds MAX_BVH_SPHERES (4096), so the dynamic walk streams
+        # per-chunk sphere slabs exactly like config 7's triangles.
+        cfg = RenderConfig(width=w, height=h, depth=30,
+                           pallas_sphere_bvh=True, pallas_bvh_leaf=16,
+                           photon_strata=16, photon_strata_dir=4096,
+                           photon_strata_shared_k=True,
+                           photon_strata_bounce=True,
+                           camera_strata_bounce=True,
+                           photon_strata_window=8,
+                           hero_wavelengths=4, **kw)
+        scene = instanced_scene(16384)
+        cam = make_camera((0, 18, -30), (0, 1, 8), vfov=55.0,
+                          aspect_ratio=w / h)
+        from tpurt.kernels.mega_pallas import _use_sph_chunked, freeze_scene
+        assert _use_sph_chunked(freeze_scene(scene), cfg), \
+            "config 8 must exercise the chunked sphere walk"
     else:  # headline: Cornell sphere scene @1080p, reference defaults
         cfg = RenderConfig(width=w, height=h, depth=30, **kw)
         scene = cornell_spheres_scene()
@@ -208,17 +228,18 @@ def main():
     ap.add_argument("--config", type=int, default=1)
     ap.add_argument("--all", action="store_true",
                     help="run all 5 BASELINE configs + the extra mesh "
-                         "config 6 and chunked config 7, one JSON line each")
+                         "config 6 and chunked configs 7 (64.8k tris) and "
+                         "8 (16k spheres), one JSON line each")
     ap.add_argument("--spp", type=int, default=0,
                     help="timed samples (0 = per-config default: 256 for the "
                          "sub-second wavefront config 5, else 64)")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
 
-    if not args.all and args.config not in (1, 2, 3, 4, 5, 6, 7):
-        ap.error(f"--config must be 1-7, got {args.config} (a typo here "
+    if not args.all and args.config not in (1, 2, 3, 4, 5, 6, 7, 8):
+        ap.error(f"--config must be 1-8, got {args.config} (a typo here "
                  "used to silently benchmark the config-1 scene)")
-    configs = [1, 2, 3, 4, 5, 6, 7] if args.all else [args.config]
+    configs = [1, 2, 3, 4, 5, 6, 7, 8] if args.all else [args.config]
     for cid in configs:
         # config 5's frame is sub-second at 64 spp (launch-overhead-bound);
         # time a 256-spp steady-state region there unless --spp overrides.
