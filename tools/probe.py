@@ -78,6 +78,25 @@ def build(args):
         fs = freeze_scene(scene)
         assert _use_tri_bvh(fs, cfg) or _use_tri_chunked(fs, cfg), \
             "tri-BVH/chunked not engaged"
+    elif args.scene == "field":
+        # spatially-distributed chunked-mesh scene (bench config 7):
+        # --n ~ total triangles across 16 tori
+        from tpurt import torus_field_scene
+        kw.update(pallas_bvh=True, pallas_bvh_leaf=64)
+        kw.update(parse_sets(args.set))
+        cfg = RenderConfig(**kw)
+        per = max(128, args.n // 16)
+        nu = max(4, int(round(math.sqrt(per / 2))))
+        nv = max(2, per // (2 * nu))
+        scene = torus_field_scene(16, nu, nv)
+        cam = make_camera((0, 14, -16), (0, 1, 10), vfov=55.0,
+                          aspect_ratio=16 / 9)
+        from tpurt.kernels.mega_pallas import (_use_tri_bvh,
+                                               _use_tri_chunked,
+                                               freeze_scene)
+        fs = freeze_scene(scene)
+        assert _use_tri_bvh(fs, cfg) or _use_tri_chunked(fs, cfg), \
+            "tri-BVH/chunked not engaged"
     elif args.scene == "lights":
         # many-light NEE stress (--n = light count); A/B the modes with
         #   probe.py lights --n 16
@@ -99,7 +118,7 @@ def build(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("scene", choices=["config3", "spheres", "mesh",
+    ap.add_argument("scene", choices=["config3", "spheres", "mesh", "field",
                                       "cornell", "lights"])
     ap.add_argument("--n", type=int, default=1024,
                     help="spheres: count; mesh: ~triangle count; "

@@ -42,6 +42,7 @@ from tpurt.scene import (
     dispersive_scene,
     instanced_scene,
     many_light_scene,
+    torus_field_scene,
     torus_mesh_scene,
 )
 
@@ -56,6 +57,7 @@ __all__ = [
     "Light", "Material", "MeshData", "Scene", "Sphere",
     "build_scene", "cornell_spheres_scene", "default_scene",
     "dispersive_scene", "instanced_scene", "many_light_scene",
+    "torus_field_scene",
     "torus_mesh_scene",
     "WavefrontPool", "wavefront_render",
     "render_adaptive", "wavefront_render_budget",

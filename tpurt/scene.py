@@ -537,6 +537,60 @@ def torus_mesh_scene(nu: int = 16, nv: int = 8) -> Scene:
     return build_scene(materials, spheres, [mesh], lights)
 
 
+def torus_field_scene(n_tori: int = 16, nu: int = 45, nv: int = 45,
+                      seed: int = 5) -> Scene:
+    """n_tori tori of 2*nu*nv triangles each, spread over the ground plane
+    (default 16 x 4050 = 64,800 triangles) — the spatially-distributed
+    big-mesh scene for chunked-walk benchmarks (bench config 7). A tile's
+    ray beam crosses 1-2 tori, so the coarse chunk tree prunes the rest;
+    contrast with torus_mesh_scene(180,180), the same triangle count in
+    ONE frustum-filling object, where every beam must sweep its full
+    local tessellation (the measured worst case, README scale table)."""
+    rng = np.random.default_rng(seed)
+    R0, r0 = 1.6, 0.55
+    verts = np.empty((nu * nv, 3), np.float32)
+    for i in range(nu):
+        for j in range(nv):
+            u = 2.0 * math.pi * i / nu
+            v = 2.0 * math.pi * j / nv
+            verts[i * nv + j] = ((R0 + r0 * math.cos(v)) * math.cos(u),
+                                 r0 * math.sin(v) + r0 + 1.0,
+                                 (R0 + r0 * math.cos(v)) * math.sin(u))
+    faces = []
+    for i in range(nu):
+        for j in range(nv):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            c = ((i + 1) % nu) * nv + (j + 1) % nv
+            d = i * nv + (j + 1) % nv
+            faces.append((a, c, b))
+            faces.append((a, d, c))
+    faces = np.asarray(faces, np.int32)
+    materials = [
+        Material.diffuse((0.75, 0.75, 0.75)),
+        Material.dielectric(1.5, 0.0),
+        Material.diffuse((0.85, 0.25, 0.2)),
+        Material.diffuse((0.25, 0.45, 0.8)),
+        Material.metal((0.95, 0.75, 0.35), 0.05),
+    ]
+    meshes = []
+    side = int(math.ceil(math.sqrt(n_tori)))
+    for t in range(n_tori):
+        gx, gz = t % side, t // side
+        x = (gx - (side - 1) / 2) * 7.0 + rng.uniform(-1.0, 1.0)
+        z = (gz - (side - 1) / 2) * 7.0 + 10.0 + rng.uniform(-1.0, 1.0)
+        mesh = MeshData(material_id=int(rng.integers(2, len(materials))),
+                        translation=(x, 0.0, z),
+                        rotation_deg=float(rng.uniform(0.0, 360.0)))
+        mesh.add_triangles(verts, faces)
+        meshes.append(mesh)
+    spheres = [Sphere(0, 1000.0, (0.0, -1000.0, 0.0)),
+               Sphere(1, 0.9, (0.0, 0.9, 2.0))]
+    lights = [Light.square_area([0, 22, 10], [0.0, -1.0, 0.0], 6.0,
+                                [1.0, 1.0, 1.0], 25.0, 5500.0)]
+    return build_scene(materials, spheres, meshes, lights)
+
+
 def tri_test_scene() -> Scene:
     """Small mesh scene used by tests: two-triangle quad + one sphere."""
     materials = [
