@@ -100,6 +100,7 @@ def build_bench(config_id: int, small: bool):
                            photon_strata_bounce=True,
                            camera_strata_bounce=True,
                            photon_strata_window=8,
+                           pallas_regen_drift=8,
                            hero_wavelengths=4, **kw)
         scene = torus_mesh_scene(45, 45)  # 4050 triangles
         cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
@@ -118,6 +119,7 @@ def build_bench(config_id: int, small: bool):
                            photon_strata_bounce=True,
                            camera_strata_bounce=True,
                            photon_strata_window=8,
+                           pallas_regen_drift=8,
                            hero_wavelengths=4, **kw)
         scene = torus_mesh_scene(180, 180)  # 64,800 triangles
         cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
@@ -136,6 +138,7 @@ def build_bench(config_id: int, small: bool):
                            photon_strata_bounce=True,
                            camera_strata_bounce=True,
                            photon_strata_window=8,
+                           pallas_regen_drift=8,
                            hero_wavelengths=4, **kw)
         scene = instanced_scene(16384)
         cam = make_camera((0, 18, -30), (0, 1, 8), vfov=55.0,
