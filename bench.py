@@ -72,6 +72,7 @@ def build_bench(config_id: int, small: bool):
                            photon_strata_bounce=True,
                            camera_strata_bounce=True,
                            photon_strata_window=16,
+                           pallas_regen_drift=1,
                            hero_wavelengths=8, **kw)
         scene = instanced_scene(256)
         cam = make_camera((0, 10, -14), (0, 1, 8), vfov=55.0, aspect_ratio=w / h)
@@ -99,8 +100,8 @@ def build_bench(config_id: int, small: bool):
                            photon_strata_shared_k=True,
                            photon_strata_bounce=True,
                            camera_strata_bounce=True,
-                           photon_strata_window=8,
-                           pallas_regen_drift=8,
+                           photon_strata_window=1,
+                           pallas_regen_drift=1,
                            hero_wavelengths=4, **kw)
         scene = torus_mesh_scene(45, 45)  # 4050 triangles
         cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
@@ -118,8 +119,8 @@ def build_bench(config_id: int, small: bool):
                            photon_strata_shared_k=True,
                            photon_strata_bounce=True,
                            camera_strata_bounce=True,
-                           photon_strata_window=8,
-                           pallas_regen_drift=8,
+                           photon_strata_window=1,
+                           pallas_regen_drift=1,
                            hero_wavelengths=4, **kw)
         scene = torus_mesh_scene(180, 180)  # 64,800 triangles
         cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
@@ -137,8 +138,8 @@ def build_bench(config_id: int, small: bool):
                            photon_strata_shared_k=True,
                            photon_strata_bounce=True,
                            camera_strata_bounce=True,
-                           photon_strata_window=8,
-                           pallas_regen_drift=8,
+                           photon_strata_window=1,
+                           pallas_regen_drift=1,
                            hero_wavelengths=4, **kw)
         scene = instanced_scene(16384)
         cam = make_camera((0, 18, -30), (0, 1, 8), vfov=55.0,

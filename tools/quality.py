@@ -66,6 +66,19 @@ STACKS = {
                       photon_strata_shared_k=True, photon_strata_bounce=True,
                       camera_strata_bounce=True, hero_wavelengths=4,
                       photon_strata_window=8),
+    # round-3 shipped stacks: drift=1 makes per-sample (window=1) epochs
+    # tile-coherent again, so the wide windows' variance compromise is
+    # gone (drift is scheduling-only and inert on this XLA probe; listed
+    # stacks measure the WINDOW change the drift enables)
+    "K2h8_w1": dict(photon_strata=16, photon_strata_dir=256,
+                    photon_strata_shared_k=True, photon_strata_bounce=True,
+                    camera_strata_bounce=True, hero_wavelengths=8,
+                    photon_strata_window=1),
+    "mesh_ship_w1": dict(photon_strata=16, photon_strata_dir=4096,
+                         photon_strata_shared_k=True,
+                         photon_strata_bounce=True,
+                         camera_strata_bounce=True, hero_wavelengths=4,
+                         photon_strata_window=1),
     # importance-aimed photon emission (cfg.photon_aim, r2): alone and on
     # top of the shipped config-3 stack (aimed lanes leave the shared
     # strata beam, so the combination must be measured, not assumed)

@@ -105,6 +105,13 @@ class RenderConfig:
     #   tile-coherent; a window >= the drift re-aligns them. Unbiased
     #   (cells stay hash-uniform across epochs); convergence per sample
     #   slows as the window grows — window*K photons share each beam.
+    #   ROUND-3 GUIDANCE: on walk-based scenes prefer window=1 PAIRED
+    #   WITH pallas_regen_drift=1 — bounding the drift at the source
+    #   beats widening the window to tolerate it (mesh 4k spp64: 83 ->
+    #   343 Mrays/s, and per-sample epochs are lower-variance too;
+    #   QUALITY.json). The static cull tree (bench config 3) still
+    #   prefers window=16 (319 vs 295 measured): its coarse dir-256
+    #   cells saturate, so epoch folding wins there.
     # Spectral
     hero_wavelengths: int = 1          # 1 reproduces the reference (one
     #   lambda per sample, wgsl :995). >1 enables hero-wavelength sampling
@@ -194,11 +201,17 @@ class RenderConfig:
     #   lengths vary), so by late samples a tile's live lanes span many
     #   sample indices — many distinct photon-strata beams — and the
     #   culling votes stop pruning (measured: config-3 spp 64 runs 7%
-    #   slower per segment than spp 32; mesh scenes 2x). A bound of W
-    #   caps the live-epoch spread at W (pair with photon_strata_window=W
-    #   to fold those into ~1-2 beams) at a small occupancy cost: a lane
-    #   at the bound idles until the tile minimum advances. SCHEDULING
+    #   slower per segment than spp 32; mesh scenes 2-4x). A bound of W
+    #   caps the live-epoch spread at W at an occupancy cost: a lane at
+    #   the bound idles until the tile minimum advances. SCHEDULING
     #   only — the traced samples, streams, and sums are bit-identical.
+    #   ROUND-3: the occupancy cost is far smaller than the coherence
+    #   win on every walk-based scene measured — drift=1 (near-lockstep
+    #   samples) + window=1 is the shipped stack for bench configs
+    #   6/7/8 (mesh 4k spp64: drift0/w8 83 -> drift1/w1 343 Mrays/s;
+    #   65k 20 -> 85; 16k spheres 51 -> 72), and config 3 ships
+    #   drift=1 + window=16 (310 -> 319). Loose bounds (drift=8) capture
+    #   almost none of the win — bound tightly or not at all.
     pallas_static_unroll: int = 32     # spheres baked into the instruction
     #   stream up to this count (fastest; compile grows with count — 257
     #   spheres ~6 min). Above it: SMEM-table fori sweep (fast compile,
