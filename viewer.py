@@ -33,7 +33,11 @@ import time
 import tty
 
 # persistent kernel cache like every other entry point (bench.py, tools/*):
-# a cold Mosaic compile freezes the UI for minutes on first launch/resize
+# a cold Mosaic compile freezes the UI on first launch/resize — measured
+# ~6-90 s for the default scene depending on compile-service load (README
+# "First run"). Since round 3 the depth-1 preview SHARES the full kernel's
+# compile (depth is a runtime scalar in the regenerative kernel), so a
+# camera move never recompiles; only a resize (new W/H) does.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/jax_compilation"))
 
