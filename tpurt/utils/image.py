@@ -20,9 +20,9 @@ def to_srgb8(img_linear: np.ndarray) -> np.ndarray:
     return (srgb * 255.0 + 0.5).astype(np.uint8)
 
 
-def write_png(path: str, img: np.ndarray, assume_srgb8: bool = False) -> None:
-    """Write (H, W, 3) image to PNG. Float input is treated as linear RGB and
-    sRGB-encoded; uint8 input is written as-is (set assume_srgb8 for clarity)."""
+def png_bytes(img: np.ndarray, assume_srgb8: bool = False) -> bytes:
+    """Encode (H, W, 3) image as PNG bytes. Float input is treated as
+    linear RGB and sRGB-encoded; uint8 input is encoded as-is."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         img = to_srgb8(img)
@@ -40,11 +40,14 @@ def write_png(path: str, img: np.ndarray, assume_srgb8: bool = False) -> None:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", compressed) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, img: np.ndarray, assume_srgb8: bool = False) -> None:
+    """Write (H, W, 3) image to PNG (see png_bytes)."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", compressed))
-        f.write(chunk(b"IEND", b""))
+        f.write(png_bytes(img, assume_srgb8))
 
 
 def write_pfm(path: str, img: np.ndarray) -> None:

@@ -186,6 +186,39 @@ def _ansi_blit(img, max_cols, max_rows):
     return "\n".join(out)
 
 
+def _kitty_blit(img, cols: int) -> str:
+    """Full-resolution in-terminal frame via the kitty graphics protocol
+    (a=T transmit+display, f=100 PNG, fixed image id so each frame
+    REPLACES the last; chunked base64 per the spec). This is the
+    native-resolution presentation path: every rendered pixel reaches
+    the screen, scaled by the terminal into `cols` columns — the
+    terminal-native equivalent of the reference's 1600x900 swapchain
+    present (ref: lib.rs:536-537). Supported by kitty, WezTerm, Konsole,
+    ghostty; `--display ansi` keeps the half-block fallback."""
+    import base64
+    from tpurt.utils.image import png_bytes
+    payload = base64.standard_b64encode(png_bytes(img))
+    out = []
+    ctrl = f"a=T,f=100,i=1,q=2,c={max(cols, 1)},"
+    while payload:
+        head, payload = payload[:4096], payload[4096:]
+        m = 1 if payload else 0
+        out.append(f"\x1b_G{ctrl}m={m};{head.decode()}\x1b\\")
+        ctrl = ""  # control keys only on the first chunk
+    return "".join(out)
+
+
+def _pick_display(mode: str) -> str:
+    """auto: kitty protocol when the terminal advertises it, else ANSI."""
+    if mode != "auto":
+        return mode
+    if os.environ.get("KITTY_WINDOW_ID") or \
+            "kitty" in os.environ.get("TERM", "") or \
+            os.environ.get("TERM_PROGRAM", "") in ("WezTerm", "ghostty"):
+        return "kitty"
+    return "ansi"
+
+
 class _RawTerm:
     def __enter__(self):
         self.fd = sys.stdin.fileno()
@@ -242,6 +275,7 @@ def interactive(args):
     from tpurt.utils.image import write_png
 
     cfg, scene, cam, vfov, _, _ = _build(args)
+    display = _pick_display(args.display)
     controller = CameraController()
     state = init_state(cfg)
     key_tm, sat = cfg.tonemap_key, cfg.tonemap_saturation
@@ -385,7 +419,12 @@ def interactive(args):
             # resolution + aspect, reset iteration/radius, preview frame
             # (ref: lib.rs:545-576 resize, mega_kernel.rs:224-262)
             size = os.get_terminal_size()
-            if size != term_size:
+            if size != term_size and display == "kitty":
+                # native-res present: the terminal rescales the image into
+                # the new cell width (c=cols); the render resolution is
+                # the user's --width/--height and never follows the cells
+                term_size = size
+            elif size != term_size:
                 term_size = size
                 w = max(64, min(args.width, size.columns))
                 h = max(36, min(args.height, (size.lines - 2) * 2))
@@ -457,7 +496,13 @@ def interactive(args):
                 last_lin = None
             dt_frame = time.perf_counter() - t_frame
             sys.stdout.write("\x1b[H")
-            sys.stdout.write(_ansi_blit(img, size.columns, size.lines - 2))
+            if display == "kitty":
+                # native-resolution present: every rendered pixel ships
+                sys.stdout.write(_kitty_blit(img, size.columns))
+                sys.stdout.write("\n")
+            else:
+                sys.stdout.write(_ansi_blit(img, size.columns,
+                                            size.lines - 2))
             sys.stdout.write(
                 f"\n\x1b[0m{_stats_line(frame, state, dt_frame, cfg)}  "
                 f"key {key_tm:.1f} sat {sat:.1f}"
@@ -480,6 +525,12 @@ def main():
     ap.add_argument("--depth", type=int, default=30)
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--seed", type=int, default=1234)
+    ap.add_argument("--display", default="auto",
+                    choices=["auto", "ansi", "kitty"],
+                    help="present frames as ANSI half-blocks (any "
+                         "terminal) or native-resolution kitty-protocol "
+                         "images (kitty/WezTerm/Konsole/ghostty; auto "
+                         "detects)")
     ap.add_argument("--headless", action="store_true")
     ap.add_argument("--frames", type=int, default=64, help="headless frames")
     ap.add_argument("--out", default="render.png")
