@@ -343,6 +343,15 @@ class RenderConfig:
         # photon-walk RR thinning (32% fewer segments at unchanged
         # variance on NEE-lit scenes)
         "fast": dict(hero_wavelengths=4, qmc=True, photon_rr_scale=0.5),
+        # the measured walk-scene stack (dynamic/chunked BVH scenes —
+        # meshes and many-sphere instancing): tile-coherent stratified
+        # photon emission + per-sample beam epochs + the tight drift
+        # bound (the round-3 scheduling discovery; bench configs 6-8).
+        # Unbiased; see QUALITY.json / docs/DESIGN.md for the numbers.
+        "walk": dict(photon_strata=16, photon_strata_dir=4096,
+                     photon_strata_shared_k=True, photon_strata_bounce=True,
+                     camera_strata_bounce=True, photon_strata_window=1,
+                     pallas_regen_drift=1, hero_wavelengths=4),
     }
 
     @classmethod
