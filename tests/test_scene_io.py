@@ -115,3 +115,48 @@ class TestConfigOverrides:
             set=["qmc=True", "tile_size=2048"])
         cfg, scene, cam, *_ = viewer._build(ns)
         assert cfg.qmc is True and cfg.tile_size == 2048
+
+
+def test_torus_field_scene_builds_and_hits():
+    """torus_field_scene (round 3: the spatially-distributed chunked-walk
+    benchmark scene): 16 tori x 2*nu*nv triangles land where placed —
+    rays down at each torus's grid cell hit SOME triangle, a ray down at
+    a far-off point hits only the ground sphere, and the build is
+    deterministic for a fixed seed."""
+    import numpy as np
+    from tpurt import RenderConfig, torus_field_scene
+    from tpurt.query import trace_rays
+
+    scene = torus_field_scene(4, 8, 6)          # 4 tori x 96 tris
+    assert scene.num_triangles == 4 * 2 * 8 * 6
+    assert scene.num_spheres == 2 and scene.num_lights == 1
+
+    # torus grid (scene.py): side=2, nominal centers (±3.5 + U(-1,1),
+    # 10 ∓ 3.5 + U(-1,1)). Centers are jittered, so probe a 16-ray ring
+    # of downward rays at the nominal ring radius: by continuity at
+    # least one lands on the true ring annulus (r in [1.05, 2.15] of
+    # the true center) and must hit the tube ABOVE the ground (y>0.9
+    # -> t < 19.1 from y=20).
+    import math
+    origins, dirs = [], []
+    for gx, gz in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        x = (gx - 0.5) * 7.0
+        z = (gz - 0.5) * 7.0 + 10.0
+        for a in range(16):
+            th = 2 * math.pi * a / 16
+            origins.append((x + 1.6 * math.cos(th), 20.0,
+                            z + 1.6 * math.sin(th)))
+            dirs.append((0.0, -1.0, 0.0))
+    origins.append((40.0, 20.0, 40.0))          # far off: ground only
+    dirs.append((0.0, -1.0, 0.0))
+    hits = trace_rays(scene, np.asarray(origins, np.float32),
+                      np.asarray(dirs, np.float32),
+                      cfg=RenderConfig(use_bvh=True))
+    t = np.asarray(hits.t)
+    assert np.all(np.isfinite(t)), t
+    per_torus = t[:64].reshape(4, 16)
+    assert np.all(per_torus.min(axis=1) < 19.1), per_torus.min(axis=1)
+    assert t[64] > 19.5, t[64]                  # ground sphere only
+
+    s2 = torus_field_scene(4, 8, 6)
+    assert np.array_equal(np.asarray(scene.tri_a), np.asarray(s2.tri_a))
