@@ -53,8 +53,10 @@ def build_bench(config_id: int, small: bool):
         scene = cornell_spheres_scene()
         cam = make_camera((0, 5, -12), (0, 5, 0), vfov=60.0, aspect_ratio=w / h)
     elif config_id == 3:  # >=256 instances 1080p (BASELINE config 3)
-        # full static unroll: ~6 min one-off Mosaic compile (warmup, not
-        # timed) buys ~4x the steady-state throughput of the SMEM sweep.
+        # full static unroll: a one-off Mosaic compile (warmup, not timed;
+        # artifact median ~25 s, but compile_s is contention noise — see
+        # README "First run" for the measured 6 s-6 min distribution) buys
+        # ~4x the steady-state throughput of the SMEM sweep.
         # Sampler stack (all unbiased, docs/DESIGN.md; estimator variance
         # measured by tools/quality.py): tile-stratified photon emission
         # with fine direction cells + shared-k + bounce strata makes the
@@ -166,11 +168,33 @@ def run_config(config_id: int, small: bool, spp: int, verbose: bool) -> dict:
               f"{scene.num_lights} lights; {cfg.width}x{cfg.height} depth={cfg.depth}",
               file=sys.stderr)
 
+    # Roofline accounting (VERDICT r3 item 2): regen-kernel configs render
+    # through the stats path — the IDENTICAL kernel (the iteration counter
+    # is always compiled in), just returning the per-tile loop-iteration
+    # sums that occupancy/pct_peak need. Wavefront configs (5) have no
+    # counter yet and keep plain render().
+    roofline = None
+    step = render
+    if cfg.backend == "pallas" and cfg.pallas_regen:
+        from tpurt.kernels.mega_regen import render_regen_stats
+        from tpurt.kernels.mega_pallas import supports_scene
+        if supports_scene(scene, cfg):
+            from tpurt import roofline as rl
+            iters_box = []
+
+            def step(scene, cfg, cam, state, seed, spp):
+                st, iters = render_regen_stats(scene, cfg, cam, state,
+                                               seed, spp)
+                iters_box.append(iters)
+                return st
+            from tpurt.kernels.mega_pallas import freeze_scene
+            roofline = rl.regen_iteration_cost(freeze_scene(scene), cfg)
+
     state = init_state(cfg)
     # Warmup with the SAME spp (spp is a static jit arg — a different count
     # would recompile inside the timed region) + primes vispoints.
     t0 = time.perf_counter()
-    state = render(scene, cfg, cam, state, 1234, spp)
+    state = step(scene, cfg, cam, state, 1234, spp)
     jax.block_until_ready(state)
     compile_s = time.perf_counter() - t0
     if verbose:
@@ -179,7 +203,7 @@ def run_config(config_id: int, small: bool, spp: int, verbose: bool) -> dict:
 
     rays_before = float(state.rays)
     t0 = time.perf_counter()
-    state = render(scene, cfg, cam, state, 1234, spp)
+    state = step(scene, cfg, cam, state, 1234, spp)
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
 
@@ -218,6 +242,19 @@ def run_config(config_id: int, small: bool, spp: int, verbose: bool) -> dict:
             "pallas_regen_drift": cfg.pallas_regen_drift,
         },
     }
+    if roofline is not None:
+        from tpurt import roofline as rl
+        iters = float(iters_box[-1])  # the timed call's iteration total
+        result.update(rl.roofline_fields(
+            roofline["ops_per_iter"], iters, rays, cfg.pallas_lanes, dt))
+        # walk/chunk configs carry nested loops counted once, not
+        # multiplied — pct_peak is then a LOWER bound (tpurt/roofline.py)
+        if roofline["nested"]:
+            result["roofline_lower_bound"] = True
+        if verbose:
+            print(f"roofline: {result['gflops']} GFLOP-eq/s issued "
+                  f"({result['pct_peak_vpu']}% of v5e VPU peak), "
+                  f"occupancy {result['occupancy']}", file=sys.stderr)
     if verbose:
         print(f"{spp} spp in {dt:.2f}s -> {mrays:.1f} Mrays/s, "
               f"{samples_per_sec / 1e6:.2f} Msamples/s, "

@@ -210,11 +210,14 @@ class RenderConfig:
     #   samples) + window=1 is the shipped stack for bench configs
     #   6/7/8 (mesh 4k spp64: drift0/w8 83 -> drift1/w1 343 Mrays/s;
     #   65k 20 -> 85; 16k spheres 51 -> 72), and config 3 ships
-    #   drift=1 + window=16 (310 -> 319). Loose bounds (drift=8) capture
-    #   almost none of the win — bound tightly or not at all.
+    #   drift=1 + window=16 (334.8 in the round-3 BENCH_ALL artifact).
+    #   Loose bounds (drift=8) capture almost none of the win — bound
+    #   tightly or not at all.
     pallas_static_unroll: int = 32     # spheres baked into the instruction
     #   stream up to this count (fastest; compile grows with count — 257
-    #   spheres ~6 min). Above it: SMEM-table fori sweep (fast compile,
+    #   spheres measured 23.5 s-6 min, the spread being compile-service
+    #   contention, README "First run"). Above it: SMEM-table fori sweep
+    #   (fast compile,
     #   ~4x slower steady-state). Raise for benchmark-grade throughput on
     #   big instanced scenes.
     pallas_block_tiles: bool = True    # map each Pallas tile to an

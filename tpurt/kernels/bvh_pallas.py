@@ -795,10 +795,11 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
                   t_cap0=None):
     """Two-phase chunked walk (see module comment). leaf_fn_over(tris_view)
     builds the inner leaf sweep over the scratch slab's triangle view.
-    `scratch` = (smem_ref, sem[, res]) direct route or (smem_ref,
-    vmem_ref, sem, sem2[, res]) staged route (CHUNK_DMA_VIA_VMEM), where
-    `res` is the resident-slab tag cell (see below). Returns the final
-    state.
+    `scratch` = (smem_ref, sem, res) direct route or (smem_ref,
+    vmem_ref, sem, sem2, res) staged route (CHUNK_DMA_VIA_VMEM), where
+    `res` is the MANDATORY resident-slab tag cell; build and initialize
+    the tuple via mega_pallas.chunk_scratch_shapes /
+    chunk_scratch_reset, not by hand. Returns the final state.
 
     kind_tag disambiguates the primitive kind sharing the scratch slab
     (0 = triangles, 1 = spheres): the resident tag is cid * 2 + kind_tag,
@@ -836,11 +837,14 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
                         leaf_node=True, stack_ref=stack_ref)
 
         # phase 2: re-vote each chunk against the LIVE caps, DMA, walk.
-        # All DMAs are unconditional: slab copies are ~100 ns of HBM time
-        # vs multi-us leaf sweeps, and a conditional DMA faults Mosaic
-        # (measured); only the walk is vote-gated. Destinations are
-        # sliced to THIS kind's stride — the scratch is shared across
-        # chunked primitive kinds and sized to the largest stride
+        # The non-prefetch DMA is GATED with pl.when (resident-slab skip
+        # below): an early lax.cond-wrapped DMA faulted Mosaic, but a
+        # pl.when region around start/wait works — the later resident-tag
+        # change revalidated conditional DMAs with the supported predicate
+        # form. The prefetch pipeline keeps its copies unconditional (its
+        # start/wait counts must balance). Destinations are sliced to THIS
+        # kind's stride — the scratch is shared across chunked primitive
+        # kinds and sized to the largest stride
         # (mega_pallas.chunk_scratch_shapes).
         n_found = st1["_wl"]
         dst = scratch_ref.at[pl.ds(0, rows_pc)]

@@ -211,6 +211,10 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             "rng": izero.astype(jnp.uint32),
             "radius": zero + r0,
             "rays": jnp.float32(0.0),
+            # loop-iteration counter (roofline/occupancy accounting,
+            # tpurt/roofline.py): occupancy = rays / (iters * lanes).
+            # One scalar add per iteration — free next to the body.
+            "iters": jnp.float32(0.0),
         }
         if track_collapse:
             st["emh"] = tuple(zero for _ in range(3 * L))
@@ -721,6 +725,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 "tp": s.vwhere(cont, new_tp, tp),
                 "rad": rad, "lam": lam, "em": em, "rng": rng,
                 "radius": radius, "rays": rays,
+                "iters": st["iters"] + 1.0,
             }
             if track_collapse:
                 out["emh"] = emh
@@ -729,15 +734,19 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
 
         st = jax.lax.while_loop(cond, body, st)
         rays_ref[tile, 0] = st["rays"]
+        rays_ref[tile, 1] = st["iters"]
 
     return kernel
 
 
 def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
-               radius, tile_base, interpret, depth=None, aux=None):
+               radius, tile_base, interpret, depth=None, aux=None,
+               want_iters=False):
     """Planes-level regenerative step: the raw pallas_call. Shared by the
     single-chip wrapper and the shard_map multi-chip step (tile_base = the
-    device slab's global tile offset). Returns (planes, rays_per_tile).
+    device slab's global tile offset). Returns (planes, rays_per_tile);
+    want_iters=True appends the per-tile loop-iteration counts
+    (roofline/occupancy accounting, tpurt/roofline.py).
 
     `aux` (f32 (3, TR, 128): per-lane budget / base count / SPPM radius,
     plane order) switches the kernel to budget mode — see
@@ -790,13 +799,17 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
         out_specs=[vb, sm],
         out_shape=[
             jax.ShapeDtypeStruct(planes.shape, jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+            # col 0: traced segments, col 1: loop iterations (occupancy
+            # accounting, tpurt/roofline.py)
+            jax.ShapeDtypeStruct((n_tiles, 2), jnp.float32),
         ],
         scratch_shapes=chunk_scratch_shapes(chunk_meta),
         input_output_aliases={0: 0},
         interpret=interpret,
     )(planes, zeros_in, cam, seed_arr, spp_arr, rad_arr, base_arr,
       sph_tab, tri_tab, *aux_args, *chunk_tab)
+    if want_iters:
+        return new_planes, rays[:, 0], rays[:, 1]
     return new_planes, rays[:, 0]
 
 
@@ -860,6 +873,49 @@ def render_regen(scene, cfg: RenderConfig, camera, state, base_seed, spp,
                              depth=jnp.asarray(
                                  cfg.depth if depth is None else depth,
                                  jnp.int32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fscene", "cfg", "interpret"))
+def _render_regen_stats_jit(fscene, cfg, camera, state, base_seed, spp,
+                            interpret, depth=None):
+    """_render_regen_jit + the per-tile iteration counts summed — the
+    roofline probe path (tpurt/roofline.py). Same kernel, same streams."""
+    planes = state_to_planes(state, cfg)
+    new_planes, rays, iters = regen_call(
+        fscene, cfg, camera, planes, base_seed, spp, state.iteration,
+        state.photon_radius, 0, interpret, depth=depth, want_iters=True)
+
+    P = new_planes.shape[1] * 128
+    flat = planes_pixel_order(cfg, new_planes.reshape(N_CHANNELS, P))
+    v3 = lambda a: jnp.stack([flat[a], flat[a + 1], flat[a + 2]], axis=-1)
+    r_new = radius_after(cfg, state.iteration, state.photon_radius, spp)
+    st = dataclasses.replace(
+        state,
+        rgb_sum=v3(0),
+        n_samples=state.n_samples + spp.astype(jnp.float32),
+        vis_pos=v3(3), vis_norm=v3(6), vis_wo=v3(9), vis_tp=v3(12),
+        vis_mat=flat[15].astype(jnp.int32),
+        iteration=state.iteration + spp, photon_radius=r_new,
+        rays=state.rays + jnp.sum(rays),
+    )
+    return st, jnp.sum(iters)
+
+
+def render_regen_stats(scene, cfg: RenderConfig, camera, state, base_seed,
+                       spp, interpret: bool | None = None):
+    """render_regen + total kernel loop iterations (occupancy/roofline
+    accounting). Only for scenes the regen kernel supports (no XLA
+    fallback — the roofline model is kernel-specific)."""
+    if not supports_scene(scene, cfg):
+        raise ValueError("roofline stats need the regen kernel; scene "
+                         "exceeds its budget")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fscene = freeze_scene(scene)
+    return _render_regen_stats_jit(fscene, cfg, camera, state,
+                                   jnp.asarray(base_seed, jnp.uint32),
+                                   jnp.asarray(spp, jnp.int32), interpret)
 
 
 def budget_radius_plane(cfg, counts_f):

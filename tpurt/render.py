@@ -163,11 +163,14 @@ def _check_camera_kind(cfg: RenderConfig, camera) -> None:
         # mixture and bias every contribution outside the aim cone to zero
         raise ValueError(f"cfg.photon_aim must be in [0, 1), got "
                          f"{cfg.photon_aim!r}")
-    if not (cfg.photon_aim_widen > 0.0):
+    if cfg.photon_aim > 0.0 and not (cfg.photon_aim_widen > 0.0):
         # <= 0 would silently clamp to the AIM_SIN_MIN (1.1deg) cone inside
-        # ops/soa.aimed_cone_c — reject it up front like the sibling knobs
-        raise ValueError(f"cfg.photon_aim_widen must be > 0, got "
-                         f"{cfg.photon_aim_widen!r}")
+        # ops/soa.aimed_cone_c — reject it up front like the sibling knobs.
+        # Only enforced when aiming is ON: with photon_aim=0 the widen
+        # value is never read, and configs that always carried widen<=0
+        # with aiming off rendered fine before this check existed.
+        raise ValueError(f"cfg.photon_aim_widen must be > 0 when "
+                         f"photon_aim > 0, got {cfg.photon_aim_widen!r}")
     if cfg.photon_aim > 0.0 and (
             cfg.backend in WAVEFRONT_BACKENDS
             or (cfg.backend == "pallas" and not cfg.pallas_regen)):
