@@ -115,9 +115,17 @@ def count_jaxpr_ops(jaxpr, min_elems: int = 128):
     separate `nested` list, NOT multiplied (trip counts are runtime
     data — see module docstring).
 
-    Returns dict(ops=float, trans_ops=float, nested=[(name, ops), ...]).
+    Returns dict(ops=float hi-bound, ops_lo=float lo-bound, trans_ops,
+    nested=[(name, ops), ...]).  ops vs ops_lo bracket the truth: lax.cond
+    contributes its MAX branch to `ops` and its MIN branch to `ops_lo`.
+    For the regen kernel's spawn conds the hi bound is the realistic
+    steady-state value (they fire nearly every iteration); for the static
+    cull tree's vote-gated leaf sweeps the truth sits between the bounds
+    (take-rates are runtime data) — configs whose interval is wide are
+    flagged via roofline_fields' pct_peak_vpu_lo.
     """
     total = 0.0
+    total_lo = 0.0
     trans = 0.0
     nested = []
     for eqn in jaxpr.eqns:
@@ -127,6 +135,7 @@ def count_jaxpr_ops(jaxpr, min_elems: int = 128):
             counts = [count_jaxpr_ops(b.jaxpr, min_elems) for b in branches]
             best = max(counts, key=lambda c: c["ops"])
             total += best["ops"]
+            total_lo += min(c["ops_lo"] for c in counts)
             trans += best["trans_ops"]
             nested += best["nested"]
             continue
@@ -144,6 +153,7 @@ def count_jaxpr_ops(jaxpr, min_elems: int = 128):
             for _, sub, mult in subs:
                 c = count_jaxpr_ops(sub, min_elems)
                 total += c["ops"] * mult
+                total_lo += c["ops_lo"] * mult
                 trans += c["trans_ops"] * mult
                 nested += c["nested"]
             continue
@@ -154,9 +164,11 @@ def count_jaxpr_ops(jaxpr, min_elems: int = 128):
             if elems:
                 w = TRANS_WEIGHT if prim in _TRANS else 1.0
                 total += elems * w
+                total_lo += elems * w
                 if prim in _TRANS:
                     trans += elems * w
-    return {"ops": total, "trans_ops": trans, "nested": nested}
+    return {"ops": total, "ops_lo": total_lo, "trans_ops": trans,
+            "nested": nested}
 
 
 def _find_pallas_kernels(jaxpr, out=None):
@@ -218,6 +230,7 @@ def regen_iteration_cost(fscene, cfg):
     body = count_jaxpr_ops(whiles[0].params["body_jaxpr"].jaxpr)
     return {
         "ops_per_iter": body["ops"],
+        "ops_per_iter_lo": body["ops_lo"],
         "trans_ops_per_iter": body["trans_ops"],
         # walk/chunk loops, counted once each (LOWER-bound caveat)
         "nested": [(n, o) for n, o, *_ in body["nested"]],
@@ -225,14 +238,29 @@ def regen_iteration_cost(fscene, cfg):
 
 
 def roofline_fields(ops_per_iter: float, iters_total: float,
-                    rays_total: float, lanes: int, dt_s: float) -> dict:
+                    rays_total: float, lanes: int, dt_s: float,
+                    ops_per_iter_lo: float | None = None) -> dict:
     """The artifact fields: issued GFLOP-equivalents/s, pct of VPU peak,
-    lane occupancy, useful ops/s."""
+    lane occupancy, useful ops/s.
+
+    Occupancy can slightly EXCEED 1: `rays` counts active lanes per
+    iteration PLUS the NEE shadow segments traced inside the same
+    iteration, so a fully-busy tile with shadow work reads ~1.0-1.3.
+
+    When ops_per_iter_lo is given and differs from ops_per_iter (cond-
+    heavy kernels: the static cull tree's vote-gated sweeps), the _lo
+    variants bracket the truth from below; gflops/pct_peak_vpu are then
+    UPPER bounds, not point estimates."""
     issued_ops_s = iters_total * ops_per_iter / dt_s
     occ = rays_total / max(iters_total * lanes, 1.0)
-    return {
+    out = {
         "gflops": round(issued_ops_s / 1e9, 1),
         "pct_peak_vpu": round(100.0 * issued_ops_s / V5E_VPU_PEAK_OPS, 1),
         "occupancy": round(occ, 3),
         "useful_gflops": round(issued_ops_s * occ / 1e9, 1),
     }
+    if ops_per_iter_lo is not None and ops_per_iter_lo < ops_per_iter:
+        lo_s = iters_total * ops_per_iter_lo / dt_s
+        out["gflops_lo"] = round(lo_s / 1e9, 1)
+        out["pct_peak_vpu_lo"] = round(100.0 * lo_s / V5E_VPU_PEAK_OPS, 1)
+    return out
