@@ -143,13 +143,33 @@ def main():
     jax.block_until_ready(state)
     dt = time.perf_counter() - t0
     rays = float(state.rays) - r0
-    print(json.dumps({
+    out = {
         "scene": args.scene, "n": args.n, "spp": args.spp,
         "overrides": parse_sets(args.set),
         "mrays": round(rays / dt / 1e6, 1),
         "segments_pp": round(rays / (cfg.n_pixels * args.spp), 2),
         "dt": round(dt, 3), "compile_s": round(compile_s, 1),
-    }))
+    }
+    if cfg.count_walk_stats:
+        # one more (untimed) call through the stats path: per-iteration
+        # phase occupancy + chunked-walk worklist diagnostics
+        from tpurt.kernels.mega_regen import render_regen_stats
+        state, v = render_regen_stats(scene, cfg, cam, state, 1234,
+                                      args.spp)
+        v = [float(x) for x in v]
+        iters, lanes = v[0], cfg.pallas_lanes
+        out["stats"] = {
+            "iters": iters,
+            "cam_occ": round(v[1] / (iters * lanes), 4),
+            "ph_occ": round(v[2] / (iters * lanes), 4),
+            "straggler_frac": round(v[3] / iters, 4),
+            "drift_stall_occ": round(v[4] / (iters * lanes), 4),
+            "closest_wl_per_iter": round(v[5] / iters, 3),
+            "closest_swept_per_iter": round(v[6] / iters, 3),
+            "shadow_wl_per_iter": round(v[7] / iters, 3),
+            "shadow_swept_per_iter": round(v[8] / iters, 3),
+        }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

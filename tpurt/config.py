@@ -325,6 +325,14 @@ class RenderConfig:
     #   leave 0 for converged or benchmark renders.
     # Instrumentation
     count_rays: bool = True            # accumulate traced-segment counter
+    count_walk_stats: bool = False     # regen kernel: per-tile diagnostic
+    #   counters (phase-active lane sums per iteration; chunked-walk
+    #   worklist lengths and chunks actually swept, closest vs shadow) —
+    #   the roofline/scheduling instrumentation behind docs/DESIGN.md's
+    #   chunked-mode analysis. Costs two plane reductions per iteration
+    #   plus scalar adds per chunk visit; leave off for benchmark runs.
+    #   Read back via kernels.mega_regen.render_regen_stats(full=True)
+    #   or tools/probe.py --set count_walk_stats=True.
     # Tonemap defaults (ref: blit.rs:99-101)
     tonemap_key: float = 0.8
     tonemap_saturation: float = 1.0

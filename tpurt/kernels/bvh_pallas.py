@@ -792,7 +792,7 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
                   leaf_fn_over, state, chunk_cap: int, rows_pc: int,
                   n_chunks: int, prefetch: bool = False,
                   leaf_want: bool = False, kind_tag: int = 0,
-                  t_cap0=None):
+                  t_cap0=None, stats=None):
     """Two-phase chunked walk (see module comment). leaf_fn_over(tris_view)
     builds the inner leaf sweep over the scratch slab's triangle view.
     `scratch` = (smem_ref, sem, res) direct route or (smem_ref,
@@ -807,7 +807,10 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
     ordinal.  t_cap0 (optional per-lane plane) bounds the PHASE-1 top
     walk: shadow rays know t_max up front, so chunks entirely beyond the
     light never enter the worklist (closest-hit walks start unbounded
-    and pass None)."""
+    and pass None).  stats=(stats_ref, base) accumulates diagnostics into
+    the SMEM scalar cells stats_ref[base] += worklist length and
+    stats_ref[base+1] += chunks actually swept (re-vote survivors) —
+    cfg.count_walk_stats instrumentation, docs/DESIGN.md."""
     if CHUNK_DMA_VIA_VMEM:
         scratch_ref, vmem_ref, sem, sem2, res_ref = scratch
     else:
@@ -835,6 +838,11 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
                         else (lambda st: t_cap0),
                         leaf_fn=note, state={"_wl": jnp.int32(0)},
                         leaf_node=True, stack_ref=stack_ref)
+
+        if stats is not None:
+            st_ref, st_base = stats
+            st_ref[st_base] = st_ref[st_base] + \
+                st1["_wl"].astype(jnp.float32)
 
         # phase 2: re-vote each chunk against the LIVE caps, DMA, walk.
         # The non-prefetch DMA is GATED with pl.when (resident-slab skip
@@ -913,11 +921,17 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
                         dma.wait()
                     res_ref[0] = tag
 
+            any_want = jnp.any(want)
+            if stats is not None:
+                st_ref, st_base = stats
+                st_ref[st_base + 1] = st_ref[st_base + 1] + \
+                    jnp.where(any_want, jnp.float32(1.0), jnp.float32(0.0))
+
             def sweep(st):
                 return _bvh_walk(nodes_v, o, inv, vote, t_cap, leaf_fn, st,
                                  leaf_want=leaf_want, stack_ref=stack_ref)
 
-            return jax.lax.cond(jnp.any(want), sweep, lambda s_: s_, st)
+            return jax.lax.cond(any_want, sweep, lambda s_: s_, st)
 
         out = jax.lax.fori_loop(0, n_found, body, state)
         if pf:
@@ -992,9 +1006,11 @@ def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                             mask, chunk_cap: int, rows_pc: int,
                             n_chunks: int, leaf_size: int = 0,
                             cluster_rows: int = 0, prefetch: bool = False,
-                            interleave: bool = False):
+                            interleave: bool = False, stats=None):
     """Chunked closest triangle hit — same contract as closest_tri_bvh.
-    `scratch` = the chunk-DMA scratch refs (see _chunked_walk)."""
+    `scratch` = the chunk-DMA scratch refs (see _chunked_walk);
+    stats = optional (smem_ref, base) diagnostic cells (two-phase walk
+    only — the interleaved walk has no worklist to count)."""
     state = _tri_closest_state(o)
 
     kw = dict(vote=lambda st: mask, t_cap=lambda st: st["t"],
@@ -1007,7 +1023,7 @@ def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                                        o, d, **kw)
     else:
         st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
-                           prefetch=prefetch, **kw)
+                           prefetch=prefetch, stats=stats, **kw)
     return st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
 
 
@@ -1015,7 +1031,7 @@ def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                            t_max, mask, chunk_cap: int, rows_pc: int,
                            n_chunks: int, leaf_size: int = 0,
                            cluster_rows: int = 0, prefetch: bool = False,
-                           interleave: bool = False):
+                           interleave: bool = False, stats=None):
     """Chunked any-hit occlusion — same contract as tri_shadow_bvh."""
     state = {"occ": jnp.zeros_like(o[0], jnp.int32), "tm": t_max}
 
@@ -1030,7 +1046,8 @@ def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                                        o, d, **kw)
     else:
         st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
-                           prefetch=prefetch, t_cap0=t_max, **kw)
+                           prefetch=prefetch, t_cap0=t_max, stats=stats,
+                           **kw)
     return st["occ"] > 0
 
 
@@ -1038,7 +1055,7 @@ def closest_sphere_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, a,
                                mask, state, chunk_cap: int, rows_pc: int,
                                n_chunks: int, leaf_size: int = 0,
                                prefetch: bool = False,
-                               interleave: bool = False):
+                               interleave: bool = False, stats=None):
     """Chunked closest sphere hit — same contract as closest_sphere_bvh
     (continues from the static 'always' sweep's state)."""
     best_t, best_c, best_mat = state
@@ -1057,7 +1074,7 @@ def closest_sphere_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, a,
                                        o, d, **kw)
     else:
         st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
-                           prefetch=prefetch, **kw)
+                           prefetch=prefetch, stats=stats, **kw)
     return st["t"], (st["cx"], st["cy"], st["cz"]), st["mat"]
 
 
@@ -1065,7 +1082,7 @@ def sphere_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, t_max,
                               lam, a, mask, atten, chunk_cap: int,
                               rows_pc: int, n_chunks: int,
                               leaf_size: int = 0, prefetch: bool = False,
-                              interleave: bool = False):
+                              interleave: bool = False, stats=None):
     """Chunked shadow-factor walk — same contract as sphere_shadow_bvh
     (continues from `atten`; ref: mega_kernel.wgsl:511-538)."""
     st = {"atten": atten}
@@ -1083,5 +1100,6 @@ def sphere_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, t_max,
                                        o, d, **kw)
     else:
         st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
-                           prefetch=prefetch, t_cap0=t_max, **kw)
+                           prefetch=prefetch, t_cap0=t_max, stats=stats,
+                           **kw)
     return st["atten"]

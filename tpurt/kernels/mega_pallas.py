@@ -1398,14 +1398,18 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
 
 
 def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
-                    chunk=None):
+                    chunk=None, stats_ref=None):
     """(intersect, shadow) closures over the frozen scene + SMEM tables,
     picking clustered / static-unroll / dynamic-sweep mode per primitive
     kind. Both take a lanes-relevance mask (the lanes whose result is
     consumed), used only for tile-level culling votes — per-lane results
     for masked-out lanes stay well-defined. `chunk` = (chunk_ref,
     scratch_refs_tuple) for chunked mesh mode (chunk_scratch_shapes
-    order); only _use_tri_chunked scenes consume it."""
+    order); only _use_tri_chunked scenes consume it. `stats_ref`
+    (cfg.count_walk_stats) = an SMEM scalar-cell ref the chunked walks
+    accumulate diagnostics into: cells 4/5 = closest-walk worklist length
+    / chunks swept, 6/7 = the shadow-walk pair (cells 0-3 belong to the
+    regen kernel's phase counters)."""
     SPH, TRIS = fscene.spheres, fscene.triangles
     use_clusters = _use_clusters(fscene, cfg)
     tri_chunked = _use_tri_chunked(fscene, cfg)
@@ -1430,7 +1434,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 top_nodes, sph_slab, chunk_scratch, o, d, a, m, st,
                 SCC, SRPC, SNCH, leaf_size=cfg.pallas_bvh_leaf,
                 prefetch=cfg.pallas_chunk_prefetch,
-                interleave=cfg.pallas_chunk_interleave)
+                interleave=cfg.pallas_chunk_interleave,
+                stats=None if stats_ref is None else (stats_ref, 4))
             return _sphere_state_finish(o, d, st)
 
         def sph_shadow(o, d, tm, lam_, m):
@@ -1443,7 +1448,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 m & (atten > 0.0), atten, SCC, SRPC, SNCH,
                 leaf_size=cfg.pallas_bvh_leaf,
                 prefetch=cfg.pallas_chunk_prefetch,
-                interleave=cfg.pallas_chunk_interleave)
+                interleave=cfg.pallas_chunk_interleave,
+                stats=None if stats_ref is None else (stats_ref, 6))
     elif _use_sph_bvh(fscene, cfg):
         from tpurt.kernels import bvh_pallas
         ALWAYS, TREE_SPH = bvh_pallas.split_huge_spheres(SPH)
@@ -1507,7 +1513,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 CC, RPC, NCH, leaf_size=cfg.pallas_bvh_leaf,
                 cluster_rows=cfg.pallas_bvh_rows,
                 prefetch=cfg.pallas_chunk_prefetch,
-                interleave=cfg.pallas_chunk_interleave)
+                interleave=cfg.pallas_chunk_interleave,
+                stats=None if stats_ref is None else (stats_ref, 4))
             return _tri_state_finish(o, d, res)
 
         def tri_occ(o, d, tm, m):
@@ -1517,7 +1524,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 m, CC, RPC, NCH, leaf_size=cfg.pallas_bvh_leaf,
                 cluster_rows=cfg.pallas_bvh_rows,
                 prefetch=cfg.pallas_chunk_prefetch,
-                interleave=cfg.pallas_chunk_interleave)
+                interleave=cfg.pallas_chunk_interleave,
+                stats=None if stats_ref is None else (stats_ref, 6))
     elif tri_clusters:
         TCL = _tri_cull_tree(TRIS, cfg.pallas_cluster_size)
         tri_hit = lambda o, d, m: _closest_tri_clustered(TCL, o, d, m)

@@ -132,12 +132,20 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
         if budget_mode:
             aux_ref = rest[0]
             rest = rest[1:]
+        if cfg.count_walk_stats:
+            # diagnostics scratch is always the LAST scratch arg
+            stats_ref, rest = rest[-1], rest[:-1]
+        else:
+            stats_ref = None
         if n_slabs:
             out_ref, rays_ref = rest[n_slabs:n_slabs + 2]
             chunk = (list(rest[:n_slabs]), tuple(rest[n_slabs + 2:]))
         else:
             (out_ref, rays_ref), chunk = rest, None
         chunk_scratch_reset(chunk)
+        if stats_ref is not None:
+            for i in range(8):
+                stats_ref[i] = jnp.float32(0.0)
         tile = pl.program_id(0)
         gtile = base_ref[0, 0] + tile
         row = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 0)
@@ -175,7 +183,8 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             cam_dll = (cam_ref[7, 0], cam_ref[7, 1], cam_ref[7, 2])
 
         intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref,
-                                            chunk=chunk)
+                                            chunk=chunk,
+                                            stats_ref=stats_ref)
 
         # persistent planes: accumulation + vispoints live in out_ref
         for ch in range(N_CHANNELS):
@@ -259,6 +268,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             # ---- camera spawn (lax.cond: most iterations have no spawning
             # lane, skipping the ~650-op CIE select chain entirely)
             spawn_c = ~active & (phase == 0) & (sample < spp) & valid_px
+            spawn_c_pre = spawn_c  # for the drift-stall counter below
             if cfg.pallas_regen_drift > 0:
                 # bounded drift (cfg.pallas_regen_drift): hold a lane's
                 # next-sample spawn while it is >= W samples ahead of the
@@ -511,6 +521,22 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             is_cam = phase == 0
             is_ph = phase == 1
 
+            if stats_ref is not None:
+                # cfg.count_walk_stats diagnostics (docs/DESIGN.md):
+                # 0/1 = active camera/photon lane-iterations; 2 = near-
+                # empty ("straggler") iterations, <=64 of `lanes` active;
+                # 3 = lane-iterations stalled by the drift gate. Cells
+                # 4-7 are filled by the chunked walks (_make_scene_fns).
+                n_cam = jnp.sum(_mask_f32(active & is_cam))
+                n_ph = jnp.sum(_mask_f32(active & is_ph))
+                stats_ref[0] = stats_ref[0] + n_cam
+                stats_ref[1] = stats_ref[1] + n_ph
+                stats_ref[2] = stats_ref[2] + jnp.where(
+                    n_cam + n_ph <= 64.0, jnp.float32(1.0),
+                    jnp.float32(0.0))
+                stats_ref[3] = stats_ref[3] + jnp.sum(
+                    _mask_f32(spawn_c_pre & ~spawn_c))
+
             # ---- shared bounce: intersect + material
             if cfg.pallas_phase_split_votes and K > 0:
                 # two phase-split culling votes: each phase prunes like a
@@ -735,6 +761,9 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
         st = jax.lax.while_loop(cond, body, st)
         rays_ref[tile, 0] = st["rays"]
         rays_ref[tile, 1] = st["iters"]
+        if stats_ref is not None:
+            for i in range(8):
+                rays_ref[tile, 2 + i] = stats_ref[i]
 
     return kernel
 
@@ -791,6 +820,13 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
         aux_specs = [pl.BlockSpec((3, R, 128), lambda i: (0, i, 0),
                                   memory_space=pltpu.VMEM)]
     zeros_in = jnp.zeros((R, 128), jnp.int32)
+    # col 0: traced segments, col 1: loop iterations (occupancy
+    # accounting, tpurt/roofline.py); with cfg.count_walk_stats, cols
+    # 2-9 carry the 8 diagnostic cells (see _make_regen_kernel)
+    n_cols = 10 if cfg.count_walk_stats else 2
+    scratch = list(chunk_scratch_shapes(chunk_meta))
+    if cfg.count_walk_stats:
+        scratch.append(pltpu.SMEM((8,), jnp.float32))
     new_planes, rays = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -799,16 +835,16 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
         out_specs=[vb, sm],
         out_shape=[
             jax.ShapeDtypeStruct(planes.shape, jnp.float32),
-            # col 0: traced segments, col 1: loop iterations (occupancy
-            # accounting, tpurt/roofline.py)
-            jax.ShapeDtypeStruct((n_tiles, 2), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, n_cols), jnp.float32),
         ],
-        scratch_shapes=chunk_scratch_shapes(chunk_meta),
+        scratch_shapes=scratch,
         input_output_aliases={0: 0},
         interpret=interpret,
     )(planes, zeros_in, cam, seed_arr, spp_arr, rad_arr, base_arr,
       sph_tab, tri_tab, *aux_args, *chunk_tab)
     if want_iters:
+        if cfg.count_walk_stats:
+            return new_planes, rays[:, 0], rays[:, 1:]
         return new_planes, rays[:, 0], rays[:, 1]
     return new_planes, rays[:, 0]
 
@@ -899,14 +935,21 @@ def _render_regen_stats_jit(fscene, cfg, camera, state, base_seed, spp,
         iteration=state.iteration + spp, photon_radius=r_new,
         rays=state.rays + jnp.sum(rays),
     )
-    return st, jnp.sum(iters)
+    # with cfg.count_walk_stats `iters` is the (n_tiles, 9) matrix
+    # [iters | 8 diagnostic cells] — sum over tiles either way
+    return st, jnp.sum(iters, axis=0)
 
 
 def render_regen_stats(scene, cfg: RenderConfig, camera, state, base_seed,
                        spp, interpret: bool | None = None):
     """render_regen + total kernel loop iterations (occupancy/roofline
     accounting). Only for scenes the regen kernel supports (no XLA
-    fallback — the roofline model is kernel-specific)."""
+    fallback — the roofline model is kernel-specific).
+
+    Returns (state, iters_total) — or, when cfg.count_walk_stats,
+    (state, vec9) where vec9 = [iters, cam_lane_iters, ph_lane_iters,
+    straggler_iters, drift_stall_lane_iters, closest_worklist,
+    closest_swept, shadow_worklist, shadow_swept] summed over tiles."""
     if not supports_scene(scene, cfg):
         raise ValueError("roofline stats need the regen kernel; scene "
                          "exceeds its budget")
