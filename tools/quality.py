@@ -79,6 +79,23 @@ STACKS = {
                          photon_strata_bounce=True,
                          camera_strata_bounce=True, hero_wavelengths=4,
                          photon_strata_window=1),
+    # round-4 config-3 candidates: drift-1 made WIDE windows fast again
+    # (w64 measured 420.7 Mrays/s vs w16's 335 on the bench scene) — but
+    # a 64-sample window folds many samples into one emission-cell epoch,
+    # so the variance cost must be measured before shipping
+    "K2h8_w32": dict(photon_strata=16, photon_strata_dir=256,
+                     photon_strata_shared_k=True, photon_strata_bounce=True,
+                     camera_strata_bounce=True, hero_wavelengths=8,
+                     photon_strata_window=32),
+    "K2h8_w64": dict(photon_strata=16, photon_strata_dir=256,
+                     photon_strata_shared_k=True, photon_strata_bounce=True,
+                     camera_strata_bounce=True, hero_wavelengths=8,
+                     photon_strata_window=64),
+    "K2h8_w128": dict(photon_strata=16, photon_strata_dir=256,
+                      photon_strata_shared_k=True,
+                      photon_strata_bounce=True,
+                      camera_strata_bounce=True, hero_wavelengths=8,
+                      photon_strata_window=128),
     # importance-aimed photon emission (cfg.photon_aim, r2): alone and on
     # top of the shipped config-3 stack (aimed lanes leave the shared
     # strata beam, so the combination must be measured, not assumed)

@@ -469,7 +469,8 @@ def _tri_closest_state(o):
 
 
 def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
-                    stats: bool = False, cluster_rows: int = 0):
+                    stats: bool = False, cluster_rows: int = 0,
+                    t_clip=None):
     """Closest triangle hit via the whole-tile BVH walk.
     Returns (best_t, best_n (3-tuple), best_mat) planes — same contract as
     mega_pallas._closest_tri_clustered's sweep state finish. leaf_size > 0
@@ -477,7 +478,16 @@ def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
     stats=True appends a (nodes, leaves, prims) i32 scalar visit-count
     tuple to the return (profiling only; tools/probe_bvh.py).
     cluster_rows > 0 (cfg.pallas_bvh_rows; requires leaf_size > 0)
-    predicates each leaf's vector sweep per row-cluster."""
+    predicates each leaf's vector sweep per row-cluster.
+
+    t_clip (optional per-lane plane): an EXTERNAL closest-hit bound —
+    the sphere pass's best t (mega_pallas runs spheres first). Nodes
+    entering at tn >= t_clip cannot contain the scene's nearest hit, so
+    they prune exactly like the walk's own live caps. Bit-safe for the
+    combined result: _combine_nearest takes the triangle only on STRICT
+    t_tri < t_sph, and any pruned triangle has t >= its node's tn >=
+    t_clip. (The returned best-TRI t may read MISS where an uncompetitive
+    triangle hit was pruned — only the combined nearest is contractual.)"""
     inv = tuple(1.0 / d[c] for c in range(3))
     state = _tri_closest_state(o)
     if stats:
@@ -486,8 +496,10 @@ def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
 
     leaf_fn = _sweep_leaf_fn(tris, o, d, _tri_closest_body, leaf_size,
                              cluster_rows)
+    cap = ((lambda st: st["t"]) if t_clip is None
+           else (lambda st: jnp.minimum(st["t"], t_clip)))
     st = _bvh_walk(nodes, o, inv,
-                   vote=lambda st: mask, t_cap=lambda st: st["t"],
+                   vote=lambda st: mask, t_cap=cap,
                    leaf_fn=leaf_fn, state=state,
                    leaf_want=cluster_rows > 0)
     out = st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
@@ -1006,14 +1018,19 @@ def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                             mask, chunk_cap: int, rows_pc: int,
                             n_chunks: int, leaf_size: int = 0,
                             cluster_rows: int = 0, prefetch: bool = False,
-                            interleave: bool = False, stats=None):
-    """Chunked closest triangle hit — same contract as closest_tri_bvh.
-    `scratch` = the chunk-DMA scratch refs (see _chunked_walk);
-    stats = optional (smem_ref, base) diagnostic cells (two-phase walk
-    only — the interleaved walk has no worklist to count)."""
+                            interleave: bool = False, stats=None,
+                            t_clip=None):
+    """Chunked closest triangle hit — same contract as closest_tri_bvh
+    (incl. the bit-safe external t_clip bound — here it also caps the
+    PHASE-1 top walk, so chunks entirely beyond the sphere hit never
+    enter the worklist). `scratch` = the chunk-DMA scratch refs (see
+    _chunked_walk); stats = optional (smem_ref, base) diagnostic cells
+    (two-phase walk only — the interleaved walk has no worklist)."""
     state = _tri_closest_state(o)
 
-    kw = dict(vote=lambda st: mask, t_cap=lambda st: st["t"],
+    cap = ((lambda st: st["t"]) if t_clip is None
+           else (lambda st: jnp.minimum(st["t"], t_clip)))
+    kw = dict(vote=lambda st: mask, t_cap=cap,
               leaf_fn_over=lambda tris: _sweep_leaf_fn(
                   tris, o, d, _tri_closest_body, leaf_size, cluster_rows),
               state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
@@ -1023,7 +1040,8 @@ def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                                        o, d, **kw)
     else:
         st = _chunked_walk(top_nodes, chunk_ref, scratch, o, d,
-                           prefetch=prefetch, stats=stats, **kw)
+                           prefetch=prefetch, stats=stats, t_cap0=t_clip,
+                           **kw)
     return st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
 
 

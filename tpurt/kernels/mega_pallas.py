@@ -1506,7 +1506,7 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
         CC, RPC, NCH = (meta["chunk_cap"], meta["rows_pc"],
                         meta["n_chunks"])
 
-        def tri_hit(o, d, m):
+        def tri_hit(o, d, m, t_clip=None):
             top_nodes = bvh_pallas._PackedTable(tri_ref, 0)
             res = bvh_pallas.closest_tri_bvh_chunked(
                 top_nodes, chunk_ref, chunk_scratch, o, d, m,
@@ -1514,7 +1514,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 cluster_rows=cfg.pallas_bvh_rows,
                 prefetch=cfg.pallas_chunk_prefetch,
                 interleave=cfg.pallas_chunk_interleave,
-                stats=None if stats_ref is None else (stats_ref, 4))
+                stats=None if stats_ref is None else (stats_ref, 4),
+                t_clip=t_clip)
             return _tri_state_finish(o, d, res)
 
         def tri_occ(o, d, tm, m):
@@ -1528,16 +1529,17 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 stats=None if stats_ref is None else (stats_ref, 6))
     elif tri_clusters:
         TCL = _tri_cull_tree(TRIS, cfg.pallas_cluster_size)
-        tri_hit = lambda o, d, m: _closest_tri_clustered(TCL, o, d, m)
+        tri_hit = lambda o, d, m, t_clip=None: _closest_tri_clustered(
+            TCL, o, d, m)
         tri_occ = lambda o, d, tm, m: _tri_shadow_clustered(TCL, o, d, tm, m)
     elif _use_tri_bvh(fscene, cfg):
         from tpurt.kernels import bvh_pallas
 
-        def tri_hit(o, d, m):
+        def tri_hit(o, d, m, t_clip=None):
             nodes, tris_v = bvh_pallas.packed_views(tri_ref, len(TRIS))
             best_t, best_n, best_mat = bvh_pallas.closest_tri_bvh(
                 nodes, tris_v, o, d, m, leaf_size=cfg.pallas_bvh_leaf,
-                cluster_rows=cfg.pallas_bvh_rows)
+                cluster_rows=cfg.pallas_bvh_rows, t_clip=t_clip)
             return _tri_state_finish(o, d, (best_t, best_n, best_mat))
 
         def tri_occ(o, d, tm, m):
@@ -1546,15 +1548,23 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 nodes, tris_v, o, d, tm, m, leaf_size=cfg.pallas_bvh_leaf,
                 cluster_rows=cfg.pallas_bvh_rows)
     elif len(TRIS) > cfg.pallas_static_unroll:
-        tri_hit = lambda o, d, m: _closest_tri_dyn(tri_ref, len(TRIS), o, d)
+        tri_hit = lambda o, d, m, t_clip=None: _closest_tri_dyn(
+            tri_ref, len(TRIS), o, d)
         tri_occ = lambda o, d, tm, m: _tri_shadow_dyn(
             tri_ref, len(TRIS), o, d, tm)
     else:
-        tri_hit = lambda o, d, m: _closest_tri_static(TRIS, o, d)
+        tri_hit = lambda o, d, m, t_clip=None: _closest_tri_static(
+            TRIS, o, d)
         tri_occ = lambda o, d, tm, m: _tri_shadow_static(TRIS, o, d, tm)
 
     def intersect(o, d, m):
-        return _combine_nearest(sph_hit(o, d, m), tri_hit(o, d, m))
+        # spheres first (cheap static sweeps / small trees), then the
+        # triangle pass CLIPPED at the sphere-hit distance: ground hits
+        # bound nearly every bounce, so mesh nodes/chunks beyond them
+        # prune away before any sweep. Bit-safe — _combine_nearest takes
+        # the triangle only on strict t_tri < t_sph (see closest_tri_bvh).
+        hs = sph_hit(o, d, m)
+        return _combine_nearest(hs, tri_hit(o, d, m, hs[0]))
 
     def shadow(o, d, tm, lam_, m):
         return jnp.where(tri_occ(o, d, tm, m), 0.0,
