@@ -65,6 +65,7 @@ SLOW_MODULES = {
     "test_photon_rr",       #  94s
     "test_presets_until",   #  97s
     "test_api_doc",         #  94s
+    "test_geometry_shard",  # 8-dev-mesh renders (geometry sharding, r4)
 }
 
 

@@ -291,6 +291,12 @@ class RenderConfig:
     pallas_bvh_chunk_threshold: int = 0  # primitive count above which
     #   chunked mode engages; 0 = MAX_BVH_TRIS / MAX_BVH_SPHERES (tests
     #   lower it to force chunking on small scenes)
+    pallas_tri_clip: bool = True       # run the sphere pass first and clip
+    #   the triangle walks (single-table + chunked, incl. the chunked
+    #   phase-1 top walk) at the sphere-hit distance: ground hits bound
+    #   nearly every bounce, so mesh nodes/chunks beyond them prune before
+    #   any sweep. Bit-safe (see bvh_pallas.closest_tri_bvh); flag exists
+    #   to A/B the scheduling cost of the sph->tri data dependency.
     pallas_sphere_bvh: bool = False    # many-sphere scenes (config 3) run
     #   the same dynamic whole-tile walk instead of the static cull tree:
     #   ordered near-to-far descent + per-lane t caps, O(1) compile time.

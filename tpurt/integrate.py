@@ -89,6 +89,15 @@ def material_lookup(scene, mat_id):
     return color, rough, ior, mtype
 
 
+# Geometry-sharding hook (tpurt.parallel.geometry): when set (trace-time,
+# inside a shard_map body), intersect_scene/_shadow results computed
+# against the DEVICE-LOCAL triangle shard are combined across the mesh
+# axis (nearest hit / min attenuation) right here, so every caller up the
+# stack — NEE, camera loop, photon walk — sees globally-correct hits with
+# no other code aware of the sharding. None = single-device (default).
+_GEOM_HOOK = None
+
+
 def intersect_scene(scene, cfg: RenderConfig, ray_o, ray_d):
     """Nearest hit against spheres + mesh (ref: mega_kernel.wgsl:874-878)."""
     hit = closest_sphere_hit(
@@ -105,16 +114,24 @@ def intersect_scene(scene, cfg: RenderConfig, ray_o, ray_d):
                 scene.tri_n, scene.tri_mat, chunk=cfg.tri_chunk,
             )
         hit = combine_hits(hit, tri)
+    if _GEOM_HOOK is not None:
+        hit = _GEOM_HOOK.combine_hit(hit)
     return hit
 
 
 def _shadow(scene, cfg, o, d, t_max, lam):
-    return shadow_attenuation(
+    atten = shadow_attenuation(
         o, d, t_max, lam,
         scene.sph_center, scene.sph_radius, scene.sph_mtype, scene.sph_ior,
         scene.tri_a, scene.tri_e1, scene.tri_e2,
         chunk=cfg.sphere_chunk, tri_chunk=cfg.tri_chunk,
     )
+    if _GEOM_HOOK is not None:
+        # the sphere factor is replicated (identical on every device) and
+        # the local triangle term only ZEROES it, so the global
+        # attenuation is exactly the mesh-wide minimum
+        atten = _GEOM_HOOK.combine_shadow(atten)
+    return atten
 
 
 def light_emission_rgb(scene, lam):

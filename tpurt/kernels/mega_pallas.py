@@ -1563,8 +1563,10 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
         # bound nearly every bounce, so mesh nodes/chunks beyond them
         # prune away before any sweep. Bit-safe — _combine_nearest takes
         # the triangle only on strict t_tri < t_sph (see closest_tri_bvh).
+        # cfg.pallas_tri_clip=False restores the independent passes.
         hs = sph_hit(o, d, m)
-        return _combine_nearest(hs, tri_hit(o, d, m, hs[0]))
+        clip = hs[0] if cfg.pallas_tri_clip else None
+        return _combine_nearest(hs, tri_hit(o, d, m, clip))
 
     def shadow(o, d, tm, lam_, m):
         return jnp.where(tri_occ(o, d, tm, m), 0.0,
