@@ -91,6 +91,16 @@ STACKS = {
                      photon_strata_shared_k=True, photon_strata_bounce=True,
                      camera_strata_bounce=True, hero_wavelengths=8,
                      photon_strata_window=64),
+    "K2h8_w64_d512": dict(photon_strata=16, photon_strata_dir=512,
+                      photon_strata_shared_k=True,
+                      photon_strata_bounce=True,
+                      camera_strata_bounce=True, hero_wavelengths=8,
+                      photon_strata_window=64),
+    "K2h8_w64_d1024": dict(photon_strata=16, photon_strata_dir=1024,
+                       photon_strata_shared_k=True,
+                       photon_strata_bounce=True,
+                       camera_strata_bounce=True, hero_wavelengths=8,
+                       photon_strata_window=64),
     "K2h8_w128": dict(photon_strata=16, photon_strata_dir=256,
                       photon_strata_shared_k=True,
                       photon_strata_bounce=True,

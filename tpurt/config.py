@@ -331,6 +331,12 @@ class RenderConfig:
     #   leave 0 for converged or benchmark renders.
     # Instrumentation
     count_rays: bool = True            # accumulate traced-segment counter
+    count_iters: bool = False          # regen kernel: carry a per-tile
+    #   loop-iteration counter (rays_ref col 1) — the occupancy input of
+    #   tpurt/roofline.py. Compiled out by default: the counter itself is
+    #   one scalar add, but keeping the TIMED bench kernels byte-identical
+    #   to the shipped ones matters more than saving the roofline probe a
+    #   second compile. render_regen_stats forces it on.
     count_walk_stats: bool = False     # regen kernel: per-tile diagnostic
     #   counters (phase-active lane sums per iteration; chunked-walk
     #   worklist lengths and chunks actually swept, closest vs shadow) —

@@ -220,11 +220,12 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             "rng": izero.astype(jnp.uint32),
             "radius": zero + r0,
             "rays": jnp.float32(0.0),
+        }
+        if cfg.count_iters or cfg.count_walk_stats:
             # loop-iteration counter (roofline/occupancy accounting,
             # tpurt/roofline.py): occupancy = rays / (iters * lanes).
-            # One scalar add per iteration — free next to the body.
-            "iters": jnp.float32(0.0),
-        }
+            # Flag-gated so shipped kernels stay byte-identical.
+            st["iters"] = jnp.float32(0.0)
         if track_collapse:
             st["emh"] = tuple(zero for _ in range(3 * L))
             st["coll"] = izero
@@ -751,8 +752,9 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 "tp": s.vwhere(cont, new_tp, tp),
                 "rad": rad, "lam": lam, "em": em, "rng": rng,
                 "radius": radius, "rays": rays,
-                "iters": st["iters"] + 1.0,
             }
+            if "iters" in st:
+                out["iters"] = st["iters"] + 1.0
             if track_collapse:
                 out["emh"] = emh
                 out["coll"] = coll
@@ -760,7 +762,8 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
 
         st = jax.lax.while_loop(cond, body, st)
         rays_ref[tile, 0] = st["rays"]
-        rays_ref[tile, 1] = st["iters"]
+        if "iters" in st:
+            rays_ref[tile, 1] = st["iters"]
         if stats_ref is not None:
             for i in range(8):
                 rays_ref[tile, 2 + i] = stats_ref[i]
@@ -820,10 +823,12 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
         aux_specs = [pl.BlockSpec((3, R, 128), lambda i: (0, i, 0),
                                   memory_space=pltpu.VMEM)]
     zeros_in = jnp.zeros((R, 128), jnp.int32)
-    # col 0: traced segments, col 1: loop iterations (occupancy
-    # accounting, tpurt/roofline.py); with cfg.count_walk_stats, cols
-    # 2-9 carry the 8 diagnostic cells (see _make_regen_kernel)
-    n_cols = 10 if cfg.count_walk_stats else 2
+    # col 0: traced segments; col 1 (cfg.count_iters): loop iterations
+    # (occupancy accounting, tpurt/roofline.py); with
+    # cfg.count_walk_stats, cols 2-9 carry the 8 diagnostic cells
+    # (see _make_regen_kernel)
+    n_cols = (10 if cfg.count_walk_stats
+              else 2 if cfg.count_iters else 1)
     scratch = list(chunk_scratch_shapes(chunk_meta))
     if cfg.count_walk_stats:
         scratch.append(pltpu.SMEM((8,), jnp.float32))
@@ -843,6 +848,10 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
     )(planes, zeros_in, cam, seed_arr, spp_arr, rad_arr, base_arr,
       sph_tab, tri_tab, *aux_args, *chunk_tab)
     if want_iters:
+        if not (cfg.count_iters or cfg.count_walk_stats):
+            raise ValueError("want_iters needs cfg.count_iters (or "
+                             "count_walk_stats) — the counter is "
+                             "compiled out otherwise")
         if cfg.count_walk_stats:
             return new_planes, rays[:, 0], rays[:, 1:]
         return new_planes, rays[:, 0], rays[:, 1]
@@ -955,6 +964,8 @@ def render_regen_stats(scene, cfg: RenderConfig, camera, state, base_seed,
                          "exceeds its budget")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if not (cfg.count_iters or cfg.count_walk_stats):
+        cfg = cfg.with_(count_iters=True)   # the counter this path reads
     fscene = freeze_scene(scene)
     return _render_regen_stats_jit(fscene, cfg, camera, state,
                                    jnp.asarray(base_seed, jnp.uint32),
