@@ -213,6 +213,17 @@ class RenderConfig:
     #   drift=1 + window=16 (334.8 in the round-3 BENCH_ALL artifact).
     #   Loose bounds (drift=8) capture almost none of the win — bound
     #   tightly or not at all.
+    pallas_regen_drift_cam: int = 0    # CAMERA-spawn drift bound (0 = use
+    #   pallas_regen_drift). Round-4 stats on the field scene measured
+    #   ~29% of lane-slots stalled at the tight drift gate while camera
+    #   work is only ~14% of lane time: with drift_cam > drift, a lane
+    #   done with photons of sample s may start camera(s+1..s+drift_cam)
+    #   early — primary rays are pixel-coherent regardless of strata
+    #   epoch — while PHOTON-phase entry stays gated at the tight bound
+    #   (spawn_p holds at k==0 until the tile minimum catches up). The
+    #   per-lane sequence camera(s) -> photons(s) is unchanged, so
+    #   results stay bit-identical; this only overlaps one lane's camera
+    #   path with other lanes' photon walks.
     pallas_static_unroll: int = 32     # spheres baked into the instruction
     #   stream up to this count (fastest; compile grows with count — 257
     #   spheres measured 23.5 s-6 min, the spread being compile-service

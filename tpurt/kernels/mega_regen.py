@@ -270,6 +270,11 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             # lane, skipping the ~650-op CIE select chain entirely)
             spawn_c = ~active & (phase == 0) & (sample < spp) & valid_px
             spawn_c_pre = spawn_c  # for the drift-stall counter below
+            # camera drift bound: pallas_regen_drift_cam (0 = the tight
+            # bound) lets camera spawns run ahead of the photon gate —
+            # see config.py; photon-phase entry is gated separately below
+            drift_cam = (cfg.pallas_regen_drift_cam
+                         or cfg.pallas_regen_drift)
             if cfg.pallas_regen_drift > 0:
                 # bounded drift (cfg.pallas_regen_drift): hold a lane's
                 # next-sample spawn while it is >= W samples ahead of the
@@ -284,7 +289,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 min_s = jnp.min(jnp.where(
                     live, sample,
                     jnp.int32(2 ** 30) if budget_mode else spp))
-                spawn_c &= sample < min_s + np.int32(cfg.pallas_regen_drift)
+                spawn_c &= sample < min_s + np.int32(drift_cam)
             # global sample index = iteration at call start + local sample:
             # progressive continuation draws NEW samples, never repeats
             samp_seed = _frame_seed(base_seed, it0_i + sample)
@@ -391,6 +396,16 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             # on iterations where some lane transitions
             if K > 0:
                 spawn_p = ~active & (phase == 1) & (k < K)
+                if (cfg.pallas_regen_drift > 0
+                        and drift_cam > cfg.pallas_regen_drift):
+                    # photon-phase entry keeps the TIGHT bound: a lane
+                    # whose camera pass ran ahead holds at k==0 until the
+                    # tile minimum catches up (photons are the
+                    # epoch-coherence-critical phase; k>0 continues
+                    # freely — same sample, same epoch)
+                    spawn_p &= (k > 0) | (
+                        sample < min_s
+                        + np.int32(cfg.pallas_regen_drift))
 
                 def _ph_spawn_vals(_):
                     # ONE vectorized construction with the lane's own k as
