@@ -106,6 +106,12 @@ STACKS = {
                       photon_strata_bounce=True,
                       camera_strata_bounce=True, hero_wavelengths=8,
                       photon_strata_window=128),
+    # w64 with K-diverse emission cells (shared_k off): 4x the cell
+    # diversity inside the long epoch, a variance-recovery candidate
+    "K2h8_w64_nok": dict(photon_strata=16, photon_strata_dir=256,
+                         photon_strata_bounce=True,
+                         camera_strata_bounce=True, hero_wavelengths=8,
+                         photon_strata_window=64),
     # importance-aimed photon emission (cfg.photon_aim, r2): alone and on
     # top of the shipped config-3 stack (aimed lanes leave the shared
     # strata beam, so the combination must be measured, not assumed)
