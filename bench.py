@@ -220,7 +220,6 @@ def run_config(config_id: int, small: bool, spp: int, verbose: bool) -> dict:
     # compiled out of shipped kernels) runs in ONE separate untimed
     # stats call afterwards — same scene/config, adjacent progressive
     # state, so the occupancy ratio matches the timed region to noise.
-    # Wavefront configs (5) have no counter yet and skip the fields.
     roofline = None
     step = render
     if cfg.backend == "pallas" and cfg.pallas_regen:
@@ -229,6 +228,11 @@ def run_config(config_id: int, small: bool, spp: int, verbose: bool) -> dict:
             from tpurt import roofline as rl
             from tpurt.kernels.mega_pallas import freeze_scene
             roofline = rl.regen_iteration_cost(freeze_scene(scene), cfg)
+    elif cfg.backend == "wavefront_fused":
+        from tpurt.kernels.mega_pallas import supports_scene
+        if supports_scene(scene, cfg):
+            from tpurt import roofline as rl
+            roofline = rl.fused_wavefront_iteration_cost(cfg, scene)
 
     state = init_state(cfg)
     # Warmup with the SAME spp (spp is a static jit arg — a different count
@@ -284,9 +288,14 @@ def run_config(config_id: int, small: bool, spp: int, verbose: bool) -> dict:
     }
     if roofline is not None:
         from tpurt import roofline as rl
-        from tpurt.kernels.mega_regen import render_regen_stats
-        state, iters = render_regen_stats(scene, cfg, cam, state, 1234,
-                                          spp)
+        if cfg.backend == "wavefront_fused":
+            from tpurt.kernels.wavefront_pallas import wavefront_fused_stats
+            state, iters = wavefront_fused_stats(scene, cfg, cam, state,
+                                                 1234, spp)
+        else:
+            from tpurt.kernels.mega_regen import render_regen_stats
+            state, iters = render_regen_stats(scene, cfg, cam, state,
+                                              1234, spp)
         jax.block_until_ready(state)
         result.update(rl.roofline_fields(
             roofline["ops_per_iter"], float(iters), rays,

@@ -614,6 +614,10 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             "rng": jnp.zeros_like(px).astype(jnp.uint32),
             "rays": jnp.float32(0.0),
         }
+        if cfg.count_iters:
+            # roofline/occupancy loop counter (cfg.count_iters — compiled
+            # out of shipped kernels; see kernels/mega_regen.py)
+            st["iters"] = jnp.float32(0.0)
 
         def cond(st):
             return st["anywork"] > 0
@@ -821,7 +825,7 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             cont_i = _mask_i32(cont)
             anywork = jnp.max(_mask_i32(((sample < spp) & valid_px)
                                         | (cont_i > 0)))
-            return {
+            out = {
                 "anywork": anywork,
                 "sample": sample, "active": cont_i,
                 "bounce": bounce + 1,
@@ -831,9 +835,14 @@ def _make_fused_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
                 "rad": rad, "lam": lam, "em": em, "rng": rng,
                 "rays": rays,
             }
+            if "iters" in st:
+                out["iters"] = st["iters"] + 1.0
+            return out
 
         st = jax.lax.while_loop(cond, body, st)
         rays_ref[tile, 0] = st["rays"]
+        if "iters" in st:
+            rays_ref[tile, 1] = st["iters"]
 
     return kernel
 
@@ -877,7 +886,9 @@ def _fused_wavefront_jit(fscene, cfg, camera, state, base_seed, spp,
         out_specs=[vb3, sm],
         out_shape=[
             jax.ShapeDtypeStruct(acc.shape, jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1), jnp.float32),
+            # col 1 (cfg.count_iters): loop iterations — roofline probe
+            jax.ShapeDtypeStruct((n_tiles, 2 if cfg.count_iters else 1),
+                                 jnp.float32),
         ],
         scratch_shapes=chunk_scratch_shapes(chunk_meta),
         input_output_aliases={0: 0},
@@ -887,13 +898,14 @@ def _fused_wavefront_jit(fscene, cfg, camera, state, base_seed, spp,
 
     flat = new_acc.reshape(3, P)
     rgb = jnp.stack([flat[0], flat[1], flat[2]], axis=-1)
-    return dataclasses.replace(
+    st = dataclasses.replace(
         state,
         rgb_sum=rgb,
         n_samples=state.n_samples + spp.astype(jnp.float32),
         iteration=state.iteration + spp,
-        rays=state.rays + jnp.sum(rays),
+        rays=state.rays + jnp.sum(rays[:, 0]),
     )
+    return (st, jnp.sum(rays[:, 1])) if cfg.count_iters else st
 
 
 @functools.partial(jax.jit,
@@ -996,12 +1008,33 @@ def wavefront_render_fused(scene, cfg: RenderConfig, camera,
     """Fully-fused wavefront render: per-lane sample regeneration inside one
     Pallas kernel (see module notes) — no host stages between bounces.
     Same per-(pixel, sample) streams as tpurt.wavefront; falls back to the
-    XLA wavefront for scenes beyond the kernel budget."""
+    XLA wavefront for scenes beyond the kernel budget.
+
+    With cfg.count_iters the plain RenderState is still returned (the
+    iteration total is dropped here — use wavefront_fused_stats)."""
     from tpurt.render import _check_camera_kind   # deferred: import cycle
     _check_camera_kind(cfg, camera)
     if not supports_scene(scene, cfg):
         from tpurt.wavefront import wavefront_render
         return wavefront_render(scene, cfg, camera, state, base_seed, spp)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    fscene = freeze_scene(scene)
+    out = _fused_wavefront_jit(fscene, cfg, camera, state,
+                               jnp.asarray(base_seed, jnp.uint32),
+                               jnp.asarray(spp, jnp.int32), interpret)
+    return out[0] if cfg.count_iters else out
+
+
+def wavefront_fused_stats(scene, cfg: RenderConfig, camera, state,
+                          base_seed, spp, interpret: bool | None = None):
+    """wavefront_render_fused + total kernel loop iterations (the
+    occupancy/roofline probe — twin of mega_regen.render_regen_stats)."""
+    if not supports_scene(scene, cfg):
+        raise ValueError("roofline stats need the fused kernel; scene "
+                         "exceeds its budget")
+    if not cfg.count_iters:
+        cfg = cfg.with_(count_iters=True)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     fscene = freeze_scene(scene)

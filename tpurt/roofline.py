@@ -218,12 +218,17 @@ def regen_iteration_cost(fscene, cfg):
                              jnp.int32(4), jnp.int32(0), jnp.float32(2.0),
                              0, interpret=False)
 
-    jaxpr = jax.make_jaxpr(step)(planes)
+    return _main_loop_cost(step, planes)
+
+
+def _main_loop_cost(step, *args):
+    """Trace `step`, find its Pallas kernel's top-level while (the
+    per-lane regeneration loop) and count one body pass."""
+    jaxpr = jax.make_jaxpr(step)(*args)
     kernels = _find_pallas_kernels(jaxpr.jaxpr)
     if not kernels:
         raise ValueError("no pallas_call found — not a Pallas config?")
     kj = kernels[0]
-    # the regen loop is the kernel's top-level while
     whiles = [e for e in kj.eqns if e.primitive.name == "while"]
     if not whiles:
         raise ValueError("no top-level while in the kernel jaxpr")
@@ -235,6 +240,27 @@ def regen_iteration_cost(fscene, cfg):
         # walk/chunk loops, counted once each (LOWER-bound caveat)
         "nested": [(n, o) for n, o, *_ in body["nested"]],
     }
+
+
+def fused_wavefront_iteration_cost(cfg, scene):
+    """regen_iteration_cost's twin for the fused wavefront kernel
+    (bench config 5): same extraction, the wavefront's main loop.
+    Takes the concrete scene (freezes internally)."""
+    from tpurt.camera import make_camera
+    from tpurt.kernels import wavefront_pallas as wf
+    from tpurt.render import init_state
+
+    cam = make_camera((0.0, 0.0, 0.0), (0.0, 0.0, 1.0), vfov=60.0,
+                      aspect_ratio=cfg.width / cfg.height)
+    state = init_state(cfg)
+    fscene = wf.freeze_scene(scene)
+
+    def step(st):
+        out = wf._fused_wavefront_jit(fscene, cfg, cam, st,
+                                      jnp.uint32(1), jnp.int32(4), False)
+        return (out[0] if cfg.count_iters else out).rgb_sum
+
+    return _main_loop_cost(step, state)
 
 
 def roofline_fields(ops_per_iter: float, iters_total: float,
