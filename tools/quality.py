@@ -25,10 +25,14 @@ import argparse
 import json
 
 import jax
-# QUALITY_PLATFORM=tpu runs the probe on the accelerator (useful when the
-# CPU is busy with the test suite); the estimator is backend-identical
-jax.config.update("jax_platforms",
-                  _os.environ.get("QUALITY_PLATFORM", "cpu"))
+# QUALITY_PLATFORM=tpu runs the probe on the accelerator — REQUIRED when
+# TPU perf probes are queued (a concurrent CPU run starves the axon
+# tunnel's host side and pollutes their timings by 20-40%, measured
+# round 4); the estimator is backend-identical. The accelerator platform
+# is the site default ("axon,cpu" — NOT named "tpu"), so anything but
+# "cpu" just leaves the site config in charge.
+if _os.environ.get("QUALITY_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 
 
@@ -136,6 +140,16 @@ def build(scene_name):
     elif scene_name == "mesh":
         scene = torus_mesh_scene(16, 8)
         cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
+                          aspect_ratio=2.0)
+        kw = dict(width=64, height=32, depth=16)
+    elif scene_name == "field":
+        # shrunk twin of the spatially-distributed field scene (bench
+        # config 9): 4 small tori spread on the ground — measures whether
+        # the strata machinery still pays when shadow/photon traffic
+        # crosses several objects (VERDICT r3 item 8)
+        from tpurt import torus_field_scene
+        scene = torus_field_scene(4, 12, 6)
+        cam = make_camera((0, 14, -16), (0, 1, 10), vfov=55.0,
                           aspect_ratio=2.0)
         kw = dict(width=64, height=32, depth=16)
     else:
@@ -283,7 +297,7 @@ def main():
     ap.add_argument("--reps", type=int, default=8)
 
     ap.add_argument("--scene", default="config3",
-                    choices=["config3", "mesh", "cornell"])
+                    choices=["config3", "mesh", "cornell", "field"])
     ap.add_argument("--stacks", nargs="*", default=list(STACKS))
     ap.add_argument("--adaptive", action="store_true",
                     help="adaptive-vs-uniform equal-ray MSE probe instead "
