@@ -66,6 +66,7 @@ SLOW_MODULES = {
     "test_presets_until",   #  97s
     "test_api_doc",         #  94s
     "test_geometry_shard",  # 8-dev-mesh renders (geometry sharding, r4)
+    "test_sched_flags",     # chunked interpret renders (r4 flags)
 }
 
 

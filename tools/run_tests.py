@@ -67,6 +67,10 @@ def main():
     ap.add_argument("--fast-only", action="store_true")
     ap.add_argument("--modules", nargs="*",
                     help="run only these slow modules (still per-process)")
+    ap.add_argument("--merge", action="store_true",
+                    help="update the existing TESTS.json with this run's "
+                         "module results instead of starting fresh (for "
+                         "modules added after a full run)")
     ap.add_argument("--out", default=os.path.join(ROOT, "TESTS.json"))
     args = ap.parse_args()
 
@@ -76,6 +80,11 @@ def main():
             " --fast-only" if args.fast_only else ""),
         "modules": {},
     }
+    if args.merge and os.path.exists(args.out):
+        prev = json.load(open(args.out))
+        report["modules"] = prev.get("modules", {})
+        if "fast_tier" in prev:
+            report["fast_tier"] = prev["fast_tier"]
 
     if not args.modules:
         print("== fast tier (one process) ==", flush=True)
