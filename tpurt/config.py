@@ -302,6 +302,16 @@ class RenderConfig:
     pallas_bvh_chunk_threshold: int = 0  # primitive count above which
     #   chunked mode engages; 0 = MAX_BVH_TRIS / MAX_BVH_SPHERES (tests
     #   lower it to force chunking on small scenes)
+    pallas_mxu_leaf: bool = False      # EXPERIMENTAL (round 4): run the
+    #   single-table triangle walk's closest-hit leaf tests as MXU
+    #   all-pairs matmuls (Moller-Trumbore is linear in [d | o x d | o |
+    #   1]; bvh_pallas.build_tri_gmat) instead of the unrolled VPU/scalar
+    #   sweep. Measured 1.49x the sweep's leaf throughput and ~7x faster
+    #   Mosaic compiles (tools/probe_mxu_leaf.py). NOT bit-identical to
+    #   the sweep/XLA path: different rounding flips ~0.3% of grazing-ray
+    #   hit decisions — hence opt-in; the exactness contracts hold only
+    #   with the flag off. Regenerative kernel, non-chunked meshes,
+    #   closest-hit only (shadow walks keep the sweep).
     pallas_tri_clip: bool = True       # run the sphere pass first and clip
     #   the triangle walks (single-table + chunked, incl. the chunked
     #   phase-1 top walk) at the sphere-hit distance: ground hits bound

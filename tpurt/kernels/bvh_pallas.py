@@ -294,6 +294,121 @@ def _tri_record(tris: _PackedTable, ti):
     return av, e1, e2, n, mat
 
 
+def build_tri_gmat(tri_tab: np.ndarray, leaf_cap: int) -> np.ndarray:
+    """Host: the MXU all-pairs leaf-test matrix for an ALREADY leaf-ordered
+    triangle table (build_tri_bvh_tables output — same permutation by
+    construction). Moller-Trumbore is linear in the lane feature vector
+    f = [d | o x d | o | 1] (docs/DESIGN.md, round-4 MXU-leaf section):
+
+        det   = d . (-N)                    N = e1 x e2
+        u*det = (o x d) . e2 + d . (a x e2)
+        v*det = (o x d) . (-e1) + d . (e1 x a)
+        t*det = o . N - a . N
+
+    Returns (T + leaf_cap, 72) f32: per-triangle row = four 16-float
+    blocks (det, u_num, v_num, t_num coefficient columns over f) + the
+    shading payload [nx ny nz mat | pad 4] — sliced per leaf on the
+    SUBLANE dim (pl.ds(first, leaf_cap)); the leaf_cap zero guard rows
+    produce det == 0 -> invalid, so over-reads are inert."""
+    T = tri_tab.shape[0]
+    a = tri_tab[:, 0:3]
+    e1 = tri_tab[:, 3:6]
+    e2 = tri_tab[:, 6:9]
+    n_unit = tri_tab[:, 9:12]
+    mat = tri_tab[:, 12]
+    N = np.cross(e1, e2)
+    g = np.zeros((T + max(1, int(leaf_cap)), 72), np.float32)
+    # block 0: det  (rows 0:3 = d coefficients)
+    g[:T, 0:3] = -N
+    # block 1: u_num (rows 0:3 = d, rows 3:6 = o x d)
+    g[:T, 16:19] = np.cross(a, e2)
+    g[:T, 19:22] = e2
+    # block 2: v_num
+    g[:T, 32:35] = np.cross(e1, a)
+    g[:T, 35:38] = -e1
+    # block 3: t_num (rows 6:9 = o, row 9 = const)
+    g[:T, 48 + 6:48 + 9] = N
+    g[:T, 48 + 9] = -np.einsum("ij,ij->i", a, N)
+    # payload
+    g[:T, 64:67] = n_unit
+    g[:T, 67] = mat
+    return g
+
+
+def _make_mxu_leaf_fn(o, d, g_ref, leaf_cap: int):
+    """Closest-hit leaf_fn over the MXU all-pairs representation: four
+    (leaf, 16) x (16, 128) matmuls per 128-lane row against the leaf's
+    G-matrix slice, a divide/compare epilogue, and an exclusive-first-min
+    one-hot matmul for the winning triangle's normal/material.
+
+    NOT bit-identical to the record sweep (different rounding at grazing
+    hits — measured 99.7% hit/miss agreement, tools/probe_mxu_leaf.py);
+    opt-in via cfg.pallas_mxu_leaf."""
+    R = o[0].shape[0]
+    oxd = (o[1] * d[2] - o[2] * d[1],
+           o[2] * d[0] - o[0] * d[2],
+           o[0] * d[1] - o[1] * d[0])
+    feats = (*d, *oxd, *o, jnp.ones_like(o[0]))
+    eps = jnp.float32(1.17549435e-38)
+
+    def leaf_fn(first, count, st):
+        g = g_ref[pl.ds(first, leaf_cap), :]      # (leaf, 72)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (leaf_cap, 128), 0)
+        in_leaf = sub < count
+        rows_t = []
+        rows_nx = []
+        rows_ny = []
+        rows_nz = []
+        rows_mat = []
+        for r in range(R):
+            fr = [f[r:r + 1, :] for f in feats]
+            fr += [jnp.zeros_like(fr[0])] * (16 - len(fr))
+            F = jnp.concatenate(fr, axis=0)       # (16, 128)
+            det = jax.lax.dot(g[:, 0:16], F,
+                              preferred_element_type=jnp.float32)
+            un = jax.lax.dot(g[:, 16:32], F,
+                             preferred_element_type=jnp.float32)
+            vn = jax.lax.dot(g[:, 32:48], F,
+                             preferred_element_type=jnp.float32)
+            tn = jax.lax.dot(g[:, 48:64], F,
+                             preferred_element_type=jnp.float32)
+            s_ = jnp.where(det >= 0.0, 1.0, -1.0)
+            ad = det * s_
+            us = un * s_
+            vs = vn * s_
+            ts = tn / jnp.where(ad >= eps, det, 1.0)
+            ok = (in_leaf & (ad >= eps) & (us >= 0.0) & (vs >= 0.0)
+                  & (us <= ad) & (us + vs <= ad) & (ts > eps))
+            tv = jnp.where(ok, ts, MISS)          # (leaf, 128)
+            tmin = jnp.min(tv, axis=0, keepdims=True)       # (1, 128)
+            # exclusive first-min one-hot (no cumsum: two min-reduces)
+            eq = tv <= tmin
+            fidx = jnp.min(jnp.where(eq, sub, jnp.int32(leaf_cap)),
+                           axis=0, keepdims=True)
+            onehot = jnp.where(sub == fidx, 1.0, 0.0)       # (leaf, 128)
+            pay = jax.lax.dot(g[:, 64:68].T, onehot,
+                              preferred_element_type=jnp.float32)  # (4,128)
+            rows_t.append(tmin)
+            rows_nx.append(pay[0:1])
+            rows_ny.append(pay[1:2])
+            rows_nz.append(pay[2:3])
+            rows_mat.append(pay[3:4])
+        t_new = jnp.concatenate(rows_t, axis=0)             # (R, 128)
+        better = t_new < st["t"]
+        return {
+            **st,
+            "t": jnp.where(better, t_new, st["t"]),
+            "nx": jnp.where(better, jnp.concatenate(rows_nx, 0), st["nx"]),
+            "ny": jnp.where(better, jnp.concatenate(rows_ny, 0), st["ny"]),
+            "nz": jnp.where(better, jnp.concatenate(rows_nz, 0), st["nz"]),
+            "mat": jnp.where(better,
+                             jnp.concatenate(rows_mat, 0).astype(jnp.int32),
+                             st["mat"]),
+        }
+
+    return leaf_fn
+
+
 def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True,
               leaf_want=False, leaf_node=False, stack_ref=None):
     """Shared whole-tile stack walk. vote(state) -> relevance mask plane;
@@ -470,7 +585,7 @@ def _tri_closest_state(o):
 
 def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
                     stats: bool = False, cluster_rows: int = 0,
-                    t_clip=None):
+                    t_clip=None, mxu_g_ref=None):
     """Closest triangle hit via the whole-tile BVH walk.
     Returns (best_t, best_n (3-tuple), best_mat) planes — same contract as
     mega_pallas._closest_tri_clustered's sweep state finish. leaf_size > 0
@@ -494,8 +609,14 @@ def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
         state.update(_nodes=jnp.int32(0), _leaves=jnp.int32(0),
                      _prims=jnp.int32(0))
 
-    leaf_fn = _sweep_leaf_fn(tris, o, d, _tri_closest_body, leaf_size,
-                             cluster_rows)
+    if mxu_g_ref is not None:
+        # cfg.pallas_mxu_leaf: MXU all-pairs leaf tests (numerically
+        # different at grazing rays — see _make_mxu_leaf_fn)
+        assert leaf_size > 0, "pallas_mxu_leaf needs an unrolled leaf cap"
+        leaf_fn = _make_mxu_leaf_fn(o, d, mxu_g_ref, leaf_size)
+    else:
+        leaf_fn = _sweep_leaf_fn(tris, o, d, _tri_closest_body, leaf_size,
+                                 cluster_rows)
     cap = ((lambda st: st["t"]) if t_clip is None
            else (lambda st: jnp.minimum(st["t"], t_clip)))
     st = _bvh_walk(nodes, o, inv,

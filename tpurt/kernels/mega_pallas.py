@@ -1214,6 +1214,29 @@ def _use_tri_bvh(fscene: FrozenScene, cfg: RenderConfig) -> bool:
             and not _use_tri_chunked(fscene, cfg))
 
 
+def _use_mxu_leaf(fscene: FrozenScene, cfg: RenderConfig) -> bool:
+    """cfg.pallas_mxu_leaf engages on the single-table triangle walk only
+    (regen kernel; chunked slabs would need a second slab stream)."""
+    return cfg.pallas_mxu_leaf and _use_tri_bvh(fscene, cfg)
+
+
+@functools.lru_cache(maxsize=4)
+def _gmat_build_cached(triangles, leaf: int, sah: bool):
+    from tpurt.kernels import bvh_pallas
+    tri_tab, _, _ = bvh_pallas.build_tri_bvh_tables(triangles, leaf, sah)
+    return jnp.asarray(bvh_pallas.build_tri_gmat(tri_tab, leaf))
+
+
+def _gmat_table(fscene: FrozenScene, cfg: RenderConfig):
+    """() or (G,) — the MXU leaf-test matrix (VMEM input; see
+    bvh_pallas.build_tri_gmat). Built from the SAME leaf-ordered table as
+    the walk's SMEM nodes, so `first` indexes both consistently."""
+    if not _use_mxu_leaf(fscene, cfg):
+        return ()
+    return (_gmat_build_cached(fscene.triangles, cfg.pallas_bvh_leaf,
+                               cfg.pallas_bvh_sah),)
+
+
 def _tri_chunk_engages(n_tris: int, cfg: RenderConfig) -> bool:
     """Count-level chunk-engagement predicate — ONE definition shared by
     the dispatch (_use_tri_chunked) and supports_scene, so the two can
@@ -1398,7 +1421,7 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
 
 
 def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
-                    chunk=None, stats_ref=None):
+                    chunk=None, stats_ref=None, mxu_g_ref=None):
     """(intersect, shadow) closures over the frozen scene + SMEM tables,
     picking clustered / static-unroll / dynamic-sweep mode per primitive
     kind. Both take a lanes-relevance mask (the lanes whose result is
@@ -1539,7 +1562,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
             nodes, tris_v = bvh_pallas.packed_views(tri_ref, len(TRIS))
             best_t, best_n, best_mat = bvh_pallas.closest_tri_bvh(
                 nodes, tris_v, o, d, m, leaf_size=cfg.pallas_bvh_leaf,
-                cluster_rows=cfg.pallas_bvh_rows, t_clip=t_clip)
+                cluster_rows=cfg.pallas_bvh_rows, t_clip=t_clip,
+                mxu_g_ref=mxu_g_ref)
             return _tri_state_finish(o, d, (best_t, best_n, best_mat))
 
         def tri_occ(o, d, tm, m):

@@ -122,16 +122,22 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
     if ANY_EM and C_HERO > 1:
         EMB_TAB = hero_emission_table((1.0, 1.0, 1.0), 1.0, 0.0, C_HERO)
 
-    from tpurt.kernels.mega_pallas import (_use_sph_chunked,
+    from tpurt.kernels.mega_pallas import (_use_mxu_leaf,
+                                           _use_sph_chunked,
                                            _use_tri_chunked)
     n_slabs = (int(_use_tri_chunked(fscene, cfg))
                + int(_use_sph_chunked(fscene, cfg)))
+    use_mxu = _use_mxu_leaf(fscene, cfg)
 
     def kernel(planes_ref, z_ref, cam_ref, seed_ref, spp_ref, rad_ref,
                base_ref, sph_ref, tri_ref, *rest):
         if budget_mode:
             aux_ref = rest[0]
             rest = rest[1:]
+        if use_mxu:
+            mxu_g_ref, rest = rest[0], rest[1:]
+        else:
+            mxu_g_ref = None
         if cfg.count_walk_stats:
             # diagnostics scratch is always the LAST scratch arg
             stats_ref, rest = rest[-1], rest[:-1]
@@ -184,7 +190,8 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
 
         intersect, shadow = _make_scene_fns(fscene, cfg, sph_ref, tri_ref,
                                             chunk=chunk,
-                                            stats_ref=stats_ref)
+                                            stats_ref=stats_ref,
+                                            mxu_g_ref=mxu_g_ref)
 
         # persistent planes: accumulation + vispoints live in out_ref
         for ch in range(N_CHANNELS):
@@ -825,6 +832,9 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
 
     sph_tab, tri_tab = _prim_tables(fscene, cfg)
     chunk_tab, chunk_meta = _chunk_tables(fscene, cfg)
+    from tpurt.kernels.mega_pallas import _gmat_table
+    gm = _gmat_table(fscene, cfg)   # () or (G,) — MXU leaf-test matrix
+    gm_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(gm)
 
     kernel = _make_regen_kernel(fscene, cfg, lanes,
                                 budget_mode=aux is not None)
@@ -851,6 +861,7 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
         kernel,
         grid=(n_tiles,),
         in_specs=[vb, vz, sm, sm, sm, sm, sm, sm, sm] + aux_specs
+        + gm_specs
         + [pl.BlockSpec(memory_space=pl.ANY)] * len(chunk_tab),
         out_specs=[vb, sm],
         out_shape=[
@@ -861,7 +872,7 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
         input_output_aliases={0: 0},
         interpret=interpret,
     )(planes, zeros_in, cam, seed_arr, spp_arr, rad_arr, base_arr,
-      sph_tab, tri_tab, *aux_args, *chunk_tab)
+      sph_tab, tri_tab, *aux_args, *gm, *chunk_tab)
     if want_iters:
         if not (cfg.count_iters or cfg.count_walk_stats):
             raise ValueError("want_iters needs cfg.count_iters (or "
