@@ -306,12 +306,14 @@ class RenderConfig:
     #   single-table triangle walk's closest-hit leaf tests as MXU
     #   all-pairs matmuls (Moller-Trumbore is linear in [d | o x d | o |
     #   1]; bvh_pallas.build_tri_gmat) instead of the unrolled VPU/scalar
-    #   sweep. Measured 1.49x the sweep's leaf throughput and ~7x faster
-    #   Mosaic compiles (tools/probe_mxu_leaf.py). NOT bit-identical to
-    #   the sweep/XLA path: different rounding flips ~0.3% of grazing-ray
-    #   hit decisions — hence opt-in; the exactness contracts hold only
-    #   with the flag off. Regenerative kernel, non-chunked meshes,
-    #   closest-hit only (shadow walks keep the sweep).
+    #   sweep. Leaf-level: 1.49x the sweep + ~7x faster compiles
+    #   (tools/probe_mxu_leaf.py). END-TO-END the integration measured
+    #   SLOWER (mesh4k 228 vs 294 — walk-context overheads eat the win;
+    #   docs/DESIGN.md MXU-leaf section) — kept as the measured prototype
+    #   of the representation, not a recommended mode. NOT bit-identical
+    #   to the sweep/XLA path (~0.3% grazing-ray decision flips); the
+    #   exactness contracts hold with the flag off. Regenerative kernel,
+    #   non-chunked meshes, closest-hit only.
     pallas_tri_clip: bool = True       # run the sphere pass first and clip
     #   the triangle walks (single-table + chunked, incl. the chunked
     #   phase-1 top walk) at the sphere-hit distance: ground hits bound
