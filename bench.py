@@ -146,7 +146,8 @@ def build_bench(config_id: int, small: bool):
         # Sampler stack = the measured mesh stack (docs/DESIGN.md).
         from tpurt import torus_mesh_scene
         cfg = RenderConfig(width=w, height=h, depth=30,
-                           pallas_bvh=True, pallas_bvh_leaf=64,
+                           pallas_bvh=True, pallas_bvh_leaf=16,
+                           pallas_bvh_chunk=1024,
                            photon_strata=16, photon_strata_dir=4096,
                            photon_strata_shared_k=True,
                            photon_strata_bounce=True,
@@ -166,6 +167,7 @@ def build_bench(config_id: int, small: bool):
         # per-chunk sphere slabs exactly like config 7's triangles.
         cfg = RenderConfig(width=w, height=h, depth=30,
                            pallas_sphere_bvh=True, pallas_bvh_leaf=16,
+                           pallas_bvh_chunk=1024,
                            photon_strata=16, photon_strata_dir=4096,
                            photon_strata_shared_k=True,
                            photon_strata_bounce=True,
@@ -186,7 +188,8 @@ def build_bench(config_id: int, small: bool):
         # (docs/DESIGN.md chunked-mode findings; VERDICT r3 item 1).
         from tpurt import torus_field_scene
         cfg = RenderConfig(width=w, height=h, depth=30,
-                           pallas_bvh=True, pallas_bvh_leaf=64,
+                           pallas_bvh=True, pallas_bvh_leaf=16,
+                           pallas_bvh_chunk=1024,
                            photon_strata=16, photon_strata_dir=4096,
                            photon_strata_shared_k=True,
                            photon_strata_bounce=True,

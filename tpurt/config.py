@@ -270,8 +270,10 @@ class RenderConfig:
     pallas_bvh_leaf: int = 32          # primitives per BVH leaf in that walk
     #   (tile-level votes want coarser leaves than the XLA path's 2;
     #   measured on 1080p torus meshes: 16/32/64 -> 47/51/53 Mrays/s at 1k
-    #   tris, 15.1/15.3/15.7 at 4k — prefer 64 for big meshes, 16 for the
-    #   sphere walk; cf. docs/DESIGN.md)
+    #   tris, 15.1/15.3/15.7 at 4k — prefer 64 for dense frustum-filling
+    #   meshes, 16 for the sphere walk AND for chunked spread-out scenes
+    #   (round 4: leaf 16 + chunk 1024 beat leaf 64 + chunk 2048 by
+    #   11-34% on the field/64.8k/16k-sphere scenes); cf. docs/DESIGN.md)
     pallas_bvh_sah: bool = False       # build the walk's trees with binned
     #   surface-area-heuristic splits (accel.build_bvh sah=True) instead of
     #   the reference's median split (instance.rs:160-173): same node
