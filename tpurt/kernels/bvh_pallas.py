@@ -3,8 +3,9 @@ kernels — big-mesh support without static unrolling.
 
 The static cull tree (tpurt.kernels.mega_pallas._tri_cull_tree) bakes every
 triangle into the instruction stream: great throughput, but compile time and
-code size grow linearly with the mesh (measured ~6 min at 512 unrolled
-primitives), which caps fused-kernel scenes at ~1k triangles. This module
+code size grow linearly with the mesh (512 unrolled primitives measured
+25 s-6 min — the spread is compile-service contention, README "First
+run"), which caps fused-kernel scenes at ~1k triangles. This module
 keeps the SAME whole-tile traversal idea — the tile is the traversal granule,
 one scalar decision per node — but walks a *runtime* BVH:
 

@@ -71,7 +71,8 @@ _VPOS, _VNORM, _VWO, _VTP, _VMAT = 3, 6, 9, 12, 15
 # instruction stream (constant folding: diffuse occluders lose their Fresnel
 # chains, padding vanishes). Above it, spheres live in an SMEM table swept by
 # a fori_loop — same physics, runtime material branches. Tradeoff measured at
-# 257 spheres on v5e: unroll = ~6 min Mosaic compile / 66 Mrays/s steady;
+# 257 spheres on v5e: unroll = 25s-6min Mosaic compile (contention
+# noise, README 'First run') / 66 Mrays/s steady;
 # SMEM sweep = seconds of compile / 15 Mrays/s (the loop serializes).
 MAX_DYNAMIC_SPHERES = 512  # SMEM table budget (S x 8 f32)
 MAX_DYNAMIC_TRIS = 256     # SMEM table budget (T x 16 f32)
@@ -528,7 +529,7 @@ def _closest_sphere_dyn(sph_ref, S, o, d):
     """fori_loop winner sweep over an SMEM sphere table (S, 8) — used above
     the static-unroll budget, where baking every sphere into the
     instruction stream would explode compile time (measured: 257 unrolled
-    spheres -> ~6 min Mosaic compile; this mode -> seconds)."""
+    spheres -> 25s-6min Mosaic compile; this mode -> seconds)."""
     a = s.vdot(d, d)
     inv_a = 1.0 / a
 
