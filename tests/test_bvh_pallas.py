@@ -757,3 +757,252 @@ def test_fused_entry_points_fall_back_to_xla_beyond_budget():
     # preview depth override goes through the same fallback
     st_d = mr.render_regen(scene, cfg, cam, init_state(cfg), 7, 1, depth=1)
     assert 0.0 < float(st_d.rays) < float(ref.rays)
+
+
+# ----- wide-branching BVH (cfg.pallas_bvh_width, round 5) -----
+
+def test_collapse_wide_invariants():
+    """accel.collapse_wide keeps the binary tree's leaves and permutation
+    verbatim, produces a contained/reachable-once wide tree, and its
+    worst-case traversal stack fits the kernel budget."""
+    from tpurt import accel
+    from tpurt.kernels.bvh_pallas import STACK_DEPTH
+
+    tris, a, e1, e2 = _soup(700, seed=13)
+    v1, v2 = a + e1, a + e2
+    lo = np.minimum(a, np.minimum(v1, v2))
+    hi = np.maximum(a, np.maximum(v1, v2))
+    for K in (2, 8):
+        b = accel.build_bvh(lo, hi, max_prims=K)
+        for w in (3, 4, 8):
+            wide = accel.collapse_wide(b, w)
+            accel.validate_wide_bvh(wide, b)
+            assert wide.children.shape[1] == w
+            assert accel.wide_max_stack(wide) <= STACK_DEPTH - 1
+            # the collapse must actually widen: fewer nodes than binary
+            assert wide.bbox_min.shape[0] < b.bbox_min.shape[0]
+    # single-leaf tree (root is a leaf)
+    b1 = accel.build_bvh(lo[:3], hi[:3], max_prims=4)
+    w1 = accel.collapse_wide(b1, 4)
+    accel.validate_wide_bvh(w1, b1)
+
+
+@pytest.mark.parametrize("width,leaf", [(4, 8), (8, 0), (8, 8)])
+def test_wide_walk_matches_brute_force(width, leaf):
+    """The wide walk (single-table) returns the same hits as the
+    brute-force oracle AND bit-identical planes to the binary walk on a
+    tie-free random soup — the tree shape changes visit order only."""
+    T = 300
+    tris, a, e1, e2 = _soup(T)
+    tabs = {}
+    for w in (0, width):
+        tri_tab, node_f, node_i = build_tri_bvh_tables(tris, leaf_size=8,
+                                                       width=w)
+        tabs[w] = jnp.asarray(pack_tables(tri_tab, node_f, node_i,
+                                          leaf_size=max(8, leaf)))
+
+    R = 2
+    NR = R * 128
+    rng = np.random.default_rng(11)
+    ro = rng.uniform(-8, 8, (NR, 3)).astype(np.float32)
+    rd = rng.normal(0, 1, (NR, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    o_j = jnp.asarray(ro.T.reshape(3, R, 128))
+    d_j = jnp.asarray(rd.T.reshape(3, R, 128))
+
+    def make_kernel(w):
+        def kernel(o_ref, d_ref, tab_ref, out_ref):
+            o = (o_ref[0], o_ref[1], o_ref[2])
+            d = (d_ref[0], d_ref[1], d_ref[2])
+            mask = jnp.ones_like(o[0], bool)
+            nodes, tv = packed_views(tab_ref, T)
+            t, nrm, mat = closest_tri_bvh(nodes, tv, o, d, mask,
+                                          leaf_size=leaf, width=w)
+            occ = tri_shadow_bvh(nodes, tv, o, d,
+                                 jnp.full_like(o[0], 4.0), mask,
+                                 leaf_size=leaf, width=w)
+            out_ref[0] = t
+            out_ref[1] = mat.astype(jnp.float32)
+            out_ref[2] = jnp.where(occ, 1.0, 0.0)
+            out_ref[3] = nrm[0]
+        return kernel
+
+    outs = {}
+    for w in (0, width):
+        outs[w] = np.asarray(pl.pallas_call(
+            make_kernel(w),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((4, R, 128), jnp.float32),
+            interpret=jax.default_backend() != "tpu",
+        )(o_j, d_j, tabs[w]))
+    np.testing.assert_array_equal(outs[0], outs[width])
+
+    tt = _brute_force(ro, rd, a, e1, e2)
+    t_ref = tt.min(axis=1)
+    hit = t_ref < 1e29
+    t_k = outs[width][0].reshape(-1)
+    np.testing.assert_allclose(t_k[hit], t_ref[hit], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(t_k > 1e29, ~hit)
+    np.testing.assert_array_equal(outs[width][2].reshape(-1) > 0.5,
+                                  (tt < 4.0).any(axis=1))
+
+
+@pytest.mark.parametrize("width", [4, 8])
+def test_wide_sphere_walk_matches_binary(width):
+    """Sphere closest-hit + Fresnel shadow walks under the wide collapse
+    return bit-identical planes to the binary walk."""
+    S = 120
+    rng = np.random.default_rng(21)
+    c = rng.uniform(-5, 5, (S, 3)).astype(np.float32)
+    r = rng.uniform(0.2, 0.6, S).astype(np.float32)
+    sphs = [_FS(c[i], r[i], i % 5, mtype=int(i % 3 == 0), ior=1.5)
+            for i in range(S)]
+
+    R = 2
+    NR = R * 128
+    ro = rng.uniform(-7, 7, (NR, 3)).astype(np.float32)
+    rd = rng.normal(0, 1, (NR, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    o_j = jnp.asarray(ro.T.reshape(3, R, 128))
+    d_j = jnp.asarray(rd.T.reshape(3, R, 128))
+
+    outs = {}
+    for w in (0, width):
+        tab = jnp.asarray(pack_tables(
+            *build_sphere_bvh_tables(sphs, leaf_size=8, width=w),
+            leaf_size=8))
+
+        def kernel(o_ref, d_ref, tab_ref, out_ref, w=w):
+            o = (o_ref[0], o_ref[1], o_ref[2])
+            d = (d_ref[0], d_ref[1], d_ref[2])
+            mask = jnp.ones_like(o[0], bool)
+            a_ = jnp.ones_like(o[0])
+            nodes, sv = packed_views(tab_ref, S)
+            st0 = (jnp.full_like(o[0], 1e30), (jnp.zeros_like(o[0]),) * 3,
+                   jnp.zeros_like(o[0], jnp.int32))
+            t, cc, mat = closest_sphere_bvh(nodes, sv, o, d, a_, mask, st0,
+                                            leaf_size=8, width=w)
+            att = sphere_shadow_bvh(nodes, sv, o, d,
+                                    jnp.full_like(o[0], 6.0),
+                                    jnp.full_like(o[0], 550.0), a_, mask,
+                                    jnp.ones_like(o[0]), leaf_size=8,
+                                    width=w)
+            out_ref[0] = t
+            out_ref[1] = mat.astype(jnp.float32)
+            out_ref[2] = att
+
+        outs[w] = np.asarray(pl.pallas_call(
+            kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((3, R, 128), jnp.float32),
+            interpret=jax.default_backend() != "tpu",
+        )(o_j, d_j, tab))
+    np.testing.assert_array_equal(outs[0], outs[width])
+    assert (outs[width][0] < 1e29).any()     # some hits
+    assert (outs[width][2] < 1.0).any()      # some occlusion
+
+
+def test_wide_chunked_matches_binary_chunked():
+    """Chunked mode with wide top + sub trees returns bit-identical planes
+    to binary chunked mode (same record layout; `first` stays column 2)."""
+    from tpurt.kernels.bvh_pallas import (CHUNK_DMA_VIA_VMEM, _PackedTable,
+                                          build_chunked_tri_tables,
+                                          closest_tri_bvh_chunked,
+                                          tri_shadow_bvh_chunked)
+    T, LEAF, CHUNK, R = 460, 8, 64, 2
+    tris, a, e1, e2 = _soup(T, seed=9)
+
+    NR = R * 128
+    rng = np.random.default_rng(4)
+    ro = rng.uniform(-8, 8, (NR, 3)).astype(np.float32)
+    rd = rng.normal(0, 1, (NR, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    o_j = jnp.asarray(ro.T.reshape(3, R, 128))
+    d_j = jnp.asarray(rd.T.reshape(3, R, 128))
+
+    outs = {}
+    for w in (0, 4):
+        top_tab, slabs, meta = build_chunked_tri_tables(tris, CHUNK, LEAF,
+                                                        width=w)
+        top_tab, slabs = jnp.asarray(top_tab), jnp.asarray(slabs)
+        assert meta["n_chunks"] > 4
+
+        def kern(o_ref, d_ref, top_ref, hbm_ref, out_ref, *scratch,
+                 w=w, meta=meta):
+            from tpurt.kernels.mega_pallas import chunk_scratch_reset
+            chunk_scratch_reset((None, scratch))
+            o = (o_ref[0], o_ref[1], o_ref[2])
+            d = (d_ref[0], d_ref[1], d_ref[2])
+            mask = jnp.ones_like(o[0], bool)
+            top_nodes = _PackedTable(top_ref, 0)
+            t, nrm, mat = closest_tri_bvh_chunked(
+                top_nodes, hbm_ref, scratch, o, d, mask,
+                meta["chunk_cap"], meta["rows_pc"], meta["n_chunks"],
+                leaf_size=LEAF, width=w)
+            occ = tri_shadow_bvh_chunked(
+                top_nodes, hbm_ref, scratch, o, d,
+                jnp.full_like(o[0], 5.0), mask,
+                meta["chunk_cap"], meta["rows_pc"], meta["n_chunks"],
+                leaf_size=LEAF, width=w)
+            out_ref[0] = t
+            out_ref[1] = mat.astype(jnp.float32)
+            out_ref[2] = jnp.where(occ, 1.0, 0.0)
+            out_ref[3] = nrm[0]
+
+        outs[w] = np.asarray(pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            + [pl.BlockSpec(memory_space=pltpu.SMEM),
+               pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((4, R, 128), jnp.float32),
+            scratch_shapes=(
+                [pltpu.SMEM((meta["rows_pc"], 128), jnp.float32)]
+                + ([pltpu.VMEM((meta["rows_pc"], 128), jnp.float32)]
+                   if CHUNK_DMA_VIA_VMEM else [])
+                + [pltpu.SemaphoreType.DMA(())] * (2 if CHUNK_DMA_VIA_VMEM
+                                                   else 1)
+                + [pltpu.SMEM((1,), jnp.int32)]),
+            interpret=jax.default_backend() != "tpu",
+        )(o_j, d_j, top_tab, slabs))
+    np.testing.assert_array_equal(outs[0], outs[4])
+
+    tt = _brute_force(ro, rd, a, e1, e2)
+    t_ref = tt.min(axis=1)
+    hit = t_ref < 1e29
+    t_k = outs[4][0].reshape(-1)
+    np.testing.assert_allclose(t_k[hit], t_ref[hit], rtol=1e-5, atol=1e-5)
+
+
+class TestFusedKernelWideBVH:
+    """Mesh scene through the fused kernel with pallas_bvh_width=4/8 vs
+    the binary walk: identical estimator (exact ray counts), image equal
+    up to visit-order tie flips (same contract as the SAH tree test)."""
+
+    def _cfgs(self, width):
+        kw = dict(width=128, height=64, depth=5, pallas_lanes=1024,
+                  pallas_cluster_size=0, pallas_static_unroll=8,
+                  pallas_bvh=True, pallas_bvh_leaf=8)
+        return (RenderConfig(backend="pallas", pallas_bvh_width=width,
+                             **kw),
+                RenderConfig(backend="pallas", **kw))
+
+    @pytest.mark.parametrize("width", [4, 8])
+    def test_matches_binary_walk(self, width):
+        from tpurt.kernels.mega_pallas import _use_tri_bvh, freeze_scene
+        scene = torus_mesh_scene(8, 4)
+        cfg_w, cfg_b = self._cfgs(width)
+        assert _use_tri_bvh(freeze_scene(scene), cfg_w)
+        cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
+                          aspect_ratio=2.0)
+        st_w = render(scene, cfg_w, cam, init_state(cfg_w), 77, 2)
+        st_b = render(scene, cfg_b, cam, init_state(cfg_b), 77, 2)
+        assert float(st_w.rays) == float(st_b.rays) != 0.0
+        img_w = np.asarray(resolve_image(cfg_w, st_w))
+        img_b = np.asarray(resolve_image(cfg_b, st_b))
+        diff = (np.abs(img_w - img_b) > 1e-4).any(axis=-1)
+        assert diff.mean() < 0.02, f"{diff.mean():.4f} of pixels diverge"

@@ -274,6 +274,16 @@ class RenderConfig:
     #   meshes, 16 for the sphere walk AND for chunked spread-out scenes
     #   (round 4: leaf 16 + chunk 1024 beat leaf 64 + chunk 2048 by
     #   11-34% on the field/64.8k/16k-sphere scenes); cf. docs/DESIGN.md)
+    pallas_bvh_width: int = 0          # wide-branching BVH (round 5;
+    #   SURVEY §7 "shallow wide-branching BVH"): >= 3 collapses the walk's
+    #   trees (single-table AND chunked top/sub trees, triangles AND
+    #   spheres) into up-to-this-many-ary nodes (accel.collapse_wide) and
+    #   each inner visit tests all child boxes at once, sorting the voted
+    #   ones near-to-far with a compare-swap network — one pop + one
+    #   leaf/inner cond amortizes over ~log2(width) binary levels,
+    #   attacking the measured scalar-issue serialization bound of the
+    #   walks (docs/DESIGN.md roofline). 0/2 = binary walk. Max 8 (a wide
+    #   node packs 8 child slots into one 16-field record).
     pallas_bvh_sah: bool = False       # build the walk's trees with binned
     #   surface-area-heuristic splits (accel.build_bvh sah=True) instead of
     #   the reference's median split (instance.rs:160-173): same node

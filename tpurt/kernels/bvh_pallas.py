@@ -56,16 +56,22 @@ STACK_DEPTH = 64  # ref: mega_kernel.wgsl:402 (fixed 64-deep stack)
 CHUNK_DMA_VIA_VMEM = True
 
 
-def build_tri_bvh_tables(triangles, leaf_size: int, sah: bool = False):
+def build_tri_bvh_tables(triangles, leaf_size: int, sah: bool = False,
+                         width: int = 0):
     """Host: coarse BVH over the frozen triangle tuple.
 
-    Returns (tri_tab (T,16) f32, node_f (B,8) f32, node_i (B,4) i32) as
+    Returns (tri_tab (T,16) f32, node_f (B,8) f32, node_i (B,4|10) i32) as
     numpy arrays; the triangle rows are permuted into THIS tree's leaf order
     so every leaf is a contiguous [first, first+count) row range.
     node_f: bmin xyz, bmax xyz, 0, 0. node_i: left, right, first, count
     (leaf iff count > 0), the reference's flat node layout
     (ref: src/instance.rs:175-184). sah: cfg.pallas_bvh_sah split rule
     (accel.build_bvh) — same layout, fewer leaf visits per walk.
+    width >= 3 (cfg.pallas_bvh_width): collapse into a wide-branching tree
+    (accel.collapse_wide); node_i grows to 10 columns [c0 c1 first count
+    c2..c7], mapping to packed record fields 6,7,8,9,10..15 — a W<=8 node
+    still fits ONE 16-field record. Leaf rows are identical either way
+    (the collapse keeps the binary tree's leaves and permutation).
     """
     from tpurt.accel import build_bvh
 
@@ -89,13 +95,34 @@ def build_tri_bvh_tables(triangles, leaf_size: int, sah: bool = False):
         tri_tab[row, 9:12] = t.n
         tri_tab[row, 12] = float(t.mat)
 
-    node_f, node_i = _pack_nodes(bvh)
+    node_f, node_i = _pack_nodes(bvh, width)
     return tri_tab, node_f, node_i
 
 
-def _pack_nodes(bvh):
+def _pack_nodes(bvh, width: int = 0):
     """Flat node arrays shared by the triangle and sphere builders:
-    node_f = [bmin3 | bmax3 | pad2], node_i = [left right first count]."""
+    node_f = [bmin3 | bmax3 | pad2], node_i = [left right first count]
+    (binary) or [c0 c1 first count c2..c7] (wide, width >= 3 — see
+    build_tri_bvh_tables)."""
+    if width >= 3:
+        from tpurt.accel import collapse_wide, wide_max_stack
+        wide = collapse_wide(bvh, width)
+        hw = wide_max_stack(wide)
+        if hw > STACK_DEPTH - 1:
+            raise ValueError(
+                f"wide BVH worst-case stack {hw} can overflow the "
+                f"{STACK_DEPTH}-deep traversal stack")
+        B = wide.bbox_min.shape[0]
+        node_f = np.zeros((B, 8), np.float32)
+        node_f[:, 0:3] = wide.bbox_min
+        node_f[:, 3:6] = wide.bbox_max
+        ch = np.zeros((B, 8), np.int32)
+        ch[:, :wide.children.shape[1]] = wide.children
+        node_i = np.concatenate(
+            [ch[:, 0:2],
+             np.stack([wide.first, wide.count], axis=1),
+             ch[:, 2:8]], axis=1).astype(np.int32)
+        return node_f, node_i
     _assert_stack_fits(bvh)
     B = bvh.bbox_min.shape[0]
     node_f = np.zeros((B, 8), np.float32)
@@ -192,11 +219,13 @@ def split_huge_spheres(spheres):
             tuple(sp for sp, h in zip(spheres, huge) if not h))
 
 
-def build_sphere_bvh_tables(spheres, leaf_size: int, sah: bool = False):
+def build_sphere_bvh_tables(spheres, leaf_size: int, sah: bool = False,
+                            width: int = 0):
     """Host: coarse BVH over a (non-huge) frozen sphere tuple. Same packed
     layout as the triangle tables; sphere record = [cx cy cz r | mat mtype
     ior | pad] (the dynamic-sweep fields, cf. mega_pallas._prim_tables).
-    Rows are permuted into leaf order; guard rows have r == 0."""
+    Rows are permuted into leaf order; guard rows have r == 0.
+    width: wide-branching collapse, see build_tri_bvh_tables."""
     from tpurt.accel import build_bvh
 
     c = np.asarray([sp.c for sp in spheres], np.float32).reshape(-1, 3)
@@ -213,7 +242,7 @@ def build_sphere_bvh_tables(spheres, leaf_size: int, sah: bool = False):
         sph_tab[row, 5] = float(sp.mtype)
         sph_tab[row, 6] = sp.ior
 
-    node_f, node_i = _pack_nodes(bvh)
+    node_f, node_i = _pack_nodes(bvh, width)
     return sph_tab, node_f, node_i
 
 
@@ -254,7 +283,7 @@ def pack_tables(tri_tab: np.ndarray, node_f: np.ndarray,
     B = node_f.shape[0]
     nrec = np.zeros((B, 16), np.float32)
     nrec[:, 0:6] = node_f[:, 0:6]
-    nrec[:, 6:10] = node_i.astype(np.float32)
+    nrec[:, 6:6 + node_i.shape[1]] = node_i.astype(np.float32)
     recs = np.concatenate([tri_tab, nrec], axis=0)
     n = recs.shape[0] + max(16, int(leaf_size))
     rows = (n + 7) // 8
@@ -410,8 +439,33 @@ def _make_mxu_leaf_fn(o, d, g_ref, leaf_cap: int):
     return leaf_fn
 
 
+# Optimal/near-optimal compare-swap networks, ascending (Knuth v3 §5.3.4):
+# the wide walk sorts child (key, id, go) triples with data-independent
+# compare-swaps — the only sort shape that lowers to straight-line scalar
+# selects inside the kernel.
+_SORT_NETS = {
+    3: ((0, 1), (1, 2), (0, 1)),
+    4: ((0, 1), (2, 3), (0, 2), (1, 3), (1, 2)),
+    5: ((0, 1), (3, 4), (2, 4), (2, 3), (1, 4), (0, 3), (0, 2), (1, 3),
+        (1, 2)),
+    6: ((1, 2), (4, 5), (0, 2), (3, 5), (0, 1), (3, 4), (2, 5), (0, 3),
+        (1, 4), (2, 4), (1, 3), (2, 3)),
+    7: ((1, 2), (3, 4), (5, 6), (0, 2), (3, 5), (4, 6), (0, 1), (4, 5),
+        (2, 6), (0, 4), (1, 5), (0, 3), (2, 5), (1, 3), (2, 4), (2, 3)),
+    8: ((0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6), (5, 7),
+        (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7), (2, 4), (3, 5),
+        (1, 2), (3, 4), (5, 6)),
+}
+
+# Child-pointer fields of a wide packed node record: slots 0,1 reuse the
+# binary layout's left/right fields (6,7); slots 2..7 take the pad fields
+# (10..15). first/count stay at 8/9 — shared with leaves.
+_WIDE_CHILD_FIELDS = (6, 7, 10, 11, 12, 13, 14, 15)
+
+
 def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True,
-              leaf_want=False, leaf_node=False, stack_ref=None):
+              leaf_want=False, leaf_node=False, stack_ref=None,
+              width: int = 0):
     """Shared whole-tile stack walk. vote(state) -> relevance mask plane;
     t_cap(state) -> per-lane useful-entry bound; leaf_fn(first, count,
     state) -> state. `state` is a dict of planes (+ i32 scalars).
@@ -426,6 +480,17 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True,
     per-lane t_cap early and the far subtree prunes away (the whole-tile
     analogue of ordered per-ray BVH traversal). Pushes are branch-free:
     write the slot, then bump sp by the vote.
+
+    width >= 3 (cfg.pallas_bvh_width): the table holds WIDE nodes
+    (build_tri_bvh_tables width) and each inner visit tests up to `width`
+    child boxes, orders the voted ones near-to-far by their earliest lane
+    entry (min over voted lanes of tn — a scalar per child, sorted with a
+    compare-swap network), and pushes far-first.  One pop + one
+    leaf/inner cond then amortizes over ~log2(width) binary levels — the
+    direct attack on the walk's measured scalar-issue serialization bound
+    (docs/DESIGN.md roofline; SURVEY §7 "shallow wide-branching BVH").
+    Absent child slots (id 0 — the root is never a child) are never
+    pushed.
 
     Profiling: if `state` carries i32 scalar keys "_nodes"/"_leaves"/
     "_prims", they accumulate inner-node visits, leaf visits, and leaf
@@ -460,6 +525,47 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True,
                                         | (tn >= t_cap(st)))
                     return sp, leaf_fn(*pre, first, count, st, want)
                 return sp, leaf_fn(*pre, first, count, st)
+
+            def inner_case_wide(args):
+                sp, st = args
+                if isinstance(st, dict) and "_nodes" in st:
+                    st = dict(st, _nodes=st["_nodes"] + 1)
+                rel = vote(st)
+                cap = t_cap(st)
+                ids, gos, keys = [], [], []
+                for f in _WIDE_CHILD_FIELDS[:width]:
+                    cid = nodes.field(rc, f).astype(jnp.int32)
+                    tn, tf = _node_box_entry(nodes, cid, o, inv)
+                    # negated compares: NaN slab results vote HIT
+                    v = rel & ~((tn > tf) | (tf <= 0.0) | (tn >= cap))
+                    go = (cid > 0) & jnp.any(v)
+                    ids.append(cid)
+                    gos.append(go)
+                    if ordered:
+                        # earliest voted-lane entry = near-to-far key;
+                        # un-voted children key to MISS and sort last
+                        keys.append(jnp.min(jnp.where(v, tn, MISS)))
+                if ordered:
+                    for i, j in _SORT_NETS[width]:
+                        sw = keys[i] > keys[j]
+                        keys[i], keys[j] = (
+                            jnp.where(sw, keys[j], keys[i]),
+                            jnp.where(sw, keys[i], keys[j]))
+                        ids[i], ids[j] = (
+                            jnp.where(sw, ids[j], ids[i]),
+                            jnp.where(sw, ids[i], ids[j]))
+                        gos[i], gos[j] = (
+                            jnp.where(sw, gos[j], gos[i]),
+                            jnp.where(sw, gos[i], gos[j]))
+                # push far-first so the nearest pops first; same
+                # stack-overflow guard contract as the binary path
+                # (the builder PROVES the worst case fits —
+                # accel.wide_max_stack in _pack_nodes)
+                for i in reversed(range(width)):
+                    fits = sp <= STACK_DEPTH - 2
+                    stack_ref[sp] = ids[i]
+                    sp = sp + jnp.where(gos[i] & fits, 1, 0)
+                return sp, st
 
             def inner_case(args):
                 sp, st = args
@@ -501,7 +607,9 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True,
                 sp = sp + jnp.where(near_go & fits, 1, 0)
                 return sp, st
 
-            return jax.lax.cond(count > 0, leaf_case, inner_case, (sp, st))
+            return jax.lax.cond(count > 0, leaf_case,
+                                inner_case_wide if width >= 3
+                                else inner_case, (sp, st))
 
         _, st = jax.lax.while_loop(cond, body, (jnp.int32(1), state))
         return st
@@ -586,7 +694,7 @@ def _tri_closest_state(o):
 
 def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
                     stats: bool = False, cluster_rows: int = 0,
-                    t_clip=None, mxu_g_ref=None):
+                    t_clip=None, mxu_g_ref=None, width: int = 0):
     """Closest triangle hit via the whole-tile BVH walk.
     Returns (best_t, best_n (3-tuple), best_mat) planes — same contract as
     mega_pallas._closest_tri_clustered's sweep state finish. leaf_size > 0
@@ -612,9 +720,13 @@ def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
 
     if mxu_g_ref is not None:
         # cfg.pallas_mxu_leaf: MXU all-pairs leaf tests (numerically
-        # different at grazing rays — see _make_mxu_leaf_fn)
+        # different at grazing rays — see _make_mxu_leaf_fn). Its leaf_fn
+        # takes (first, count, st) only, so the cluster-predication
+        # leaf_want path (cluster_rows > 0) cannot combine with it — the
+        # all-pairs matmul has no per-row-cluster gate to predicate anyway.
         assert leaf_size > 0, "pallas_mxu_leaf needs an unrolled leaf cap"
         leaf_fn = _make_mxu_leaf_fn(o, d, mxu_g_ref, leaf_size)
+        cluster_rows = 0
     else:
         leaf_fn = _sweep_leaf_fn(tris, o, d, _tri_closest_body, leaf_size,
                                  cluster_rows)
@@ -623,7 +735,7 @@ def closest_tri_bvh(nodes, tris, o, d, mask, leaf_size: int = 0,
     st = _bvh_walk(nodes, o, inv,
                    vote=lambda st: mask, t_cap=cap,
                    leaf_fn=leaf_fn, state=state,
-                   leaf_want=cluster_rows > 0)
+                   leaf_want=cluster_rows > 0, width=width)
     out = st["t"], (st["nx"], st["ny"], st["nz"]), st["mat"]
     if stats:
         out = out + ((st["_nodes"], st["_leaves"], st["_prims"]),)
@@ -668,7 +780,7 @@ def _make_leaf_fn(tri_body, leaf_size: int):
 
 
 def tri_shadow_bvh(nodes, tris, o, d, t_max, mask, leaf_size: int = 0,
-                   cluster_rows: int = 0):
+                   cluster_rows: int = 0, width: int = 0):
     """Any-hit occlusion via the whole-tile BVH walk: triangles occlude
     fully (ref: mega_kernel.wgsl:540-562). Returns a bool plane."""
     inv = tuple(1.0 / d[c] for c in range(3))
@@ -683,7 +795,7 @@ def tri_shadow_bvh(nodes, tris, o, d, t_max, mask, leaf_size: int = 0,
                    vote=lambda st: mask & ~(st["occ"] > 0),
                    t_cap=lambda st: st["tm"],
                    leaf_fn=leaf_fn, state=state,
-                   leaf_want=cluster_rows > 0)
+                   leaf_want=cluster_rows > 0, width=width)
     return st["occ"] > 0
 
 
@@ -761,7 +873,7 @@ def _make_sphere_shadow_body(sphs, o, d, t_max, lam, a):
 
 
 def closest_sphere_bvh(nodes, sphs, o, d, a, mask, state,
-                       leaf_size: int = 0):
+                       leaf_size: int = 0, width: int = 0):
     """Closest sphere hit via the whole-tile BVH walk, continuing from
     `state` = (best_t, best_c 3-tuple, best_mat) — the static 'always'
     sweep's result (same contract as mega_pallas._sweep_spheres_static).
@@ -775,12 +887,12 @@ def closest_sphere_bvh(nodes, sphs, o, d, a, mask, state,
                             leaf_size)
     st = _bvh_walk(nodes, o, inv,
                    vote=lambda st: mask, t_cap=lambda st: st["t"],
-                   leaf_fn=leaf_fn, state=st)
+                   leaf_fn=leaf_fn, state=st, width=width)
     return st["t"], (st["cx"], st["cy"], st["cz"]), st["mat"]
 
 
 def sphere_shadow_bvh(nodes, sphs, o, d, t_max, lam, a, mask, atten,
-                      leaf_size: int = 0):
+                      leaf_size: int = 0, width: int = 0):
     """Shadow-factor walk (ref: mega_kernel.wgsl:511-538): dielectric
     spheres transmit (1-R1)(1-R2) Fresnel, everything else occludes fully.
     Continues from `atten` (the static 'always' sweep); material types are
@@ -794,7 +906,7 @@ def sphere_shadow_bvh(nodes, sphs, o, d, t_max, lam, a, mask, atten,
     st = _bvh_walk(nodes, o, inv,
                    vote=lambda st: mask & (st["atten"] > 0.0),
                    t_cap=lambda st: t_max,
-                   leaf_fn=leaf_fn, state=st)
+                   leaf_fn=leaf_fn, state=st, width=width)
     return st["atten"]
 
 
@@ -829,7 +941,7 @@ def sphere_shadow_bvh(nodes, sphs, o, d, t_max, lam, a, mask, atten,
 
 
 def build_chunked_tri_tables(triangles, chunk_tris: int, leaf_size: int,
-                             sah: bool = False):
+                             sah: bool = False, width: int = 0):
     """Host: (top_tab, slabs, meta) for the chunked triangle walk.
 
     top_tab: packed SMEM table of the coarse tree's nodes; a leaf's
@@ -850,11 +962,11 @@ def build_chunked_tri_tables(triangles, chunk_tris: int, leaf_size: int,
     tri_min = np.minimum(a, np.minimum(v1, v2))
     tri_max = np.maximum(a, np.maximum(v1, v2))
     return _build_chunked(triangles, tri_min, tri_max, build_tri_bvh_tables,
-                          chunk_tris, leaf_size, sah)
+                          chunk_tris, leaf_size, sah, width)
 
 
 def build_chunked_sphere_tables(spheres, chunk_sph: int, leaf_size: int,
-                                sah: bool = False):
+                                sah: bool = False, width: int = 0):
     """Host: (top_tab, slabs, meta) for the chunked SPHERE walk — same
     scheme as the triangle builder over the (non-huge) sphere records of
     build_sphere_bvh_tables (guard rows have r == 0, so over-read sweeps
@@ -862,16 +974,18 @@ def build_chunked_sphere_tables(spheres, chunk_sph: int, leaf_size: int,
     c = np.asarray([sp.c for sp in spheres], np.float32).reshape(-1, 3)
     r = np.asarray([sp.r for sp in spheres], np.float32).reshape(-1, 1)
     return _build_chunked(spheres, c - r, c + r, build_sphere_bvh_tables,
-                          chunk_sph, leaf_size, sah)
+                          chunk_sph, leaf_size, sah, width)
 
 
 def _build_chunked(prims, pmin, pmax, sub_builder, chunk_prims: int,
-                   leaf_size: int, sah: bool = False):
+                   leaf_size: int, sah: bool = False, width: int = 0):
     """Shared chunked-table builder: coarse tree over (pmin, pmax),
     per-chunk sub tables via sub_builder(prims_subset, leaf_size).
     The COARSE tree stays median-split even under sah: its leaves are the
     chunks, and median halving keeps every chunk near chunk_prims full so
-    the uniform slab stride (and each DMA) isn't sized by one outlier."""
+    the uniform slab stride (and each DMA) isn't sized by one outlier.
+    width >= 3 applies the wide collapse to BOTH the top tree and every
+    chunk's sub-BVH (build_tri_bvh_tables)."""
     from tpurt.accel import build_bvh
 
     coarse = build_bvh(pmin, pmax, max_prims=max(1, int(chunk_prims)))
@@ -893,7 +1007,7 @@ def _build_chunked(prims, pmin, pmax, sub_builder, chunk_prims: int,
         cnt = int(coarse.count[node])
         tidx = [int(coarse.order[i]) for i in range(first, first + cnt)]
         sub_tab, sub_f, sub_i = sub_builder(
-            [prims[i] for i in tidx], leaf_size, sah)
+            [prims[i] for i in tidx], leaf_size, sah, width)
         subs.append((sub_tab, sub_f, sub_i))
         max_nodes = max(max_nodes, sub_f.shape[0])
 
@@ -906,15 +1020,21 @@ def _build_chunked(prims, pmin, pmax, sub_builder, chunk_prims: int,
         slabs[base:base + sub_tab.shape[0]] = sub_tab
         nrec = np.zeros((sub_f.shape[0], 16), np.float32)
         nrec[:, 0:6] = sub_f[:, 0:6]
-        nrec[:, 6:10] = sub_i.astype(np.float32)
+        nrec[:, 6:6 + sub_i.shape[1]] = sub_i.astype(np.float32)
         slabs[base + chunk_cap:base + chunk_cap + nrec.shape[0]] = nrec
     slabs = slabs.reshape(n_chunks * rows_pc, 128)
 
-    # top table: coarse nodes with leaf first -> chunk ordinal
-    node_f, node_i = _pack_nodes(coarse)
-    ordinal = {int(n): c for c, n in enumerate(leaf_nodes)}
-    for n, c in ordinal.items():
-        node_i[n, 2] = c
+    # top table: coarse nodes with leaf first -> chunk ordinal. Under the
+    # wide collapse node IDs change but leaves (and their `first` values,
+    # unique per leaf) carry over verbatim, so the rewrite keys on first.
+    node_f, node_i = _pack_nodes(coarse, width)
+    first_to_ord = {int(coarse.first[n]): c
+                    for c, n in enumerate(leaf_nodes)}
+    # column 2 is `first` in BOTH layouts ([l r first count] / [c0 c1
+    # first count c2..c7]); column 3 is `count`
+    for row in range(node_i.shape[0]):
+        if node_i[row, 3] > 0:
+            node_i[row, 2] = first_to_ord[int(node_i[row, 2])]
     top_tab = pack_tables(np.zeros((0, 16), np.float32), node_f, node_i)
 
     meta = dict(chunk_cap=chunk_cap, rows_pc=int(rows_pc),
@@ -926,7 +1046,7 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
                   leaf_fn_over, state, chunk_cap: int, rows_pc: int,
                   n_chunks: int, prefetch: bool = False,
                   leaf_want: bool = False, kind_tag: int = 0,
-                  t_cap0=None, stats=None):
+                  t_cap0=None, stats=None, width: int = 0):
     """Two-phase chunked walk (see module comment). leaf_fn_over(tris_view)
     builds the inner leaf sweep over the scratch slab's triangle view.
     `scratch` = (smem_ref, sem, res) direct route or (smem_ref,
@@ -971,7 +1091,7 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
                         t_cap=(lambda st: far) if t_cap0 is None
                         else (lambda st: t_cap0),
                         leaf_fn=note, state={"_wl": jnp.int32(0)},
-                        leaf_node=True, stack_ref=stack_ref)
+                        leaf_node=True, stack_ref=stack_ref, width=width)
 
         if stats is not None:
             st_ref, st_base = stats
@@ -1063,7 +1183,8 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
 
             def sweep(st):
                 return _bvh_walk(nodes_v, o, inv, vote, t_cap, leaf_fn, st,
-                                 leaf_want=leaf_want, stack_ref=stack_ref)
+                                 leaf_want=leaf_want, stack_ref=stack_ref,
+                                 width=width)
 
             return jax.lax.cond(any_want, sweep, lambda s_: s_, st)
 
@@ -1079,7 +1200,8 @@ def _chunked_walk(top_nodes, chunk_ref, scratch, o, d, vote, t_cap,
 def _chunked_walk_interleaved(top_nodes, chunk_ref, scratch, o, d, vote,
                               t_cap, leaf_fn_over, state, chunk_cap: int,
                               rows_pc: int, n_chunks: int,
-                              kind_tag: int = 0, leaf_want: bool = False):
+                              kind_tag: int = 0, leaf_want: bool = False,
+                              width: int = 0):
     """Single-phase chunked walk: the chunk DMA + sub-BVH sweep happen AT
     the top tree's leaves, inside ONE ordered near-to-far descent under
     the LIVE per-lane t-caps.  The two-phase walk (_chunked_walk) runs
@@ -1127,10 +1249,12 @@ def _chunked_walk_interleaved(top_nodes, chunk_ref, scratch, o, d, vote,
                 res_ref[0] = tag
 
             return _bvh_walk(nodes_v, o, inv, vote, t_cap, leaf_fn, st,
-                             leaf_want=leaf_want, stack_ref=sub_stack)
+                             leaf_want=leaf_want, stack_ref=sub_stack,
+                             width=width)
 
         return _bvh_walk(top_nodes, o, inv, vote, t_cap, chunk_leaf,
-                         state, leaf_node=True, stack_ref=top_stack)
+                         state, leaf_node=True, stack_ref=top_stack,
+                         width=width)
 
     return pl.run_scoped(run, pltpu.SMEM((STACK_DEPTH,), jnp.int32),
                          pltpu.SMEM((STACK_DEPTH,), jnp.int32))
@@ -1141,7 +1265,7 @@ def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                             n_chunks: int, leaf_size: int = 0,
                             cluster_rows: int = 0, prefetch: bool = False,
                             interleave: bool = False, stats=None,
-                            t_clip=None):
+                            t_clip=None, width: int = 0):
     """Chunked closest triangle hit — same contract as closest_tri_bvh
     (incl. the bit-safe external t_clip bound — here it also caps the
     PHASE-1 top walk, so chunks entirely beyond the sphere hit never
@@ -1156,7 +1280,7 @@ def closest_tri_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
               leaf_fn_over=lambda tris: _sweep_leaf_fn(
                   tris, o, d, _tri_closest_body, leaf_size, cluster_rows),
               state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
-              n_chunks=n_chunks, leaf_want=cluster_rows > 0)
+              n_chunks=n_chunks, leaf_want=cluster_rows > 0, width=width)
     if interleave and not prefetch:
         st = _chunked_walk_interleaved(top_nodes, chunk_ref, scratch,
                                        o, d, **kw)
@@ -1171,7 +1295,8 @@ def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
                            t_max, mask, chunk_cap: int, rows_pc: int,
                            n_chunks: int, leaf_size: int = 0,
                            cluster_rows: int = 0, prefetch: bool = False,
-                           interleave: bool = False, stats=None):
+                           interleave: bool = False, stats=None,
+                           width: int = 0):
     """Chunked any-hit occlusion — same contract as tri_shadow_bvh."""
     state = {"occ": jnp.zeros_like(o[0], jnp.int32), "tm": t_max}
 
@@ -1180,7 +1305,7 @@ def tri_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d,
               leaf_fn_over=lambda tris: _sweep_leaf_fn(
                   tris, o, d, _tri_shadow_body, leaf_size, cluster_rows),
               state=state, chunk_cap=chunk_cap, rows_pc=rows_pc,
-              n_chunks=n_chunks, leaf_want=cluster_rows > 0)
+              n_chunks=n_chunks, leaf_want=cluster_rows > 0, width=width)
     if interleave and not prefetch:
         st = _chunked_walk_interleaved(top_nodes, chunk_ref, scratch,
                                        o, d, **kw)
@@ -1195,7 +1320,8 @@ def closest_sphere_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, a,
                                mask, state, chunk_cap: int, rows_pc: int,
                                n_chunks: int, leaf_size: int = 0,
                                prefetch: bool = False,
-                               interleave: bool = False, stats=None):
+                               interleave: bool = False, stats=None,
+                               width: int = 0):
     """Chunked closest sphere hit — same contract as closest_sphere_bvh
     (continues from the static 'always' sweep's state)."""
     best_t, best_c, best_mat = state
@@ -1208,7 +1334,7 @@ def closest_sphere_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, a,
 
     kw = dict(vote=lambda st: mask, t_cap=lambda st: st["t"],
               leaf_fn_over=leaf_fn_over, state=st, chunk_cap=chunk_cap,
-              rows_pc=rows_pc, n_chunks=n_chunks, kind_tag=1)
+              rows_pc=rows_pc, n_chunks=n_chunks, kind_tag=1, width=width)
     if interleave and not prefetch:
         st = _chunked_walk_interleaved(top_nodes, chunk_ref, scratch,
                                        o, d, **kw)
@@ -1222,7 +1348,8 @@ def sphere_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, t_max,
                               lam, a, mask, atten, chunk_cap: int,
                               rows_pc: int, n_chunks: int,
                               leaf_size: int = 0, prefetch: bool = False,
-                              interleave: bool = False, stats=None):
+                              interleave: bool = False, stats=None,
+                              width: int = 0):
     """Chunked shadow-factor walk — same contract as sphere_shadow_bvh
     (continues from `atten`; ref: mega_kernel.wgsl:511-538)."""
     st = {"atten": atten}
@@ -1234,7 +1361,7 @@ def sphere_shadow_bvh_chunked(top_nodes, chunk_ref, scratch, o, d, t_max,
     kw = dict(vote=lambda st: mask & (st["atten"] > 0.0),
               t_cap=lambda st: t_max,
               leaf_fn_over=leaf_fn_over, state=st, chunk_cap=chunk_cap,
-              rows_pc=rows_pc, n_chunks=n_chunks, kind_tag=1)
+              rows_pc=rows_pc, n_chunks=n_chunks, kind_tag=1, width=width)
     if interleave and not prefetch:
         st = _chunked_walk_interleaved(top_nodes, chunk_ref, scratch,
                                        o, d, **kw)

@@ -1265,15 +1265,19 @@ def _use_tri_chunked(fscene: FrozenScene, cfg: RenderConfig) -> bool:
 
 
 @functools.lru_cache(maxsize=4)
-def _chunk_build_cached(triangles, chunk: int, leaf: int, sah: bool):
+def _chunk_build_cached(triangles, chunk: int, leaf: int, sah: bool,
+                        width: int = 0):
     from tpurt.kernels import bvh_pallas
-    return bvh_pallas.build_chunked_tri_tables(triangles, chunk, leaf, sah)
+    return bvh_pallas.build_chunked_tri_tables(triangles, chunk, leaf, sah,
+                                               width)
 
 
 @functools.lru_cache(maxsize=4)
-def _chunk_build_sph_cached(tree_sph, chunk: int, leaf: int, sah: bool):
+def _chunk_build_sph_cached(tree_sph, chunk: int, leaf: int, sah: bool,
+                            width: int = 0):
     from tpurt.kernels import bvh_pallas
-    return bvh_pallas.build_chunked_sphere_tables(tree_sph, chunk, leaf, sah)
+    return bvh_pallas.build_chunked_sphere_tables(tree_sph, chunk, leaf,
+                                                  sah, width)
 
 
 def _chunk_tables(fscene: FrozenScene, cfg: RenderConfig):
@@ -1289,14 +1293,14 @@ def _chunk_tables(fscene: FrozenScene, cfg: RenderConfig):
     if _use_tri_chunked(fscene, cfg):
         _, slabs, mt = _chunk_build_cached(
             fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf,
-            cfg.pallas_bvh_sah)
+            cfg.pallas_bvh_sah, cfg.pallas_bvh_width)
         tabs.append(jnp.asarray(slabs))
     if _use_sph_chunked(fscene, cfg):
         from tpurt.kernels.bvh_pallas import split_huge_spheres
         _, tree_sph = split_huge_spheres(fscene.spheres)
         _, slabs, ms = _chunk_build_sph_cached(
             tree_sph, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf,
-            cfg.pallas_bvh_sah)
+            cfg.pallas_bvh_sah, cfg.pallas_bvh_width)
         tabs.append(jnp.asarray(slabs))
     if not tabs:
         return [], None
@@ -1376,7 +1380,7 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
         _, tree_sph = bvh_pallas.split_huge_spheres(fscene.spheres)
         top_tab, _, _ = _chunk_build_sph_cached(
             tree_sph, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf,
-            cfg.pallas_bvh_sah)
+            cfg.pallas_bvh_sah, cfg.pallas_bvh_width)
         sph_tab = jnp.asarray(top_tab)  # coarse tree rides the sph slot
     elif _use_sph_bvh(fscene, cfg):
         from tpurt.kernels import bvh_pallas
@@ -1384,7 +1388,8 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
         sph_tab = jnp.asarray(bvh_pallas.pack_tables(
             *bvh_pallas.build_sphere_bvh_tables(tree_sph,
                                                 cfg.pallas_bvh_leaf,
-                                                cfg.pallas_bvh_sah),
+                                                cfg.pallas_bvh_sah,
+                                                cfg.pallas_bvh_width),
             leaf_size=cfg.pallas_bvh_leaf))
     elif len(fscene.spheres) > cfg.pallas_static_unroll:
         sph_tab = jnp.asarray(
@@ -1402,14 +1407,15 @@ def _prim_tables(fscene: FrozenScene, cfg: RenderConfig):
     if _use_tri_chunked(fscene, cfg):
         top_tab, _, _ = _chunk_build_cached(
             fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf,
-            cfg.pallas_bvh_sah)
+            cfg.pallas_bvh_sah, cfg.pallas_bvh_width)
         tri_tab = jnp.asarray(top_tab)  # coarse tree rides the tri slot
     elif _use_tri_bvh(fscene, cfg):
         from tpurt.kernels import bvh_pallas
         tri_tab = jnp.asarray(bvh_pallas.pack_tables(
             *bvh_pallas.build_tri_bvh_tables(fscene.triangles,
                                              cfg.pallas_bvh_leaf,
-                                             cfg.pallas_bvh_sah),
+                                             cfg.pallas_bvh_sah,
+                                             cfg.pallas_bvh_width),
             leaf_size=cfg.pallas_bvh_leaf))
     elif len(fscene.triangles) > cfg.pallas_static_unroll:
         tri_tab = jnp.asarray(
@@ -1445,7 +1451,7 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
         ALWAYS, TREE_SPH = bvh_pallas.split_huge_spheres(SPH)
         _, _, smeta = _chunk_build_sph_cached(
             TREE_SPH, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf,
-            cfg.pallas_bvh_sah)
+            cfg.pallas_bvh_sah, cfg.pallas_bvh_width)
         SCC, SRPC, SNCH = (smeta["chunk_cap"], smeta["rows_pc"],
                            smeta["n_chunks"])
 
@@ -1459,7 +1465,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 SCC, SRPC, SNCH, leaf_size=cfg.pallas_bvh_leaf,
                 prefetch=cfg.pallas_chunk_prefetch,
                 interleave=cfg.pallas_chunk_interleave,
-                stats=None if stats_ref is None else (stats_ref, 4))
+                stats=None if stats_ref is None else (stats_ref, 4),
+                width=cfg.pallas_bvh_width)
             return _sphere_state_finish(o, d, st)
 
         def sph_shadow(o, d, tm, lam_, m):
@@ -1473,7 +1480,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 leaf_size=cfg.pallas_bvh_leaf,
                 prefetch=cfg.pallas_chunk_prefetch,
                 interleave=cfg.pallas_chunk_interleave,
-                stats=None if stats_ref is None else (stats_ref, 6))
+                stats=None if stats_ref is None else (stats_ref, 6),
+                width=cfg.pallas_bvh_width)
     elif _use_sph_bvh(fscene, cfg):
         from tpurt.kernels import bvh_pallas
         ALWAYS, TREE_SPH = bvh_pallas.split_huge_spheres(SPH)
@@ -1485,7 +1493,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
             nodes, sphs_v = bvh_pallas.packed_views(sph_ref, len(TREE_SPH))
             st = bvh_pallas.closest_sphere_bvh(
                 nodes, sphs_v, o, d, a, m, st,
-                leaf_size=cfg.pallas_bvh_leaf)
+                leaf_size=cfg.pallas_bvh_leaf,
+                width=cfg.pallas_bvh_width)
             return _sphere_state_finish(o, d, st)
 
         def sph_shadow(o, d, tm, lam_, m):
@@ -1495,7 +1504,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
             nodes, sphs_v = bvh_pallas.packed_views(sph_ref, len(TREE_SPH))
             return bvh_pallas.sphere_shadow_bvh(
                 nodes, sphs_v, o, d, tm, lam_, a, m & (atten > 0.0), atten,
-                leaf_size=cfg.pallas_bvh_leaf)
+                leaf_size=cfg.pallas_bvh_leaf,
+                width=cfg.pallas_bvh_width)
     elif use_clusters:
         CL = _sphere_cull_tree(SPH, cfg.pallas_cluster_size)
         if cfg.pallas_cluster_ordered and CL.root is not None:
@@ -1526,7 +1536,7 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
         chunk_ref = chunk_refs[0]
         _, _, meta = _chunk_build_cached(
             fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf,
-            cfg.pallas_bvh_sah)
+            cfg.pallas_bvh_sah, cfg.pallas_bvh_width)
         CC, RPC, NCH = (meta["chunk_cap"], meta["rows_pc"],
                         meta["n_chunks"])
 
@@ -1539,7 +1549,7 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 prefetch=cfg.pallas_chunk_prefetch,
                 interleave=cfg.pallas_chunk_interleave,
                 stats=None if stats_ref is None else (stats_ref, 4),
-                t_clip=t_clip)
+                t_clip=t_clip, width=cfg.pallas_bvh_width)
             return _tri_state_finish(o, d, res)
 
         def tri_occ(o, d, tm, m):
@@ -1550,7 +1560,8 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 cluster_rows=cfg.pallas_bvh_rows,
                 prefetch=cfg.pallas_chunk_prefetch,
                 interleave=cfg.pallas_chunk_interleave,
-                stats=None if stats_ref is None else (stats_ref, 6))
+                stats=None if stats_ref is None else (stats_ref, 6),
+                width=cfg.pallas_bvh_width)
     elif tri_clusters:
         TCL = _tri_cull_tree(TRIS, cfg.pallas_cluster_size)
         tri_hit = lambda o, d, m, t_clip=None: _closest_tri_clustered(
@@ -1564,14 +1575,15 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
             best_t, best_n, best_mat = bvh_pallas.closest_tri_bvh(
                 nodes, tris_v, o, d, m, leaf_size=cfg.pallas_bvh_leaf,
                 cluster_rows=cfg.pallas_bvh_rows, t_clip=t_clip,
-                mxu_g_ref=mxu_g_ref)
+                mxu_g_ref=mxu_g_ref, width=cfg.pallas_bvh_width)
             return _tri_state_finish(o, d, (best_t, best_n, best_mat))
 
         def tri_occ(o, d, tm, m):
             nodes, tris_v = bvh_pallas.packed_views(tri_ref, len(TRIS))
             return bvh_pallas.tri_shadow_bvh(
                 nodes, tris_v, o, d, tm, m, leaf_size=cfg.pallas_bvh_leaf,
-                cluster_rows=cfg.pallas_bvh_rows)
+                cluster_rows=cfg.pallas_bvh_rows,
+                width=cfg.pallas_bvh_width)
     elif len(TRIS) > cfg.pallas_static_unroll:
         tri_hit = lambda o, d, m, t_clip=None: _closest_tri_dyn(
             tri_ref, len(TRIS), o, d)

@@ -9,9 +9,11 @@ across the mesh with XLA collectives:
 
   * closest hit  — all_gather the per-device hit records, take the
     first-minimum t over the device axis (argmin picks the lowest device
-    index on exact ties, which is the lowest global triangle index under
-    the range partition — matching the single-chip strict-< combine
-    chain's first-winner-by-index semantics);
+    index on exact ties).  Matches single-chip bit-for-bit except on an
+    EXACT float-t tie between triangles on different shards: the
+    single-chip winner there is decided by global-BVH traversal order
+    (leaf order), not global triangle index, so a ray through a shared
+    edge split across shards may pick the other (equal-t) triangle;
   * shadow       — lax.pmin of the local attenuations (the sphere
     transmission factor is replicated — identical on every device — and
     the local triangle occlusion term only ZEROES it, so the mesh-wide
@@ -117,12 +119,20 @@ def split_scene_triangles(scene: Scene, n_dev: int) -> Scene:
                          bvh_first=np.asarray(bvh.first),
                          bvh_count=np.asarray(bvh.count))
         else:
+            # Empty shard (num_triangles < n_dev * per): the placeholder
+            # root must be a LEAF (count=1 over the zero-padded degenerate
+            # triangle row, which can never hit — MT det underflows the
+            # subnormal epsilon).  A count=0 root would read as an inner
+            # node whose left=right=0 self-reference re-pushes node 0
+            # forever: _bvh_hit_single's while_loop never terminates.
+            # (An "inverted" bbox would NOT save it — the slab test sorts
+            # t0/t1 per axis, so a min>max box tests like a huge box.)
             nodes = dict(bvh_min=np.zeros((1, 3), np.float32),
                          bvh_max=np.zeros((1, 3), np.float32),
                          bvh_left=np.zeros((1,), np.int32),
                          bvh_right=np.zeros((1,), np.int32),
                          bvh_first=np.zeros((1,), np.int32),
-                         bvh_count=np.zeros((1,), np.int32))
+                         bvh_count=np.ones((1,), np.int32))
         shards.append((sub, nodes))
 
     # pad every shard to the same triangle / node counts (degenerate
@@ -144,7 +154,14 @@ def split_scene_triangles(scene: Scene, n_dev: int) -> Scene:
               "bvh_first", "bvh_count"):
         cat[k] = jnp.asarray(np.concatenate(
             [pad_to(n[k], b_pad) for _, n in shards], axis=0))
-    return dataclasses.replace(scene, **cat)
+    # The builder can emit leaves LARGER than max_prims (build_scene guards
+    # the same way, scene.py:348); _bvh_hit_single sweeps only
+    # scene.bvh_max_leaf records per leaf, so an oversized shard leaf
+    # would silently skip triangles — re-derive the bound from the shard
+    # trees actually built.
+    max_leaf = max(int(scene.bvh_max_leaf),
+                   max(int(n["bvh_count"].max()) for _, n in shards))
+    return dataclasses.replace(scene, bvh_max_leaf=max_leaf, **cat)
 
 
 def scene_geometry_specs(scene: Scene) -> Scene:
