@@ -331,3 +331,42 @@ class TestWavefrontDispatchContracts:
                                  camera_strata_bounce=True)
         with pytest.raises(ValueError, match="camera_strata_bounce"):
             render(scene, cfg, cam, init_state(cfg), 42, 1)
+
+
+def test_chunk_sort_same_rays_and_image():
+    """cfg.wf_chunk_sort (round 5): global pool reordering by nearest-
+    entry chunk is pure scheduling — traced-ray counts are EXACTLY
+    unchanged and the image matches up to splat scatter-add
+    reassociation (two samples of one pixel terminating in the same
+    sweep may sum in a different order)."""
+    import numpy as np
+    from tpurt import (RenderConfig, init_state, make_camera,
+                       torus_mesh_scene)
+    from tpurt.kernels.mega_pallas import (_use_tri_chunked, freeze_scene,
+                                           chunk_sort_boxes)
+    from tpurt.kernels.wavefront_pallas import wavefront_render_pallas
+
+    scene = torus_mesh_scene(16, 8)   # 256 triangles
+    kw = dict(width=64, height=32, depth=4, backend="wavefront_pallas",
+              wf_pool=1024, pallas_lanes=256, pallas_static_unroll=8,
+              pallas_bvh=True, pallas_bvh_leaf=8, pallas_bvh_chunk=16,
+              pallas_bvh_chunk_threshold=32, pallas_cluster_size=0)
+    cfg_a = RenderConfig(**kw)
+    cfg_b = RenderConfig(wf_chunk_sort=True, **kw)
+    fs = freeze_scene(scene)
+    assert _use_tri_chunked(fs, cfg_a)
+    assert chunk_sort_boxes(fs, cfg_b) is not None
+    assert chunk_sort_boxes(fs, cfg_b).shape[0] > 4   # several chunks
+
+    cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
+                      aspect_ratio=2.0)
+    st_a = wavefront_render_pallas(scene, cfg_a, cam, init_state(cfg_a),
+                                   91, 2)
+    st_b = wavefront_render_pallas(scene, cfg_b, cam, init_state(cfg_b),
+                                   91, 2)
+    assert float(st_a.rays) == float(st_b.rays) != 0.0
+    np.testing.assert_array_equal(np.asarray(st_a.n_samples),
+                                  np.asarray(st_b.n_samples))
+    np.testing.assert_allclose(np.asarray(st_a.rgb_sum),
+                               np.asarray(st_b.rgb_sum),
+                               rtol=1e-5, atol=1e-5)

@@ -168,6 +168,10 @@ def main():
             "closest_swept_per_iter": round(v[6] / iters, 3),
             "shadow_wl_per_iter": round(v[7] / iters, 3),
             "shadow_swept_per_iter": round(v[8] / iters, 3),
+            # cull-tree branch mix (cells 8-11; 0 when no cull tree /
+            # ordered-walk closest — see mega_pallas._make_scene_fns)
+            "cull_closest_take": round(v[10] / max(v[9], 1.0), 4),
+            "cull_shadow_take": round(v[12] / max(v[11], 1.0), 4),
         }
     print(json.dumps(out))
 

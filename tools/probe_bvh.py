@@ -36,7 +36,9 @@ class FT:
         s_.n = tuple(n[i]); s_.mat = int(i % 7)
 
 tris = [FT(i) for i in range(T)]
-tri_tab, node_f, node_i = build_tri_bvh_tables(tris, leaf_size=16)
+WIDTH = int(os.environ.get("PROBE_WIDTH", "0"))  # 0=binary, 4/8=wide
+tri_tab, node_f, node_i = build_tri_bvh_tables(tris, leaf_size=16,
+                                               width=WIDTH)
 packed = jnp.asarray(pack_tables(tri_tab, node_f, node_i))
 B = node_f.shape[0]
 print(f"T={T} nodes={B} packed={packed.shape} "
@@ -55,9 +57,10 @@ def kernel(rays_ref, tab_ref, out_ref):
     mask = jnp.ones_like(o[0], bool)
     nodes, tri = packed_views(tab_ref, T)
     t, nrm, mat, (nv, lv, pv) = closest_tri_bvh(
-        nodes, tri, o, d, mask, leaf_size=LEAF_UNROLL, stats=True)
+        nodes, tri, o, d, mask, leaf_size=LEAF_UNROLL, stats=True,
+        width=WIDTH)
     occ = tri_shadow_bvh(nodes, tri, o, d, jnp.full_like(o[0], 4.0), mask,
-                         leaf_size=LEAF_UNROLL)
+                         leaf_size=LEAF_UNROLL, width=WIDTH)
     out_ref[0] = t
     out_ref[1] = nrm[0]
     out_ref[2] = nrm[1]

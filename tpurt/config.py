@@ -339,6 +339,17 @@ class RenderConfig:
     # Wavefront tracer (tpurt.wavefront; ref: src/wavefront.rs finished form)
     wf_pool: int = 262144              # persistent ray-pool capacity Q
     wf_max_sweeps: int = 100000        # safety bound on the sweep loop
+    wf_chunk_sort: bool = False        # GLOBAL ray reordering by chunk
+    #   (round 5; the compaction idea the reference left unfinished —
+    #   wavefront.wgsl:28-31 queues declared never used — extended from
+    #   materials to GEOMETRY): on chunked scenes the pool wavefront
+    #   sorts all Q slots by each ray's nearest-entry chunk between
+    #   bounces, so every tile's chunked walk votes ~1 slab instead of
+    #   every slab any of its 4096 random rays crosses. Pure scheduling:
+    #   per-slot streams are (pixel, sample)-keyed, so ray counts are
+    #   exactly unchanged (image equal up to splat-order float
+    #   reassociation). Pool wavefront backend only; no-op when no
+    #   chunked mode engages.
     sky_gradient: bool = False         # legacy wavefront sky (wavefront.wgsl
     #   :129-131); False = black sky like the mega kernel (:617-620)
     # Environment emission (EXTENSION — the reference's sky returns black,

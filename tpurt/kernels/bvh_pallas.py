@@ -538,13 +538,18 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True,
                     tn, tf = _node_box_entry(nodes, cid, o, inv)
                     # negated compares: NaN slab results vote HIT
                     v = rel & ~((tn > tf) | (tf <= 0.0) | (tn >= cap))
-                    go = (cid > 0) & jnp.any(v)
                     ids.append(cid)
-                    gos.append(go)
                     if ordered:
                         # earliest voted-lane entry = near-to-far key;
-                        # un-voted children key to MISS and sort last
-                        keys.append(jnp.min(jnp.where(v, tn, MISS)))
+                        # un-voted children key to MISS and sort last.
+                        # ONE reduce serves both the key and the vote
+                        # (key < MISS iff some lane voted: real boxes
+                        # never produce tn == MISS).
+                        key = jnp.min(jnp.where(v, tn, MISS))
+                        keys.append(key)
+                        gos.append((cid > 0) & (key < MISS))
+                    else:
+                        gos.append((cid > 0) & jnp.any(v))
                 if ordered:
                     for i, j in _SORT_NETS[width]:
                         sw = keys[i] > keys[j]
@@ -1037,8 +1042,13 @@ def _build_chunked(prims, pmin, pmax, sub_builder, chunk_prims: int,
             node_i[row, 2] = first_to_ord[int(node_i[row, 2])]
     top_tab = pack_tables(np.zeros((0, 16), np.float32), node_f, node_i)
 
+    # per-chunk AABBs in ordinal order (wavefront global ray reordering:
+    # wf_chunk_sort keys each pool slot by its nearest-entry chunk)
+    boxes = np.concatenate([np.asarray(coarse.bbox_min)[leaf_nodes],
+                            np.asarray(coarse.bbox_max)[leaf_nodes]],
+                           axis=1).astype(np.float32)
     meta = dict(chunk_cap=chunk_cap, rows_pc=int(rows_pc),
-                n_chunks=int(n_chunks))
+                n_chunks=int(n_chunks), boxes=boxes)
     return top_tab, slabs, meta
 
 

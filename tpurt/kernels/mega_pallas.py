@@ -64,6 +64,11 @@ _HIT = np.float32(MISS * 0.5)
 PHOTON_CONE_COS = 0.707  # ref: mega_kernel.wgsl:103
 
 N_CHANNELS = 16  # rgb_sum 3 | vis_pos 3 | vis_norm 3 | vis_wo 3 | vis_tp 3 | vis_mat 1
+# cfg.count_walk_stats diagnostic cells (regen kernel scratch): 0-3 regen
+# phase counters, 4-7 chunked-walk worklist/swept pairs, 8-11 cull-tree
+# branch-mix pairs (closest visited/taken, shadow visited/taken — the
+# roofline's measured cond mix, VERDICT r4 item 4)
+N_STAT_CELLS = 12
 # channel index bases for the persistent planes
 _VPOS, _VNORM, _VWO, _VTP, _VMAT = 3, 6, 9, 12, 15
 
@@ -402,7 +407,7 @@ def _tree_leaves(node):
     return [lf for ch in node.children for lf in _tree_leaves(ch)]
 
 
-def _tree_sweep(node, o, inv, state, vote, t_cap, leaf_fn):
+def _tree_sweep(node, o, inv, state, vote, t_cap, leaf_fn, counter=None):
     """Whole-tile conditional sweep over the cull tree's LEAVES (DFS
     order): one lax.cond per leaf box. Measured on the 257-sphere 1080p
     scene, gating the internal nodes too (true nested descent) is ~5%
@@ -412,7 +417,15 @@ def _tree_sweep(node, o, inv, state, vote, t_cap, leaf_fn):
     vote(state) -> lanes whose result still matters; t_cap(state) ->
     per-lane upper bound on useful entry distance (current best hit /
     shadow range); leaf_fn(prims, state) -> state after the unrolled
-    leaf sweep."""
+    leaf sweep.
+
+    counter = (stats_ref, base): cfg.count_walk_stats branch-mix cells —
+    stats_ref[base] += leaf-cond sites visited, stats_ref[base+1] +=
+    sweeps actually TAKEN (the measured take-rate that collapses the
+    roofline's cond min/max interval into a point estimate; VERDICT r4
+    item 4, tpurt/roofline.py cluster_leaf_ops). The writes sit OUTSIDE
+    the cond (pred is already a traced scalar), so the counted kernel's
+    control flow is unchanged."""
     for leaf in _tree_leaves(node):
         tn, tf = _aabb_entry_exit(leaf.bmin, leaf.bmax, o, inv)
         # negated compares: a NaN slab test (d component exactly 0 with o
@@ -421,6 +434,11 @@ def _tree_sweep(node, o, inv, state, vote, t_cap, leaf_fn):
         # leaf some lane actually hits)
         pred = jnp.any(vote(state) & ~((tn > tf) | (tf <= 0.0)
                                        | (tn >= t_cap(state))))
+        if counter is not None:
+            ref, base = counter
+            ref[base] = ref[base] + jnp.float32(1.0)
+            ref[base + 1] = ref[base + 1] + jnp.where(
+                pred, jnp.float32(1.0), jnp.float32(0.0))
         state = jax.lax.cond(
             pred,
             lambda st, lf=leaf: leaf_fn(lf.prims, st),
@@ -496,7 +514,7 @@ def _closest_sphere_clustered_ordered(tree: _CullTree, leaves, node_ref,
     return _sphere_state_finish(o, d, st)
 
 
-def _closest_sphere_clustered(tree: _CullTree, o, d, mask):
+def _closest_sphere_clustered(tree: _CullTree, o, d, mask, counter=None):
     a = s.vdot(d, d)
     state = _sweep_spheres_static(tree.always, o, d, a,
                                   _sphere_state_init(o))
@@ -506,11 +524,13 @@ def _closest_sphere_clustered(tree: _CullTree, o, d, mask):
     state = _tree_sweep(
         tree.root, o, inv, state,
         vote=lambda st: mask, t_cap=lambda st: st[0],
-        leaf_fn=lambda prims, st: _sweep_spheres_static(prims, o, d, a, st))
+        leaf_fn=lambda prims, st: _sweep_spheres_static(prims, o, d, a, st),
+        counter=counter)
     return _sphere_state_finish(o, d, state)
 
 
-def _shadow_clustered(tree: _CullTree, o, d, t_max, lam, mask):
+def _shadow_clustered(tree: _CullTree, o, d, t_max, lam, mask,
+                      counter=None):
     a = s.vdot(d, d)
     atten = _shadow_sweep_static(tree.always, o, d, t_max, lam, a,
                                  jnp.ones_like(o[0]))
@@ -522,7 +542,8 @@ def _shadow_clustered(tree: _CullTree, o, d, t_max, lam, mask):
         tree.root, o, inv, atten,
         vote=lambda at: mask & (at > 0.0), t_cap=lambda at: t_max,
         leaf_fn=lambda prims, at: _shadow_sweep_static(prims, o, d, t_max,
-                                                       lam, a, at))
+                                                       lam, a, at),
+        counter=counter)
 
 
 def _closest_sphere_dyn(sph_ref, S, o, d):
@@ -1308,6 +1329,26 @@ def _chunk_tables(fscene: FrozenScene, cfg: RenderConfig):
     return tabs, {"tri": mt, "sph": ms, "rows": rows}
 
 
+def chunk_sort_boxes(fscene: FrozenScene, cfg: RenderConfig):
+    """(n_chunks, 6) f32 chunk AABBs (bmin|bmax, ordinal order) for the
+    wavefront's global ray reordering (cfg.wf_chunk_sort), or None when
+    no chunked mode engages.  Triangle chunks win when both kinds chunk
+    (they are the slab-sweep cost the reordering amortizes)."""
+    if _use_tri_chunked(fscene, cfg):
+        _, _, meta = _chunk_build_cached(
+            fscene.triangles, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf,
+            cfg.pallas_bvh_sah, cfg.pallas_bvh_width)
+        return meta["boxes"]
+    if _use_sph_chunked(fscene, cfg):
+        from tpurt.kernels.bvh_pallas import split_huge_spheres
+        _, tree_sph = split_huge_spheres(fscene.spheres)
+        _, _, meta = _chunk_build_sph_cached(
+            tree_sph, cfg.pallas_bvh_chunk, cfg.pallas_bvh_leaf,
+            cfg.pallas_bvh_sah, cfg.pallas_bvh_width)
+        return meta["boxes"]
+    return None
+
+
 def chunk_scratch_shapes(meta):
     """scratch_shapes entries for the chunk DMA ([] when chunking off —
     ordinary scenes compile with untouched signatures). The staged route
@@ -1508,14 +1549,22 @@ def _make_scene_fns(fscene: FrozenScene, cfg: RenderConfig, sph_ref, tri_ref,
                 width=cfg.pallas_bvh_width)
     elif use_clusters:
         CL = _sphere_cull_tree(SPH, cfg.pallas_cluster_size)
+        # branch-mix cells (cfg.count_walk_stats; VERDICT r4 item 4):
+        # 8/9 = closest cull-tree leaf conds visited/taken, 10/11 = the
+        # shadow-walk pair.  The ordered closest walk lives inside a
+        # while loop — its ops are in the roofline's `nested` bucket, so
+        # only the STRAIGHT-LINE _tree_sweep conds need the mix.
+        cnt_c = None if stats_ref is None else (stats_ref, 8)
+        cnt_s = None if stats_ref is None else (stats_ref, 10)
         if cfg.pallas_cluster_ordered and CL.root is not None:
             LEAVES = _cull_tree_node_table(CL)[1]
             sph_hit = lambda o, d, m: _closest_sphere_clustered_ordered(
                 CL, LEAVES, sph_ref, o, d, m)
         else:
-            sph_hit = lambda o, d, m: _closest_sphere_clustered(CL, o, d, m)
+            sph_hit = lambda o, d, m: _closest_sphere_clustered(
+                CL, o, d, m, counter=cnt_c)
         sph_shadow = lambda o, d, tm, lam_, m: _shadow_clustered(
-            CL, o, d, tm, lam_, m)
+            CL, o, d, tm, lam_, m, counter=cnt_s)
     elif len(SPH) > cfg.pallas_static_unroll:
         sph_hit = lambda o, d, m: _closest_sphere_dyn(sph_ref, len(SPH), o, d)
         sph_shadow = lambda o, d, tm, lam_, m: _shadow_dyn(

@@ -42,6 +42,7 @@ from tpurt.kernels.mega_pallas import (
     EPS,
     _HIT,
     N_CHANNELS,
+    N_STAT_CELLS,
     _VMAT,
     _VNORM,
     _VPOS,
@@ -150,7 +151,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
             (out_ref, rays_ref), chunk = rest, None
         chunk_scratch_reset(chunk)
         if stats_ref is not None:
-            for i in range(8):
+            for i in range(N_STAT_CELLS):
                 stats_ref[i] = jnp.float32(0.0)
         tile = pl.program_id(0)
         gtile = base_ref[0, 0] + tile
@@ -787,7 +788,7 @@ def _make_regen_kernel(fscene: FrozenScene, cfg: RenderConfig, lanes: int,
         if "iters" in st:
             rays_ref[tile, 1] = st["iters"]
         if stats_ref is not None:
-            for i in range(8):
+            for i in range(N_STAT_CELLS):
                 rays_ref[tile, 2 + i] = stats_ref[i]
 
     return kernel
@@ -850,13 +851,13 @@ def regen_call(fscene, cfg, camera, planes, base_seed, spp, iteration,
     zeros_in = jnp.zeros((R, 128), jnp.int32)
     # col 0: traced segments; col 1 (cfg.count_iters): loop iterations
     # (occupancy accounting, tpurt/roofline.py); with
-    # cfg.count_walk_stats, cols 2-9 carry the 8 diagnostic cells
-    # (see _make_regen_kernel)
-    n_cols = (10 if cfg.count_walk_stats
+    # cfg.count_walk_stats, cols 2..2+N_STAT_CELLS carry the diagnostic
+    # cells (see _make_regen_kernel)
+    n_cols = (2 + N_STAT_CELLS if cfg.count_walk_stats
               else 2 if cfg.count_iters else 1)
     scratch = list(chunk_scratch_shapes(chunk_meta))
     if cfg.count_walk_stats:
-        scratch.append(pltpu.SMEM((8,), jnp.float32))
+        scratch.append(pltpu.SMEM((N_STAT_CELLS,), jnp.float32))
     new_planes, rays = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -970,8 +971,8 @@ def _render_regen_stats_jit(fscene, cfg, camera, state, base_seed, spp,
         iteration=state.iteration + spp, photon_radius=r_new,
         rays=state.rays + jnp.sum(rays),
     )
-    # with cfg.count_walk_stats `iters` is the (n_tiles, 9) matrix
-    # [iters | 8 diagnostic cells] — sum over tiles either way
+    # with cfg.count_walk_stats `iters` is the (n_tiles, 1+N_STAT_CELLS)
+    # matrix [iters | diagnostic cells] — sum over tiles either way
     return st, jnp.sum(iters, axis=0)
 
 
@@ -982,9 +983,12 @@ def render_regen_stats(scene, cfg: RenderConfig, camera, state, base_seed,
     fallback — the roofline model is kernel-specific).
 
     Returns (state, iters_total) — or, when cfg.count_walk_stats,
-    (state, vec9) where vec9 = [iters, cam_lane_iters, ph_lane_iters,
+    (state, vec13) where vec13 = [iters, cam_lane_iters, ph_lane_iters,
     straggler_iters, drift_stall_lane_iters, closest_worklist,
-    closest_swept, shadow_worklist, shadow_swept] summed over tiles."""
+    closest_swept, shadow_worklist, shadow_swept, cull_closest_visited,
+    cull_closest_taken, cull_shadow_visited, cull_shadow_taken] summed
+    over tiles (cells 8-11 = the cull-tree branch mix, VERDICT r4
+    item 4)."""
     if not supports_scene(scene, cfg):
         raise ValueError("roofline stats need the regen kernel; scene "
                          "exceeds its budget")

@@ -427,6 +427,45 @@ def _regen_planar(scene, cfg: RenderConfig, camera, pf, pi, rng,
     return pf, pi, rng, next_sample + np2 // n_pix, np2 % n_pix
 
 
+def _chunk_sort_pool(boxes, pf, pi, rng):
+    """GLOBAL ray reordering by chunk (cfg.wf_chunk_sort): key every pool
+    slot by the chunk whose AABB its ray enters FIRST (nearest entry
+    distance over the (n_chunks, 6) ordinal boxes), stable-sort the whole
+    pool by that key, and permute the plane state.  Tiles then hold
+    chunk-coherent rays, so each tile's chunked walk DMAs/sweeps ~one
+    slab instead of every slab any of its rays crosses — the cross-tile
+    form of the reference's unfinished queue-compaction design
+    (ref: src/kernels/wavefront.wgsl:28-31, queues declared never used).
+
+    Scheduling-only: slots carry their own (pixel, sample) PCG streams
+    and the sweep is slot-independent, so traced rays are EXACTLY
+    unchanged; the image can differ only by scatter-add reassociation
+    when two samples of one pixel terminate in the same sweep."""
+    n_chunks = boxes.shape[0]
+    bmin = boxes[:, 0:3]                      # (n_chunks, 3)
+    bmax = boxes[:, 3:6]
+    o = pf[_O:_O + 3].reshape(3, -1)          # (3, Q)
+    d = pf[_D:_D + 3].reshape(3, -1)
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+    t0 = (bmin.T[:, :, None] - o[:, None, :]) * inv[:, None, :]
+    t1 = (bmax.T[:, :, None] - o[:, None, :]) * inv[:, None, :]
+    tn = jnp.max(jnp.minimum(t0, t1), axis=0)  # (n_chunks, Q)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=0)
+    hit = (tf >= tn) & (tf > 0.0)
+    entry = jnp.where(hit, jnp.maximum(tn, 0.0), jnp.float32(np.inf))
+    key = jnp.argmin(entry, axis=0).astype(jnp.int32)          # (Q,)
+    key = jnp.where(jnp.any(hit, axis=0), key, jnp.int32(n_chunks))
+    key = jnp.where(pi[2].reshape(-1) > 0, key,
+                    jnp.int32(n_chunks + 1))   # dead slots last
+    order = jnp.argsort(key, stable=True)
+    C = pf.shape[0]
+    QR = pf.shape[1]
+    pf = pf.reshape(C, -1)[:, order].reshape(C, QR, 128)
+    pi = pi.reshape(3, -1)[:, order].reshape(3, QR, 128)
+    rng = rng.reshape(-1)[order].reshape(QR, 128)
+    return pf, pi, rng
+
+
 @functools.partial(jax.jit,
                    static_argnames=("fscene", "cfg", "interpret"))
 def _wavefront_pallas_jit(fscene, scene, cfg, camera, state, base_seed, spp,
@@ -453,12 +492,19 @@ def _wavefront_pallas_jit(fscene, scene, cfg, camera, state, base_seed, spp,
         pf, pi, rng, ns_, npx, rgb, nsamp, rays, sweeps = carry
         return ((ns_ < spp) | jnp.any(pi[2] > 0)) & (sweeps < cfg.wf_max_sweeps)
 
+    from tpurt.kernels.mega_pallas import chunk_sort_boxes
+    sort_boxes = (jnp.asarray(chunk_sort_boxes(fscene, cfg))
+                  if cfg.wf_chunk_sort
+                  and chunk_sort_boxes(fscene, cfg) is not None else None)
+
     def body(carry):
         pf, pi, rng, ns_, npx, rgb, nsamp, rays, sweeps = carry
         pf, pi, rng, ns_, npx = _regen_planar(
             scene, cfg, camera, pf, pi, rng, ns_, npx, spp, base_seed,
             state.iteration, hero_tabs,
             emb_planes=_layout_flags(fscene, cfg)[1])
+        if sort_boxes is not None:
+            pf, pi, rng = _chunk_sort_pool(sort_boxes, pf, pi, rng)
         pf, pi, rng, term, trays = sweep_pallas(fscene, cfg, pf, pi, rng,
                                                 interpret=interpret)
         pix = pi[0].reshape(-1)

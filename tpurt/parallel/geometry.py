@@ -164,18 +164,17 @@ def split_scene_triangles(scene: Scene, n_dev: int) -> Scene:
     return dataclasses.replace(scene, bvh_max_leaf=max_leaf, **cat)
 
 
-def scene_geometry_specs(scene: Scene) -> Scene:
+def scene_geometry_specs(scene: Scene, axis: str = AXIS) -> Scene:
     """shard_map PartitionSpecs for a split_scene_triangles scene: the
-    triangle/BVH leaves split on the mesh axis, everything else
-    replicated."""
+    triangle/BVH leaves split on `axis`, everything else replicated."""
     specs = jax.tree_util.tree_map(lambda _: P(), scene)
     return dataclasses.replace(
         specs,
-        tri_a=P(AXIS, None), tri_e1=P(AXIS, None), tri_e2=P(AXIS, None),
-        tri_n=P(AXIS, None), tri_mat=P(AXIS),
-        bvh_min=P(AXIS, None), bvh_max=P(AXIS, None),
-        bvh_left=P(AXIS), bvh_right=P(AXIS),
-        bvh_first=P(AXIS), bvh_count=P(AXIS))
+        tri_a=P(axis, None), tri_e1=P(axis, None), tri_e2=P(axis, None),
+        tri_n=P(axis, None), tri_mat=P(axis),
+        bvh_min=P(axis, None), bvh_max=P(axis, None),
+        bvh_left=P(axis), bvh_right=P(axis),
+        bvh_first=P(axis), bvh_count=P(axis))
 
 
 def make_geometry_sharded_step(mesh: Mesh, cfg: RenderConfig,
@@ -220,6 +219,102 @@ def make_geometry_sharded_step(mesh: Mesh, cfg: RenderConfig,
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(scene_geometry_specs(_scene_template()), P(),
+                  state_specs, P()),
+        out_specs=state_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+GEOM_AXIS = "geom"
+
+
+def make_2d_mesh(n_px: int, n_geom: int) -> Mesh:
+    """(px, geom) 2-D device mesh: rows share a triangle shard, columns
+    share a pixel slab."""
+    devs = jax.devices()
+    n = n_px * n_geom
+    if len(devs) < n:
+        raise ValueError(f"need {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]).reshape(n_px, n_geom),
+                (AXIS, GEOM_AXIS))
+
+
+def init_state_2d(cfg: RenderConfig, mesh2: Mesh) -> RenderState:
+    """State pixel-sharded over the px axis, replicated over geom."""
+    from jax.sharding import NamedSharding
+    from tpurt.parallel.sharding import padded_pixels_sharded
+
+    n_px = mesh2.shape[AXIS]
+    Pn = padded_pixels_sharded(cfg, n_px)
+    sh1 = NamedSharding(mesh2, P(AXIS))
+    sh3 = NamedSharding(mesh2, P(AXIS, None))
+    rep = NamedSharding(mesh2, P())
+    z3 = jnp.zeros((Pn, 3), jnp.float32, device=sh3)
+    return RenderState(
+        rgb_sum=z3,
+        n_samples=jnp.zeros((Pn,), jnp.float32, device=sh1),
+        vis_pos=z3, vis_norm=z3, vis_wo=z3, vis_tp=z3,
+        vis_mat=jnp.zeros((Pn,), jnp.int32, device=sh1),
+        iteration=jnp.zeros((), jnp.int32, device=rep),
+        photon_radius=jnp.asarray(cfg.photon_radius_init, jnp.float32,
+                                  device=rep),
+        rays=jnp.zeros((), jnp.float32, device=rep))
+
+
+def make_2d_sharded_step(mesh2: Mesh, cfg: RenderConfig,
+                         depth: int | None = None, spp: int = 1):
+    """PIXEL x GEOMETRY 2-D composition (VERDICT r4 item 5): pixels split
+    over the `px` mesh axis, triangles over `geom`.  Each device traces
+    ITS pixel slab against ITS triangle shard; per-bounce hits combine
+    with all_gather/pmin over `geom` ONLY — so the gathered plane count N
+    (the 1-D analysis' ~0.46 GB/bounce/device at 1080p x 8) is divided by
+    the px-axis size, exactly the composition the 1-D docstring
+    recommends.  State comes from init_state_2d; the scene from
+    split_scene_triangles(scene, mesh2.shape['geom']).
+
+    Returns f(scene_cat, camera, state, base_seed) -> state."""
+    from tpurt import integrate
+    from tpurt.render import _step_body
+
+    d = cfg.depth if depth is None else depth
+    hook = _TriShardHook(GEOM_AXIS)
+
+    def body(scene, camera, state, base_seed):
+        import dataclasses as _dc
+        me = jax.lax.axis_index(AXIS)
+        Pl = state.rgb_sum.shape[0]
+        gidx = me * Pl + jax.lax.broadcasted_iota(jnp.int32, (Pl, 1), 0)[:, 0]
+        px = gidx % cfg.width
+        py = jnp.minimum(gidx // cfg.width, cfg.height - 1)
+        valid = gidx < cfg.n_pixels
+        rays0 = state.rays
+
+        prev = integrate._GEOM_HOOK
+        integrate._GEOM_HOOK = hook     # trace-time install
+        try:
+            def one(st, _):
+                return _step_body(scene, cfg, camera, st, base_seed, d,
+                                  px, py, valid, cfg.tile_size,
+                                  rays_reduce=None), None
+            st, _ = jax.lax.scan(one, state, None, length=spp)
+        finally:
+            integrate._GEOM_HOOK = prev
+        # ray counts are identical across the geom axis (the combined
+        # hits are), so the global count sums over px only
+        return _dc.replace(
+            st, rays=rays0 + jax.lax.psum(st.rays - rays0, AXIS))
+
+    state_specs = jax.tree_util.tree_map(lambda _: P(), _state_template())
+    state_specs = dataclasses.replace(
+        state_specs,
+        rgb_sum=P(AXIS, None), n_samples=P(AXIS),
+        vis_pos=P(AXIS, None), vis_norm=P(AXIS, None),
+        vis_wo=P(AXIS, None), vis_tp=P(AXIS, None), vis_mat=P(AXIS))
+
+    sharded = jax.shard_map(
+        body, mesh=mesh2,
+        in_specs=(scene_geometry_specs(_scene_template(), GEOM_AXIS), P(),
                   state_specs, P()),
         out_specs=state_specs,
         check_vma=False,

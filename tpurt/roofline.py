@@ -263,6 +263,62 @@ def fused_wavefront_iteration_cost(cfg, scene):
     return _main_loop_cost(step, state)
 
 
+def cluster_leaf_ops(fscene, cfg) -> dict:
+    """Mean vector-op cost of ONE static cull-tree leaf sweep, per walk
+    class (closest winner sweep / Fresnel shadow sweep) — the per-take
+    weight for the MEASURED branch mix (VERDICT r4 item 4).
+
+    The jaxpr model counts every straight-line lax.cond at [min,max] of
+    its branches; on cull-tree configs (bench config 3) the vote-gated
+    leaf sweeps are the dominant cond class and blow the interval wide
+    open (24-271%).  cfg.count_walk_stats cells 8-11 measure how many of
+    those conds actually TAKE the sweep; combining the counts with these
+    per-sweep costs collapses the interval:
+
+        ops_hi' = ops_per_iter    - skipped/iter * leaf_ops
+        ops_lo' = ops_per_iter_lo + taken/iter   * leaf_ops
+
+    Returns dict(closest, shadow, n_leaves): mean ops per leaf sweep
+    (element-weighted like count_jaxpr_ops, i.e. already scaled by the
+    R*128 lane count)."""
+    from tpurt.kernels import mega_pallas as mp
+    from tpurt.ops import soa as s
+
+    tree = mp._sphere_cull_tree(fscene.spheres, cfg.pallas_cluster_size)
+    leaves = mp._tree_leaves(tree.root) if tree.root is not None else []
+    if not leaves:
+        return {"closest": 0.0, "shadow": 0.0, "n_leaves": 0}
+    R = cfg.pallas_lanes // 128
+    plane = jnp.zeros((R, 128), jnp.float32)
+    o = d = (plane, plane, plane)
+
+    def closest(n):
+        def fn(o, d):
+            a = s.vdot(d, d)
+            st = mp._sphere_state_init(o)
+            for leaf in leaves[:n]:
+                st = mp._sweep_spheres_static(leaf.prims, o, d, a, st)
+            return st
+        return count_jaxpr_ops(jax.make_jaxpr(fn)(o, d).jaxpr)["ops"]
+
+    def shadow(n):
+        def fn(o, d, tm, lam):
+            a = s.vdot(d, d)
+            at = jnp.ones_like(o[0])
+            for leaf in leaves[:n]:
+                at = mp._shadow_sweep_static(leaf.prims, o, d, tm, lam, a,
+                                             at)
+            return at
+        return count_jaxpr_ops(
+            jax.make_jaxpr(fn)(o, d, plane, plane).jaxpr)["ops"]
+
+    n = len(leaves)
+    # subtract the zero-leaf baseline so only the per-sweep cost remains
+    return {"closest": (closest(n) - closest(0)) / n,
+            "shadow": (shadow(n) - shadow(0)) / n,
+            "n_leaves": n}
+
+
 def roofline_fields(ops_per_iter: float, iters_total: float,
                     rays_total: float, lanes: int, dt_s: float,
                     ops_per_iter_lo: float | None = None) -> dict:
