@@ -142,11 +142,15 @@ def build_bench(config_id: int, small: bool):
         # pallas_bvh_chunk — the mesh exceeds MAX_BVH_TRIS (8192), so the
         # fused walk streams per-chunk sub-BVH slabs HBM->SMEM with a
         # near-to-far worklist + live-t re-vote (kernels/bvh_pallas.py).
-        # Sampler stack = the measured mesh stack (docs/DESIGN.md).
+        # Sampler stack = the measured mesh stack; width-8 wide BVH nodes
+        # (round 5 in-session ladder on this scene: 108.9 -> 117.1 (w4)
+        # -> 122.6 (w8); field scene 56.4 -> 63.6 -> 64.4 — DESIGN.md
+        # 'Wide-branching BVH').
         from tpurt import torus_mesh_scene
         cfg = RenderConfig(width=w, height=h, depth=30,
                            pallas_bvh=True, pallas_bvh_leaf=16,
                            pallas_bvh_chunk=1024,
+                           pallas_bvh_width=8,
                            photon_strata=16, photon_strata_dir=4096,
                            photon_strata_shared_k=True,
                            photon_strata_bounce=True,
@@ -167,6 +171,7 @@ def build_bench(config_id: int, small: bool):
         cfg = RenderConfig(width=w, height=h, depth=30,
                            pallas_sphere_bvh=True, pallas_bvh_leaf=16,
                            pallas_bvh_chunk=1024,
+                           pallas_bvh_width=8,
                            photon_strata=16, photon_strata_dir=4096,
                            photon_strata_shared_k=True,
                            photon_strata_bounce=True,
@@ -189,6 +194,7 @@ def build_bench(config_id: int, small: bool):
         cfg = RenderConfig(width=w, height=h, depth=30,
                            pallas_bvh=True, pallas_bvh_leaf=16,
                            pallas_bvh_chunk=1024,
+                           pallas_bvh_width=8,
                            photon_strata=16, photon_strata_dir=4096,
                            photon_strata_shared_k=True,
                            photon_strata_bounce=True,

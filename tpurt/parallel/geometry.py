@@ -27,12 +27,16 @@ per-bounce ICI collectives (Pallas remote copies are sender-initiated —
 no random-access remote reads), so geometry scaling rides the integrator
 where collectives compose with lax control flow.
 
-Communication volume (documented for the DESIGN section): per intersect,
-all_gather of ~8 f32 per ray -> each device receives (D-1) * N * 32 B;
-per NEE shadow, a pmin of one f32 plane.  At 1080p x 8 devices that is
-~0.46 GB per bounce per device — geometry sharding trades ICI bandwidth
-for HBM capacity and is the right axis ONLY when the scene does not fit
-one chip (compose with pixel sharding on a 2-D mesh to divide N).
+Communication volume — MEASURED from the traced build (round 5,
+tpurt.parallel.comm.collective_stats; table in docs/DESIGN.md): per
+intersect, all_gather of 8 f32 planes per 4096-pixel tile (131072 B
+operand) -> at 1080p x 8 devices each device receives 507 tiles x
+128 KiB x 7 = 465 MB per bounce (the round-4 closed-form prediction,
+confirmed); per NEE shadow, a pmin of one f32 plane.  Geometry sharding
+trades ICI bandwidth for HBM capacity and is the right axis ONLY when
+the scene does not fit one chip; make_2d_sharded_step composes it with
+pixel sharding on a (px, geom) mesh — measured 16.6 MB/bounce/device on
+the 4x2 mesh, ~28x less.
 
 Works identically on the virtual 8-device CPU mesh (tests/dryrun) and a
 real slice.  Ref for the capability being scaled: the reference keeps the
