@@ -53,6 +53,18 @@ def _render(platform: str, scene_name: str):
                            photon_strata_bounce=True,
                            photon_strata_window=4,
                            hero_wavelengths=4)
+    elif scene_name == "chunked_wide":
+        # round-5 production path for configs 7-9: SMEM chunk streaming
+        # (forced via a small chunk/threshold) + the width-8 wide-BVH walk
+        # on BOTH the top tree and the per-chunk sub-trees.
+        scene = torus_mesh_scene(8, 4)
+        cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
+                          aspect_ratio=16 / 9)
+        cfg = RenderConfig(width=160, height=90, depth=5, backend="pallas",
+                           pallas_static_unroll=8, pallas_bvh=True,
+                           pallas_bvh_leaf=8, pallas_bvh_chunk=16,
+                           pallas_bvh_chunk_threshold=32,
+                           pallas_bvh_width=8)
     else:
         scene = torus_mesh_scene(8, 4)
         cam = make_camera((0, 3, -6), (0, 1.5, 0), vfov=55.0,
@@ -61,7 +73,8 @@ def _render(platform: str, scene_name: str):
                            pallas_static_unroll=8, pallas_bvh=True)
     state = init_state(cfg)
     interpret = platform == "cpu"
-    spp = 4 if scene_name == "instanced" else 8  # bound the interpret run
+    # bound the interpret runs
+    spp = 4 if scene_name in ("instanced", "chunked_wide") else 8
     from tpurt.kernels.mega_regen import render_regen
     with jax.default_device(jax.devices(platform)[0]):
         st = render_regen(scene, cfg, cam, state, 1234, spp,
@@ -85,7 +98,7 @@ def main():
     # countable-rare), <5% of pixels with >1% relative radiance diff.
     ok = True
     results = []
-    for scene in ("cornell", "mesh", "qmc", "instanced"):
+    for scene in ("cornell", "mesh", "qmc", "instanced", "chunked_wide"):
         img_t, rays_t = _render("tpu", scene)
         img_c, rays_c = _render("cpu", scene)
         rays_ok = abs(rays_t - rays_c) <= 1e-5 * max(rays_t, 1.0)
