@@ -346,7 +346,9 @@ def run_config(config_id: int, small: bool, spp: int, verbose: bool) -> dict:
         },
     }
     result.update(quality_fields(config_id, spp, mrays))
-    if config_id == 0:
+    # the two-point t(spp) line needs a second point strictly above the
+    # measured spp (an spp >= 64 override would divide by zero / invert)
+    if config_id == 0 and spp < 64:
         # Launch-overhead decomposition (VERDICT r4 item 6): config 0 is
         # tiny (256^2 x 4 spp, ~2.6 ms of work), so the per-call fixed
         # cost (dispatch + host sync) dominates BY MEASUREMENT, not

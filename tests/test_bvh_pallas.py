@@ -850,6 +850,87 @@ def test_wide_walk_matches_brute_force(width, leaf):
 
 
 @pytest.mark.parametrize("width", [4, 8])
+def test_wide_walk_nan_slab_votes_hit(width):
+    """Axis-aligned rays whose origin sits EXACTLY on a node-box plane
+    with a zero direction component produce tn = NaN (0*inf) in the slab
+    test.  The negated compares make such lanes vote HIT (conservative,
+    like the binary walk), and the ordered wide walk's single key-reduce
+    must not let the NaN poison the push vote — a poisoned key silently
+    DROPPED the whole voted subtree for every lane of the tile
+    (regression: the key is NaN-sanitized to -inf; the binary walk was
+    never affected, its push vote is any(v))."""
+    G, Z = 6, 4          # 6x6 quad grid at z = 1..4  ->  288 tris
+    tris = []
+    a_l, e1_l, e2_l = [], [], []
+    for z in range(1, Z + 1):
+        for i in range(G):
+            for j in range(G):
+                for (av, e1v, e2v) in (
+                        ((i, j, z), (1, 0, 0), (0, 1, 0)),
+                        ((i + 1, j + 1, z), (-1, 0, 0), (0, -1, 0))):
+                    tris.append(_FT(av, e1v, e2v, (0, 0, 1),
+                                    len(tris) % 7))
+                    a_l.append(av); e1_l.append(e1v); e2_l.append(e2v)
+    T = len(tris)
+    a = np.array(a_l, np.float32)
+    e1 = np.array(e1_l, np.float32)
+    e2 = np.array(e2_l, np.float32)
+
+    tabs = {}
+    for w in (0, width):
+        tri_tab, node_f, node_i = build_tri_bvh_tables(tris, leaf_size=8,
+                                                       width=w)
+        tabs[w] = jnp.asarray(pack_tables(tri_tab, node_f, node_i,
+                                          leaf_size=8))
+
+    # all rays fire straight down +z (d.x = d.y = 0); x/y mix EXACT
+    # integer box planes (the NaN lanes) with interior half-integers
+    R = 2
+    NR = R * 128
+    xs = np.tile(np.arange(NR) % (G + 1), 1).astype(np.float32)      # 0..6
+    ys = ((np.arange(NR) // (G + 1)) % (2 * G)).astype(np.float32) / 2.0
+    ro = np.stack([xs, ys, np.full(NR, -3.0, np.float32)], axis=1)
+    rd = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (NR, 1))
+    o_j = jnp.asarray(ro.T.reshape(3, R, 128))
+    d_j = jnp.asarray(rd.T.reshape(3, R, 128))
+
+    def make_kernel(w):
+        def kernel(o_ref, d_ref, tab_ref, out_ref):
+            o = (o_ref[0], o_ref[1], o_ref[2])
+            d = (d_ref[0], d_ref[1], d_ref[2])
+            mask = jnp.ones_like(o[0], bool)
+            nodes, tv = packed_views(tab_ref, T)
+            t, nrm, mat = closest_tri_bvh(nodes, tv, o, d, mask, width=w)
+            occ = tri_shadow_bvh(nodes, tv, o, d,
+                                 jnp.full_like(o[0], 5.5), mask, width=w)
+            out_ref[0] = t
+            out_ref[1] = jnp.where(occ, 1.0, 0.0)
+        return kernel
+
+    outs = {}
+    for w in (0, width):
+        outs[w] = np.asarray(pl.pallas_call(
+            make_kernel(w),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((2, R, 128), jnp.float32),
+            interpret=jax.default_backend() != "tpu",
+        )(o_j, d_j, tabs[w]))
+    # t and occlusion planes must match the binary walk exactly (shared-
+    # edge hits tie at the same t, so the t plane is order-independent)
+    np.testing.assert_array_equal(outs[0], outs[width])
+
+    tt = _brute_force(ro, rd, a, e1, e2)
+    t_ref = tt.min(axis=1)
+    hit = t_ref < 1e29
+    assert hit.sum() > NR // 2     # the grid rays really do hit geometry
+    t_k = outs[width][0].reshape(-1)
+    np.testing.assert_allclose(t_k[hit], t_ref[hit], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(t_k > 1e29, ~hit)
+
+
+@pytest.mark.parametrize("width", [4, 8])
 def test_wide_sphere_walk_matches_binary(width):
     """Sphere closest-hit + Fresnel shadow walks under the wide collapse
     return bit-identical planes to the binary walk."""

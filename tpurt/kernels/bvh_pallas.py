@@ -544,8 +544,19 @@ def _bvh_walk(nodes, o, inv, vote, t_cap, leaf_fn, state, ordered=True,
                         # un-voted children key to MISS and sort last.
                         # ONE reduce serves both the key and the vote
                         # (key < MISS iff some lane voted: real boxes
-                        # never produce tn == MISS).
-                        key = jnp.min(jnp.where(v, tn, MISS))
+                        # never produce tn == MISS). A lane's slab test
+                        # can yield tn = NaN (0*inf on axis-aligned rays
+                        # grazing a box plane); such lanes vote HIT by
+                        # the negated compares above, but a NaN would
+                        # poison the min (key NaN -> key < MISS False ->
+                        # voted subtree silently DROPPED, unlike the
+                        # binary path's any(v) push). Sanitize to -inf
+                        # for the key only: the lane keeps its HIT vote,
+                        # keys the child nearest, and the single reduce
+                        # still doubles as the vote.
+                        tn_key = jnp.where(jnp.isnan(tn),
+                                           -np.float32(np.inf), tn)
+                        key = jnp.min(jnp.where(v, tn_key, MISS))
                         keys.append(key)
                         gos.append((cid > 0) & (key < MISS))
                     else:

@@ -446,7 +446,13 @@ def _chunk_sort_pool(boxes, pf, pi, rng):
     bmax = boxes[:, 3:6]
     o = pf[_O:_O + 3].reshape(3, -1)          # (3, Q)
     d = pf[_D:_D + 3].reshape(3, -1)
-    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20, 1e-20, d)
+    # sign-preserving epsilon: clamping tiny NEGATIVE components to
+    # +1e-20 would run that axis's slab test with the wrong sign and
+    # key the ray to a chunk behind it (scheduling-only wrong — the
+    # sweep is exact either way — but it costs the coherence the sort
+    # exists to buy)
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                          jnp.where(d < 0, -1e-20, 1e-20), d)
     t0 = (bmin.T[:, :, None] - o[:, None, :]) * inv[:, None, :]
     t1 = (bmax.T[:, :, None] - o[:, None, :]) * inv[:, None, :]
     tn = jnp.max(jnp.minimum(t0, t1), axis=0)  # (n_chunks, Q)
@@ -493,9 +499,8 @@ def _wavefront_pallas_jit(fscene, scene, cfg, camera, state, base_seed, spp,
         return ((ns_ < spp) | jnp.any(pi[2] > 0)) & (sweeps < cfg.wf_max_sweeps)
 
     from tpurt.kernels.mega_pallas import chunk_sort_boxes
-    sort_boxes = (jnp.asarray(chunk_sort_boxes(fscene, cfg))
-                  if cfg.wf_chunk_sort
-                  and chunk_sort_boxes(fscene, cfg) is not None else None)
+    _boxes = chunk_sort_boxes(fscene, cfg) if cfg.wf_chunk_sort else None
+    sort_boxes = jnp.asarray(_boxes) if _boxes is not None else None
 
     def body(carry):
         pf, pi, rng, ns_, npx, rgb, nsamp, rays, sweeps = carry

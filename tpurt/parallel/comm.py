@@ -65,7 +65,11 @@ def _walk(jaxpr, mult: float, out: dict, flags: set):
                   mult * float(eqn.params.get("length", 1)), out, flags)
             continue
         if prim == "while":
-            before = dict(out)
+            # deep snapshot: the inner {calls, bytes} dicts are mutated
+            # in place, so a shallow dict(out) would alias them and the
+            # flag would miss whenever the body's collective name was
+            # already recorded outside the loop.
+            before = {k: dict(v) for k, v in out.items()}
             _walk(eqn.params["body_jaxpr"].jaxpr, mult, out, flags)
             _walk(eqn.params["cond_jaxpr"].jaxpr, mult, out, flags)
             if out != before:
