@@ -76,8 +76,9 @@ def main():
 
     report = {
         "generated": datetime.datetime.now().isoformat(timespec="seconds"),
-        "command": "python tools/run_tests.py" + (
-            " --fast-only" if args.fast_only else ""),
+        "command": "python tools/run_tests.py "
+        + " ".join(sys.argv[1:]) if len(sys.argv) > 1
+        else "python tools/run_tests.py",
         "modules": {},
     }
     if args.merge and os.path.exists(args.out):
